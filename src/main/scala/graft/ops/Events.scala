@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num._
+
+/** Event-stream analytics (SURVEY.md §2.10): the batch formulations of the
+  * incremental/streaming shapes. The same transforms run under Structured
+  * Streaming in graft.streaming (tumbling window == groupBy window($"ts")).
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregate per event type (streaming-window analog
+    * of the reference's daily rolling index, `faiss_manager.py:63-104`).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(tsS(col("hour_ts")).as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+
+  /** Sessionization: gaps-and-islands with a 30-minute inactivity timeout.
+    * Window lag/cumulative-sum; the streaming twin uses
+    * flatMapGroupsWithState (graft.streaming.SessionizeStream).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val newSession = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapMicros ||
+        lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON property extraction (R10/R11 analog: `json.dumps`/`json.loads`
+    * round-trip in the reference, `utils.py:22`).
+    */
+  def jsonPropBuckets(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_bucket"))
+
+  /** Top-k users by spend, enriched with the customer dim via broadcast join
+    * (events.user_id + 1 == customer.c_custkey by construction of the
+    * testdata generator).
+    */
+  def topUsers(events: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .join(broadcast(customer), col("user_id") + 1 === col("c_custkey"))
+      .select(col("user_id"), col("c_name"), col("total_value"), col("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+}

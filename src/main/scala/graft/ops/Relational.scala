@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num._
+
+/** Core relational operator surface (SURVEY.md §2.2-§2.8) expressed over the
+  * star-schema tables. Each op is a pure `DataFrame => DataFrame` transform;
+  * Catalyst handles pushdown/pruning/join strategy. Every output is totally
+  * ordered by a unique key so results are reproducible across engines.
+  */
+object Relational {
+
+  /** Scan + filter + group-agg (P1-P3, A-family). TPC-H Q1 shape.
+    * Decimal-exact sums so the DuckDB oracle hash-matches (see Num).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** 3-way join + agg + top-k (J-family, O1/O2). TPC-H Q3 shape.
+    * `customer` is small → broadcast; revenue ordering tie-broken by key.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .join(orders.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        tsS(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** 6-way snowflake join (J1/J2 analog at scale). TPC-H Q5 shape.
+    * region/nation broadcast; the big fact joins shuffle on their keys.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Selective filter + scalar agg (P3, A1). TPC-H Q6 shape.
+    * The whole predicate reaches the parquet scan as PushedFilters.
+    */
+  def revenueForecast(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window functions: rank + running sum within partition (§2.8, R13/O4).
+    * Unique (shipdate, orderkey, linenumber) ordering → deterministic frames;
+    * running sum over decimals stays exact.
+    */
+  def supplierRunningShipments(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"), tsS(col("l_shipdate")).as("ship_ts"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Hierarchical aggregate: ROLLUP with grouping-set labels (§2.5 ext). */
+  def returnsRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Set operations (§2.7): nations with rich customers vs supplier nations. */
+  def nationSetOps(nation: DataFrame, customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val custNations = nation.join(customer, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 7000).select(col("n_name")).distinct()
+    val suppNations = nation.join(supplier, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("s_acctbal") > 5000).select(col("n_name")).distinct()
+    custNations.intersect(suppNations).withColumn("set_op", lit("both"))
+      .unionAll(custNations.except(suppNations).withColumn("set_op", lit("cust_only")))
+      .orderBy(col("set_op"), col("n_name"))
+  }
+
+  /** Distinct-count aggregates per group (§2.5 ext). */
+  def orderStats(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Global top-k by computed expression → TakeOrderedAndProjectExec (O5). */
+  def topExpensiveParts(part: DataFrame): DataFrame =
+    part
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        (dec(col("p_retailprice")) * (lit(1).cast("decimal(18,2)") + lit(0.1).cast("decimal(18,2)")))
+          .cast("double").as("adj_price"))
+      .orderBy(col("adj_price").desc, col("p_partkey"))
+      .limit(20)
+
+  /** Anti-join (J5: dedup-before-insert): customers with no urgent orders. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi-join (J5 existence check): customers that do have urgent orders. */
+  def customersWithUrgentOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+}
