@@ -42,7 +42,27 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
+    // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
+    "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
+    "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
+    "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
+    "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.42)),
+    "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
+    "vec_index_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      graft.vector.VectorIndex.search(graft.vector.VectorIndex.fromEmbeddings(emb), qv)
+    }),
   )
+
+  // DuckDB-side macros mirroring graft.functions.VectorFunctions exactly
+  // (sequential float64 folds — verified bitwise-identical to Spark's
+  // aggregate/zip_with HOFs).
+  private def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -156,5 +176,57 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events JOIN customer ON user_id + 1 = c_custkey
         |GROUP BY user_id, c_name ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "vec_knn_l2" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
+        |  round(d2, 6) AS dist_sq, round(1.0 - d2/2.0, 6) AS similarity
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    "vec_knn_cosine" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label,
+        |  ${dotSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} /
+        |  (sqrt(${dotSql("CAST(e.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS cos
+        |  FROM embeddings e, q)
+        |SELECT vec_id, label, round(cos, 6) AS cos_sim
+        |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_ivf_search" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+        |asn AS (SELECT vec_id, label, e, cid FROM (
+        |  SELECT emb.vec_id, emb.label, emb.e, c.cid,
+        |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY ${l2sqSql("emb.e", "c.ce")}, c.cid) AS arn
+        |  FROM emb, c) WHERE arn = 1),
+        |probe AS (SELECT cid FROM (SELECT c.cid, ${l2sqSql("c.ce", "q.qe")} AS qd2 FROM c, q ORDER BY qd2, cid LIMIT 2))
+        |SELECT vec_id, label, cid, round(d2, 6) AS dist_sq FROM (
+        |  SELECT a.vec_id, a.label, a.cid, ${l2sqSql("a.e", "q.qe")} AS d2
+        |  FROM asn a JOIN probe USING (cid), q
+        |  ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    "vec_dup_pairs" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n)
+        |SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "vec_index_prune" ->
+      """WITH idx AS (SELECT vec_id, DATE '2024-01-01' + CAST(vec_id % 10 AS INT) AS ingest_date FROM embeddings),
+        |mx AS (SELECT max(ingest_date) AS mxd FROM idx)
+        |SELECT strftime(ingest_date, '%Y-%m-%d') AS ingest_day,
+        |  COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+        |FROM idx, mx WHERE ingest_date > mxd - 7
+        |GROUP BY ingest_date ORDER BY 1""".stripMargin,
+    "vec_index_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  round(1.0 - d2/2.0, 6) AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance/similarity as Catalyst higher-order-function expressions
+  * (SURVEY.md §2.9 "L2 distance", §2.11). The reference delegates these to
+  * FAISS C++ (`faiss_manager.py:275`); here they are declarative Column
+  * expressions so Catalyst can pipeline them inside the scan stage — no UDF
+  * serialization boundary, no driver-side loop.
+  *
+  * Determinism contract: every fold is a sequential left-to-right float64
+  * accumulation, which matches both DuckDB's `list_sum` (verified bitwise)
+  * and any single-pass SIMD-free C loop — so oracle hashes line up exactly.
+  */
+object VectorFunctions {
+
+  /** Elementwise-product fold: dot(a, b) in float64. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 distance — the FAISS IndexFlatL2 metric (squared, not
+    * rooted: `faiss_manager.py:143`; the verbatim `1 - d/2` similarity in
+    * `utils.py:105` depends on it staying squared).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity dot/(|a||b|) in float64. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Reference similarity formula, kept verbatim (`utils.py:105`): only a
+    * true cosine for unit vectors and squared-L2 distances — output parity
+    * beats mathematical purity here.
+    */
+  def faissSimilarity(distSq: Column): Column = lit(1.0) - distSq / 2.0
+}

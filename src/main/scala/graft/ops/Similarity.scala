@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (SURVEY.md §3.1 + the scale
+  * extensions). The reference's search path is: embed query → per-day FAISS
+  * flat-L2 scan → per-index top-k → global merge (`faiss_manager.py:254-296`).
+  * In Spark that whole pipeline is `withColumn(dist) → orderBy(dist).limit(k)`
+  * — the per-partition partial top-k + global merge IS
+  * TakeOrderedAndProjectExec, so the FAISS merge invariant holds by
+  * construction.
+  *
+  * Scale path for 100 TB: brute force is O(n·d) per query; `ivfSearch`
+  * prunes to a fixed number of coarse cells (classic IVF-Flat), turning the
+  * scan into a partition-prunable predicate on the assigned cell id. At
+  * cluster scale the cell assignment would be a write-time bucketing column,
+  * so a query touches |probed cells| / |cells| of the data.
+  */
+object Similarity {
+
+  private def queryVec(embeddings: DataFrame, queryId: Long): DataFrame =
+    embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+
+  /** Exact kNN by squared L2, FAISS-parity output shape: rank + verbatim
+    * `1 - d/2` similarity (R12/R13, `utils.py:100-108`).
+    */
+  def knnL2(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val withDist = embeddings
+      .crossJoin(broadcast(queryVec(embeddings, queryId)))
+      .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
+    withDist
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("d2"), 6).as("dist_sq"),
+        round(faissSimilarity(col("d2")), 6).as("similarity"))
+  }
+
+  /** Exact top-k by cosine similarity (embedding near-dup / semantic search
+    * baseline).
+    */
+  def knnCosine(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =
+    embeddings
+      .crossJoin(broadcast(queryVec(embeddings, queryId)))
+      .withColumn("cos", cosine(col("embedding"), col("q_embedding")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos_sim"))
+
+  /** IVF-Flat approximate kNN: vectors are assigned to their nearest of
+    * `nCells` deterministic seed centroids (the first `nCells` vectors by
+    * id); a query probes its `nProbe` nearest cells and scans only those.
+    * At scale the assignment is a bucketing/partition column, making the
+    * probe a partition-pruned scan instead of a full pass.
+    */
+  def ivfSearch(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val centroids = broadcast(embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding")))
+    // cell assignment: argmin over centroids (row_number on distance)
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cid"))
+    val assigned = embeddings
+      .crossJoin(centroids)
+      .withColumn("cd2", l2Sq(col("embedding"), col("c_embedding")))
+      .withColumn("arn", row_number().over(byVec))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    val q = queryVec(embeddings, queryId)
+    val probed = centroids
+      .crossJoin(broadcast(q))
+      .withColumn("qd2", l2Sq(col("c_embedding"), col("q_embedding")))
+      .orderBy(col("qd2"), col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned
+      .join(broadcast(probed), "cid")
+      .crossJoin(broadcast(q))
+      .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cid"), round(col("d2"), 6).as("dist_sq"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (training-data dedup): all pairs
+    * with cosine ≥ threshold. Quadratic by construction — the honest
+    * baseline; blocked variants (LSH / IVF cells) bound the candidate set
+    * at scale. Self-join is shuffle-partitioned on nothing useful, so at
+    * real scale use `ivfSearch`-style cell blocking first.
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    // Precompute each side's norm once — 3x fewer folds than cosine() per pair.
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = normed.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = normed.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+}

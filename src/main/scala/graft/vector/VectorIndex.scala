@@ -1,0 +1,104 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** The vector-store subsystem: Spark-native replacement for the reference's
+  * per-day FAISS index files (`faiss_manager.py`).
+  *
+  * Reference model: parallel in-memory arrays (one `IndexFlatL2` + one
+  * metadata JSON per ingest day, `faiss_manager.py:26-27,41-61`), retention
+  * of the 7 most recent days (`:91-104`), full-file rewrite on every append
+  * (`:248-250`).
+  *
+  * Spark model: ONE DataFrame `(vec_id, embedding, data_type, data_json,
+  * extras, ingest_date)` persisted as parquet partitioned by `ingest_date`.
+  *  - append = `write.mode(Append).partitionBy("ingest_date")` — no rewrite
+  *    amplification;
+  *  - "load only recent days" = a partition-pruning predicate (Catalyst
+  *    prunes directories, so a 7-day query touches 7/∞ of the data at any
+  *    scale);
+  *  - index/metadata positional drift (FAISS's parallel-array hazard,
+  *    `faiss_manager.py:278-285`) is impossible: vector and metadata live in
+  *    the same row.
+  */
+object VectorIndex {
+
+  val RetentionDays = 7 // faiss_manager.py:15 max_days default
+
+  /** S10/S12: append a batch of (embedding, metadata) rows to the index. */
+  def append(batch: DataFrame, indexPath: String): Unit =
+    batch.write.mode(SaveMode.Append).partitionBy("ingest_date").parquet(indexPath)
+
+  /** S11 load-side: only the `maxDays` most recent daily partitions, as a
+    * pruning predicate relative to `asOf` (reference reloads recent files,
+    * `faiss_manager.py:91-99`).
+    */
+  def loadRecent(spark: SparkSession, indexPath: String, asOf: java.sql.Date,
+      maxDays: Int = RetentionDays): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("ingest_date") > date_sub(lit(asOf), maxDays))
+
+  /** S11 delete-side: physically drop partitions older than the window
+    * (reference: `_remove_old_indexes`, `faiss_manager.py:151-172`).
+    */
+  def retain(spark: SparkSession, indexPath: String, asOf: java.sql.Date,
+      maxDays: Int = RetentionDays): Seq[String] = {
+    val cutoff = asOf.toLocalDate.minusDays(maxDays)
+    val root = new java.io.File(indexPath)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("ingest_date="))
+      .filter { d =>
+        val day = java.time.LocalDate.parse(d.getName.stripPrefix("ingest_date="))
+        !day.isAfter(cutoff)
+      }
+    dropped.foreach { d =>
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    dropped.map(_.getName).toSeq
+  }
+
+  /** The reference's search (`faiss_manager.py:254-296` + `utils.py:100-108`):
+    * kNN over the retained window with FAISS-parity output
+    * `{rank, similarity_score, data_type, data_json}` — similarity is the
+    * verbatim `1 - d/2` on squared L2. Per-partition top-k + global merge is
+    * Spark's TakeOrderedAndProject, the exact analog of the reference's
+    * per-index search + merge loop.
+    */
+  def search(index: DataFrame, query: Seq[Float], k: Int = 10): DataFrame = {
+    val q = lit(query.toArray)
+    index
+      .withColumn("d2", l2Sq(col("embedding"), q))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .select(col("rank"), round(faissSimilarity(col("d2")), 6).as("similarity_score"),
+        col("data_type"), col("data_json"))
+  }
+
+  /** Build an index frame from the `embeddings` fixture: synthetic ingest
+    * dates spread over >7 days exercise retention + pruning (FIXTURES.md).
+    */
+  def fromEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"), col("embedding"),
+      lit("embedding").as("data_type"),
+      to_json(struct(col("vec_id"), col("label"))).as("data_json"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("vec_id") % 10).cast("int")).as("ingest_date"))
+
+  /** Oracle-checkable form of load-prune + count per retained day. */
+  def pruneStats(embeddings: DataFrame): DataFrame = {
+    val idx = fromEmbeddings(embeddings)
+    val maxDate = idx.agg(max(col("ingest_date")).as("mx"))
+    idx.crossJoin(broadcast(maxDate))
+      .filter(col("ingest_date") > date_sub(col("mx"), RetentionDays))
+      .groupBy(col("ingest_date"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .select(date_format(col("ingest_date"), "yyyy-MM-dd").as("ingest_day"),
+        col("n_vectors"), col("min_vec_id"))
+      .orderBy(col("ingest_day"))
+  }
+}
