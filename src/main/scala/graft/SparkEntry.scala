@@ -48,6 +48,15 @@ object SparkEntry {
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.42)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
+    // ---- dedup + text analysis over documents (scale extensions) ----
+    "doc_exact_dedup" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
+    "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
+    "doc_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairs(Tables.documents(s, d))),
+    "doc_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -228,5 +237,99 @@ object SparkEntry {
         |  'embedding' AS data_type,
         |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    "doc_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "doc_minhash_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
+        |mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
+        |       FROM sh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        |          FROM mh GROUP BY doc_id, h // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+        |         FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS n_inter
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |          GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, n_shared_bands, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT i.doc_a, i.doc_b, i.n_shared_bands,
+        |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
+        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_simhash" ->
+      """WITH wd AS (SELECT DISTINCT doc_id, wrd FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wrd FROM documents)),
+        |bits AS (SELECT doc_id, bit,
+        |    SUM(CASE WHEN substr(md5(wrd), CAST(bit + 1 AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        |  FROM wd CROSS JOIN range(0, 16) t(bit) GROUP BY doc_id, bit),
+        |sig AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "doc_blocked_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle, d.source FROM sh0 JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT i.doc_a, i.doc_b,
+        |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
+        |WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'le')) + len(list_filter(string_split(text,' '), x -> x = 'la')) + len(list_filter(string_split(text,' '), x -> x = 'les')) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'der')) + len(list_filter(string_split(text,' '), x -> x = 'die')) + len(list_filter(string_split(text,' '), x -> x = 'das')) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'el')) + len(list_filter(string_split(text,' '), x -> x = 'los')) + len(list_filter(string_split(text,' '), x -> x = 'una')) AS BIGINT) AS score_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+        |       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+        |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+        |       ELSE 'es' END AS pred_lang,
+        |  greatest(score_en, score_fr, score_de, score_es) AS best_score,
+        |  score_en, score_fr, score_de, score_es
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) AS n_stop
+        | FROM documents),
+        |u AS (SELECT doc_id, n_words, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+        | FROM t)
+        |SELECT doc_id, n_words, n_distinct, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+        |  round(0.4*ttr + 0.3*(1.0 - stop_ratio) + 0.3*len_score, 6) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "doc_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

