@@ -18,7 +18,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ crmQueries
+
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.2-2.8) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping_priority" -> ((s, d) =>
@@ -65,6 +67,17 @@ object SparkEntry {
     }),
   )
 
+  // ---- CRM tool-equivalents (the reference's 9-tool surface, SURVEY §3) ----
+  private val crmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "crm_active_companies" -> ((s, d) => graft.crm.CrmOps.activeCompanies(s, d)),
+    "crm_active_contacts" -> ((s, d) => graft.crm.CrmOps.activeContacts(s, d)),
+    "crm_tickets_default" -> ((s, d) => graft.crm.CrmOps.ticketsDefault(s, d)),
+    "crm_tickets_closed" -> ((s, d) => graft.crm.CrmOps.ticketsClosed(s, d)),
+    "crm_recent_conversations" -> ((s, d) => graft.crm.CrmOps.recentConversations(s, d)),
+    "crm_company_activity" -> ((s, d) => graft.crm.CrmOps.companyActivity(s, d)),
+    "crm_create_contacts" -> ((s, d) => graft.crm.CrmOps.createContactsDedup(s, d)),
+  )
+
   // DuckDB-side macros mirroring graft.functions.VectorFunctions exactly
   // (sequential float64 folds — verified bitwise-identical to Spark's
   // aggregate/zip_with HOFs).
@@ -72,6 +85,143 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
+
+  // Shared CRM-view CTE bodies (DuckDB side of graft.crm.CrmViews).
+  private val companiesCte =
+    """companies AS (
+      |  SELECT s_suppkey, CAST(s_suppkey AS VARCHAR) AS id, s_name AS name, n_name AS industry,
+      |    lower(replace(s_name, '#', '')) || '.com' AS domain,
+      |    lm.last_ship AS hs_lastmodifieddate
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN (SELECT l_suppkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY l_suppkey) lm
+      |    ON lm.l_suppkey = s_suppkey)""".stripMargin
+  private val contactsCte =
+    """contacts AS (
+      |  SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS id,
+      |    substr(c_name, 1, 8) AS firstname, substr(c_name, 10, 9) AS lastname,
+      |    substr(c_name, 10, 9) || '@' || lower(c_mktsegment) || '.example.com' AS email,
+      |    '+' || c_nationkey || '-' || c_custkey AS phone,
+      |    coalesce(lo.last_order, TIMESTAMP '1995-01-01') AS hs_lastmodifieddate
+      |  FROM customer LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS last_order FROM orders GROUP BY o_custkey) lo
+      |    ON lo.o_custkey = c_custkey)""".stripMargin
+  private val ticketsCte =
+    """tickets AS (
+      |  SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS id,
+      |    'Order ' || o_orderkey AS subject,
+      |    o_orderpriority AS hs_ticket_priority,
+      |    CASE o_orderstatus WHEN 'F' THEN '4' WHEN 'P' THEN '2' ELSE '1' END AS hs_pipeline_stage,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS hs_ticket_status,
+      |    o_orderdate AS createdate,
+      |    CASE WHEN o_orderstatus = 'F' THEN o_orderdate + INTERVAL 30 DAY END AS closedate,
+      |    o_orderdate + INTERVAL 15 DAY AS hs_lastmodifieddate
+      |  FROM orders)""".stripMargin
+  private val messagesCte =
+    """messages AS (
+      |  SELECT l_orderkey AS thread_id,
+      |    l_orderkey * 10 + l_linenumber AS message_id,
+      |    CASE WHEN l_returnflag = 'N' THEN 'MESSAGE' WHEN l_returnflag = 'R' THEN 'SYSTEM_NOTICE' ELSE 'COMMENT' END AS msg_type,
+      |    l_shipdate AS created_at,
+      |    'part ' || l_partkey || ' qty ' || CAST(l_quantity AS INT) AS text,
+      |    repeat('part ' || l_partkey || ' qty ' || CAST(l_quantity AS INT), 30) AS rich_text,
+      |    CASE WHEN l_linestatus = 'F' THEN '0-1-' || l_suppkey ELSE '3-' || l_suppkey END AS actor_id,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN 'TO' ELSE 'FROM' END AS sender_field,
+      |    l_linenumber
+      |  FROM lineitem)""".stripMargin
+  private val engagementsCte =
+    """engagements AS (
+      |  SELECT event_id AS engagement_id,
+      |    CASE event_type WHEN 'view' THEN 'NOTE' WHEN 'click' THEN 'TASK'
+      |      WHEN 'purchase' THEN 'MEETING' WHEN 'error' THEN 'CALL' ELSE 'EMAIL' END AS etype,
+      |    ts, value, user_id, props,
+      |    user_id % (SELECT count(*) FROM supplier) + 1 AS company_key
+      |  FROM events)""".stripMargin
+  private val fmtTs = "'%Y-%m-%d %H:%M:%S'"
+
+  private val crmOracle: Map[String, String] = Map(
+    "crm_active_companies" ->
+      s"""WITH $companiesCte
+        |SELECT id, name, industry, domain,
+        |  strftime(hs_lastmodifieddate, $fmtTs) AS hs_lastmodifieddate
+        |FROM companies ORDER BY strftime(hs_lastmodifieddate, $fmtTs) DESC, s_suppkey LIMIT 10""".stripMargin,
+    "crm_active_contacts" ->
+      s"""WITH $contactsCte
+        |SELECT id, firstname, lastname, email, phone,
+        |  strftime(hs_lastmodifieddate, $fmtTs) AS lastmodifieddate
+        |FROM contacts ORDER BY strftime(hs_lastmodifieddate, $fmtTs) DESC, c_custkey LIMIT 10""".stripMargin,
+    "crm_tickets_default" ->
+      s"""WITH $ticketsCte,
+        |cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cutoff FROM orders)
+        |SELECT id, subject, hs_ticket_priority, hs_pipeline_stage, hs_ticket_status,
+        |  strftime(createdate, $fmtTs) AS createdate,
+        |  strftime(closedate, $fmtTs) AS closedate,
+        |  strftime(hs_lastmodifieddate, $fmtTs) AS hs_lastmodifieddate
+        |FROM tickets, cut
+        |WHERE closedate > cutoff OR hs_lastmodifieddate > cutoff
+        |ORDER BY strftime(hs_lastmodifieddate, $fmtTs) DESC, o_orderkey LIMIT 50""".stripMargin,
+    "crm_tickets_closed" ->
+      s"""WITH $ticketsCte
+        |SELECT id, subject, hs_pipeline_stage, hs_ticket_status,
+        |  strftime(closedate, $fmtTs) AS closedate,
+        |  strftime(hs_lastmodifieddate, $fmtTs) AS hs_lastmodifieddate
+        |FROM tickets
+        |WHERE hs_pipeline_stage = '4' OR hs_ticket_status = 'closed'
+        |ORDER BY strftime(hs_lastmodifieddate, $fmtTs) DESC, o_orderkey LIMIT 50""".stripMargin,
+    "crm_recent_conversations" ->
+      s"""WITH $messagesCte,
+        |threads AS (SELECT o_orderkey AS thread_id, o_orderdate AS thread_created_at
+        |            FROM orders ORDER BY o_orderkey DESC LIMIT 10),
+        |m AS (SELECT *,
+        |    CASE WHEN l_linenumber = 7 THEN 'UNKNOWN'
+        |         WHEN sender_field = 'FROM' AND (actor_id LIKE '0-1%' OR actor_id LIKE '0-2%') THEN 'AGENT'
+        |         ELSE 'CUSTOMER' END AS sender_type,
+        |    substr(rich_text, 1, 200) AS truncated
+        |  FROM messages WHERE msg_type = 'MESSAGE'),
+        |fm AS (SELECT thread_id, truncated AS first_msg_truncated FROM (
+        |    SELECT thread_id, truncated,
+        |      row_number() OVER (PARTITION BY thread_id ORDER BY created_at, message_id) AS rn FROM m)
+        |  WHERE rn = 1),
+        |agg AS (SELECT t.thread_id, t.thread_created_at,
+        |    COUNT(m.message_id) AS n_messages,
+        |    CAST(COALESCE(SUM(CASE WHEN m.sender_type = 'AGENT' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agent,
+        |    CAST(COALESCE(SUM(CASE WHEN m.sender_type = 'CUSTOMER' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_customer,
+        |    CAST(COALESCE(SUM(CASE WHEN m.sender_type = 'UNKNOWN' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unknown,
+        |    MIN(m.created_at) AS first_ts, MAX(m.created_at) AS last_ts
+        |  FROM threads t LEFT JOIN m ON m.thread_id = t.thread_id
+        |  GROUP BY t.thread_id, t.thread_created_at)
+        |SELECT a.thread_id, strftime(a.thread_created_at, $fmtTs) AS thread_created_at,
+        |  n_messages, n_agent, n_customer, n_unknown,
+        |  strftime(first_ts, $fmtTs) AS first_ts, strftime(last_ts, $fmtTs) AS last_ts,
+        |  fm.first_msg_truncated
+        |FROM agg a LEFT JOIN fm ON fm.thread_id = a.thread_id
+        |ORDER BY a.thread_id DESC""".stripMargin,
+    "crm_company_activity" ->
+      s"""WITH $engagementsCte, $companiesCte,
+        |e AS (SELECT *, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS vstr FROM engagements),
+        |c2 AS (SELECT *, CASE etype
+        |    WHEN 'NOTE' THEN 'note: k=' || json_extract_string(props, '$$.k')
+        |    WHEN 'TASK' THEN 'task status ' || CASE WHEN value > 10 THEN 'DONE' ELSE 'PENDING' END
+        |    WHEN 'MEETING' THEN 'meeting value ' || vstr
+        |    WHEN 'CALL' THEN 'call ms ' || CAST(CAST(value AS DECIMAL(18,2)) * 1000 AS VARCHAR)
+        |    ELSE 'email subject signup#' || engagement_id END AS content
+        |  FROM e),
+        |capped AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY company_key ORDER BY ts, engagement_id) AS rn
+        |    FROM c2) WHERE rn <= 500)
+        |SELECT company_key, name AS company_name, engagement_id, etype, content,
+        |  strftime(ts, $fmtTs) AS ts
+        |FROM capped JOIN companies ON company_key = s_suppkey
+        |ORDER BY company_key, engagement_id""".stripMargin,
+    "crm_create_contacts" ->
+      s"""WITH $contactsCte,
+        |cand AS (SELECT 'Customer' AS firstname,
+        |    lpad(CAST(s_suppkey * 17 AS VARCHAR), 9, '0') AS lastname,
+        |    s_suppkey AS cand_key FROM supplier)
+        |SELECT cand_key, cand.firstname, cand.lastname,
+        |  CASE WHEN ex.ex_lastname IS NOT NULL THEN 'exists' ELSE 'insert' END AS action
+        |FROM cand LEFT JOIN (SELECT firstname AS ex_firstname, lastname AS ex_lastname FROM contacts) ex
+        |  ON cand.firstname = ex.ex_firstname AND cand.lastname = ex.ex_lastname
+        |ORDER BY cand_key""".stripMargin,
+  )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -172,12 +322,12 @@ object SparkEntry {
         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g
         |)
-        |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_json_buckets" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-        |  COUNT(*) AS n_events, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |  COUNT(*) AS n_events, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_top_users" ->
       """SELECT user_id, c_name,
@@ -331,5 +481,5 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         |FROM f ORDER BY doc_id""".stripMargin,
-  )
+  ) ++ crmOracle
 }

@@ -34,9 +34,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(ours)} vs {len(ref)}"); fail += 1; continue
     o = ours.sort_values(list(ours.columns)).reset_index(drop=True)
     r = ref.sort_values(list(ref.columns)).reset_index(drop=True)
+    dtw = [f"{c}:{o[c].dtype}vs{r[c].dtype}" for c in o.columns
+           if o[c].dtype.kind != r[c].dtype.kind]
     try:
         pd.testing.assert_frame_equal(o, r, check_dtype=False, check_exact=True)
-        print(f"ok   {name} ({len(ours)} rows)"); ok += 1
+        warn = f"  DTYPE-WARN {dtw}" if dtw else ""
+        print(f"ok   {name} ({len(ours)} rows){warn}"); ok += 1
     except AssertionError as e:
         print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
         diff = (o != r) & ~(o.isna() & r.isna())
