@@ -59,6 +59,7 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "mm_media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -481,5 +482,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(320 + strlen(text) % 1280 AS BIGINT) AS width,
+        |  CAST(240 + strlen(text) % 720 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 24 + strlen(text) % 240 END AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   ) ++ crmOracle
 }

@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata (builder-prompt scale extension).
+  *
+  * The Spark-side structure is real — binary columns, case-class batch
+  * shapes, `mapPartitions` with a per-partition decoder instance (the Scala
+  * analog of `mapInPandas`: one decoder init per partition, streamed
+  * batches, no per-row setup cost). The codec itself is STUBBED
+  * (`StubDecoder`): this container has no image/audio libraries, so decode
+  * derives deterministic pseudo-metadata from the bytes. Swapping in a real
+  * decoder is one trait implementation; nothing in the plan changes.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, data: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, frames: Int)
+
+  /** Pluggable decode boundary — a real implementation would wrap e.g.
+    * javacv/ffmpeg; init cost is paid once per partition in extractMeta.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaType: String, data: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic stand-in for the absent codec libraries: metadata is a
+    * pure function of payload size/id so tests and the SQL oracle can pin
+    * exact outputs.
+    */
+  class StubDecoder extends MediaDecoder {
+    override def decode(mediaType: String, data: Array[Byte]): MediaMeta = {
+      val n = data.length.toLong
+      MediaMeta(-1L, mediaType, n,
+        width = (320 + n % 1280).toInt,
+        height = (240 + n % 720).toInt,
+        frames = if (mediaType == "image") 1 else (24 + n % 240).toInt)
+    }
+  }
+
+  /** Derive a media table from documents: payload = utf8 bytes, modality by
+    * id. Stands in for a real (path, binary) ingest; the binary column and
+    * its parquet representation are the real thing.
+    */
+  def deriveMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("data"))
+      .as[MediaRow]
+  }
+
+  /** The batch decode stage: one decoder per partition, streamed rows —
+    * distributed, no driver collect, binary never leaves the executor.
+    */
+  def extractMeta(media: Dataset[MediaRow],
+      decoder: MediaDecoder = new StubDecoder): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r => decoder.decode(r.media_type, r.data).copy(doc_id = r.doc_id) }
+    }
+  }
+
+  /** Oracle-checkable end-to-end: derive → decode → project, ordered. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    extractMeta(deriveMedia(docs)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("frames").cast("long").as("frames"))
+      .orderBy(col("doc_id"))
+}

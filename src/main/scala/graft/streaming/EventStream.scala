@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming generalization of the reference's incremental
+  * surfaces (SURVEY.md §2.10): pagination-token resume becomes source
+  * offsets, the daily rolling index becomes a watermarked tumbling window,
+  * and the snapshot cache becomes foreachBatch refresh.
+  *
+  * These transforms take any streaming DataFrame with the `events` schema
+  * (`event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string`) — file source, Kafka, or MemoryStream in
+  * tests. The batch twins live in graft.ops.Events; keeping the transform
+  * bodies identical is what makes the engine's batch/streaming semantics
+  * line up.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour aggregate with a 2-hour watermark — the streaming twin
+    * of Events.tumblingHourly and the direct analog of the reference's
+    * daily index partitions (`faiss_manager.py:63-104`): closed windows are
+    * final, late data beyond the watermark is dropped rather than
+    * rewriting history.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Stateful sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState — the custom-state operator the batch
+    * gaps-and-islands version (Events.sessionize) cannot express
+    * incrementally. Emits a session when the gap closes it; event-time
+    * timeout flushes the last open session per user.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.start), new Timestamp(st.lastTs), st.nEvents, st.sumValue)
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs <= gapMs =>
+                  cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                    sumValue = st.sumValue + e.value))
+                case Some(st) =>
+                  closed ::= flush(userId, st)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming index ingestion: micro-batches append to the date-partitioned
+    * vector index via foreachBatch, then retention prunes old partitions —
+    * the streaming form of the reference's add_data + _remove_old_indexes
+    * cycle (`faiss_manager.py:151-252`).
+    */
+  def indexIngest(batches: DataFrame, indexPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.vector.VectorIndex.append(batch, indexPath)
+          val today = batch.sparkSession.read.parquet(indexPath)
+            .agg(max(col("ingest_date"))).head.getDate(0)
+          graft.vector.VectorIndex.retain(batch.sparkSession, indexPath, today)
+          ()
+        }
+      }
+      .start()
+}

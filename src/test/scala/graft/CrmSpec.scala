@@ -1,0 +1,53 @@
+package graft
+
+import graft.crm.CrmOps
+
+class CrmSpec extends SparkSpec {
+
+  test("active companies: k rows, ISO timestamps, recency-ordered") {
+    val out = CrmOps.activeCompanies(spark, sf).collect()
+    assert(out.length == 10)
+    val ts = out.map(_.getAs[String]("hs_lastmodifieddate"))
+    ts.foreach(t => assert(t.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}")))
+    assert(ts.sameElements(ts.sorted.reverse))
+  }
+
+  test("closed tickets are exactly the stage-4 tickets") {
+    val closed = CrmOps.ticketsClosed(spark, sf, limit = 1000000).collect()
+    closed.foreach { r =>
+      assert(r.getAs[String]("hs_pipeline_stage") == "4")
+      assert(r.getAs[String]("hs_ticket_status") == "closed")
+      assert(r.getAs[String]("closedate") != null)
+    }
+  }
+
+  test("default-criteria tickets respect the 90-day OR-filter") {
+    val out = CrmOps.ticketsDefault(spark, sf, limit = 1000000).collect()
+    assert(out.nonEmpty)
+    // every selected ticket has closedate or lastmodified in the window;
+    // lastmodifieddate ordering is the search sort
+    val lm = out.map(_.getAs[String]("hs_lastmodifieddate"))
+    assert(lm.sameElements(lm.sorted.reverse))
+  }
+
+  test("conversation truncation caps message text at 200 chars") {
+    CrmOps.recentConversations(spark, sf).collect().foreach { r =>
+      val t = r.getAs[String]("first_msg_truncated")
+      if (t != null) assert(t.length <= 200)
+      val n = r.getAs[Long]("n_messages")
+      assert(n == r.getAs[Long]("n_agent") + r.getAs[Long]("n_customer") + r.getAs[Long]("n_unknown"))
+    }
+  }
+
+  test("company activity honors the per-company fan-out cap") {
+    val out = CrmOps.companyActivity(spark, sf, fanoutCap = 5)
+    val counts = out.groupBy("company_key").count().collect()
+    counts.foreach(r => assert(r.getAs[Long]("count") <= 5))
+  }
+
+  test("create-contact dedup splits candidates into exists/insert") {
+    val out = CrmOps.createContactsDedup(spark, sf).collect()
+    val actions = out.map(_.getAs[String]("action")).toSet
+    assert(actions == Set("exists", "insert"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup finds exactly the synthesized duplicate groups") {
+    val docs = Tables.documents(spark, sf)
+    val groups = Dedup.exactDupGroups(docs).collect()
+    val expected = docs.filter("doc_id % 7 = 0").count()
+    assert(groups.length == expected)
+    groups.foreach(g => assert(g.getAs[Long]("n_copies") == 2L))
+  }
+
+  test("minhash candidate pairs are ordered and Jaccard-verified") {
+    val pairs = Dedup.minhashDupPairs(Tables.documents(spark, sf)).collect()
+    assert(pairs.nonEmpty, "fixture corpus has planted near-dups")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("doc_a") < p.getAs[Long]("doc_b"))
+      assert(p.getAs[Double]("jaccard") >= 0.3)
+      assert(p.getAs[Long]("n_shared_bands") >= 1L)
+    }
+  }
+
+  test("minhash agrees with brute-force high-Jaccard pairs (recall check)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("ninter") / (col("na") + col("nb") - col("ninter")) >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(brute.subsetOf(lsh), s"LSH missed high-sim pairs: ${brute.diff(lsh)}")
+  }
+
+  test("simhash signatures are 16-bit strings; near-dup docs collide") {
+    val sig = Dedup.simhash(Tables.documents(spark, sf)).collect()
+    sig.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{16}")))
+  }
+
+  test("fingerprint and token counts are consistent") {
+    val docs = Tables.documents(spark, sf)
+    val tc = TextAnalysis.tokenCounts(docs).collect()
+    tc.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_tokens") <= r.getAs[Long]("n_ws_tokens"))
+      assert(r.getAs[Long]("n_re_tokens") == r.getAs[Long]("n_ws_tokens"),
+        "clean corpus: regex tokens == whitespace tokens")
+    }
+  }
+}

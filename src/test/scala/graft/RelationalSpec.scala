@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("pricingSummary groups all flag/status combos with exact sums") {
+    val out = Relational.pricingSummary(Tables.lineitem(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 6)
+    val total = out.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp")).count()
+    assert(total == expected)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_qty") -
+        r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order")) < 1e-9)
+    }
+  }
+
+  test("shippingPriority returns top-k ordered by revenue desc") {
+    val rev = Relational.shippingPriority(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      .collect().map(_.getAs[Double]("revenue"))
+    assert(rev.length <= 10)
+    assert(rev.sameElements(rev.sortBy(-_)), "not sorted desc")
+  }
+
+  test("running window sums are cumulative within supplier") {
+    val rows = Relational.supplierRunningShipments(Tables.lineitem(spark, sf))
+      .collect().groupBy(_.getAs[Long]("l_suppkey"))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      var acc = 0.0
+      sorted.foreach { r =>
+        acc += r.getAs[Double]("l_quantity")
+        assert(math.abs(r.getAs[Double]("running_qty") - acc) < 1e-9)
+      }
+    }
+  }
+
+  test("anti and semi joins partition the urgent-order customer space") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val anti = Relational.customersWithoutOrders(c, o).count()
+    val semi = Relational.customersWithUrgentOrders(c, o).count()
+    assert(anti + semi == c.count())
+  }
+
+  test("rollup includes grand total row equal to table size") {
+    val out = Relational.returnsRollup(Tables.lineitem(spark, sf)).collect()
+    val grand = out.find(r => r.getAs[String]("returnflag") == "ALL" &&
+      r.getAs[String]("linestatus") == "ALL").get
+    assert(grand.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.vector.VectorIndex
+
+class SimilaritySpec extends SparkSpec {
+
+  test("knnL2: the query vector itself is rank 1 with distance 0") {
+    val top = Similarity.knnL2(Tables.embeddings(spark, sf)).collect()
+    assert(top.head.getAs[Long]("rank") == 1L)
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(top.head.getAs[Double]("dist_sq") == 0.0)
+    assert(top.head.getAs[Double]("similarity") == 1.0)
+  }
+
+  test("kNN merge invariant: per-partition top-k then merge == global top-k") {
+    // the faiss_manager.py:254-291 invariant — repartitioning must not
+    // change the result (TakeOrderedAndProject does partial+final top-k)
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.knnL2(emb).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val b = Similarity.knnL2(emb.repartition(13)).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(a == b)
+  }
+
+  test("IVF results are a subset of brute-force candidates by construction") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.ivfSearch(emb, k = 10).collect()
+    assert(ivf.length == 10)
+    // IVF distances are >= the true k-th best can't be asserted strictly;
+    // but the probed-cell top hit must include the query vector itself
+    // (vec 0 is its own nearest centroid's member)
+    assert(ivf.head.getAs[Long]("vec_id") == 0L)
+  }
+
+  test("cosineDupPairs is symmetric-free (a < b) and thresholded") {
+    Similarity.cosineDupPairs(Tables.embeddings(spark, sf), 0.4).collect().foreach { r =>
+      assert(r.getAs[Long]("vec_id_a") < r.getAs[Long]("vec_id_b"))
+      assert(r.getAs[Double]("cos_sim") >= 0.4 - 1e-6)
+    }
+  }
+
+  test("vector index: append, prune, retain, search round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val idx = VectorIndex.fromEmbeddings(Tables.embeddings(spark, sf))
+    VectorIndex.append(idx, dir)
+    val asOf = java.sql.Date.valueOf("2024-01-10")
+    val recent = VectorIndex.loadRecent(spark, dir, asOf)
+    assert(recent.select("ingest_date").distinct().count() == 7)
+    val dropped = VectorIndex.retain(spark, dir, asOf)
+    assert(dropped.nonEmpty)
+    val left = spark.read.parquet(dir).select("ingest_date").distinct().count()
+    assert(left == 7)
+    // search over the persisted index returns FAISS-parity shape
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0)
+    val hits = VectorIndex.search(spark.read.parquet(dir), qv, 5).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(hits.head.getAs[Double]("similarity_score") <= 1.0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    .ensuring(_ => minute < 60)
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, tsAt(0, 5), 1, "click", 1.0, "{}"),
+      Event(2, tsAt(0, 40), 1, "click", 2.0, "{}"),
+      Event(3, tsAt(1, 10), 2, "view", 3.0, "{}"),
+      Event(4, tsAt(5, 0), 1, "view", 4.0, "{}")) // advances watermark past hours 0-1
+    mem.addData(events: _*)
+    val q = EventStream.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(Event(5, tsAt(9, 0), 3, "view", 0.0, "{}")) // push watermark, close hr 5
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+    assert(got.contains(("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+    assert(got.contains(("2024-01-01 05:00:00.0", "view", 1L, 4.0)))
+  }
+
+  test("stateful sessionization closes sessions on gap and emits totals") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, tsAt(0, 0), 7, "click", 1.0, "{}"),
+      Event(2, tsAt(0, 10), 7, "click", 2.0, "{}"),
+      Event(3, tsAt(2, 0), 7, "click", 5.0, "{}"), // > 30min gap: closes session 1
+      Event(4, tsAt(8, 0), 9, "view", 1.0, "{}"))  // watermark pusher
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+    val s1 = rows.find(r => r.getAs[Long]("user_id") == 7L).get
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Double]("sum_value") == 3.0)
+    assert(s1.getAs[Timestamp]("session_start") == tsAt(0, 0))
+    assert(s1.getAs[Timestamp]("session_end") == tsAt(0, 10))
+  }
+
+  test("streaming index ingest appends partitions and applies retention") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+    case class Vec(vec_id: Long, embedding: Seq[Float], data_type: String,
+        data_json: String, ingest_date: java.sql.Date)
+    val mem = MemoryStream[(Long, Int)] // (vec_id, day offset)
+    val stream = mem.toDF()
+      .select(col("_1").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"),
+        lit("t").as("data_type"), lit("{}").as("data_json"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("_2")).as("ingest_date"))
+    val q = EventStream.indexIngest(stream, dir, cp)
+    mem.addData((1L, 0), (2L, 5), (3L, 9)) // day 0 falls outside 7-day window of day 9
+    q.processAllAvailable()
+    q.stop()
+    val days = spark.read.parquet(dir).select("ingest_date").distinct().collect()
+      .map(_.getDate(0).toString).sorted
+    assert(days.sameElements(Array("2024-01-06", "2024-01-10")),
+      s"retention should drop day 0, got ${days.mkString(",")}")
+  }
+}
