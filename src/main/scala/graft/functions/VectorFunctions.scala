@@ -15,17 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise-product fold: dot(a, b) in float64. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise-product fold: dot(a, b) in float64, as a codegen'd native
+    * expression (FloatVecDot).
+    */
+  private def toExpr(c: Column) = org.apache.spark.sql.GraftSqlBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def dot(a: Column, b: Column): Column = toCol(FloatVecDot(toExpr(a), toExpr(b)))
+
+  /** Squared L2 distance — the FAISS IndexFlatL2 metric (squared, not
+    * rooted: `faiss_manager.py:143`; the verbatim `1 - d/2` similarity in
+    * `utils.py:105` depends on it staying squared). Codegen'd native
+    * expression (FloatVecL2Sq).
+    */
+  def l2Sq(a: Column, b: Column): Column = toCol(FloatVecL2Sq(toExpr(a), toExpr(b)))
+
+  /** Higher-order-function twins of dot/l2Sq — the compose-built-ins
+    * formulation (SURVEY §2.9). Kept as the semantics reference: specs
+    * assert the native expressions produce bitwise-equal results.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Squared L2 distance — the FAISS IndexFlatL2 metric (squared, not
-    * rooted: `faiss_manager.py:143`; the verbatim `1 - d/2` similarity in
-    * `utils.py:105` depends on it staying squared).
-    */
-  def l2Sq(a: Column, b: Column): Column =
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

@@ -6,6 +6,25 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("native codegen dot/l2sq are bitwise-equal to the HOF formulation") {
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val both = emb.crossJoin(q)
+      .select(
+        dot(col("embedding"), col("qe")).as("d_native"),
+        dotHof(col("embedding"), col("qe")).as("d_hof"),
+        l2Sq(col("embedding"), col("qe")).as("l_native"),
+        l2SqHof(col("embedding"), col("qe")).as("l_hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("knnL2: the query vector itself is rank 1 with distance 0") {
     val top = Similarity.knnL2(Tables.embeddings(spark, sf)).collect()
     assert(top.head.getAs[Long]("rank") == 1L)
