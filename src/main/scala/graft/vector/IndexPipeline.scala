@@ -1,0 +1,43 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The defining dataflow of the reference (SURVEY.md §3.2 step 6): every
+  * read tool embeds its result rows and appends them to the vector index;
+  * the search tool embeds the query and scans the retained window. This
+  * module is that loop, Spark-native: one narrow projection to build the
+  * index rows, a date-partitioned append, and a partition-pruned kNN.
+  */
+object IndexPipeline {
+
+  /** Embed + wrap + append: the `store_in_faiss` leg (`utils.py:25-71` ->
+    * `faiss_manager.py:221-252`). `data_json` keeps the full record
+    * (dual-fidelity: the index stores full text even when the tool response
+    * truncates, `handlers/conversation_handler.py:63-67`).
+    */
+  def indexRecords(records: DataFrame, textCol: String, dataType: String,
+      indexPath: String, ingestDate: java.sql.Date,
+      embedder: Embedder = new HashingEmbedder()): Unit = {
+    val rows = records.select(
+      monotonically_increasing_id().as("vec_id"),
+      embedder.embedCol(col(textCol)).as("embedding"),
+      lit(dataType).as("data_type"),
+      to_json(struct(records.columns.map(col): _*)).as("data_json"),
+      lit(ingestDate).as("ingest_date"))
+    VectorIndex.append(rows, indexPath)
+  }
+
+  /** The search tool (§3.1): embed the query text driver-side with the SAME
+    * embedder, prune the index to the retention window, brute-force kNN
+    * with FAISS-parity output.
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, queryText: String,
+      k: Int = 10, asOf: java.sql.Date = null,
+      embedder: Embedder = new HashingEmbedder()): DataFrame = {
+    val qv = embedder.embedText(queryText).toSeq
+    val idx = if (asOf == null) spark.read.parquet(indexPath)
+      else VectorIndex.loadRecent(spark, indexPath, asOf)
+    VectorIndex.search(idx, qv, k)
+  }
+}

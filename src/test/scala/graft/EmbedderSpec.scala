@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.{HashingEmbedder, IndexPipeline, VectorIndex}
+
+class EmbedderSpec extends SparkSpec {
+
+  test("driver-side and executor-side embeddings are identical") {
+    val e = new HashingEmbedder(64)
+    val docs = Tables.documents(spark, sf).limit(20)
+    val viaCol = docs.select(col("doc_id"), e.embedCol(col("text")).as("emb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(viaCol(r.getLong(0)) == e.embedText(r.getString(1)).toSeq)
+    }
+  }
+
+  test("embeddings are unit-norm so 1 - d2/2 == cosine") {
+    val e = new HashingEmbedder(64)
+    val v = e.embedText("key agg row scan slow fast")
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
+  test("end-to-end search lifecycle: index tool results, query retrieves them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/idx"
+    val docs = Tables.documents(spark, sf)
+    IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    // query with an indexed document's own text -> it must be the top hit
+    val probe = docs.filter(col("doc_id") === 42L).select("text").head.getString(0)
+    val hits = IndexPipeline.searchIndex(spark, dir, probe, k = 3,
+      asOf = java.sql.Date.valueOf("2024-03-02")).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getAs[Long]("rank") == 1L)
+    assert(math.abs(hits.head.getAs[Double]("similarity_score") - 1.0) < 1e-5)
+    assert(hits.head.getAs[String]("data_json").contains("\"doc_id\":42"))
+    assert(hits.head.getAs[String]("data_type") == "document")
+  }
+
+  test("retention prunes stale ingest days out of search scope") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe2").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    IndexPipeline.indexRecords(docs, "text", "old", dir, java.sql.Date.valueOf("2024-01-01"))
+    IndexPipeline.indexRecords(docs, "text", "new", dir, java.sql.Date.valueOf("2024-02-01"))
+    val probe = docs.select("text").head.getString(0)
+    val hits = IndexPipeline.searchIndex(spark, dir, probe, k = 5,
+      asOf = java.sql.Date.valueOf("2024-02-03")).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(h.getAs[String]("data_type") == "new",
+      "7-day window must exclude the January partition"))
+  }
+}
