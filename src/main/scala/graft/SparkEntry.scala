@@ -44,6 +44,8 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
+    "ev_asof_join" -> ((s, d) => AsOfJoin.eventOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+    "ev_topk_per_user" -> ((s, d) => graft.functions.TopKAggregator.topEventsPerUser(Tables.events(s, d))),
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -336,6 +338,22 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events JOIN customer ON user_id + 1 = c_custkey
         |GROUP BY user_id, c_name ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS evt_ts FROM events),
+        |o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  strftime(e.evt_ts, '%Y-%m-%d %H:%M:%S') AS evt_ts,
+        |  o.o_orderkey AS asof_o_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id + 1 = o.o_custkey AND e.evt_ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "ev_topk_per_user" ->
+      """SELECT user_id, CAST(pos AS BIGINT) AS rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS pos
+        |  FROM events) WHERE pos <= 3 ORDER BY user_id, pos""".stripMargin,
     "vec_knn_l2" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2

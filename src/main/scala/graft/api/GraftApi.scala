@@ -1,0 +1,80 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crm.CrmOps
+
+/** Typed tool facade (SURVEY.md §1.3: `Dataset[T]` case classes at the API
+  * boundary, DataFrame internally) with the reference's response envelope
+  * `{results, total, pagination}` (`clients/ticket_client.py:229-235`).
+  *
+  * Pagination is keyset (resume after the last (sort-key, id) seen) — the
+  * honest Spark analog of HubSpot's `after` cursor, and the only form that
+  * stays O(page) at 100 TB: an OFFSET would re-scan and re-sort the prefix
+  * on every page.
+  */
+object GraftApi {
+
+  case class Company(id: String, name: String, industry: String, domain: String,
+      hs_lastmodifieddate: String)
+  case class Contact(id: String, firstname: String, lastname: String, email: String,
+      phone: String, lastmodifieddate: String)
+  case class Ticket(id: String, subject: String, hs_ticket_priority: String,
+      hs_pipeline_stage: String, hs_ticket_status: String, createdate: String,
+      closedate: String, hs_lastmodifieddate: String)
+  case class SearchHit(rank: Long, similarity_score: Double, data_type: String,
+      data_json: String)
+  case class Page[T](results: Seq[T], total: Long, after: Option[String])
+
+  private def cursor(lastmod: String, id: String): String = s"$lastmod|$id"
+
+  def getActiveCompanies(s: SparkSession, d: String, limit: Int = 10): Page[Company] = {
+    import s.implicits._
+    val rows = CrmOps.activeCompanies(s, d, limit).as[Company].collect().toSeq
+    Page(rows, rows.size.toLong, rows.lastOption.map(c => cursor(c.hs_lastmodifieddate, c.id)))
+  }
+
+  def getActiveContacts(s: SparkSession, d: String, limit: Int = 10): Page[Contact] = {
+    import s.implicits._
+    val rows = CrmOps.activeContacts(s, d, limit).as[Contact].collect().toSeq
+    Page(rows, rows.size.toLong, rows.lastOption.map(c => cursor(c.lastmodifieddate, c.id)))
+  }
+
+  /** Tickets with criteria + keyset resume: `after` is the cursor returned
+    * by the previous page; the filter re-enters the (lastmod DESC, id ASC)
+    * order exactly after it.
+    */
+  def getTickets(s: SparkSession, d: String, criteria: String = "default",
+      limit: Int = 50, after: Option[String] = None): Page[Ticket] = {
+    import s.implicits._
+    val base = criteria match {
+      case "closed" => CrmOps.ticketsClosed(s, d, Int.MaxValue)
+        .withColumn("hs_ticket_priority", lit("")).withColumn("createdate", lit(""))
+        .select("id", "subject", "hs_ticket_priority", "hs_pipeline_stage",
+          "hs_ticket_status", "createdate", "closedate", "hs_lastmodifieddate")
+      case _ => CrmOps.ticketsDefault(s, d, Int.MaxValue)
+    }
+    val resumed = after match {
+      case Some(tok) =>
+        val Array(lm, id) = tok.split('|')
+        base.filter(col("hs_lastmodifieddate") < lm ||
+          (col("hs_lastmodifieddate") === lm && col("id").cast("long") > id.toLong))
+      case None => base
+    }
+    val rows = resumed
+      .orderBy(col("hs_lastmodifieddate").desc, col("id").cast("long"))
+      .limit(limit).as[Ticket].collect().toSeq
+    Page(rows, rows.size.toLong,
+      if (rows.size < limit) None
+      else rows.lastOption.map(t => cursor(t.hs_lastmodifieddate, t.id)))
+  }
+
+  /** Semantic search over a built index (§3.1 lifecycle). */
+  def searchData(s: SparkSession, indexPath: String, query: String,
+      limit: Int = 10): Page[SearchHit] = {
+    import s.implicits._
+    val rows = graft.vector.IndexPipeline.searchIndex(s, indexPath, query, limit)
+      .as[SearchHit].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+}

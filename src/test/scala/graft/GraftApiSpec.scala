@@ -1,0 +1,41 @@
+package graft
+
+import graft.api.GraftApi
+
+class GraftApiSpec extends SparkSpec {
+
+  test("typed envelope carries results, total, and a resume cursor") {
+    val page = GraftApi.getActiveCompanies(spark, sf)
+    assert(page.results.size == 10 && page.total == 10L && page.after.isDefined)
+    assert(page.results.head.hs_lastmodifieddate >= page.results.last.hs_lastmodifieddate)
+  }
+
+  test("keyset pagination: two pages tile the first 2k of the full ordering") {
+    val p1 = GraftApi.getTickets(spark, sf, limit = 20)
+    assert(p1.after.isDefined)
+    val p2 = GraftApi.getTickets(spark, sf, limit = 20, after = p1.after)
+    val both = GraftApi.getTickets(spark, sf, limit = 40)
+    assert((p1.results ++ p2.results).map(_.id) == both.results.map(_.id))
+    assert(p1.results.map(_.id).toSet.intersect(p2.results.map(_.id).toSet).isEmpty)
+  }
+
+  test("pagination terminates: short page returns no cursor") {
+    val closedTotal = graft.crm.CrmOps.ticketsClosed(spark, sf, Int.MaxValue).count()
+    val bigPage = GraftApi.getTickets(spark, sf, criteria = "closed",
+      limit = closedTotal.toInt + 100)
+    assert(bigPage.after.isEmpty)
+    assert(bigPage.total == closedTotal)
+  }
+
+  test("search facade returns ranked typed hits over a built index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api").toString + "/idx"
+    graft.vector.IndexPipeline.indexRecords(
+      Tables.documents(spark, sf), "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    val probe = Tables.documents(spark, sf)
+      .select("text").head.getString(0)
+    val page = GraftApi.searchData(spark, dir, probe, 5)
+    assert(page.results.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(page.results.head.similarity_score > 0.99)
+  }
+}
