@@ -35,6 +35,10 @@ object SparkEntry {
       Relational.nationSetOps(Tables.nation(s, d), Tables.customer(s, d), Tables.supplier(s, d))),
     "q_order_stats" -> ((s, d) => Relational.orderStats(Tables.orders(s, d))),
     "q_topk_parts" -> ((s, d) => Relational.topExpensiveParts(Tables.part(s, d))),
+    "q_cube_orders" -> ((s, d) => Relational.priorityStatusCube(Tables.orders(s, d))),
+    "q_large_orders" -> ((s, d) =>
+      Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_above_avg_parts" -> ((s, d) => Relational.aboveAverageParts(Tables.part(s, d))),
     "q_anti_join" -> ((s, d) =>
       Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_semi_join" -> ((s, d) =>
@@ -301,6 +305,31 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_type,
         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(0.1 AS DECIMAL(18,2))) AS DOUBLE) AS adj_price
         |FROM part ORDER BY adj_price DESC, p_partkey LIMIT 20""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+        |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_above_avg_parts" ->
+      """WITH a AS (
+        |  SELECT p_type,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        |  FROM part GROUP BY p_type)
+        |SELECT p_partkey, p_name, part.p_type, p_retailprice, round(avg_price, 6) AS type_avg_price
+        |FROM part JOIN a ON part.p_type = a.p_type
+        |WHERE p_retailprice > avg_price * 1.02
+        |ORDER BY p_partkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')

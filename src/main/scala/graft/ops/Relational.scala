@@ -144,6 +144,44 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** CUBE aggregate over two dimensions (grouping-sets family). */
+  def priorityStatusCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
+  /** Large-volume customers (TPC-H Q18 shape): aggregate + HAVING threshold,
+    * then join back to the dimension.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double = 300.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), tsS(col("o_orderdate")).as("o_orderdate"),
+        col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Above-type-average parts (TPC-H Q17-flavored scalar subquery,
+    * decorrelated as a join against the per-type average).
+    */
+  def aboveAverageParts(part: DataFrame): DataFrame = {
+    val avgByType = part.groupBy(col("p_type"))
+      .agg((dsum(col("p_retailprice")) / count(lit(1)).cast("double")).as("avg_price"))
+    part.join(avgByType, Seq("p_type"))
+      .filter(col("p_retailprice") > col("avg_price") * 1.02)
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"),
+        round(col("avg_price"), 6).as("type_avg_price"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Semi-join (J5 existence check): customers that do have urgent orders. */
   def customersWithUrgentOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
