@@ -70,8 +70,14 @@ object CrmOps {
     val threads = Tables.orders(s, d)
       .orderBy(col("o_orderkey").desc).limit(limit)
       .select(col("o_orderkey").as("thread_id"), col("o_orderdate").as("thread_created_at"))
+    // Prune messages to the selected threads BEFORE any window/agg: the
+    // thread set is tiny (limit rows), so this is a broadcast semi-join and
+    // the later per-thread sort touches only surviving threads — at corpus
+    // scale the unpruned plan would sort every thread's messages for a
+    // 10-thread answer.
     val msgs = CrmViews.messages(s, d)
       .filter(col("msg_type") === "MESSAGE") // P6
+      .join(broadcast(threads.select(col("thread_id"))), Seq("thread_id"), "left_semi")
       .withColumn("sender_type", // R7 classifier
         when(col("l_linenumber") === 7, "UNKNOWN")
           .when(col("sender_field") === "FROM" &&

@@ -73,6 +73,22 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_measured"))
       .orderBy(col("doc_id"))
 
+  /** Curated-corpus sink: the classic end of a training-data pipeline —
+    * score, filter, and persist partitioned by predicted language so
+    * downstream jobs partition-prune by lang. Returns per-partition counts.
+    */
+  def writeCurated(docs: DataFrame, path: String, minQuality: Double = 0.5): DataFrame = {
+    val scored = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val langs = languageId(docs).select(col("doc_id"), col("pred_lang"))
+    val curated = docs.join(scored, "doc_id").join(langs, "doc_id")
+      .filter(col("quality") >= minQuality)
+    curated.write.mode("overwrite").partitionBy("pred_lang").parquet(path)
+    curated.sparkSession.read.parquet(path)
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("pred_lang"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct word set (word-set
     * normalization — robust to reordering/repetition). `n_same` counts
     * fingerprint collisions, i.e. docs built from the same vocabulary set.

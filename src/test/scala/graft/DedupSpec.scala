@@ -45,6 +45,15 @@ class DedupSpec extends SparkSpec {
     sig.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{16}")))
   }
 
+  test("curated corpus writer partitions by predicted language") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/corpus"
+    val summary = TextAnalysis.writeCurated(Tables.documents(spark, sf), dir, 0.4)
+      .collect().map(r => r.getAs[String]("pred_lang") -> r.getAs[Long]("n_docs")).toMap
+    assert(summary.values.sum > 0)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(summary.keySet.map(l => s"pred_lang=$l") == dirs)
+  }
+
   test("fingerprint and token counts are consistent") {
     val docs = Tables.documents(spark, sf)
     val tc = TextAnalysis.tokenCounts(docs).collect()
