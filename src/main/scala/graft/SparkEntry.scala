@@ -326,7 +326,7 @@ object SparkEntry {
         |  SELECT p_type,
         |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price
         |  FROM part GROUP BY p_type)
-        |SELECT p_partkey, p_name, part.p_type, p_retailprice, round(avg_price, 6) AS type_avg_price
+        |SELECT p_partkey, p_name, part.p_type, p_retailprice, avg_price AS type_avg_price
         |FROM part JOIN a ON part.p_type = a.p_type
         |WHERE p_retailprice > avg_price * 1.02
         |ORDER BY p_partkey""".stripMargin,
@@ -388,7 +388,7 @@ object SparkEntry {
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q)
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
-        |  round(d2, 6) AS dist_sq, round(1.0 - d2/2.0, 6) AS similarity
+        |  d2 AS dist_sq, 1.0 - d2/2.0 AS similarity
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
     "vec_knn_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
@@ -396,7 +396,7 @@ object SparkEntry {
         |  ${dotSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} /
         |  (sqrt(${dotSql("CAST(e.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS cos
         |  FROM embeddings e, q)
-        |SELECT vec_id, label, round(cos, 6) AS cos_sim
+        |SELECT vec_id, label, cos AS cos_sim
         |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "vec_ivf_search" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -407,14 +407,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY ${l2sqSql("emb.e", "c.ce")}, c.cid) AS arn
         |  FROM emb, c) WHERE arn = 1),
         |probe AS (SELECT cid FROM (SELECT c.cid, ${l2sqSql("c.ce", "q.qe")} AS qd2 FROM c, q ORDER BY qd2, cid LIMIT 2))
-        |SELECT vec_id, label, cid, round(d2, 6) AS dist_sq FROM (
+        |SELECT vec_id, label, cid, d2 AS dist_sq FROM (
         |  SELECT a.vec_id, a.label, a.cid, ${l2sqSql("a.e", "q.qe")} AS d2
         |  FROM asn a JOIN probe USING (cid), q
         |  ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
     "vec_dup_pairs" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n)
-        |SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos_sim FROM (
+        |SELECT vec_id_a, vec_id_b, cos AS cos_sim FROM (
         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
@@ -431,7 +431,7 @@ object SparkEntry {
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q)
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
-        |  round(1.0 - d2/2.0, 6) AS similarity_score,
+        |  1.0 - d2/2.0 AS similarity_score,
         |  'embedding' AS data_type,
         |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
@@ -457,7 +457,7 @@ object SparkEntry {
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
         |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
         |          GROUP BY 1, 2, 3)
-        |SELECT doc_a, doc_b, n_shared_bands, round(jaccard, 6) AS jaccard FROM (
+        |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM (
         |  SELECT i.doc_a, i.doc_b, i.n_shared_bands,
         |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
         |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
@@ -481,7 +481,7 @@ object SparkEntry {
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         |          FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT i.doc_a, i.doc_b,
         |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
         |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
@@ -513,8 +513,8 @@ object SparkEntry {
         |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
         |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
         | FROM t)
-        |SELECT doc_id, n_words, n_distinct, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
-        |  round(0.4*ttr + 0.3*(1.0 - stop_ratio) + 0.3*len_score, 6) AS quality
+        |SELECT doc_id, n_words, n_distinct, ttr, stop_ratio,
+        |  0.4*ttr + 0.3*(1.0 - stop_ratio) + 0.3*len_score AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
     "doc_token_counts" ->
       """SELECT doc_id,

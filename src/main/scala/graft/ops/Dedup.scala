@@ -95,7 +95,7 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -140,7 +140,7 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

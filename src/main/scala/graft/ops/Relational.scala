@@ -178,7 +178,7 @@ object Relational {
     part.join(avgByType, Seq("p_type"))
       .filter(col("p_retailprice") > col("avg_price") * 1.02)
       .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"),
-        round(col("avg_price"), 6).as("type_avg_price"))
+        col("avg_price").as("type_avg_price"))
       .orderBy(col("p_partkey"))
   }
 

@@ -37,8 +37,8 @@ object Similarity {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
       .select(col("rank"), col("vec_id"), col("label"),
-        round(col("d2"), 6).as("dist_sq"),
-        round(faissSimilarity(col("d2")), 6).as("similarity"))
+        col("d2").as("dist_sq"),
+        faissSimilarity(col("d2")).as("similarity"))
   }
 
   /** Exact top-k by cosine similarity (embedding near-dup / semantic search
@@ -50,7 +50,7 @@ object Similarity {
       .withColumn("cos", cosine(col("embedding"), col("q_embedding")))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), col("cos").as("cos_sim"))
 
   /** IVF-Flat approximate kNN: vectors are assigned to their nearest of
     * `nCells` deterministic seed centroids (the first `nCells` vectors by
@@ -83,7 +83,7 @@ object Similarity {
       .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
       .orderBy(col("d2"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"), col("cid"), round(col("d2"), 6).as("dist_sq"))
+      .select(col("vec_id"), col("label"), col("cid"), col("d2").as("dist_sq"))
   }
 
   /** Embedding-cosine near-duplicate pairs (training-data dedup): all pairs
@@ -102,7 +102,7 @@ object Similarity {
       .filter(col("vec_id_a") < col("vec_id_b"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos").as("cos_sim"))
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 }

@@ -55,10 +55,10 @@ object TextAnalysis {
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words").cast("double"))
       .withColumn("len_score", least(col("n_chars").cast("double") / 500.0, lit(1.0)))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        round(col("ttr"), 6).as("ttr"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * col("len_score"), 6).as("quality"))
+        col("ttr"),
+        col("stop_ratio"),
+        (lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * col("len_score")).as("quality"))
       .orderBy(col("doc_id"))
   }
 

@@ -74,7 +74,7 @@ object VectorIndex {
       .orderBy(col("d2"), col("vec_id"))
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
-      .select(col("rank"), round(faissSimilarity(col("d2")), 6).as("similarity_score"),
+      .select(col("rank"), faissSimilarity(col("d2")).as("similarity_score"),
         col("data_type"), col("data_json"))
   }
 
