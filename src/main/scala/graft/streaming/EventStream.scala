@@ -87,6 +87,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id within
+    * the watermark horizon — the streaming arm of the dedup family
+    * (ops.Dedup covers the batch corpus side). State is bounded by the
+    * watermark: ids older than the horizon are evicted, so this runs
+    * forever on an unbounded stream.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming index ingestion: micro-batches append to the date-partitioned
     * vector index via foreachBatch, then retention prunes old partitions —
     * the streaming form of the reference's add_data + _remove_old_indexes

@@ -58,6 +58,38 @@ class StreamingSpec extends SparkSpec {
     assert(s1.getAs[Timestamp]("session_end") == tsAt(0, 10))
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, tsAt(0, 0), 1, "click", 1.0, "{}"),
+      Event(1, tsAt(0, 5), 1, "click", 1.0, "{}"), // redelivery of id 1
+      Event(2, tsAt(0, 10), 1, "view", 2.0, "{}"))
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L)))
+  }
+
+  test("SQL registration exposes the native vector functions to spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_l2sq(a.embedding, b.embedding) AS d
+        |FROM emb_sql a JOIN emb_sql b ON b.vec_id = 0 WHERE a.vec_id = 7""".stripMargin)
+      .head.getDouble(0)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val viaApi = graft.ops.Similarity.knnL2(emb, 0L, 1000000).collect()
+      .find(_.getAs[Long]("vec_id") == 7L).get.getAs[Double]("dist_sq")
+    assert(viaSql == viaApi)
+    val dim = spark.sql("SELECT size(feature_hash_embed('a b c', 64)) AS n").head.getInt(0)
+    assert(dim == 64)
+  }
+
   test("streaming index ingest appends partitions and applies retention") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
