@@ -49,6 +49,9 @@ object SparkEntry {
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
     "ev_asof_join" -> ((s, d) => AsOfJoin.eventOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+    // no oracleSql on purpose: HLL estimates are engine-specific; driver
+    // records the weaker rows-only check for this one.
+    "ev_approx_users" -> ((s, d) => Events.approxUserCounts(Tables.events(s, d))),
     "ev_topk_per_user" -> ((s, d) => graft.functions.TopKAggregator.topEventsPerUser(Tables.events(s, d))),
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),

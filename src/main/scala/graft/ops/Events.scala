@@ -53,6 +53,18 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
       .orderBy(col("k_bucket"))
 
+  /** Sketch aggregates: HLL distinct-user estimates per event type — the
+    * constant-memory form of COUNT(DISTINCT) for 100 TB cardinalities
+    * (rows-only driver check: estimates are engine-specific by design;
+    * the exact twin is Relational.orderStats' countDistinct).
+    */
+  def approxUserCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Top-k users by spend, enriched with the customer dim via broadcast join
     * (events.user_id + 1 == customer.c_custkey by construction of the
     * testdata generator).
