@@ -39,6 +39,12 @@ object SparkEntry {
     "q_large_orders" -> ((s, d) =>
       Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_above_avg_parts" -> ((s, d) => Relational.aboveAverageParts(Tables.part(s, d))),
+    "q12_priority_ship" -> ((s, d) =>
+      Relational.priorityShipSummary(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q14_promo_share" -> ((s, d) =>
+      Relational.promoRevenueShare(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q19_brand_bands" -> ((s, d) =>
+      Relational.brandBandRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
     "q_anti_join" -> ((s, d) =>
       Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_semi_join" -> ((s, d) =>
@@ -333,6 +339,30 @@ object SparkEntry {
         |FROM part JOIN a ON part.p_type = a.p_type
         |WHERE p_retailprice > avg_price * 1.02
         |ORDER BY p_partkey""".stripMargin,
+    "q12_priority_ship" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    "q19_brand_bands" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')

@@ -182,6 +182,53 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Conditional-sum aggregate (TPC-H Q12 shape): priority-class line
+    * counts per linestatus.
+    */
+  def priorityShipSummary(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** Ratio-of-conditional-sums (TPC-H Q14 shape): promo revenue share.
+    * Both operands are decimal-exact doubles, one division — deterministic.
+    */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+              dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double")).as("promo_share"),
+        count(lit(1)).as("n_rows"))
+
+  /** Disjunction-of-conjunctions predicate at full strength (P4 / TPC-H Q19
+    * shape): three brand/size/quantity clauses OR'd together.
+    */
+  def brandBandRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** Semi-join (J5 existence check): customers that do have urgent orders. */
   def customersWithUrgentOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
