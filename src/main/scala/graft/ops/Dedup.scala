@@ -105,10 +105,15 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
-    val bits = words
-      .select(col("doc_id"), col("wd"), explode(expr("sequence(0, 15)")).as("bit"))
+    // Factor the per-word bit signs through a distinct-word dimension:
+    // md5 runs once per vocabulary word instead of once per
+    // (doc, word, bit) — a broadcast join at corpus scale.
+    val wordBits = words.select(col("wd")).distinct()
+      .select(col("wd"), explode(expr("sequence(0, 15)")).as("bit"))
       .withColumn("v", when(expr("substr(md5(wd), bit+1, 1)")
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+    val bits = words
+      .join(broadcast(wordBits), "wd")
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("v")).as("s"))
       .withColumn("b01", when(col("s") > 0, "1").otherwise("0"))
