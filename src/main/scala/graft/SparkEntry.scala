@@ -55,6 +55,8 @@ object SparkEntry {
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
     "ev_asof_join" -> ((s, d) => AsOfJoin.eventOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+    "ev_range_join" -> ((s, d) =>
+      RangeJoin.eventsNearOrders(Tables.events(s, d), Tables.orders(s, d))),
     // no oracleSql on purpose: HLL estimates are engine-specific; driver
     // records the weaker rows-only check for this one.
     "ev_approx_users" -> ((s, d) => Events.approxUserCounts(Tables.events(s, d))),
@@ -411,6 +413,16 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id + 1 = o.o_custkey AND e.evt_ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "ev_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS evt_date FROM events),
+        |o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, max(o_orderkey) AS o_orderkey
+        |      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE))
+        |SELECT e.event_id, o.o_orderkey,
+        |  CAST(date_diff('day', o.o_date, e.evt_date) AS BIGINT) AS day_diff
+        |FROM e JOIN o ON e.user_id + 1 = o.o_custkey
+        |  AND abs(date_diff('day', o.o_date, e.evt_date)) <= 7
+        |ORDER BY e.event_id, o.o_orderkey""".stripMargin,
     "ev_topk_per_user" ->
       """SELECT user_id, CAST(pos AS BIGINT) AS rank, event_id, value FROM (
         |  SELECT user_id, event_id, value,

@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bucketed range join equals the naive inequality join") {
+    val e = Tables.events(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val bucketed = graft.ops.RangeJoin.eventsNearOrders(e, o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive formulation: equi-join on key, inequality as a filter
+    val ev = e.select(col("event_id"), col("user_id"),
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+        (col("event_id") % 2400).cast("int")).as("evt_date"))
+    val od = o.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+    val naive = ev.join(od, ev("user_id") + 1 === od("o_custkey") &&
+        abs(datediff(col("evt_date"), col("o_date"))) <= 7)
+      .select(col("event_id"), col("o_orderkey"),
+        datediff(col("evt_date"), col("o_date")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == naive)
+  }
+
   test("top-k aggregator equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)
