@@ -68,7 +68,16 @@ object SparkEntry {
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.42)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
     // ---- dedup + text analysis over documents (scale extensions) ----
-    "doc_exact_dedup" -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
+    // The fixture corpus has no exact copies, so the HARNESS (not the
+    // operator) unions a deterministic re-ingest (every 7th doc under a new
+    // id) before calling the operator; the oracle SQL mirrors the same union.
+    "doc_exact_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val reIngested = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exactDupGroups(docs.unionByName(reIngested))
+    }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
     "doc_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairs(Tables.documents(s, d))),
@@ -94,6 +103,8 @@ object SparkEntry {
     "crm_recent_conversations" -> ((s, d) => graft.crm.CrmOps.recentConversations(s, d)),
     "crm_company_activity" -> ((s, d) => graft.crm.CrmOps.companyActivity(s, d)),
     "crm_create_contacts" -> ((s, d) => graft.crm.CrmOps.createContactsDedup(s, d)),
+    "crm_ticket_threads" -> ((s, d) => graft.crm.CrmOps.ticketConversationThreads(s, d)),
+    "crm_create_companies" -> ((s, d) => graft.crm.CrmOps.createCompaniesDedup(s, d)),
   )
 
   // DuckDB-side macros mirroring graft.functions.VectorFunctions exactly
@@ -238,6 +249,44 @@ object SparkEntry {
         |  CASE WHEN ex.ex_lastname IS NOT NULL THEN 'exists' ELSE 'insert' END AS action
         |FROM cand LEFT JOIN (SELECT firstname AS ex_firstname, lastname AS ex_lastname FROM contacts) ex
         |  ON cand.firstname = ex.ex_firstname AND cand.lastname = ex.ex_lastname
+        |ORDER BY cand_key""".stripMargin,
+    "crm_ticket_threads" ->
+      s"""WITH $ticketsCte, $messagesCte,
+        |sel AS (SELECT o_orderkey AS ticket_key, id AS ticket_id, createdate
+        |  FROM tickets
+        |  WHERE hs_pipeline_stage = '4' OR hs_ticket_status = 'closed'
+        |  ORDER BY strftime(hs_lastmodifieddate, $fmtTs) DESC, o_orderkey LIMIT 20),
+        |selc AS (SELECT sel.*, o.o_custkey FROM sel JOIN orders o ON o.o_orderkey = sel.ticket_key),
+        |edges AS (SELECT ticket_key, ticket_id, thread_id FROM (
+        |    SELECT s.ticket_key, s.ticket_id, o.o_orderkey AS thread_id,
+        |      row_number() OVER (PARTITION BY s.ticket_key
+        |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |    FROM selc s JOIN orders o ON o.o_custkey = s.o_custkey AND o.o_orderdate <= s.createdate)
+        |  WHERE rn <= 3),
+        |m AS (SELECT thread_id, message_id, created_at,
+        |    CASE WHEN l_linenumber = 7 THEN 'UNKNOWN'
+        |         WHEN sender_field = 'FROM' AND (actor_id LIKE '0-1%' OR actor_id LIKE '0-2%') THEN 'AGENT'
+        |         ELSE 'CUSTOMER' END AS sender_type,
+        |    text
+        |  FROM messages WHERE msg_type = 'MESSAGE')
+        |SELECT e.ticket_id, e.thread_id,
+        |  COALESCE(m.message_id, -1) AS message_id,
+        |  COALESCE(strftime(m.created_at, $fmtTs), '') AS created_at,
+        |  COALESCE(m.sender_type, '') AS sender_type,
+        |  COALESCE(m.text, '') AS text
+        |FROM edges e LEFT JOIN m ON m.thread_id = e.thread_id
+        |ORDER BY CAST(e.ticket_id AS BIGINT), e.thread_id, created_at, message_id""".stripMargin,
+    "crm_create_companies" ->
+      s"""WITH $companiesCte,
+        |base AS (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 100),
+        |cand AS (
+        |  SELECT s_suppkey AS cand_key, s_name AS name FROM base
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000 AS cand_key, 'Startup#' || s_suppkey AS name FROM base)
+        |SELECT cand_key, cand.name,
+        |  CASE WHEN c.id IS NOT NULL THEN 'exists' ELSE 'insert' END AS action,
+        |  COALESCE(c.id, '') AS existing_id
+        |FROM cand LEFT JOIN companies c ON cand.name = c.name
         |ORDER BY cand_key""".stripMargin,
   )
 

@@ -47,12 +47,15 @@ object GraftApi {
   def getTickets(s: SparkSession, d: String, criteria: String = "default",
       limit: Int = 50, after: Option[String] = None): Page[Ticket] = {
     import s.implicits._
+    // Unsorted criteria views: the ONLY sort in this method is the final
+    // orderBy+limit below, which lowers to one TakeOrderedAndProject per
+    // page — no global sort of the full ticket set.
     val base = criteria match {
-      case "closed" => CrmOps.ticketsClosed(s, d, Int.MaxValue)
+      case "closed" => CrmOps.ticketsClosedView(s, d)
         .withColumn("hs_ticket_priority", lit("")).withColumn("createdate", lit(""))
         .select("id", "subject", "hs_ticket_priority", "hs_pipeline_stage",
           "hs_ticket_status", "createdate", "closedate", "hs_lastmodifieddate")
-      case _ => CrmOps.ticketsDefault(s, d, Int.MaxValue)
+      case _ => CrmOps.ticketsDefaultView(s, d)
     }
     val resumed = after match {
       case Some(tok) =>

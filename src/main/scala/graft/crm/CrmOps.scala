@@ -35,14 +35,22 @@ object CrmOps {
     * close/modified dates, relative to the corpus "now" (max order date —
     * the explicit asOf of SURVEY §7 hard-part 6).
     */
-  def ticketsDefault(s: SparkSession, d: String, limit: Int = 50): DataFrame = {
+  def ticketsDefault(s: SparkSession, d: String, limit: Int = 50): DataFrame =
+    ticketsDefaultView(s, d)
+      .orderBy(col("hs_lastmodifieddate").desc, col("id").cast("long"))
+      .limit(limit)
+
+  /** Unlimited, UNSORTED "default"-criteria tickets — the pagination base.
+    * The facade applies (keyset filter → orderBy → limit) exactly once on
+    * top, so each page lowers to one TakeOrderedAndProject instead of a
+    * global sort followed by a re-sort (`GraftApi.getTickets`).
+    */
+  def ticketsDefaultView(s: SparkSession, d: String): DataFrame = {
     val cutoff = Tables.orders(s, d)
       .agg((max(col("o_orderdate")) - expr("INTERVAL 90 DAY")).as("cutoff"))
     CrmViews.tickets(s, d)
       .crossJoin(broadcast(cutoff))
       .filter(col("closedate") > col("cutoff") || col("hs_lastmodifieddate") > col("cutoff"))
-      .orderBy(col("hs_lastmodifieddate").desc, col("o_orderkey"))
-      .limit(limit)
       .select(col("id"), col("subject"), col("hs_ticket_priority"), col("hs_pipeline_stage"),
         col("hs_ticket_status"), tsS(col("createdate")).as("createdate"),
         tsS(col("closedate")).as("closedate"),
@@ -53,10 +61,14 @@ object CrmOps {
     * `clients/ticket_client.py:118-146`): stage "4" OR status "closed".
     */
   def ticketsClosed(s: SparkSession, d: String, limit: Int = 50): DataFrame =
+    ticketsClosedView(s, d)
+      .orderBy(col("hs_lastmodifieddate").desc, col("id").cast("long"))
+      .limit(limit)
+
+  /** Unlimited, unsorted "closed"-criteria tickets (pagination base). */
+  def ticketsClosedView(s: SparkSession, d: String): DataFrame =
     CrmViews.tickets(s, d)
       .filter(col("hs_pipeline_stage") === "4" || col("hs_ticket_status") === "closed")
-      .orderBy(col("hs_lastmodifieddate").desc, col("o_orderkey"))
-      .limit(limit)
       .select(col("id"), col("subject"), col("hs_pipeline_stage"), col("hs_ticket_status"),
         tsS(col("closedate")).as("closedate"),
         tsS(col("hs_lastmodifieddate")).as("hs_lastmodifieddate"))
@@ -120,15 +132,104 @@ object CrmOps {
           .when(col("etype") === "CALL",
             concat(lit("call ms "), (col("value").cast("decimal(18,2)") * 1000).cast("string")))
           .otherwise(concat(lit("email subject signup#"), col("engagement_id").cast("string"))))
-    val capped = eng.withColumn("rn",
-        row_number().over(Window.partitionBy(col("company_key"))
-          .orderBy(col("ts"), col("engagement_id"))))
-      .filter(col("rn") <= fanoutCap)
+    // Fan-out cap WITHOUT a full per-company window sort: the bounded
+    // earliest-k aggregator keeps at most 2k rows buffered per group and
+    // partially aggregates map-side, so a hot company's 10^8-engagement
+    // history never sorts in one task (reference cap: company_client.py:97).
+    val earliestK = graft.functions.TopKAggregator.earliestKUdaf(fanoutCap)
+    val capped = eng
+      .groupBy(col("company_key"))
+      .agg(earliestK(col("ts"), col("engagement_id"), col("etype"), col("content")).as("top"))
+      .select(col("company_key"), explode(col("top")).as("e"))
+      .select(col("company_key"), col("e.engagement_id").as("engagement_id"),
+        col("e.etype").as("etype"), col("e.content").as("content"), col("e.ts").as("ts"))
     capped
       .join(CrmViews.companies(s, d), col("company_key") === col("s_suppkey")) // J1
       .select(col("company_key"), col("name").as("company_name"),
         col("engagement_id"), col("etype"), col("content"), tsS(col("ts")).as("ts"))
       .orderBy(col("company_key"), col("engagement_id"))
+  }
+
+  /** hubspot_get_ticket_conversation_threads (J2/S9/R6/R7,
+    * `clients/ticket_client.py:255-338` + `:356-399` + handler `:133`):
+    * tickets (closed criteria) → association edges → threads → messages,
+    * slim-formatted `{id, created_at, sender_type, text}` per message,
+    * messages sorted by creation time, empty threads kept (the reference
+    * emits a thread with `messages: []`; flattened here as a single
+    * sentinel row so the result stays oracle-checkable).
+    *
+    * The association edge (ticket → conversation, SURVEY §1.1.2) is derived
+    * deterministically: a ticket associates to its customer's
+    * `threadsPerTicket` most recent threads as of the ticket's create date.
+    *
+    * Scale shape: the selected-ticket set is tiny (nTickets rows), so every
+    * step is a broadcast join against it — edges never shuffle the orders
+    * table, and messages are semi-join-pruned to the edge threads BEFORE the
+    * left join, so the big fact table is touched by exactly one
+    * broadcast-pruned scan.
+    */
+  def ticketConversationThreads(s: SparkSession, d: String, nTickets: Int = 20,
+      threadsPerTicket: Int = 3): DataFrame = {
+    val sel = CrmViews.tickets(s, d)
+      .filter(col("hs_pipeline_stage") === "4" || col("hs_ticket_status") === "closed")
+      .orderBy(col("hs_lastmodifieddate").desc, col("o_orderkey"))
+      .limit(nTickets)
+      .select(col("o_orderkey").as("ticket_key"), col("id").as("ticket_id"), col("createdate"))
+    // S9: the association edge scan — recover the customer for each selected
+    // ticket, then rank the customer's threads by recency at ticket time.
+    val selCust = broadcast(sel)
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("ticket_key"), col("o_custkey")),
+        Seq("ticket_key"))
+    val threads = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey").as("thread_id"),
+        col("o_orderdate").as("thread_created"))
+    val edges = broadcast(selCust).join(threads, Seq("o_custkey"))
+      .filter(col("thread_created") <= col("createdate"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("ticket_key"))
+        .orderBy(col("thread_created").desc, col("thread_id").desc)))
+      .filter(col("rn") <= threadsPerTicket)
+      .select(col("ticket_key"), col("ticket_id"), col("thread_id"))
+    // S6/P6/R6/R7: per-thread messages, actual MESSAGEs only, slim format.
+    val msgs = CrmViews.messages(s, d)
+      .filter(col("msg_type") === "MESSAGE") // ticket_client.py:381 type filter
+      .join(broadcast(edges.select(col("thread_id")).distinct()), Seq("thread_id"), "left_semi")
+      .withColumn("sender_type", // R7 (ticket_client.py:441-458)
+        when(col("l_linenumber") === 7, "UNKNOWN")
+          .when(col("sender_field") === "FROM" &&
+            (col("actor_id").startsWith("0-1") || col("actor_id").startsWith("0-2")), "AGENT")
+          .otherwise("CUSTOMER"))
+      .select(col("thread_id"), col("message_id"), col("created_at"),
+        col("sender_type"), col("text"))
+    edges.join(broadcast(msgs), Seq("thread_id"), "left")
+      .select(col("ticket_id"), col("thread_id"),
+        coalesce(col("message_id"), lit(-1L)).as("message_id"),
+        coalesce(tsS(col("created_at")), lit("")).as("created_at"),
+        coalesce(col("sender_type"), lit("")).as("sender_type"),
+        coalesce(col("text"), lit("")).as("text"))
+      .orderBy(col("ticket_id").cast("long"), col("thread_id"),
+        col("created_at"), col("message_id"))
+  }
+
+  /** hubspot_create_company dedup-create path (S14,
+    * `handlers/company_handler.py:68-131`): EQ-search on name; existing
+    * names report "exists" with the found record's id, fresh names report
+    * "insert" — the company flavor of the dedup-create anti/semi join.
+    */
+  def createCompaniesDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.supplier(s, d).filter(col("s_suppkey") <= 100)
+    // Candidate batch: half collide with existing company names by
+    // construction, half are fresh.
+    val candidates = base.select(col("s_suppkey").as("cand_key"), col("s_name").as("name"))
+      .unionByName(base.select((col("s_suppkey") + 100000).as("cand_key"),
+        concat(lit("Startup#"), col("s_suppkey").cast("string")).as("name")))
+    val existing = CrmViews.companies(s, d)
+      .select(col("name").as("ex_name"), col("id").as("existing_id"))
+    candidates
+      .join(existing, col("name") === col("ex_name"), "left")
+      .select(col("cand_key"), col("name"),
+        when(col("existing_id").isNotNull, "exists").otherwise("insert").as("action"),
+        coalesce(col("existing_id"), lit("")).as("existing_id"))
+      .orderBy(col("cand_key"))
   }
 
   /** hubspot_create_contact dedup path (J5/S15,

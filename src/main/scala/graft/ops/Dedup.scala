@@ -28,19 +28,16 @@ object Dedup {
       .distinct()
 
   /** Exact dedup: group by content hash, keep the lowest id (hash-groupBy —
-    * one shuffle, no comparisons). The fixture corpus has no exact copies,
-    * so we union a deterministic dup set (every 7th doc re-ingested under a
-    * new id) to exercise the operator.
+    * one shuffle, no comparisons). Operates on the corpus as-is; test
+    * fixtures that need duplicates inject them at the harness layer
+    * (SparkEntry wires a deterministic re-ingest for the oracle query).
     */
-  def exactDupGroups(docs: DataFrame): DataFrame = {
-    val reIngested = docs.filter(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-    docs.unionByName(reIngested)
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .orderBy(col("keep_id"))
-  }
 
   val NumHashes = 12
   val BandRows = 3 // 4 bands of 3 -> LSH threshold ~ (1/4)^(1/3) ~ 0.63
@@ -107,13 +104,16 @@ object Dedup {
     val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
     // Factor the per-word bit signs through a distinct-word dimension:
     // md5 runs once per vocabulary word instead of once per
-    // (doc, word, bit) — a broadcast join at corpus scale.
+    // (doc, word, bit). No broadcast hint: a web-scale vocabulary
+    // (10^8+ tokens x 16 bits) would OOM executors if forced onto every
+    // one of them — let AQE broadcast when the vocab side measures small
+    // and fall back to a shuffled hash join when it doesn't.
     val wordBits = words.select(col("wd")).distinct()
       .select(col("wd"), explode(expr("sequence(0, 15)")).as("bit"))
       .withColumn("v", when(expr("substr(md5(wd), bit+1, 1)")
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
     val bits = words
-      .join(broadcast(wordBits), "wd")
+      .join(wordBits, "wd")
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("v")).as("s"))
       .withColumn("b01", when(col("s") > 0, "1").otherwise("0"))

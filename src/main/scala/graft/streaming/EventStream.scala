@@ -109,8 +109,11 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.vector.VectorIndex.append(batch, indexPath)
-          val today = batch.sparkSession.read.parquet(indexPath)
-            .agg(max(col("ingest_date"))).head.getDate(0)
+          // Retention cutoff comes from the BATCH's own max ingest date —
+          // never from re-reading the whole index, which would be a
+          // per-micro-batch full scan of an ever-growing table. The batch is
+          // already materialized for the append; this agg is over it alone.
+          val today = batch.agg(max(col("ingest_date"))).head.getDate(0)
           graft.vector.VectorIndex.retain(batch.sparkSession, indexPath, today)
           ()
         }

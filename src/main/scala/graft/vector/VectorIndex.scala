@@ -43,21 +43,26 @@ object VectorIndex {
 
   /** S11 delete-side: physically drop partitions older than the window
     * (reference: `_remove_old_indexes`, `faiss_manager.py:151-172`).
+    *
+    * Uses the Hadoop FileSystem API, so it works identically on local FS,
+    * HDFS, and S3A — the 100-TB deployment targets. Cost is one directory
+    * listing of the index root (partition names only, no data read).
     */
   def retain(spark: SparkSession, indexPath: String, asOf: java.sql.Date,
       maxDays: Int = RetentionDays): Seq[String] = {
+    import org.apache.hadoop.fs.Path
     val cutoff = asOf.toLocalDate.minusDays(maxDays)
-    val root = new java.io.File(indexPath)
-    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("ingest_date="))
-      .filter { d =>
-        val day = java.time.LocalDate.parse(d.getName.stripPrefix("ingest_date="))
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+      .filter { st =>
+        val day = java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date="))
         !day.isAfter(cutoff)
       }
-    dropped.foreach { d =>
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
-    dropped.map(_.getName).toSeq
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.map(_.getPath.getName)
   }
 
   /** The reference's search (`faiss_manager.py:254-296` + `utils.py:100-108`):

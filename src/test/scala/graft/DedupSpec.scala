@@ -5,11 +5,18 @@ import graft.ops.{Dedup, TextAnalysis}
 class DedupSpec extends SparkSpec {
 
   test("exact dedup finds exactly the synthesized duplicate groups") {
+    import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
-    val groups = Dedup.exactDupGroups(docs).collect()
+    // The operator takes the corpus as-is; the FIXTURE injects the dups
+    // (every 7th doc re-ingested under a new id), mirroring SparkEntry.
+    val reIngested = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val groups = Dedup.exactDupGroups(docs.unionByName(reIngested)).collect()
     val expected = docs.filter("doc_id % 7 = 0").count()
     assert(groups.length == expected)
     groups.foreach(g => assert(g.getAs[Long]("n_copies") == 2L))
+    // And on the pristine corpus the operator reports NO duplicates.
+    assert(Dedup.exactDupGroups(docs).count() == 0L)
   }
 
   test("minhash candidate pairs are ordered and Jaccard-verified") {
