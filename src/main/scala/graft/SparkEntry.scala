@@ -65,7 +65,9 @@ object SparkEntry {
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
-    "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.42)),
+    // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
+    // the blocked plan must reproduce it exactly.
+    "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the

@@ -26,17 +26,36 @@ object GraftApi {
       data_json: String)
   case class Page[T](results: Seq[T], total: Long, after: Option[String])
 
+  /** Destination for the read→index side-effect leg — the reference's
+    * defining dataflow (`handlers/base_handler.py:78-90`): every read tool
+    * embeds its result rows and appends them to the vector index, so the
+    * search tool can later retrieve anything a read tool has returned.
+    */
+  case class IndexSink(path: String, ingestDate: java.sql.Date,
+      embedder: graft.vector.Embedder = new graft.vector.HashingEmbedder())
+
+  private def indexLeg(df: org.apache.spark.sql.DataFrame, textCol: String,
+      dataType: String, sink: Option[IndexSink]): Unit =
+    sink.foreach(k => graft.vector.IndexPipeline.indexRecords(
+      df, textCol, dataType, k.path, k.ingestDate, k.embedder))
+
   private def cursor(lastmod: String, id: String): String = s"$lastmod|$id"
 
-  def getActiveCompanies(s: SparkSession, d: String, limit: Int = 10): Page[Company] = {
+  def getActiveCompanies(s: SparkSession, d: String, limit: Int = 10,
+      sink: Option[IndexSink] = None): Page[Company] = {
     import s.implicits._
-    val rows = CrmOps.activeCompanies(s, d, limit).as[Company].collect().toSeq
+    val df = CrmOps.activeCompanies(s, d, limit)
+    indexLeg(df, "name", "company", sink)
+    val rows = df.as[Company].collect().toSeq
     Page(rows, rows.size.toLong, rows.lastOption.map(c => cursor(c.hs_lastmodifieddate, c.id)))
   }
 
-  def getActiveContacts(s: SparkSession, d: String, limit: Int = 10): Page[Contact] = {
+  def getActiveContacts(s: SparkSession, d: String, limit: Int = 10,
+      sink: Option[IndexSink] = None): Page[Contact] = {
     import s.implicits._
-    val rows = CrmOps.activeContacts(s, d, limit).as[Contact].collect().toSeq
+    val df = CrmOps.activeContacts(s, d, limit)
+    indexLeg(df, "email", "contact", sink)
+    val rows = df.as[Contact].collect().toSeq
     Page(rows, rows.size.toLong, rows.lastOption.map(c => cursor(c.lastmodifieddate, c.id)))
   }
 
@@ -45,7 +64,8 @@ object GraftApi {
     * order exactly after it.
     */
   def getTickets(s: SparkSession, d: String, criteria: String = "default",
-      limit: Int = 50, after: Option[String] = None): Page[Ticket] = {
+      limit: Int = 50, after: Option[String] = None,
+      sink: Option[IndexSink] = None): Page[Ticket] = {
     import s.implicits._
     // Unsorted criteria views: the ONLY sort in this method is the final
     // orderBy+limit below, which lowers to one TakeOrderedAndProject per
@@ -64,9 +84,11 @@ object GraftApi {
           (col("hs_lastmodifieddate") === lm && col("id").cast("long") > id.toLong))
       case None => base
     }
-    val rows = resumed
+    val page = resumed
       .orderBy(col("hs_lastmodifieddate").desc, col("id").cast("long"))
-      .limit(limit).as[Ticket].collect().toSeq
+      .limit(limit)
+    indexLeg(page, "subject", "ticket", sink)
+    val rows = page.as[Ticket].collect().toSeq
     Page(rows, rows.size.toLong,
       if (rows.size < limit) None
       else rows.lastOption.map(t => cursor(t.hs_lastmodifieddate, t.id)))

@@ -16,14 +16,8 @@ import graft.functions.VectorFunctions._
   */
 object IvfIndex {
 
-  /** Deterministic seed centroids (first `nCells` vectors by id — k-means
-    * would drop in here without changing the layout or the read path).
-    */
-  def build(spark: SparkSession, embeddings: DataFrame, path: String,
-      nCells: Int = 8): Unit = {
-    val centroids = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
-    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  /** Nearest-centroid assignment: one (vec_id, cell) row per vector. */
+  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val byVec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cd2"), col("cid"))
     embeddings
@@ -31,6 +25,45 @@ object IvfIndex {
       .withColumn("cd2", l2Sq(col("embedding"), col("c_embedding")))
       .withColumn("arn", row_number().over(byVec))
       .filter(col("arn") === 1)
+  }
+
+  /** Lloyd's k-means over the corpus, seeded deterministically with the
+    * first `nCells` vectors by id. Each iteration is one
+    * broadcast-assign + one groupBy-mean (the per-dimension mean via
+    * posexplode keeps everything in codegen'd built-ins); empty cells keep
+    * their previous centroid. A handful of iterations at build time buys
+    * balanced cells — and recall@k — over naive seeds (`IvfIndexSpec`
+    * measures it vs brute force).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int = 8, iters: Int = 3): DataFrame = {
+    var centroids = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+    for (_ <- 0 until iters) {
+      val means = assign(embeddings, centroids)
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("new_embedding"))
+      // localCheckpoint cuts the exponentially deepening lineage (each
+      // iteration would otherwise re-derive all previous assignments).
+      centroids = centroids.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_embedding"), col("c_embedding")).as("c_embedding"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Build the physical index: k-means centroids (deterministic seeds,
+    * `kmeansIters` Lloyd rounds — 0 reproduces the naive-seed layout),
+    * assignment, and a `partitionBy(cell)` write. Layout and read path are
+    * independent of how the centroids were computed.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, path: String,
+      nCells: Int = 8, kmeansIters: Int = 3): Unit = {
+    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    assign(embeddings, centroids)
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
   }

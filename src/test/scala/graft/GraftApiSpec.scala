@@ -27,6 +27,32 @@ class GraftApiSpec extends SparkSpec {
     assert(bigPage.total == closedTotal)
   }
 
+  test("read→index→search lifecycle: read tools index their results, search finds them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-rw").toString + "/idx"
+    val sink = Some(GraftApi.IndexSink(dir, java.sql.Date.valueOf("2024-03-01")))
+    // §3.2 step 6: every read tool appends its result rows to the index.
+    val companies = GraftApi.getActiveCompanies(spark, sf, 10, sink)
+    val tickets = GraftApi.getTickets(spark, sf, limit = 10, sink = sink)
+    val contacts = GraftApi.getActiveContacts(spark, sf, 10, sink)
+    assert(companies.results.nonEmpty && tickets.results.nonEmpty && contacts.results.nonEmpty)
+
+    // §3.1: a search over the accumulated index retrieves the read rows.
+    val t = tickets.results.head
+    val hits = GraftApi.searchData(spark, dir, t.subject, 10)
+    assert(hits.results.head.similarity_score > 0.99)
+    assert(hits.results.exists(h =>
+      h.data_type == "ticket" && h.data_json.contains(s""""id":"${t.id}"""")))
+
+    val c = companies.results.head
+    val cHits = GraftApi.searchData(spark, dir, c.name, 10)
+    assert(cHits.results.exists(h =>
+      h.data_type == "company" && h.data_json.contains(s""""id":"${c.id}"""")))
+
+    // Dual-fidelity: the index stores the FULL record JSON even though a
+    // tool response may truncate (conversation_handler.py:63-67).
+    assert(hits.results.head.data_json.startsWith("{"))
+  }
+
   test("search facade returns ranked typed hits over a built index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toString + "/idx"
     graft.vector.IndexPipeline.indexRecords(

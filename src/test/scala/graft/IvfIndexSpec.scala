@@ -9,7 +9,8 @@ class IvfIndexSpec extends SparkSpec {
   test("physical IVF search equals the logical ivfSearch results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
     val emb = Tables.embeddings(spark, sf)
-    IvfIndex.build(spark, emb, dir)
+    // kmeansIters = 0 reproduces the naive-seed layout the logical op uses.
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
     val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
     val physical = IvfIndex.search(spark, dir, qv).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
@@ -35,5 +36,31 @@ class IvfIndexSpec extends SparkSpec {
     // and the pruned scan reads only the probed cells' rows
     val cells = df.select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(cells == probed.toSet)
+  }
+
+  test("k-means centroids: recall@10 vs brute force, and no worse than naive seeds") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val naiveDir = java.nio.file.Files.createTempDirectory("graft-ivf-n").toString + "/ivf"
+    val kmDir = java.nio.file.Files.createTempDirectory("graft-ivf-k").toString + "/ivf"
+    IvfIndex.build(spark, emb, naiveDir, kmeansIters = 0)
+    IvfIndex.build(spark, emb, kmDir, kmeansIters = 3)
+
+    val queryIds = Seq(0L, 11L, 23L, 37L, 42L)
+    def recall(dir: String): Double = {
+      val per = queryIds.map { qid =>
+        val qv = emb.filter(col("vec_id") === qid).select("embedding").head.getSeq[Float](0)
+        val truth = Similarity.knnL2(emb, qid, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+        val approx = IvfIndex.search(spark, dir, qv, 10, nProbe = 2)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (truth intersect approx).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val naive = recall(naiveDir)
+    val km = recall(kmDir)
+    info(f"recall@10 naive-seed=$naive%.2f kmeans=$km%.2f")
+    assert(km >= 0.6, f"k-means recall@10 $km%.2f below floor")
+    assert(km >= naive - 0.1, f"k-means recall $km%.2f regressed vs naive $naive%.2f")
+    emb.unpersist()
   }
 }

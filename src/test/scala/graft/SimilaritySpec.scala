@@ -59,6 +59,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked cosine dedup reproduces the all-pairs verifier exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val blocked = Similarity.cosineDupPairsBlocked(emb, 0.42).collect()
+    val allPairs = Similarity.cosineDupPairs(emb, 0.42).collect()
+    assert(blocked.length == allPairs.length)
+    blocked.zip(allPairs).foreach { case (b, a) =>
+      assert(b.getAs[Long]("vec_id_a") == a.getAs[Long]("vec_id_a"))
+      assert(b.getAs[Long]("vec_id_b") == a.getAs[Long]("vec_id_b"))
+      assert(b.getAs[Double]("cos_sim") == a.getAs[Double]("cos_sim"))
+    }
+  }
+
   test("vector index: append, prune, retain, search round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
     val idx = VectorIndex.fromEmbeddings(Tables.embeddings(spark, sf))
