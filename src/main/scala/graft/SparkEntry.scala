@@ -107,6 +107,7 @@ object SparkEntry {
     "crm_create_contacts" -> ((s, d) => graft.crm.CrmOps.createContactsDedup(s, d)),
     "crm_ticket_threads" -> ((s, d) => graft.crm.CrmOps.ticketConversationThreads(s, d)),
     "crm_create_companies" -> ((s, d) => graft.crm.CrmOps.createCompaniesDedup(s, d)),
+    "crm_recent_emails" -> ((s, d) => graft.crm.CrmOps.recentEmails(s, d)),
   )
 
   // DuckDB-side macros mirroring graft.functions.VectorFunctions exactly
@@ -290,6 +291,27 @@ object SparkEntry {
         |  COALESCE(c.id, '') AS existing_id
         |FROM cand LEFT JOIN companies c ON cand.name = c.name
         |ORDER BY cand_key""".stripMargin,
+    "crm_recent_emails" ->
+      s"""WITH email_ids AS (
+        |  SELECT l_orderkey * 100 + l_linenumber AS email_id,
+        |    l_returnflag = 'A' AS archived, l_shipdate AS created_at
+        |  FROM lineitem),
+        |email_details AS (
+        |  SELECT l_orderkey * 100 + l_linenumber AS email_id,
+        |    'Re: Order ' || l_orderkey AS subject,
+        |    'supplier' || l_suppkey || '@corp.example.com' AS from_email,
+        |    'buyer' || l_partkey || '@client.example.com' AS to_email,
+        |    CASE WHEN l_linestatus = 'F' THEN 'shipped qty ' || CAST(l_quantity AS INT) END AS text,
+        |    '<p>order ' || l_orderkey || ' line ' || l_linenumber || '</p>' AS html,
+        |    l_shipdate + INTERVAL 3 DAY AS updated_at
+        |  FROM lineitem)
+        |SELECT CAST(i.email_id AS VARCHAR) AS id, d.subject, d.from_email, d.to_email,
+        |  COALESCE(d.text, d.html) AS body,
+        |  strftime(i.created_at, $fmtTs) AS created_at,
+        |  strftime(d.updated_at, $fmtTs) AS updated_at
+        |FROM email_ids i JOIN email_details d ON d.email_id = i.email_id
+        |WHERE NOT i.archived
+        |ORDER BY strftime(i.created_at, $fmtTs) DESC, i.email_id LIMIT 50""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = Map(

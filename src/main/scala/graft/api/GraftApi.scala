@@ -94,6 +94,37 @@ object GraftApi {
       else rows.lastOption.map(t => cursor(t.hs_lastmodifieddate, t.id)))
   }
 
+  case class Email(id: String, subject: String, from_email: String, to_email: String,
+      body: String, created_at: String, updated_at: String)
+
+  /** Emails paged scan (S4, `clients/conversation_client.py:56-79`): the
+    * reference's `after` token resume over the non-archived envelope,
+    * detail join included. Order is (created_at DESC, id ASC); the keyset
+    * filter re-enters exactly after the cursor, so every page is one
+    * TakeOrderedAndProject over the remaining suffix.
+    */
+  def getRecentEmails(s: SparkSession, d: String, limit: Int = 50,
+      after: Option[String] = None, sink: Option[IndexSink] = None): Page[Email] = {
+    import s.implicits._
+    val base = CrmOps.emailsView(s, d)
+    val resumed = after match {
+      case Some(tok) =>
+        val Array(ts, id) = tok.split('|')
+        base.filter(col("created_at") < ts ||
+          (col("created_at") === ts && col("email_id") > id.toLong))
+      case None => base
+    }
+    val page = resumed
+      .orderBy(col("created_at_ts").desc, col("email_id"))
+      .limit(limit)
+      .drop("created_at_ts", "email_id")
+    indexLeg(page, "body", "email", sink)
+    val rows = page.as[Email].collect().toSeq
+    Page(rows, rows.size.toLong,
+      if (rows.size < limit) None
+      else rows.lastOption.map(e => cursor(e.created_at, e.id)))
+  }
+
   /** Semantic search over a built index (§3.1 lifecycle). */
   def searchData(s: SparkSession, indexPath: String, query: String,
       limit: Int = 10): Page[SearchHit] = {

@@ -210,6 +210,33 @@ object CrmOps {
         col("created_at"), col("message_id"))
   }
 
+  /** Emails read path (S4 + J4 + R3/P7,
+    * `clients/conversation_client.py:65-146`): page over the non-archived
+    * envelope ids, batch-join the details, `body = coalesce(text, html)`.
+    * The reference's batches-of-10 detail lookups vanish into one equi-join
+    * (SURVEY §2.4 J4); the envelope filter (`archived=False`, P7) is applied
+    * BEFORE the join so the detail side only ever sees surviving ids.
+    */
+  def recentEmails(s: SparkSession, d: String, limit: Int = 50): DataFrame =
+    emailsView(s, d)
+      .orderBy(col("created_at_ts").desc, col("email_id"))
+      .limit(limit)
+      .drop("created_at_ts", "email_id")
+
+  /** Unlimited, unsorted emails view (pagination base for the facade —
+    * same keyset contract as `ticketsDefaultView`). Keeps the raw
+    * timestamp + numeric id as sort/cursor columns.
+    */
+  def emailsView(s: SparkSession, d: String): DataFrame =
+    CrmViews.emailIds(s, d)
+      .filter(!col("archived")) // P7 on the envelope scan
+      .join(CrmViews.emailDetails(s, d), Seq("email_id")) // J4
+      .select(col("email_id"), col("created_at").as("created_at_ts"),
+        col("email_id").cast("string").as("id"), col("subject"),
+        col("from_email"), col("to_email"),
+        coalesce(col("text"), col("html")).as("body"), // R3
+        tsS(col("created_at")).as("created_at"), tsS(col("updated_at")).as("updated_at"))
+
   /** hubspot_create_company dedup-create path (S14,
     * `handlers/company_handler.py:68-131`): EQ-search on name; existing
     * names report "exists" with the found record's id, fresh names report

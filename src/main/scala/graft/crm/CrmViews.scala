@@ -91,6 +91,34 @@ object CrmViews {
       col("l_linenumber"))
   }
 
+  /** emails — the reference's fifth CRM object, kept as TWO views so the
+    * paged-envelope-scan → batch-detail-lookup dataflow (S4 + J4,
+    * `clients/conversation_client.py:65-146`) is a real equi-join, not
+    * synthesized away: the scan pages over the id envelope (id, archived,
+    * created) and the details arrive via a second lookup keyed by id.
+    */
+  def emailIds(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 100 + col("l_linenumber")).as("email_id"),
+      (col("l_returnflag") === "A").as("archived"),
+      col("l_shipdate").as("created_at"))
+
+  /** email details — the batch-lookup side of J4; `text` is null for open
+    * linestatus rows so `body = coalesce(text, html)` (R3,
+    * `conversation_client.py:172`) exercises both branches.
+    */
+  def emailDetails(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 100 + col("l_linenumber")).as("email_id"),
+      concat(lit("Re: Order "), col("l_orderkey").cast("string")).as("subject"),
+      concat(lit("supplier"), col("l_suppkey").cast("string"), lit("@corp.example.com")).as("from_email"),
+      concat(lit("buyer"), col("l_partkey").cast("string"), lit("@client.example.com")).as("to_email"),
+      when(col("l_linestatus") === "F",
+        concat(lit("shipped qty "), col("l_quantity").cast("int").cast("string"))).as("text"),
+      concat(lit("<p>order "), col("l_orderkey").cast("string"),
+        lit(" line "), col("l_linenumber").cast("string"), lit("</p>")).as("html"),
+      (col("l_shipdate") + expr("INTERVAL 3 DAY")).as("updated_at"))
+
   /** engagements — tagged union on type (`clients/company_client.py:171-283`)
     * derived from events; company association edge via user→supplier hash
     * (the (from_id, to_id) edge relation of SURVEY §1.1.2).

@@ -53,6 +53,20 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.results.head.data_json.startsWith("{"))
   }
 
+  test("emails paged scan: keyset resume covers the suffix without overlap; body coalesces") {
+    val p1 = GraftApi.getRecentEmails(spark, sf, limit = 20)
+    assert(p1.results.size == 20 && p1.after.isDefined)
+    val p2 = GraftApi.getRecentEmails(spark, sf, limit = 20, after = p1.after)
+    assert(p2.results.size == 20)
+    assert(p1.results.map(_.id).toSet.intersect(p2.results.map(_.id).toSet).isEmpty)
+    // Two pages == the first 40 of one big page, in order (S4 offset-resume).
+    val big = GraftApi.getRecentEmails(spark, sf, limit = 40)
+    assert((p1.results ++ p2.results).map(_.id) == big.results.map(_.id))
+    // R3: both coalesce branches appear — plain text when present, html fallback.
+    val bodies = (p1.results ++ p2.results).map(_.body)
+    assert(bodies.exists(_.startsWith("shipped qty ")) && bodies.exists(_.startsWith("<p>order ")))
+  }
+
   test("search facade returns ranked typed hits over a built index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toString + "/idx"
     graft.vector.IndexPipeline.indexRecords(
