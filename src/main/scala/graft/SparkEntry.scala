@@ -82,7 +82,10 @@ object SparkEntry {
     }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
     "doc_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
-    "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairs(Tables.documents(s, d))),
+    // Capped plan: blocks over 100 docs route through within-block LSH
+    // banding; the oracle mirrors BOTH paths (md5-deterministic), so the
+    // fallback's candidate set is reproduced bit-for-bit by DuckDB.
+    "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairsCapped(Tables.documents(s, d))),
     "doc_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -595,14 +598,32 @@ object SparkEntry {
         |sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle, d.source FROM sh0 JOIN documents d USING (doc_id)),
+        |bs AS (SELECT source, COUNT(*) AS block_n FROM documents GROUP BY source),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        |          FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
+        |small_ids AS (SELECT doc_id FROM documents JOIN bs USING (source) WHERE block_n <= 100),
+        |big_ids AS (SELECT doc_id FROM documents JOIN bs USING (source) WHERE block_n > 100),
+        |shs AS (SELECT sh.* FROM sh JOIN small_ids USING (doc_id)),
+        |shb AS (SELECT sh.* FROM sh JOIN big_ids USING (doc_id)),
+        |small_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM shs a JOIN shs b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
+        |       FROM shb CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        |          FROM mh GROUP BY doc_id, h // 3),
+        |bsrc AS (SELECT bands.*, d.source FROM bands JOIN documents d USING (doc_id)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bsrc a JOIN bsrc b ON a.source = b.source AND a.band_id = b.band_id
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |big_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c JOIN shb sa ON sa.doc_id = c.doc_a
+        |  JOIN shb sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT * FROM small_inter UNION ALL SELECT * FROM big_inter)
         |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT i.doc_a, i.doc_b,
-        |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-        |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
+        |  SELECT u.doc_a, u.doc_b,
+        |    CAST(u.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - u.n_inter AS DOUBLE) AS jaccard
+        |  FROM uni u JOIN sizes na ON na.doc_id = u.doc_a JOIN sizes nb ON nb.doc_id = u.doc_b)
         |WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
     "doc_langid" ->
       """WITH s AS (SELECT doc_id,

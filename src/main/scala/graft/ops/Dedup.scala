@@ -148,4 +148,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Blocked Jaccard with a block-size guard — the scale-safe form. The
+    * uncapped version is quadratic within a block, which is unbounded when
+    * one `source` is huge (a web crawl's biggest domain). Here blocks up to
+    * `maxBlockDocs` docs take the exact all-pairs path; oversized blocks
+    * fall back to MinHash-LSH banding WITHIN the block (same 12-hash/4-band
+    * family as `minhashDupPairs`) for candidate generation, then exact
+    * shingle-intersection verify — so per-block work is bounded by band
+    * bucket sizes, never |block|². Recall contract: within oversized blocks,
+    * pairs are found iff they share an LSH band (~certain above Jaccard
+    * ≈0.63 with this family, and deterministic either way — md5-based, so
+    * any engine reproduces the same candidate set bit-for-bit).
+    */
+  def blockedJaccardPairsCapped(docs: DataFrame, threshold: Double = 0.25,
+      maxBlockDocs: Int = 100): DataFrame = {
+    // One tiny row per source; AQE broadcasts it when small, shuffles when
+    // a web-scale source list measures big — no forced hint.
+    val blockSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("block_n"))
+    val tagged = docs.select(col("doc_id"), col("source")).join(blockSizes, "source")
+    val smallIds = tagged.filter(col("block_n") <= maxBlockDocs).select(col("doc_id"))
+    val bigIds = tagged.filter(col("block_n") > maxBlockDocs).select(col("doc_id"))
+
+    val sh = shingles(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    // Exact path: within-block all-pairs via the (source, shingle) join.
+    val shSmall = sh.join(smallIds, Seq("doc_id"), "left_semi")
+    val smallInter = shSmall.as("a").join(shSmall.as("b"),
+        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    // LSH fallback: band-bucket equi-join (keyed by source + band) bounds
+    // the candidate set; exact Jaccard verifies every candidate.
+    val shBig = sh.join(bigIds, Seq("doc_id"), "left_semi")
+    val bands = bandKeys(minhashWide(shBig.select(col("doc_id"), col("shingle"))))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val candBig = bands.as("a").join(bands.as("b"),
+        col("a.source") === col("b.source") && col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val bigInter = candBig
+      .join(shBig.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shBig.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    smallInter.unionByName(bigInter)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

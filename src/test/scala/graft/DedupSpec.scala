@@ -19,6 +19,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactDupGroups(docs).count() == 0L)
   }
 
+  test("capped blocked jaccard: exact path when cap doesn't bind, LSH fallback is a verified subset") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.blockedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Cap above every block size: capped ≡ exact, row for row.
+    val uncappedPath = Dedup.blockedJaccardPairsCapped(docs, maxBlockDocs = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncappedPath == exact)
+    // Cap of 0: every block routes through the LSH fallback. Candidates are
+    // exact-verified, so every emitted pair carries the TRUE jaccard and is
+    // a subset of the exact result; the fixture's planted near-dups (all
+    // ≥0.88 jaccard, far above the ~0.63 LSH threshold) must all survive.
+    val lshPath = Dedup.blockedJaccardPairsCapped(docs, maxBlockDocs = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lshPath.foreach { case (k, j) => assert(exact(k) == j) }
+    assert(lshPath.keySet == exact.keySet, "high-sim fixture pairs must survive the LSH fallback")
+  }
+
   test("minhash candidate pairs are ordered and Jaccard-verified") {
     val pairs = Dedup.minhashDupPairs(Tables.documents(spark, sf)).collect()
     assert(pairs.nonEmpty, "fixture corpus has planted near-dups")
