@@ -100,19 +100,29 @@ object Similarity {
     */
   def cosineDupPairsBlocked(embeddings: DataFrame, threshold: Double = 0.95,
       nCells: Int = 8, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding")))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cid"))
-    val buckets = embeddings
-      .crossJoin(centroids)
-      .withColumn("cd2", l2Sq(col("embedding"), col("c_embedding")))
-      .withColumn("arn", row_number().over(byVec))
-      .filter(col("arn") <= nProbe)
-      .select(col("vec_id"), col("cid"))
+    // Seed centroids collected ONCE to the driver: nCells × dim floats, a
+    // constant independent of corpus size — so cell assignment below is
+    // map-only codegen (distances to a literal array, array_sort, slice),
+    // with no crossJoin, no per-vector window shuffle. At 100 TB this is
+    // the difference between a map stage and shuffling 8× the corpus.
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    // array_sort on struct<d,cid> orders by distance then cid — identical
+    // tie-breaking to the windowed row_number it replaces.
+    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1, nProbe)
+    val buckets = embeddings.select(col("vec_id"), explode(probeCells).as("cid"))
+    // Multi-probe collisions produce DUPLICATE candidate pairs; scoring a
+    // duplicate is one codegen'd dot product, while deduping pre-score is a
+    // full shuffle of the candidate set — so verify first, distinct() only
+    // the (tiny) thresholded survivors.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
-      .distinct()
     val normed = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand
@@ -123,6 +133,7 @@ object Similarity {
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), col("cos").as("cos_sim"))
+      .distinct()
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
