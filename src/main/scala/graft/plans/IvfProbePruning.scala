@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+import graft.functions.FloatVecL2Sq
+
+/** Access-path selection for kNN (SURVEY.md §4: the one "genuinely engine-y"
+  * custom piece): a `Rule[LogicalPlan]` that recognizes the brute-force kNN
+  * shape
+  *
+  *   Sort(d2 ASC) over Project(..., d2 = vec_l2sq(embedding, <literal qvec>))
+  *   over a parquet relation partitioned by `cell` with a `centroids` sidecar
+  *
+  * — i.e. the user wrote a full-corpus distance sort against an
+  * `IvfIndex`-built layout — and injects the IVF probe: it ranks the (tiny,
+  * driver-loaded) centroid sidecar against the query literal and inserts
+  * `Filter(cell IN <nProbe nearest cells>)` directly above the relation.
+  * FileSourceStrategy turns that filter into partition pruning, so the scan
+  * touches nProbe/nCells of the corpus — the user keeps the declarative
+  * `orderBy(dist).limit(k)` form and the optimizer picks the index access
+  * path, exactly like a planner choosing an index scan over a table scan.
+  *
+  * This trades exactness for the IVF recall contract, so it is OPT-IN:
+  * enabled only while `spark.graft.ivf.autoProbe=true` (the `GraftExtensions`
+  * registration leaves it off by default). `spark.graft.ivf.nProbe` controls
+  * probe width. The rule is idempotent — after the rewrite the relation is no
+  * longer a direct child of the Project, so the pattern can't re-fire.
+  */
+object IvfProbePruning extends Rule[LogicalPlan] {
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]()
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.ivf.autoProbe", "false").toBoolean
+  private def nProbe: Int =
+    conf.getConfString("spark.graft.ivf.nProbe", "2").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case s: Sort if s.global => rewrite(s).getOrElse(s)
+    }
+
+  private def rewrite(s: Sort): Option[Sort] = s match {
+    case Sort(SortOrder(attr: Attribute, Ascending, _, _) +: _, _, p: Project, _) =>
+      p.child match {
+        case rel: LogicalRelation =>
+          for {
+            fsRel <- Some(rel.relation).collect { case h: HadoopFsRelation => h }
+            if fsRel.partitionSchema.fieldNames.contains("cell")
+            qvec <- queryVector(p.projectList, attr)
+            cellAttr <- rel.output.find(_.name == "cell")
+            probes <- probeCells(fsRel, qvec)
+          } yield {
+            val cells = probes.map { c =>
+              cellAttr.dataType match {
+                case IntegerType => Literal(c.toInt)
+                case LongType => Literal(c)
+                case dt => Literal.create(c.toString, dt)
+              }
+            }
+            logInfo(s"graft IVF auto-probe: pruning to cells ${probes.mkString(",")}")
+            s.copy(child = p.copy(child = Filter(In(cellAttr, cells.toSeq), rel)))
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The sort attribute must resolve to `vec_l2sq(<column>, <array literal>)`
+    * in the project list; the literal is the query vector.
+    */
+  private def queryVector(projectList: Seq[Expression], attr: Attribute): Option[Array[Float]] =
+    projectList.collectFirst {
+      case a @ Alias(FloatVecL2Sq(_, Literal(arr: ArrayData, ArrayType(FloatType, _))), _)
+          if a.exprId == attr.exprId =>
+        arr.toFloatArray
+      case a @ Alias(FloatVecL2Sq(Literal(arr: ArrayData, ArrayType(FloatType, _)), _), _)
+          if a.exprId == attr.exprId =>
+        arr.toFloatArray
+    }
+
+  /** Rank the centroid sidecar (driver-side, a few KB) and return the nProbe
+    * nearest cell ids, ties by cid — the same contract as `IvfIndex.search`.
+    */
+  private def probeCells(fsRel: HadoopFsRelation, q: Array[Float]): Option[Array[Long]] = {
+    val vectorsPath = fsRel.location.rootPaths.headOption.getOrElse(return None)
+    val centroidsPath = new org.apache.hadoop.fs.Path(vectorsPath.getParent, "centroids")
+    val fs = centroidsPath.getFileSystem(fsRel.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(centroidsPath)) return None
+    val cents = centroidCache.computeIfAbsent(centroidsPath.toString, p =>
+      SparkSession.active.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    Some(cents.map { case (cid, c) => (l2(c, q), cid) }.sorted.take(nProbe).map(_._2))
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration — also
+  * usable programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions()(_))`. Injects the IVF access-path rule (inert until
+  * `spark.graft.ivf.autoProbe=true`) and the native vector functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => IvfProbePruning)
+  }
+}

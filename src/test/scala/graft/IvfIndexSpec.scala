@@ -38,6 +38,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells == probed.toSet)
   }
 
+  test("IVF auto-probe rule rewrites declarative kNN into a partition-pruned probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf3").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
+    val qv = emb.filter(col("vec_id") === 7L).select("embedding").head.getSeq[Float](0)
+
+    def naiveKnn() = spark.read.parquet(s"$dir/vectors")
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(col("embedding"), lit(qv.toArray)))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cid"),
+        col("d2").as("dist_sq"))
+
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.IvfProbePruning
+    try {
+      // Rule present but flag off (the default): plan is the full scan.
+      val unpruned = naiveKnn().queryExecution.executedPlan.toString
+      assert(unpruned.contains("PartitionFilters: []"),
+        s"expected NO partition pruning with autoProbe off:\n$unpruned")
+
+      spark.conf.set("spark.graft.ivf.autoProbe", "true")
+      val auto = naiveKnn()
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell") && plan.contains("IN"),
+        s"expected IN-pruned partition filter on cell:\n$plan")
+      // The rewritten declarative query reproduces the hand-built probe.
+      val manual = IvfIndex.search(spark, dir, qv, 10, nProbe = 2).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+      val rewritten = auto.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+      assert(rewritten == manual)
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
   test("k-means centroids: recall@10 vs brute force, and no worse than naive seeds") {
     val emb = Tables.embeddings(spark, sf).cache()
     val naiveDir = java.nio.file.Files.createTempDirectory("graft-ivf-n").toString + "/ivf"
