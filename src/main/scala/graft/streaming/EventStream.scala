@@ -98,6 +98,33 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (click→purchase attribution):
+    * each purchase matches the same user's clicks in the preceding
+    * `windowMinutes`. Both sides are watermarked and the join condition
+    * carries the event-time interval, so Spark bounds BOTH state stores —
+    * clicks older than the window + watermark are evicted, which is what
+    * lets this run forever on unbounded streams (the unbounded form would
+    * accumulate every click seen). This is the streaming twin of the batch
+    * as-of/range joins (ops.AsOfJoin / ops.RangeJoin).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(c,
+      col("click_user") === col("purchase_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("purchase_user").as("user_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming index ingestion: micro-batches append to the date-partitioned
     * vector index via foreachBatch, then retention prunes old partitions —
     * the streaming form of the reference's add_data + _remove_old_indexes

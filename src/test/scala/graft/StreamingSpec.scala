@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     assert(dim == 64)
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(101, tsAt(0, 0), 1, "click", 0.0, "{}"),  // in window of purchase @0:30
+      Event(102, tsAt(0, 25), 1, "click", 0.0, "{}"), // in window
+      Event(103, tsAt(2, 0), 1, "click", 0.0, "{}"),  // AFTER the purchase: no match
+      Event(104, tsAt(0, 20), 2, "click", 0.0, "{}")) // other user: no match for user 1
+    purchases.addData(
+      Event(201, tsAt(0, 30), 1, "purchase", 9.99, "{}"),
+      Event(202, tsAt(3, 0), 2, "purchase", 5.00, "{}")) // user 2: click @0:20 outside 60min
+    val q = EventStream.attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(got == Set((201L, 101L), (201L, 102L)),
+      s"expected purchase 201 matched to clicks 101,102 only; got $got")
+  }
+
   test("streaming index ingest appends partitions and applies retention") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
