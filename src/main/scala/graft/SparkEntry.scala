@@ -295,20 +295,22 @@ object SparkEntry {
         |FROM cand LEFT JOIN companies c ON cand.name = c.name
         |ORDER BY cand_key""".stripMargin,
     "crm_recent_emails" ->
-      s"""WITH email_ids AS (
-        |  SELECT l_orderkey * 100 + l_linenumber AS email_id,
-        |    l_returnflag = 'A' AS archived, l_shipdate AS created_at
+      s"""WITH eid AS (
+        |  SELECT *, md5(l_orderkey || '|' || l_linenumber || '|' || l_suppkey || '|'
+        |      || l_partkey || '|' || strftime(l_shipdate, $fmtTs)) AS email_id
         |  FROM lineitem),
+        |email_ids AS (
+        |  SELECT email_id, l_returnflag = 'A' AS archived, l_shipdate AS created_at FROM eid),
         |email_details AS (
-        |  SELECT l_orderkey * 100 + l_linenumber AS email_id,
+        |  SELECT email_id,
         |    'Re: Order ' || l_orderkey AS subject,
         |    'supplier' || l_suppkey || '@corp.example.com' AS from_email,
         |    'buyer' || l_partkey || '@client.example.com' AS to_email,
         |    CASE WHEN l_linestatus = 'F' THEN 'shipped qty ' || CAST(l_quantity AS INT) END AS text,
         |    '<p>order ' || l_orderkey || ' line ' || l_linenumber || '</p>' AS html,
         |    l_shipdate + INTERVAL 3 DAY AS updated_at
-        |  FROM lineitem)
-        |SELECT CAST(i.email_id AS VARCHAR) AS id, d.subject, d.from_email, d.to_email,
+        |  FROM eid)
+        |SELECT i.email_id AS id, d.subject, d.from_email, d.to_email,
         |  COALESCE(d.text, d.html) AS body,
         |  strftime(i.created_at, $fmtTs) AS created_at,
         |  strftime(d.updated_at, $fmtTs) AS updated_at

@@ -106,18 +106,11 @@ object GraftApi {
   def getRecentEmails(s: SparkSession, d: String, limit: Int = 50,
       after: Option[String] = None, sink: Option[IndexSink] = None): Page[Email] = {
     import s.implicits._
-    val base = CrmOps.emailsView(s, d)
-    val resumed = after match {
-      case Some(tok) =>
-        val Array(ts, id) = tok.split('|')
-        base.filter(col("created_at") < ts ||
-          (col("created_at") === ts && col("email_id") > id.toLong))
-      case None => base
+    val cur = after.map { tok =>
+      val Array(ts, id) = tok.split('|')
+      (ts, id)
     }
-    val page = resumed
-      .orderBy(col("created_at_ts").desc, col("email_id"))
-      .limit(limit)
-      .drop("created_at_ts", "email_id")
+    val page = CrmOps.emailPage(s, d, limit, cur).drop("created_at_ts", "email_id")
     indexLeg(page, "body", "email", sink)
     val rows = page.as[Email].collect().toSeq
     Page(rows, rows.size.toLong,

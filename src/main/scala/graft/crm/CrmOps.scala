@@ -211,31 +211,45 @@ object CrmOps {
   }
 
   /** Emails read path (S4 + J4 + R3/P7,
-    * `clients/conversation_client.py:65-146`): page over the non-archived
-    * envelope ids, batch-join the details, `body = coalesce(text, html)`.
-    * The reference's batches-of-10 detail lookups vanish into one equi-join
-    * (SURVEY §2.4 J4); the envelope filter (`archived=False`, P7) is applied
-    * BEFORE the join so the detail side only ever sees surviving ids.
+    * `clients/conversation_client.py:65-146`), in the reference's own
+    * order of operations — which is also the right plan: page the
+    * NON-ARCHIVED ENVELOPE first (filter + top-k lowers to one
+    * TakeOrderedAndProject over the id scan), then batch-lookup details for
+    * only the page (the batches-of-10 REST loop becomes one broadcast
+    * equi-join of the ≤limit-row page against the details scan — SURVEY
+    * §2.4 J4). Joining details before paging would drag the full detail
+    * table through the sort for a 50-row answer.
     */
   def recentEmails(s: SparkSession, d: String, limit: Int = 50): DataFrame =
-    emailsView(s, d)
-      .orderBy(col("created_at_ts").desc, col("email_id"))
-      .limit(limit)
+    emailPage(s, d, limit, after = None)
       .drop("created_at_ts", "email_id")
 
-  /** Unlimited, unsorted emails view (pagination base for the facade —
-    * same keyset contract as `ticketsDefaultView`). Keeps the raw
-    * timestamp + numeric id as sort/cursor columns.
+  /** Envelope-paged emails with keyset resume; keeps the raw timestamp +
+    * numeric id as cursor columns for the facade. `after` = (formatted ts,
+    * id) of the last row of the previous page.
     */
-  def emailsView(s: SparkSession, d: String): DataFrame =
-    CrmViews.emailIds(s, d)
-      .filter(!col("archived")) // P7 on the envelope scan
-      .join(CrmViews.emailDetails(s, d), Seq("email_id")) // J4
+  def emailPage(s: SparkSession, d: String, limit: Int,
+      after: Option[(String, String)]): DataFrame = {
+    val env = CrmViews.emailIds(s, d).filter(!col("archived")) // P7 on the envelope scan
+    val resumed = after match {
+      case Some((ts, id)) =>
+        env.filter(tsS(col("created_at")) < ts ||
+          (tsS(col("created_at")) === ts && col("email_id") > id))
+      case None => env
+    }
+    val page = resumed.orderBy(col("created_at").desc, col("email_id")).limit(limit)
+    // J4: detail lookup for the page only. Joining on the NATURAL row key
+    // (not the md5 id) means the detail scan never computes the hash for
+    // the 599,950 rows that aren't in the page.
+    CrmViews.emailDetails(s, d)
+      .join(broadcast(page), CrmViews.emailJoinKey)
       .select(col("email_id"), col("created_at").as("created_at_ts"),
-        col("email_id").cast("string").as("id"), col("subject"),
+        col("email_id").as("id"), col("subject"),
         col("from_email"), col("to_email"),
         coalesce(col("text"), col("html")).as("body"), // R3
         tsS(col("created_at")).as("created_at"), tsS(col("updated_at")).as("updated_at"))
+      .orderBy(col("created_at_ts").desc, col("email_id"))
+  }
 
   /** hubspot_create_company dedup-create path (S14,
     * `handlers/company_handler.py:68-131`): EQ-search on name; existing

@@ -97,19 +97,41 @@ object CrmViews {
     * synthesized away: the scan pages over the id envelope (id, archived,
     * created) and the details arrive via a second lookup keyed by id.
     */
+  /** Unique deterministic email id: md5 over the minimal unique row key.
+    * (orderkey, linenumber) alone is NOT unique in this synthetic lineitem;
+    * adding suppkey, partkey and shipdate is — verified at every SF. Only
+    * integer and formatted-timestamp columns go into the hash so any engine
+    * renders the preimage identically.
+    */
+  private def emailIdCol = md5(concat_ws("|",
+    col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+    col("l_suppkey").cast("string"), col("l_partkey").cast("string"),
+    date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+
+  /** Natural unique row key — kept on BOTH email views so the detail
+    * lookup joins on raw columns and never has to materialize the md5 id
+    * for rows that aren't in the page.
+    */
+  private val emailNaturalKey = Seq("nk_orderkey", "nk_linenumber", "nk_suppkey",
+    "nk_partkey", "nk_shipdate")
+
+  private def naturalKeyCols = Seq(
+    col("l_orderkey").as("nk_orderkey"), col("l_linenumber").as("nk_linenumber"),
+    col("l_suppkey").as("nk_suppkey"), col("l_partkey").as("nk_partkey"),
+    col("l_shipdate").as("nk_shipdate"))
+
   def emailIds(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
-      (col("l_orderkey") * 100 + col("l_linenumber")).as("email_id"),
-      (col("l_returnflag") === "A").as("archived"),
-      col("l_shipdate").as("created_at"))
+      (emailIdCol.as("email_id") +: naturalKeyCols) ++ Seq(
+        (col("l_returnflag") === "A").as("archived"),
+        col("l_shipdate").as("created_at")): _*)
 
   /** email details — the batch-lookup side of J4; `text` is null for open
     * linestatus rows so `body = coalesce(text, html)` (R3,
     * `conversation_client.py:172`) exercises both branches.
     */
   def emailDetails(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
-      (col("l_orderkey") * 100 + col("l_linenumber")).as("email_id"),
+    Tables.lineitem(s, d).select(naturalKeyCols ++ Seq(
       concat(lit("Re: Order "), col("l_orderkey").cast("string")).as("subject"),
       concat(lit("supplier"), col("l_suppkey").cast("string"), lit("@corp.example.com")).as("from_email"),
       concat(lit("buyer"), col("l_partkey").cast("string"), lit("@client.example.com")).as("to_email"),
@@ -117,7 +139,12 @@ object CrmViews {
         concat(lit("shipped qty "), col("l_quantity").cast("int").cast("string"))).as("text"),
       concat(lit("<p>order "), col("l_orderkey").cast("string"),
         lit(" line "), col("l_linenumber").cast("string"), lit("</p>")).as("html"),
-      (col("l_shipdate") + expr("INTERVAL 3 DAY")).as("updated_at"))
+      (col("l_shipdate") + expr("INTERVAL 3 DAY")).as("updated_at")): _*)
+
+  /** Join column names of the natural email row key (shared by the two
+    * email views).
+    */
+  def emailJoinKey: Seq[String] = emailNaturalKey
 
   /** engagements — tagged union on type (`clients/company_client.py:171-283`)
     * derived from events; company association edge via user→supplier hash
