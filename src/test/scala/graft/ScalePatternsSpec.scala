@@ -25,6 +25,26 @@ class ScalePatternsSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("email page plan: envelope top-k lowers to TakeOrderedAndProject, detail join broadcasts") {
+    val plan = graft.crm.CrmOps.recentEmails(spark, sf, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"envelope paging should be one TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the page-side detail lookup should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in a 50-row page lookup should sort-merge:\n$plan")
+  }
+
+  test("ticket-threads plan: every join against the selected tickets broadcasts") {
+    val plan = graft.crm.CrmOps.ticketConversationThreads(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"selected-ticket joins should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the tiny ticket/edge sides must never shuffle the fact table:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val e = Tables.events(spark, sf)
     val direct = e.groupBy(col("event_type"))
