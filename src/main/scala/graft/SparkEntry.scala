@@ -568,7 +568,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
-        |mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
+        |mh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
         |       FROM sh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
         |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
         |          FROM mh GROUP BY doc_id, h // 3),
@@ -609,7 +609,7 @@ object SparkEntry {
         |small_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         |  FROM shs a JOIN shs b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
+        |mh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
         |       FROM shb CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
         |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
         |          FROM mh GROUP BY doc_id, h // 3),

@@ -42,16 +42,25 @@ object Dedup {
   val NumHashes = 12
   val BandRows = 3 // 4 bands of 3 -> LSH threshold ~ (1/4)^(1/3) ~ 0.63
 
-  /** MinHash signatures: mh_h = min over shingles of md5(h || '|' ||
-    * shingle). Min over md5 hex strings is a valid min-wise hash family and
-    * is engine-portable. Computed as ONE wide aggregation (12 min columns in
-    * a single groupBy) rather than exploding 12x rows before the shuffle —
-    * same values, 1/12th the shuffle width.
+  /** MinHash signatures: hash `h` is an 8-hex-char (32-bit) slice of
+    * md5((h/4) || '|' || shingle) — one md5 yields FOUR independent
+    * min-wise hashes, so each shingle row pays 3 md5 evaluations instead of
+    * 12 (md5 dominates signature cost; the slices of a cryptographic hash
+    * are independent, and min over hex strings stays a valid min-wise
+    * family — engine-portable, mirrored verbatim in the DuckDB oracle).
+    * The salted md5s are projected ONCE per row before the aggregate so the
+    * sharing is explicit, not left to subexpression elimination. Still ONE
+    * wide aggregation: 12 min columns in a single groupBy, not a 12×
+    * pre-shuffle explode.
     */
   def minhashWide(sh: DataFrame): DataFrame = {
+    val nSalts = NumHashes / 4
+    val withHashes = sh.select(
+      col("doc_id") +: (0 until nSalts).map(s =>
+        md5(concat(lit(s.toString), lit("|"), col("shingle"))).as(s"h$s")): _*)
     val aggs = (0 until NumHashes).map(h =>
-      min(md5(concat(lit(h.toString), lit("|"), col("shingle")))).as(s"mh$h"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(substring(col(s"h${h / 4}"), (h % 4) * 8 + 1, 8)).as(s"mh$h"))
+    withHashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: md5 of the band's minhashes in h-order (one row per
