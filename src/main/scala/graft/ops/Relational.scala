@@ -236,4 +236,65 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
+
+  /** Correlated EXISTS → left-semi + count (TPC-H Q4 shape): orders in a
+    * quarter having at least one returned line, counted per priority. The
+    * subquery never materializes — Catalyst plans one semi-join shuffled on
+    * the order key with the returnflag filter pushed to the lineitem scan.
+    */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Two-nation volume join with a disjunctive pair predicate (TPC-H Q7
+    * shape): revenue flowing between two nations in either direction, per
+    * direction and ship year. The nation dim broadcasts twice under
+    * different role names; the pair filter applies AFTER both role joins.
+    */
+  def volumeShipping(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Returned-item revenue top-k (TPC-H Q10 shape): customers ranked by
+    * the revenue of their returned lines in one quarter; nation broadcast,
+    * top-20 lowers to TakeOrderedAndProject.
+    */
+  def returnedItemRevenue(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
 }
