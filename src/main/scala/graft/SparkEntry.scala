@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "mm_media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(Tables.documents(s, d))),
+    "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -717,5 +718,16 @@ object SparkEntry {
         |  CAST(240 + strlen(text) % 720 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 24 + strlen(text) % 240 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |mm AS (SELECT *, CAST(CASE WHEN media_type = 'image' THEN 1 ELSE 24 + n % 240 END AS BIGINT) AS frames FROM m),
+        |s AS (SELECT doc_id, media_type, frames, n, unnest(range(0, least(8, frames))) AS i FROM mm),
+        |f AS (SELECT doc_id, media_type, n, frames, (i * frames) // least(8, frames) AS frame_no FROM s)
+        |SELECT doc_id, media_type, frame_no,
+        |  (frame_no * 1000) // 24 AS frame_ts_ms,
+        |  (frame_no * n) // frames AS byte_off
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
   ) ++ crmOracle
 }

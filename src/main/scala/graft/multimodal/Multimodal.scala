@@ -65,6 +65,42 @@ object Multimodal {
     }
   }
 
+  case class FrameSample(doc_id: Long, media_type: String, frame_no: Long,
+      frame_ts_ms: Long, byte_off: Long)
+
+  /** Evenly-spaced frame sampling through the decoder boundary — the
+    * training-pipeline "sample k frames per video" stage. One decoder per
+    * partition; each media row fans out to min(k, frames) frame rows with
+    * the frame's index, a 24fps-derived timestamp, and its byte offset
+    * (all integer arithmetic so the SQL oracle pins exact outputs). A real
+    * decoder would also attach the frame bytes; the row shape and the
+    * distributed fan-out are the load-bearing parts.
+    */
+  def sampleFrames(media: Dataset[MediaRow], k: Int = 8,
+      decoder: MediaDecoder = new StubDecoder): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val meta = decoder.decode(r.media_type, r.data)
+        val frames = meta.frames.toLong
+        val n = meta.n_bytes
+        val nSamples = math.min(k.toLong, frames)
+        (0L until nSamples).iterator.map { i =>
+          val fno = i * frames / nSamples
+          // Offset is proportional (multiply before divide): a per-frame
+          // byte step of n/frames would truncate to 0 for payloads with
+          // more frames than bytes.
+          FrameSample(r.doc_id, r.media_type, fno, fno * 1000 / 24, fno * n / frames)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checkable frame-sample query over the derived media table. */
+  def frameSamples(docs: DataFrame, k: Int = 8): DataFrame =
+    sampleFrames(deriveMedia(docs), k).toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
+
   /** Oracle-checkable end-to-end: derive → decode → project, ordered. */
   def mediaMeta(docs: DataFrame): DataFrame =
     extractMeta(deriveMedia(docs)).toDF()
