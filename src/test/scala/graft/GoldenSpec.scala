@@ -30,6 +30,9 @@ class GoldenSpec extends SparkSpec {
     check("crm_tickets_closed", crm.CrmOps.ticketsClosed(spark, sf))
     check("crm_recent_conversations", crm.CrmOps.recentConversations(spark, sf))
     check("crm_create_contacts", crm.CrmOps.createContactsDedup(spark, sf))
+    check("crm_create_companies", crm.CrmOps.createCompaniesDedup(spark, sf))
+    check("crm_ticket_threads", crm.CrmOps.ticketConversationThreads(spark, sf))
+    check("crm_recent_emails", crm.CrmOps.recentEmails(spark, sf, 20))
     check("vec_knn_l2", ops.Similarity.knnL2(Tables.embeddings(spark, sf)))
   }
 }
