@@ -133,13 +133,15 @@ object CrmOps {
             concat(lit("call ms "), (col("value").cast("decimal(18,2)") * 1000).cast("string")))
           .otherwise(concat(lit("email subject signup#"), col("engagement_id").cast("string"))))
     // Fan-out cap WITHOUT a full per-company window sort: the bounded
-    // earliest-k aggregator keeps at most 2k rows buffered per group and
+    // earliest-k aggregate keeps at most 2k rows buffered per group and
     // partially aggregates map-side, so a hot company's 10^8-engagement
     // history never sorts in one task (reference cap: company_client.py:97).
-    val earliestK = graft.functions.TopKAggregator.earliestKUdaf(fanoutCap)
+    // Catalyst-native TypedImperativeAggregate: the buffer lives as a JVM
+    // object inside ObjectHashAggregate — no per-row Encoder round-trip.
     val capped = eng
       .groupBy(col("company_key"))
-      .agg(earliestK(col("ts"), col("engagement_id"), col("etype"), col("content")).as("top"))
+      .agg(graft.functions.TopKAggregator.earliestK(fanoutCap,
+        col("ts"), col("engagement_id"), col("etype"), col("content")).as("top"))
       .select(col("company_key"), explode(col("top")).as("e"))
       .select(col("company_key"), col("e.engagement_id").as("engagement_id"),
         col("e.etype").as("etype"), col("e.content").as("content"), col("e.ts").as("ts"))

@@ -55,6 +55,102 @@ class EarliestKEngagements(k: Int) extends Aggregator[EngRow, Seq[EngRow], Seq[E
   override def outputEncoder: Encoder[Seq[EngRow]] = ExpressionEncoder()
 }
 
+/** Catalyst-native bounded earliest-k (SURVEY §2.11 "TypedImperativeAggregate
+  * semantics", realized literally): same bounded-buffer contract as
+  * `EarliestKEngagements`, but the buffer is a mutable ArrayBuffer held as a
+  * JVM object inside ObjectHashAggregate — no Encoder round-trip per row, no
+  * O(buffer) Seq copy per append. Serialization to bytes happens ONLY at the
+  * partial/final shuffle boundary. `UTF8String`s are copied on update
+  * because eval-time references point into the current scan row's buffer.
+  */
+case class EarliestKAgg(
+    ts: org.apache.spark.sql.catalyst.expressions.Expression,
+    id: org.apache.spark.sql.catalyst.expressions.Expression,
+    etype: org.apache.spark.sql.catalyst.expressions.Expression,
+    content: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    scala.collection.mutable.ArrayBuffer[(Long, Long, String, String)]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import scala.collection.mutable.ArrayBuffer
+
+  type Buf = ArrayBuffer[(Long, Long, String, String)]
+
+  override def children: Seq[Expression] = Seq(ts, id, etype, content)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ts", TimestampType), StructField("engagement_id", LongType),
+    StructField("etype", StringType), StructField("content", StringType))))
+
+  override def createAggregationBuffer(): Buf = ArrayBuffer.empty
+
+  private def ord: Ordering[(Long, Long, String, String)] =
+    Ordering.by(t => (t._1, t._2))
+
+  private def prune(buf: Buf): Buf =
+    if (buf.size >= 2 * k) {
+      val kept = buf.sorted(ord).take(k)
+      buf.clear(); buf ++= kept
+    } else buf
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val t = ts.eval(input)
+    if (t == null) buf
+    else {
+      buf += ((t.asInstanceOf[Long], id.eval(input).asInstanceOf[Long],
+        etype.eval(input).asInstanceOf[UTF8String].toString,
+        content.eval(input).asInstanceOf[UTF8String].toString))
+      prune(buf)
+    }
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = { b1 ++= b2; prune(b1) }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.sorted(ord).take(k).map { case (t, i, e, c) =>
+      InternalRow(t, i, UTF8String.fromString(e), UTF8String.fromString(c))
+    }.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, i, e, c) =>
+      out.writeLong(t); out.writeLong(i); out.writeUTF(e); out.writeUTF(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf: Buf = ArrayBuffer.empty
+    var i = 0
+    while (i < n) {
+      buf += ((in.readLong(), in.readLong(), in.readUTF(), in.readUTF()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): EarliestKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): EarliestKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EarliestKAgg =
+    copy(ts = newChildren(0), id = newChildren(1), etype = newChildren(2),
+      content = newChildren(3))
+  override def prettyName: String = "earliest_k"
+}
+
 object TopKAggregator {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 
@@ -76,4 +172,17 @@ object TopKAggregator {
     */
   def earliestKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new EarliestKEngagements(k), ExpressionEncoder[EngRow]())
+
+  /** Catalyst-native form of the fan-out cap (preferred): builds the
+    * `EarliestKAgg` aggregate expression directly — ObjectHashAggregate
+    * keeps the buffer as a JVM object, so there is no per-row Encoder
+    * round-trip.
+    */
+  def earliestK(k: Int, ts: Column, id: Column, etype: Column, content: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      EarliestKAgg(GraftSqlBridge.expression(ts), GraftSqlBridge.expression(id),
+        GraftSqlBridge.expression(etype), GraftSqlBridge.expression(content), k)
+        .toAggregateExpression())
+  }
 }

@@ -45,6 +45,33 @@ class CrmSpec extends SparkSpec {
     counts.foreach(r => assert(r.getAs[Long]("count") <= 5))
   }
 
+  test("native earliest-k aggregate equals the window formulation, plans object-hash partial agg") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val eng = graft.crm.CrmViews.engagements(spark, sf)
+      .select(col("company_key"), col("ts"), col("engagement_id"),
+        col("etype"), lit("x").as("content"))
+    val agg = eng.groupBy(col("company_key"))
+      .agg(graft.functions.TopKAggregator.earliestK(7,
+        col("ts"), col("engagement_id"), col("etype"), col("content")).as("top"))
+      .select(col("company_key"), explode(col("top")).as("e"))
+      .select(col("company_key"), col("e.ts").as("ts"),
+        col("e.engagement_id").as("engagement_id"), col("e.etype").as("etype"))
+    val win = eng
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("company_key")).orderBy(col("ts"), col("engagement_id"))))
+      .filter(col("rn") <= 7)
+      .select(col("company_key"), col("ts"), col("engagement_id"), col("etype"))
+    val a = agg.collect().map(_.toString).sorted
+    val w = win.collect().map(_.toString).sorted
+    assert(a.sameElements(w))
+    // Plan shape: object-hash aggregate with a partial earliest_k pass —
+    // the buffer combines map-side, so skewed groups never full-sort.
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_earliest_k"), s"expected partial earliest_k:\n$plan")
+  }
+
   test("create-contact dedup splits candidates into exists/insert") {
     val out = CrmOps.createContactsDedup(spark, sf).collect()
     val actions = out.map(_.getAs[String]("action")).toSet
