@@ -82,8 +82,10 @@ object Dedup {
     * pairs with band support and Jaccard.
     */
   def minhashDupPairs(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
-    val sh = shingles(docs)
-    val bands = bandKeys(minhashWide(sh))
+    // Materialized once: feeds the signature aggregation, doc sizes, and
+    // both sides of the verify join (pruning defeats exchange reuse).
+    val sh = shingles(docs).localCheckpoint(true)
+    val bands = bandKeys(minhashWide(sh)).localCheckpoint(true)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -179,7 +181,14 @@ object Dedup {
     val smallIds = tagged.filter(col("block_n") <= maxBlockDocs).select(col("doc_id"))
     val bigIds = tagged.filter(col("block_n") > maxBlockDocs).select(col("doc_id"))
 
+    // The shingle table feeds BOTH paths in five places (sizes, the exact
+    // pair join, band signatures, and both verify sides). Column pruning
+    // specializes each consumer's subtree, so exchange reuse never fires
+    // and the explode+distinct would recompute per consumer — materialize
+    // it once (at 100 TB this is the staged shingle table you'd write
+    // between pipeline stages).
     val sh = shingles(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     // Exact path: within-block all-pairs via the (source, shingle) join.
@@ -193,8 +202,11 @@ object Dedup {
     // LSH fallback: band-bucket equi-join (keyed by source + band) bounds
     // the candidate set; exact Jaccard verifies every candidate.
     val shBig = sh.join(bigIds, Seq("doc_id"), "left_semi")
+    // Tiny (bands-per-doc rows) but consumed twice by the self-join, and
+    // its lineage includes the whole signature aggregation — materialize.
     val bands = bandKeys(minhashWide(shBig.select(col("doc_id"), col("shingle"))))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true)
     val candBig = bands.as("a").join(bands.as("b"),
         col("a.source") === col("b.source") && col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
