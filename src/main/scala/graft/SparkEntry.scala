@@ -57,6 +57,7 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) =>
       Relational.returnedItemRevenue(Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_quantiles" -> ((s, d) => Relational.quantiles(Tables.lineitem(s, d))),
     // ---- event analytics (SURVEY §2.10 batch forms) ----
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -460,6 +461,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'

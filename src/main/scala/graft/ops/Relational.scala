@@ -279,6 +279,21 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Exact interpolated quantiles per group — the OLAP percentile surface.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    * lower + (higher − lower)·fraction interpolation over a sorted group,
+    * so the doubles match bitwise. This is the oracle-checked exact form;
+    * `approx_percentile`/sketches are the at-scale variant (same contract
+    * as `ev_approx_users`: engine-specific, rows-only).
+    */
+  def quantiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Returned-item revenue top-k (TPC-H Q10 shape): customers ranked by
     * the revenue of their returned lines in one quarter; nation broadcast,
     * top-20 lowers to TakeOrderedAndProject.
