@@ -69,6 +69,8 @@ object SparkEntry {
     // no oracleSql on purpose: HLL estimates are engine-specific; driver
     // records the weaker rows-only check for this one.
     "ev_approx_users" -> ((s, d) => Events.approxUserCounts(Tables.events(s, d))),
+    // rows-only for the same reason (sketch estimates are engine-specific).
+    "ev_approx_quantiles" -> ((s, d) => Events.approxValueQuantiles(Tables.events(s, d))),
     "ev_topk_per_user" -> ((s, d) => graft.functions.TopKAggregator.topEventsPerUser(Tables.events(s, d))),
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),

@@ -65,6 +65,22 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Sketch quantiles per event type (approx_percentile / t-digest-style
+    * bounded-memory summaries — the at-scale companion of the exact
+    * `Relational.quantiles`). Rows-only driver check, same contract as
+    * `approxUserCounts`: sketch estimates are engine-specific by design.
+    */
+  def approxValueQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("value_q"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        col("value_q")(0).as("p50"), col("value_q")(1).as("p90"),
+        col("value_q")(2).as("p99"), col("n_events"))
+      .orderBy(col("event_type"))
+
   /** Top-k users by spend, enriched with the customer dim via broadcast join
     * (events.user_id + 1 == customer.c_custkey by construction of the
     * testdata generator).
