@@ -107,8 +107,14 @@ object EventStream {
     * accumulate every click seen). This is the streaming twin of the batch
     * as-of/range joins (ops.AsOfJoin / ops.RangeJoin).
     */
+  /** `joinType = "left_outer"` additionally emits unmatched purchases
+    * (null click columns) once the watermark passes their join window —
+    * the state store evicts the purchase and certifies no click can still
+    * arrive, so the "purchase with no preceding click" signal is itself
+    * produced incrementally.
+    */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      windowMinutes: Int = 60): DataFrame = {
+      windowMinutes: Int = 60, joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
@@ -120,7 +126,8 @@ object EventStream {
     p.join(c,
       col("click_user") === col("purchase_user") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("purchase_id"), col("purchase_user").as("user_id"), col("purchase_ts"),
         col("value"), col("click_id"), col("click_ts"))
   }

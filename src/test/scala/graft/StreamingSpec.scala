@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
       s"expected purchase 201 matched to clicks 101,102 only; got $got")
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after watermark expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(Event(101, tsAt(0, 10), 1, "click", 0.0, "{}"))
+    purchases.addData(
+      Event(201, tsAt(0, 30), 1, "purchase", 9.99, "{}"),  // matched
+      Event(202, tsAt(0, 40), 2, "purchase", 5.00, "{}"))  // no click: outer row
+    val q = EventStream.attributionJoin(clicks.toDF(), purchases.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer").outputMode("append").start()
+    q.processAllAvailable()
+    // Advance BOTH watermarks far past the join window so state for the
+    // unmatched purchase expires and the null-click row can emit.
+    clicks.addData(Event(109, tsAt(9, 0), 9, "click", 0.0, "{}"))
+    purchases.addData(Event(209, tsAt(9, 0), 9, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    // One more batch so the new watermark is applied to stored state.
+    clicks.addData(Event(110, tsAt(10, 0), 9, "click", 0.0, "{}"))
+    purchases.addData(Event(210, tsAt(10, 0), 9, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_outer").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id")))).toSet
+    assert(rows.contains((201L, Some(101L))), s"matched purchase missing: $rows")
+    assert(rows.contains((202L, None)), s"unmatched purchase should emit null click: $rows")
+  }
+
   test("streaming index ingest appends partitions and applies retention") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
