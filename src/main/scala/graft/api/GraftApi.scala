@@ -75,7 +75,11 @@ object GraftApi {
         .withColumn("hs_ticket_priority", lit("")).withColumn("createdate", lit(""))
         .select("id", "subject", "hs_ticket_priority", "hs_pipeline_stage",
           "hs_ticket_status", "createdate", "closedate", "hs_lastmodifieddate")
-      case _ => CrmOps.ticketsDefaultView(s, d)
+      case "default" => CrmOps.ticketsDefaultView(s, d)
+      // handlers/ticket_handler.py:79-85: invalid criteria is a structured
+      // error, not a silent fallback — surface through `guarded`.
+      case other => throw new IllegalArgumentException(
+        s"Invalid criteria '$other'. Must be one of: default, closed")
     }
     val resumed = after match {
       case Some(tok) =>
@@ -126,4 +130,85 @@ object GraftApi {
       .as[SearchHit].collect().toSeq
     Page(rows, rows.size.toLong, None)
   }
+
+  case class Conversation(thread_id: Long, thread_created_at: String, n_messages: Long,
+      n_agent: Long, n_customer: Long, n_unknown: Long, first_ts: String, last_ts: String,
+      first_msg_truncated: String)
+
+  /** hubspot_get_recent_conversations with the snapshot-cache policy: a
+    * non-refreshing read serves from the cache when one is supplied
+    * (`conversation_client.py:246-259`); the response carries the 200-char
+    * truncated first message while the index leg stores the full rows
+    * (dual fidelity, `conversation_handler.py:63-121`).
+    */
+  def getRecentConversations(s: SparkSession, d: String, limit: Int = 10,
+      refreshCache: Boolean = false, cache: Option[graft.crm.ThreadCache] = None,
+      sink: Option[IndexSink] = None): Page[Conversation] = {
+    import s.implicits._
+    val df = cache match {
+      case Some(tc) => tc.recentConversations(d, limit, refresh = refreshCache)._1
+      case None => CrmOps.recentConversations(s, d, limit)
+    }
+    indexLeg(df, "first_msg_truncated", "conversation", sink)
+    val rows = df.as[Conversation].collect().toSeq
+    Page(rows, rows.size.toLong, rows.lastOption.map(c => c.thread_id.toString))
+  }
+
+  case class ActivityRow(company_key: Long, company_name: String, engagement_id: Long,
+      etype: String, content: String, ts: String)
+
+  /** hubspot_get_company_activity (fan-out capped at 500 per company). */
+  def getCompanyActivity(s: SparkSession, d: String, fanoutCap: Int = 500,
+      sink: Option[IndexSink] = None): Page[ActivityRow] = {
+    import s.implicits._
+    val df = CrmOps.companyActivity(s, d, fanoutCap)
+    indexLeg(df, "content", "company_activity", sink)
+    val rows = df.as[ActivityRow].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+
+  case class ThreadMessage(ticket_id: String, thread_id: Long, message_id: Long,
+      created_at: String, sender_type: String, text: String)
+
+  /** hubspot_get_ticket_conversation_threads (slim message formatting). */
+  def getTicketThreads(s: SparkSession, d: String, nTickets: Int = 20,
+      sink: Option[IndexSink] = None): Page[ThreadMessage] = {
+    import s.implicits._
+    val df = CrmOps.ticketConversationThreads(s, d, nTickets)
+    indexLeg(df, "text", "ticket_thread", sink)
+    val rows = df.as[ThreadMessage].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+
+  case class CompanyCreateReport(cand_key: Long, name: String, action: String,
+      existing_id: String)
+  case class ContactCreateReport(cand_key: Long, firstname: String, lastname: String,
+      action: String)
+
+  /** hubspot_create_company: dedup-create report (exists + id / insert). */
+  def createCompanies(s: SparkSession, d: String): Page[CompanyCreateReport] = {
+    import s.implicits._
+    val rows = CrmOps.createCompaniesDedup(s, d).as[CompanyCreateReport].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+
+  /** hubspot_create_contact: dedup-create report. */
+  def createContacts(s: SparkSession, d: String): Page[ContactCreateReport] = {
+    import s.implicits._
+    val rows = CrmOps.createContactsDedup(s, d).as[ContactCreateReport].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+
+  case class ToolError(error: String)
+
+  /** The reference's error envelope (`core/error_handler.py:13-32` +
+    * dispatcher catch `server.py:283-286`): any tool failure becomes a
+    * structured `{"error": ...}` payload instead of an exception crossing
+    * the API boundary.
+    */
+  def guarded[T](f: => T): Either[ToolError, T] =
+    try Right(f)
+    catch { case scala.util.control.NonFatal(e) =>
+      Left(ToolError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+    }
 }

@@ -67,6 +67,31 @@ class GraftApiSpec extends SparkSpec {
     assert(bodies.exists(_.startsWith("shipped qty ")) && bodies.exists(_.startsWith("<p>order ")))
   }
 
+  test("all nine tool equivalents return typed pages; errors become envelopes") {
+    // 4: conversations, with and without the snapshot cache.
+    val direct = GraftApi.getRecentConversations(spark, sf)
+    assert(direct.results.nonEmpty)
+    assert(direct.results.forall(c =>
+      c.first_msg_truncated == null || c.first_msg_truncated.length <= 200))
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-api-tc").toString + "/t"
+    val tc = new graft.crm.ThreadCache(spark, cacheDir)
+    val first = GraftApi.getRecentConversations(spark, sf, cache = Some(tc))
+    val cached = GraftApi.getRecentConversations(spark, sf, cache = Some(tc))
+    assert(cached.results == first.results, "cache-served read must reproduce the snapshot")
+    // 5/6: company activity + ticket threads.
+    assert(GraftApi.getCompanyActivity(spark, sf, fanoutCap = 5).results.nonEmpty)
+    assert(GraftApi.getTicketThreads(spark, sf, nTickets = 5).results.nonEmpty)
+    // 7/8: create reports split into exists/insert.
+    val cc = GraftApi.createCompanies(spark, sf)
+    assert(cc.results.map(_.action).toSet == Set("exists", "insert"))
+    assert(cc.results.filter(_.action == "exists").forall(_.existing_id.nonEmpty))
+    assert(GraftApi.createContacts(spark, sf).results.nonEmpty)
+    // error envelope: invalid criteria is a structured error, not a throw.
+    val err = GraftApi.guarded(GraftApi.getTickets(spark, sf, criteria = "bogus"))
+    assert(err.isLeft && err.left.exists(_.error.contains("Invalid criteria")))
+    assert(GraftApi.guarded(GraftApi.getTickets(spark, sf, limit = 3)).isRight)
+  }
+
   test("search facade returns ranked typed hits over a built index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toString + "/idx"
     graft.vector.IndexPipeline.indexRecords(
