@@ -58,6 +58,10 @@ object SparkEntry {
       Relational.returnedItemRevenue(Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_quantiles" -> ((s, d) => Relational.quantiles(Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.priorityStatusGroupingSets(Tables.orders(s, d))),
+    "q_multiset_ops" -> ((s, d) =>
+      Relational.nationMultisetOps(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_pivot" -> ((s, d) => Relational.returnflagStatusPivot(Tables.lineitem(s, d))),
     // ---- event analytics (SURVEY §2.10 batch forms) ----
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -463,6 +467,25 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY priority, status""".stripMargin,
+    "q_multiset_ops" ->
+      """WITH ea AS (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier),
+        |ia AS (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier),
+        |u AS (SELECT 'except_all' AS op, nk FROM ea UNION ALL SELECT 'intersect_all', nk FROM ia)
+        |SELECT op, CAST(nk AS BIGINT) AS nk, COUNT(*) AS multiplicity
+        |FROM u GROUP BY op, nk ORDER BY op, nk""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,

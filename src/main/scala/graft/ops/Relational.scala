@@ -154,6 +154,47 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy(col("priority"), col("status"))
 
+  /** Explicit GROUPING SETS — the irregular set {(priority,status),
+    * (priority), ()} that neither cube nor rollup expresses (cube would add
+    * the (status) slice). One pass, one Expand.
+    */
+  def priorityStatusGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): duplicates carry
+    * multiplicity, unlike the distinct forms in `nationSetOps` — the
+    * bag-semantics half of §2.7.
+    */
+  def nationMultisetOps(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_nationkey").cast("long").as("nk"))
+    val s = supplier.select(col("s_nationkey").cast("long").as("nk"))
+    c.exceptAll(s).withColumn("op", lit("except_all"))
+      .unionByName(c.intersectAll(s).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("nk")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("op"), col("nk"))
+  }
+
+  /** Pivot (dynamic columns from values): per-returnflag quantities spread
+    * across linestatus columns — the wide-format reshape Catalyst lowers to
+    * conditional aggregation.
+    */
+  def returnflagStatusPivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
   /** Large-volume customers (TPC-H Q18 shape): aggregate + HAVING threshold,
     * then join back to the dimension.
     */
