@@ -49,4 +49,41 @@ class PropertySpec extends AnyFunSuite {
         agg.finish(agg.merge(partR, partL)) == expected
     })
   }
+
+  test("native earliest-k: partial/serialize/merge path equals global sort take k") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.EarliestKAgg(
+      BoundReference(0, TimestampType, nullable = true),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, StringType, nullable = false),
+      BoundReference(3, StringType, nullable = false), k = 5)
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 1000L)))
+    check(Prop.forAll(rows, Gen.choose(0, 10)) { (xs, splitSeed) =>
+      val expected = xs.sortBy(identity).take(5)
+      def row(t: Long, i: Long): InternalRow = InternalRow(
+        t, i, UTF8String.fromString(s"e$i"), UTF8String.fromString(s"c$t"))
+      val (l, r) = xs.partition { case (_, i) => (i + splitSeed) % 3 == 0 }
+      // Each side is a partial aggregation; the shuffle boundary is the
+      // serialize/deserialize round-trip, exactly as ObjectHashAggregate
+      // would drive it.
+      val partL = l.foldLeft(agg.createAggregationBuffer()) { case (b, (t, i)) =>
+        agg.update(b, row(t, i))
+      }
+      val partR = r.foldLeft(agg.createAggregationBuffer()) { case (b, (t, i)) =>
+        agg.update(b, row(t, i))
+      }
+      val merged = agg.merge(agg.deserialize(agg.serialize(partL)),
+        agg.deserialize(agg.serialize(partR)))
+      val out = agg.eval(merged).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val s = out.getStruct(i, 4); (s.getLong(0), s.getLong(1))
+      }.toList
+      got == expected
+    })
+  }
 }
