@@ -132,6 +132,22 @@ object EventStream {
         col("value"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming ANN ingest: micro-batches are cell-assigned against the
+    * index's centroid sidecar and appended into the `partitionBy(cell)`
+    * layout (`IvfIndex.appendBatch`) — a streamed corpus lands directly in
+    * probe-searchable form, the write-time-bucketing analog of the
+    * reference's "today's partition is the append target".
+    */
+  def ivfIngest(batches: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.vector.IvfIndex.appendBatch(batch.sparkSession, batch, indexPath)
+      }
+      .start()
+
   /** Streaming index ingestion: micro-batches append to the date-partitioned
     * vector index via foreachBatch, then retention prunes old partitions —
     * the streaming form of the reference's add_data + _remove_old_indexes

@@ -68,6 +68,20 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Assign a new (vec_id, label, embedding) batch against the EXISTING
+    * centroid sidecar and append it into the partitionBy(cell) layout —
+    * the incremental-ingest half of the index: arriving vectors land in
+    * their cell directories without touching resident data, and are
+    * immediately visible to probe-pruned search.
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("c_embedding"))
+    assign(batch, centroids)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Probe: rank cells against the tiny sidecar, scan only those partitions. */
   def search(spark: SparkSession, path: String, query: Seq[Float],
       k: Int = 10, nProbe: Int = 2): DataFrame = {

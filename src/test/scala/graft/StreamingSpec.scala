@@ -141,6 +141,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((202L, None)), s"unmatched purchase should emit null click: $rows")
   }
 
+  test("streaming IVF ingest lands vectors in probe-searchable cell partitions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-sivf").toString + "/ivf"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sivf-ck").toString
+    val emb = Tables.embeddings(spark, sf)
+    // Resident corpus: vec_id < 400. The rest arrives as a stream.
+    graft.vector.IvfIndex.build(spark, emb.filter(col("vec_id") < 400), dir, kmeansIters = 0)
+    case class VecRow(vec_id: Long, label: Int, embedding: Seq[Float])
+    val late = emb.filter(col("vec_id") >= 400)
+      .collect().map(r => VecRow(r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Seq[Float])]
+    mem.addData(late.map(v => (v.vec_id, v.label, v.embedding)).toSeq: _*)
+    val q = EventStream.ivfIngest(
+      mem.toDF().toDF("vec_id", "label", "embedding"), dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    // A streamed vector must now be findable by the probe-pruned search at
+    // distance 0 (its own cell is by construction its nearest).
+    val target = late.head
+    val hit = graft.vector.IvfIndex.search(spark, dir, target.embedding, k = 1, nProbe = 1)
+      .collect().head
+    assert(hit.getAs[Long]("vec_id") == target.vec_id)
+    assert(hit.getAs[Double]("dist_sq") == 0.0)
+    // And the resident corpus is untouched: total rows = 500.
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+  }
+
   test("streaming index ingest appends partitions and applies retention") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
