@@ -60,25 +60,30 @@ object Similarity {
     */
   def ivfSearch(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val centroids = broadcast(embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding")))
-    // cell assignment: argmin over centroids (row_number on distance)
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cid"))
+    // Centroids collected once (nCells × dim, constant size): assignment is
+    // a map-only argmin over a literal array — same tie-break (distance,
+    // cid) as the crossJoin + per-vector window it replaces, at none of the
+    // shuffle cost (see cosineDupPairsBlocked for the same pattern).
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val nearestCell = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1).cast("long")
     val assigned = embeddings
-      .crossJoin(centroids)
-      .withColumn("cd2", l2Sq(col("embedding"), col("c_embedding")))
-      .withColumn("arn", row_number().over(byVec))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      .select(col("vec_id"), col("label"), col("embedding"), nearestCell.as("cid"))
     val q = queryVec(embeddings, queryId)
-    val probed = centroids
-      .crossJoin(broadcast(q))
-      .withColumn("qd2", l2Sq(col("c_embedding"), col("q_embedding")))
-      .orderBy(col("qd2"), col("cid"))
-      .limit(nProbe)
-      .select(col("cid"))
+    // Probe selection is driver-side math over the same collected array.
+    val qv = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0)
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val probed = cents.map { case (cid, c) => (l2(c, qv), cid.toLong) }
+      .sorted.take(nProbe).map(_._2)
     assigned
-      .join(broadcast(probed), "cid")
+      .filter(col("cid").isin(probed: _*))
       .crossJoin(broadcast(q))
       .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
       .orderBy(col("d2"), col("vec_id"))

@@ -16,15 +16,21 @@ import graft.functions.VectorFunctions._
   */
 object IvfIndex {
 
-  /** Nearest-centroid assignment: one (vec_id, cell) row per vector. */
+  /** Nearest-centroid assignment as a map-only argmin: the centroid set is
+    * constant-size (nCells × dim), so it collects to the driver and becomes
+    * a literal array — distances + array_sort + head, all codegen, no
+    * crossJoin and no per-vector window shuffle. Tie-break (distance, cid)
+    * is identical to the windowed form it replaces. Adds a `cid` column.
+    */
   private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cd2"), col("cid"))
-    embeddings
-      .crossJoin(broadcast(centroids))
-      .withColumn("cd2", l2Sq(col("embedding"), col("c_embedding")))
-      .withColumn("arn", row_number().over(byVec))
-      .filter(col("arn") === 1)
+    val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1)
+    embeddings.withColumn("cid", nearest)
   }
 
   /** Lloyd's k-means over the corpus, seeded deterministically with the
