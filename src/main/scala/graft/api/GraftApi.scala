@@ -122,11 +122,15 @@ object GraftApi {
       else rows.lastOption.map(e => cursor(e.created_at, e.id)))
   }
 
-  /** Semantic search over a built index (§3.1 lifecycle). */
+  /** Semantic search over a built index (§3.1 lifecycle). Scans ONLY the
+    * retained day-partitions — the reference's search always loads just the
+    * ≤7 recent day-indexes (`faiss_manager.py:91-99,270-272`); `asOf`
+    * anchors the window (default: the index's newest ingest day).
+    */
   def searchData(s: SparkSession, indexPath: String, query: String,
-      limit: Int = 10): Page[SearchHit] = {
+      limit: Int = 10, asOf: java.sql.Date = null): Page[SearchHit] = {
     import s.implicits._
-    val rows = graft.vector.IndexPipeline.searchIndex(s, indexPath, query, limit)
+    val rows = graft.vector.IndexPipeline.searchIndex(s, indexPath, query, limit, asOf)
       .as[SearchHit].collect().toSeq
     Page(rows, rows.size.toLong, None)
   }

@@ -116,39 +116,146 @@ object CrmOps {
       .orderBy(col("thread_id").desc)
   }
 
+  import org.apache.spark.sql.types._
+
+  /** Email-participant struct (`company_client.py:212-230`), derived
+    * deterministically from a numeric tag.
+    */
+  private def participant(tag: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      concat(lit("user "), tag.cast("string")).as("raw"),
+      concat(lit("user"), tag.cast("string"), lit("@example.com")).as("email"),
+      lit("User").as("firstName"),
+      tag.cast("string").as("lastName"))
+
+  private val participantType = StructType(Seq(
+    StructField("raw", StringType), StructField("email", StringType),
+    StructField("firstName", StringType), StructField("lastName", StringType)))
+
+  /** The tagged-union content schema (R2 full fidelity): one nullable
+    * per-type struct field, exactly one non-null per row — the Spark
+    * StructType analog of `company_client.py:180-283`'s per-type dicts.
+    */
+  val engagementContentType: StructType = StructType(Seq(
+    StructField("note", StructType(Seq(StructField("body", StringType)))),
+    StructField("email", StructType(Seq(
+      StructField("subject", StringType),
+      StructField("from", participantType),
+      StructField("to", ArrayType(participantType)),
+      StructField("cc", ArrayType(participantType)),
+      StructField("bcc", ArrayType(participantType)),
+      StructField("sender", StructType(Seq(StructField("email", StringType)))),
+      StructField("body", StringType)))),
+    StructField("task", StructType(Seq(
+      StructField("subject", StringType), StructField("body", StringType),
+      StructField("status", StringType), StructField("for_object_type", StringType)))),
+    StructField("meeting", StructType(Seq(
+      StructField("title", StringType), StructField("body", StringType),
+      StructField("start_time", StringType), StructField("end_time", StringType),
+      StructField("internal_notes", StringType)))),
+    StructField("call", StructType(Seq(
+      StructField("body", StringType), StructField("from_number", StringType),
+      StructField("to_number", StringType), StructField("duration_ms", DoubleType),
+      StructField("status", StringType), StructField("disposition", StringType))))))
+
+  // What actually rides through the fan-out cap: just the three source
+  // fields content derives from. Both the rendered string and the typed
+  // struct are rebuilt AFTER the cap, on ≤cap rows per company — the
+  // pre-cap scan carries ~30 bytes of JSON per row instead of a fully
+  // rendered participant-array struct.
+  private val packedSrcType = StructType(Seq(
+    StructField("v", DoubleType), StructField("u", LongType), StructField("k", StringType)))
+
   /** hubspot_get_company_activity (J1/R1/R2/A-cap,
     * `clients/company_client.py:67-283`): association join to engagements,
     * tagged-union content dispatch, 500-per-company fan-out cap.
+    * Oracle-checked shape — the typed struct column is dropped here; see
+    * `companyActivityTyped` for the full-fidelity output.
     */
-  def companyActivity(s: SparkSession, d: String, fanoutCap: Int = 500): DataFrame = {
-    val eng = CrmViews.engagements(s, d)
-      .withColumn("vstr", col("value").cast("decimal(18,2)").cast("string"))
-      .withColumn("content", // R2: per-type content structs as strings
-        when(col("etype") === "NOTE",
-          concat(lit("note: k="), get_json_object(col("props"), "$.k")))
-          .when(col("etype") === "TASK",
-            concat(lit("task status "), when(col("value") > 10, "DONE").otherwise("PENDING")))
-          .when(col("etype") === "MEETING", concat(lit("meeting value "), col("vstr")))
-          .when(col("etype") === "CALL",
-            concat(lit("call ms "), (col("value").cast("decimal(18,2)") * 1000).cast("string")))
-          .otherwise(concat(lit("email subject signup#"), col("engagement_id").cast("string"))))
+  def companyActivity(s: SparkSession, d: String, fanoutCap: Int = 500): DataFrame =
+    companyActivityTyped(s, d, fanoutCap).drop("content_struct")
+
+  /** Full-fidelity variant: every row carries `content_struct`, the
+    * per-type StructType content (EMAIL with from/to[]/cc[]/bcc[]
+    * participants, MEETING with start/end times, CALL with numbers and
+    * duration_ms — `company_client.py:194-283`), alongside the rendered
+    * `content` string the oracle checks.
+    *
+    * Scale shape: the three SOURCE fields content derives from (value,
+    * user_id, props.k — ~30 bytes of JSON) ride through the bounded
+    * earliest-k aggregate's content channel; the rendered string AND the
+    * typed struct are both built after the cap, on ≤cap rows per company.
+    * Full fidelity therefore costs zero extra joins or shuffles, and the
+    * pre-cap scan never materializes a participant-array struct for rows
+    * the cap will drop.
+    */
+  def companyActivityTyped(s: SparkSession, d: String, fanoutCap: Int = 500): DataFrame = {
     // Fan-out cap WITHOUT a full per-company window sort: the bounded
     // earliest-k aggregate keeps at most 2k rows buffered per group and
     // partially aggregates map-side, so a hot company's 10^8-engagement
     // history never sorts in one task (reference cap: company_client.py:97).
     // Catalyst-native TypedImperativeAggregate: the buffer lives as a JVM
     // object inside ObjectHashAggregate — no per-row Encoder round-trip.
-    val capped = eng
+    val capped = CrmViews.engagements(s, d)
+      .withColumn("packed", to_json(struct(
+        col("value").as("v"), col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").as("k"))))
       .groupBy(col("company_key"))
       .agg(graft.functions.TopKAggregator.earliestK(fanoutCap,
-        col("ts"), col("engagement_id"), col("etype"), col("content")).as("top"))
+        col("ts"), col("engagement_id"), col("etype"), col("packed")).as("top"))
       .select(col("company_key"), explode(col("top")).as("e"))
       .select(col("company_key"), col("e.engagement_id").as("engagement_id"),
-        col("e.etype").as("etype"), col("e.content").as("content"), col("e.ts").as("ts"))
-    capped
+        col("e.etype").as("etype"), col("e.ts").as("ts"),
+        from_json(col("e.content"), packedSrcType).as("p"))
+    val v = col("p.v"); val u = col("p.u"); val k = col("p.k")
+    val vstr = v.cast("decimal(18,2)").cast("string")
+    val withContent = capped
+      .withColumn("content", // R2 rendered strings (oracle-checked output)
+        when(col("etype") === "NOTE", concat(lit("note: k="), k))
+          .when(col("etype") === "TASK",
+            concat(lit("task status "), when(v > 10, "DONE").otherwise("PENDING")))
+          .when(col("etype") === "MEETING", concat(lit("meeting value "), vstr))
+          .when(col("etype") === "CALL",
+            concat(lit("call ms "), (v.cast("decimal(18,2)") * 1000).cast("string")))
+          .otherwise(concat(lit("email subject signup#"), col("engagement_id").cast("string"))))
+      .withColumn("content_struct", struct( // R2 typed structs: one branch non-null
+        when(col("etype") === "NOTE", struct(
+          concat(lit("note: k="), k).as("body"))).as("note"),
+        when(col("etype") === "EMAIL", struct(
+          concat(lit("signup#"), col("engagement_id").cast("string")).as("subject"),
+          participant(u).as("from"),
+          array(participant(col("company_key"))).as("to"),
+          // cc populated only for high-value engagements, bcc always empty:
+          // both still carry the array<participant> shape through parquet.
+          slice(array(participant(u + 1)), lit(1),
+            when(v > 30, 1).otherwise(0)).as("cc"),
+          slice(array(participant(u)), lit(1), lit(0)).as("bcc"),
+          struct(concat(lit("user"), u.cast("string"),
+            lit("@example.com")).as("email")).as("sender"),
+          coalesce(k, lit("")).as("body"))).as("email"),
+        when(col("etype") === "TASK", struct(
+          concat(lit("Task #"), col("engagement_id").cast("string")).as("subject"),
+          lit("").as("body"),
+          when(v > 10, "DONE").otherwise("PENDING").as("status"),
+          lit("COMPANY").as("for_object_type"))).as("task"),
+        when(col("etype") === "MEETING", struct(
+          concat(lit("Meeting #"), col("engagement_id").cast("string")).as("title"),
+          vstr.as("body"),
+          tsS(col("ts")).as("start_time"),
+          tsS(col("ts") + expr("INTERVAL 1 HOUR")).as("end_time"),
+          lit("").as("internal_notes"))).as("meeting"),
+        when(col("etype") === "CALL", struct(
+          lit("").as("body"),
+          concat(lit("+1-"), u.cast("string")).as("from_number"),
+          concat(lit("+1-"), col("company_key").cast("string")).as("to_number"),
+          (v * 1000).as("duration_ms"),
+          lit("COMPLETED").as("status"),
+          lit("ANSWERED").as("disposition"))).as("call")))
+    withContent
       .join(CrmViews.companies(s, d), col("company_key") === col("s_suppkey")) // J1
       .select(col("company_key"), col("name").as("company_name"),
-        col("engagement_id"), col("etype"), col("content"), tsS(col("ts")).as("ts"))
+        col("engagement_id"), col("etype"), col("content"), tsS(col("ts")).as("ts"),
+        col("content_struct"))
       .orderBy(col("company_key"), col("engagement_id"))
   }
 

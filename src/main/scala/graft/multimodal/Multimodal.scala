@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side structure is real — binary columns, case-class batch
   * shapes, `mapPartitions` with a per-partition decoder instance (the Scala
   * analog of `mapInPandas`: one decoder init per partition, streamed
-  * batches, no per-row setup cost). The codec itself is STUBBED
-  * (`StubDecoder`): this container has no image/audio libraries, so decode
-  * derives deterministic pseudo-metadata from the bytes. Swapping in a real
-  * decoder is one trait implementation; nothing in the plan changes.
+  * batches, no per-row setup cost). Image decode is REAL for PNG/JPEG
+  * (`HeaderDecoder` parses IHDR / SOF frame headers byte-by-byte — no codec
+  * library needed for dimensions); audio/video and unrecognized payloads
+  * fall back to the deterministic `StubDecoder` pseudo-metadata (this
+  * container has no av codec libraries). Swapping in a full codec is one
+  * trait implementation; nothing in the plan changes.
   */
 object Multimodal {
 
@@ -41,6 +43,67 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM header decode for the image modality: PNG IHDR and JPEG
+    * SOF frame headers parsed directly from the bytes — no codec library
+    * needed for dimensions, which is all the metadata stage extracts.
+    * Payloads that aren't recognizably PNG/JPEG (and all audio/video, which
+    * WOULD need a codec) fall back to the deterministic stub, so the
+    * decoder is a strict upgrade: real where the format allows, pinned
+    * pseudo-metadata elsewhere, and the SQL oracle stays exact on the
+    * derived (text-bytes) corpus.
+    */
+  class HeaderDecoder extends MediaDecoder {
+    private val stub = new StubDecoder
+
+    override def decode(mediaType: String, data: Array[Byte]): MediaMeta =
+      if (mediaType == "image") {
+        pngDims(data).orElse(jpegDims(data)) match {
+          case Some((w, h)) => MediaMeta(-1L, mediaType, data.length.toLong, w, h, frames = 1)
+          case None => stub.decode(mediaType, data)
+        }
+      } else stub.decode(mediaType, data)
+
+    private def u16(d: Array[Byte], o: Int): Int = ((d(o) & 0xFF) << 8) | (d(o + 1) & 0xFF)
+    private def u32(d: Array[Byte], o: Int): Int =
+      ((d(o) & 0xFF) << 24) | ((d(o + 1) & 0xFF) << 16) | ((d(o + 2) & 0xFF) << 8) | (d(o + 3) & 0xFF)
+
+    /** PNG: 8-byte signature, then the IHDR chunk — width at offset 16,
+      * height at offset 20, both big-endian u32.
+      */
+    private def pngDims(d: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      if (d.length >= 24 && d.take(8).sameElements(sig) &&
+          d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R')
+        Some((u32(d, 16), u32(d, 20)))
+      else None
+    }
+
+    /** JPEG: walk the marker segments from SOI to the first SOF frame header
+      * (C0-CF except the non-frame C4/C8/CC): height then width, big-endian
+      * u16, after the 2-byte length + 1-byte precision.
+      */
+    private def jpegDims(d: Array[Byte]): Option[(Int, Int)] = {
+      if (d.length < 4 || (d(0) & 0xFF) != 0xFF || (d(1) & 0xFF) != 0xD8) return None
+      var i = 2
+      while (i + 3 < d.length) {
+        if ((d(i) & 0xFF) != 0xFF) return None
+        val marker = d(i + 1) & 0xFF
+        val standalone = marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)
+        if (standalone) i += 2
+        else {
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (i + 8 >= d.length) return None
+            return Some((u16(d, i + 7), u16(d, i + 5))) // (width, height)
+          }
+          i += 2 + u16(d, i + 2)
+        }
+      }
+      None
+    }
+  }
+
   /** Derive a media table from documents: payload = utf8 bytes, modality by
     * id. Stands in for a real (path, binary) ingest; the binary column and
     * its parquet representation are the real thing.
@@ -58,7 +121,7 @@ object Multimodal {
     * distributed, no driver collect, binary never leaves the executor.
     */
   def extractMeta(media: Dataset[MediaRow],
-      decoder: MediaDecoder = new StubDecoder): Dataset[MediaMeta] = {
+      decoder: MediaDecoder = new HeaderDecoder): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r => decoder.decode(r.media_type, r.data).copy(doc_id = r.doc_id) }

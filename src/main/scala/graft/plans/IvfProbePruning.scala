@@ -88,14 +88,26 @@ object IvfProbePruning extends Rule[LogicalPlan] {
 
   /** Rank the centroid sidecar (driver-side, a few KB) and return the nProbe
     * nearest cell ids, ties by cid — the same contract as `IvfIndex.search`.
+    *
+    * The cache key includes a version fingerprint of the sidecar directory
+    * (file names + mtimes + lengths), so rebuilding an index at the same
+    * path invalidates the cached centroids: `IvfIndex.build` overwrites the
+    * sidecar, the listing changes, and the next plan re-reads. Cost is one
+    * directory listing per planned query — no data read on a cache hit.
     */
   private def probeCells(fsRel: HadoopFsRelation, q: Array[Float]): Option[Array[Long]] = {
     val vectorsPath = fsRel.location.rootPaths.headOption.getOrElse(return None)
     val centroidsPath = new org.apache.hadoop.fs.Path(vectorsPath.getParent, "centroids")
     val fs = centroidsPath.getFileSystem(fsRel.sparkSession.sessionState.newHadoopConf())
     if (!fs.exists(centroidsPath)) return None
-    val cents = centroidCache.computeIfAbsent(centroidsPath.toString, p =>
-      SparkSession.active.read.parquet(p).collect()
+    val version = fs.listStatus(centroidsPath)
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+      .sorted.mkString(",")
+    val key = s"$centroidsPath@$version"
+    // Evict superseded versions of this path so rebuilds don't accumulate.
+    centroidCache.keySet.removeIf(k => k.startsWith(s"$centroidsPath@") && k != key)
+    val cents = centroidCache.computeIfAbsent(key, _ =>
+      SparkSession.active.read.parquet(centroidsPath.toString).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
     def l2(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
@@ -110,10 +122,36 @@ object IvfProbePruning extends Rule[LogicalPlan] {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` registration — also
   * usable programmatically via `SparkSession.builder.withExtensions(new
   * GraftExtensions()(_))`. Injects the IVF access-path rule (inert until
-  * `spark.graft.ivf.autoProbe=true`) and the native vector functions.
+  * `spark.graft.ivf.autoProbe=true`) AND the native vector functions
+  * (`vec_dot`, `vec_l2sq`, `feature_hash_embed` — the same builders as
+  * `GraftFunctions.register`), so a SQL-first user can write the
+  * `ORDER BY vec_l2sq(...) LIMIT k` shape the rule matches without any
+  * programmatic setup.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IvfProbePruning)
+    GraftExtensions.functions.foreach(ext.injectFunction)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{FloatVecDot, FloatVecL2Sq}
+
+  /** FunctionDescriptions mirroring `GraftFunctions.register` — one source
+    * of truth for the builders, injectable at session build for clusters.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    (FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[FloatVecL2Sq].getName, "vec_l2sq"),
+      (es: Seq[Expression]) => FloatVecL2Sq(es(0), es(1))),
+    (FunctionIdentifier("feature_hash_embed"),
+      new ExpressionInfo(classOf[graft.vector.FeatureHashEmbed].getName, "feature_hash_embed"),
+      (es: Seq[Expression]) => graft.vector.FeatureHashEmbed(es(0),
+        es(1).eval().asInstanceOf[Int])))
 }

@@ -31,13 +31,23 @@ object IndexPipeline {
   /** The search tool (§3.1): embed the query text driver-side with the SAME
     * embedder, prune the index to the retention window, brute-force kNN
     * with FAISS-parity output.
+    *
+    * Retention is ALWAYS applied — the reference's search never scans more
+    * than the retained day-indexes (`faiss_manager.py:91-99,270-272`).
+    * When no `asOf` is given the anchor defaults to the index's newest
+    * ingest day (a directory listing, no data read), so the scan is
+    * partition-pruned to ≤ `VectorIndex.RetentionDays` directories however
+    * large the index has grown.
     */
   def searchIndex(spark: SparkSession, indexPath: String, queryText: String,
       k: Int = 10, asOf: java.sql.Date = null,
       embedder: Embedder = new HashingEmbedder()): DataFrame = {
     val qv = embedder.embedText(queryText).toSeq
-    val idx = if (asOf == null) spark.read.parquet(indexPath)
-      else VectorIndex.loadRecent(spark, indexPath, asOf)
+    val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
+    val idx = anchor match {
+      case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
+      case None => spark.read.parquet(indexPath) // empty/legacy layout: nothing to prune
+    }
     VectorIndex.search(idx, qv, k)
   }
 }

@@ -60,45 +60,102 @@ object IvfIndex {
     centroids
   }
 
+  /** Deterministic fallback ingest day for batches that don't carry one. */
+  val DefaultIngestDate: java.sql.Date = java.sql.Date.valueOf("2024-01-01")
+
   /** Build the physical index: k-means centroids (deterministic seeds,
     * `kmeansIters` Lloyd rounds — 0 reproduces the naive-seed layout),
-    * assignment, and a `partitionBy(cell)` write. Layout and read path are
-    * independent of how the centroids were computed.
+    * assignment, and a `partitionBy(cell, ingest_date)` write. Layout and
+    * read path are independent of how the centroids were computed. The
+    * nested `ingest_date` level composes probe pruning with retention:
+    * a probe touches nProbe/nCells of the cells AND ≤RetentionDays date
+    * directories within each (reference retention applies to ALL vectors,
+    * `faiss_manager.py:151-172`).
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
-      nCells: Int = 8, kmeansIters: Int = 3): Unit = {
+      nCells: Int = 8, kmeansIters: Int = 3,
+      ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     assign(embeddings, centroids)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
+        lit(ingestDate).as("ingest_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
+      .parquet(s"$path/vectors")
   }
 
   /** Assign a new (vec_id, label, embedding) batch against the EXISTING
-    * centroid sidecar and append it into the partitionBy(cell) layout —
-    * the incremental-ingest half of the index: arriving vectors land in
-    * their cell directories without touching resident data, and are
-    * immediately visible to probe-pruned search.
+    * centroid sidecar and append it into the partitionBy(cell, ingest_date)
+    * layout — the incremental-ingest half of the index: arriving vectors
+    * land in their cell×day directories without touching resident data, and
+    * are immediately visible to probe-pruned search. A batch carrying its
+    * own `ingest_date` column keeps it; otherwise `ingestDate` stamps it.
     */
-  def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+  def appendBatch(spark: SparkSession, batch: DataFrame, path: String,
+      ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("c_embedding"))
-    assign(batch, centroids)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"))
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/vectors")
+    val dated =
+      if (batch.columns.contains("ingest_date")) assign(batch, centroids)
+      else assign(batch, centroids).withColumn("ingest_date", lit(ingestDate))
+    dated
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
+        col("ingest_date"))
+      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
+      .parquet(s"$path/vectors")
   }
 
-  /** Probe: rank cells against the tiny sidecar, scan only those partitions. */
+  /** Retention: physically drop `ingest_date=` directories older than the
+    * `(asOf−maxDays, asOf]` window inside every cell — the IVF analog of
+    * `VectorIndex.retain` (reference `_remove_old_indexes`,
+    * `faiss_manager.py:151-172`). Hadoop FileSystem API, directory listings
+    * only: cost is nCells listings, no data read. Returns the dropped
+    * `cell=…/ingest_date=…` relative paths.
+    */
+  def retain(spark: SparkSession, path: String, asOf: java.sql.Date,
+      maxDays: Int = VectorIndex.RetentionDays): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val cutoff = asOf.toLocalDate.minusDays(maxDays)
+    val root = new Path(s"$path/vectors")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cells = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    cells.flatMap { cellDir =>
+      fs.listStatus(cellDir.getPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+        .filter { st =>
+          val day = java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date="))
+          !day.isAfter(cutoff)
+        }
+        .map { st =>
+          fs.delete(st.getPath, true)
+          s"${cellDir.getPath.getName}/${st.getPath.getName}"
+        }
+    }
+  }
+
+  /** Probe: rank cells against the tiny sidecar, scan only those partitions.
+    * With `asOf`, the scan is additionally pruned to the retention window's
+    * `ingest_date` directories — probe × retention, both at the partition
+    * level.
+    */
   def search(spark: SparkSession, path: String, query: Seq[Float],
-      k: Int = 10, nProbe: Int = 2): DataFrame = {
+      k: Int = 10, nProbe: Int = 2, asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
     val q = lit(query.toArray)
     val probed = spark.read.parquet(s"$path/centroids")
       .withColumn("qd2", l2Sq(col("c_embedding"), q))
       .orderBy(col("qd2"), col("cid"))
       .limit(nProbe)
       .select(col("cid")).collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/vectors")
+    val base = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*)) // partition pruning: only probed dirs read
+    val windowed =
+      if (asOf == null) base
+      else base.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
+    windowed
       .withColumn("d2", l2Sq(col("embedding"), q))
       .orderBy(col("d2"), col("vec_id"))
       .limit(k)

@@ -32,14 +32,33 @@ object VectorIndex {
   def append(batch: DataFrame, indexPath: String): Unit =
     batch.write.mode(SaveMode.Append).partitionBy("ingest_date").parquet(indexPath)
 
-  /** S11 load-side: only the `maxDays` most recent daily partitions, as a
-    * pruning predicate relative to `asOf` (reference reloads recent files,
-    * `faiss_manager.py:91-99`).
+  /** S11 load-side: only the `maxDays` daily partitions in `(asOf−maxDays,
+    * asOf]`, as a pruning predicate (reference reloads recent files,
+    * `faiss_manager.py:91-99`). The upper bound makes `asOf` a real
+    * time-travel anchor: re-anchoring into the past excludes later-ingested
+    * partitions too, not just expired ones.
     */
   def loadRecent(spark: SparkSession, indexPath: String, asOf: java.sql.Date,
       maxDays: Int = RetentionDays): DataFrame =
     spark.read.parquet(indexPath)
-      .filter(col("ingest_date") > date_sub(lit(asOf), maxDays))
+      .filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
+
+  /** Newest ingest day present in the index layout. Directory-listing only
+    * (partition names, no data read) — the same metadata-cost contract as
+    * `retain`, so deriving the default retention anchor is free at 100 TB.
+    */
+  def maxIngestDate(spark: SparkSession, indexPath: String): Option[java.sql.Date] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+      .map(st => java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date=")))
+      .maxOption
+      .map(java.sql.Date.valueOf)
+  }
 
   /** S11 delete-side: physically drop partitions older than the window
     * (reference: `_remove_old_indexes`, `faiss_manager.py:151-172`).

@@ -77,4 +77,48 @@ class CrmSpec extends SparkSpec {
     val actions = out.map(_.getAs[String]("action")).toSet
     assert(actions == Set("exists", "insert"))
   }
+
+  test("typed engagement content: tagged-union struct schema with participant arrays") {
+    import org.apache.spark.sql.types._
+    val df = CrmOps.companyActivityTyped(spark, sf)
+    // Declared schema is the per-type StructType (company_client.py:194-283).
+    val cs = df.schema("content_struct").dataType.asInstanceOf[StructType]
+    assert(cs.fieldNames.toSeq == Seq("note", "email", "task", "meeting", "call"))
+    // The produced column matches the DECLARED public schema exactly
+    // (modulo nullability, which when()-branches widen).
+    assert(cs.catalogString == CrmOps.engagementContentType.catalogString,
+      s"content_struct diverged from engagementContentType:\n${cs.catalogString}")
+    val email = cs("email").dataType.asInstanceOf[StructType]
+    assert(email("to").dataType.isInstanceOf[ArrayType] &&
+      email("cc").dataType.isInstanceOf[ArrayType] &&
+      email("bcc").dataType.isInstanceOf[ArrayType])
+    assert(email("from").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("raw", "email", "firstName", "lastName"))
+
+    // Tagged-union invariant: exactly the branch matching etype is non-null.
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val branchIdx = Map("NOTE" -> 0, "EMAIL" -> 1, "TASK" -> 2, "MEETING" -> 3, "CALL" -> 4)
+    rows.foreach { r =>
+      val s = r.getStruct(r.fieldIndex("content_struct"))
+      val nonNull = (0 until 5).filter(i => !s.isNullAt(i))
+      assert(nonNull == Seq(branchIdx(r.getAs[String]("etype"))),
+        s"row ${r.getAs[Long]("engagement_id")} etype=${r.getAs[String]("etype")} branches=$nonNull")
+    }
+
+    // Golden: an EMAIL row carries from + to[1] participants and the
+    // subject that also appears in the rendered string.
+    val e = rows.find(_.getAs[String]("etype") == "EMAIL").get
+    val es = e.getStruct(e.fieldIndex("content_struct")).getStruct(1)
+    assert(es.getSeq[org.apache.spark.sql.Row](2).size == 1) // to
+    val from = es.getStruct(1)
+    assert(from.getString(1).startsWith("user") && from.getString(1).endsWith("@example.com"))
+    assert(e.getAs[String]("content") == s"email subject ${es.getString(0)}")
+
+    // The rendered string column is unchanged vs the oracle-checked op.
+    val plain = CrmOps.companyActivity(spark, sf)
+    assert(plain.columns.toSeq ==
+      Seq("company_key", "company_name", "engagement_id", "etype", "content", "ts"))
+    assert(plain.count() == df.count())
+  }
 }

@@ -103,4 +103,33 @@ class GraftApiSpec extends SparkSpec {
     assert(page.results.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
     assert(page.results.head.similarity_score > 0.99)
   }
+
+  test("searchData is partition-pruned to the retention window (faiss_manager.py:91-99)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-ret").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(40)
+    // Two ingest days beyond the 7-day window of the newest, one inside.
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "old", dir,
+      java.sql.Date.valueOf("2024-01-01"))
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "recent", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    val probe = docs.select("text").head.getString(0)
+
+    // Default asOf = newest ingest day: beyond-retention rows are invisible
+    // even for an exact-match query that would otherwise rank them first.
+    val hits = GraftApi.searchData(spark, dir, probe, 10)
+    assert(hits.results.nonEmpty)
+    assert(hits.results.forall(_.data_type == "recent"),
+      s"retention must exclude the 2024-01-01 batch: ${hits.results.map(_.data_type).distinct}")
+
+    // And the pruning is PARTITION pruning, not a post-scan filter.
+    val planned = graft.vector.IndexPipeline.searchIndex(spark, dir, probe, 10)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ingest_date"),
+      s"expected ingest_date partition filter in:\n$plan")
+
+    // An explicit asOf re-anchors the window onto the old batch.
+    val oldHits = GraftApi.searchData(spark, dir, probe, 10,
+      asOf = java.sql.Date.valueOf("2024-01-02"))
+    assert(oldHits.results.nonEmpty && oldHits.results.forall(_.data_type == "old"))
+  }
 }

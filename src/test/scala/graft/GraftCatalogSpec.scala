@@ -41,4 +41,23 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaSql == viaDf)
   }
+
+  test("GraftExtensions injects the same function builders as GraftFunctions.register") {
+    // Applying the extensions must register cleanly (rule + functions)...
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new plans.GraftExtensions()(ext)
+    // ...and the descriptor list mirrors the temp-function surface, so a
+    // SQL-first cluster user (spark.sql.extensions=graft.plans.GraftExtensions)
+    // can form the vec_l2sq ORDER BY shape the IVF auto-probe rule matches.
+    val fns = plans.GraftExtensions.functions
+    assert(fns.map(_._1.funcName) == Seq("vec_dot", "vec_l2sq", "feature_hash_embed"))
+    val b = fns.map(f => f._1.funcName -> f._3).toMap
+    // Raw Catalyst literals — the same shape the SQL parser hands builders.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val args = Seq(Literal.create(Array(1.0f, 2.0f)), Literal.create(Array(3.0f, 4.0f)))
+    assert(b("vec_l2sq")(args).isInstanceOf[functions.FloatVecL2Sq])
+    assert(b("vec_dot")(args).isInstanceOf[functions.FloatVecDot])
+    val fh = b("feature_hash_embed")(Seq(Literal.create("text"), Literal(16)))
+    assert(fh.isInstanceOf[graft.vector.FeatureHashEmbed])
+  }
 }

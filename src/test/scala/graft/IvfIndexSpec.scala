@@ -75,6 +75,67 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("auto-probe rule re-reads centroids after an in-place index rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf4").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
+    val qv = emb.filter(col("vec_id") === 7L).select("embedding").head.getSeq[Float](0)
+
+    def autoKnn() = spark.read.parquet(s"$dir/vectors")
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(col("embedding"), lit(qv.toArray)))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select(col("vec_id"), col("d2").as("dist_sq"))
+
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.IvfProbePruning
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    try {
+      // Warm the centroid cache against the naive-seed layout...
+      autoKnn().collect()
+      // ...then REBUILD in place with different centroids (k-means). A
+      // path-keyed cache would now prune with stale centroids against the
+      // new cell layout; the version-fingerprinted key must re-read.
+      IvfIndex.build(spark, emb, dir, kmeansIters = 3)
+      val manual = IvfIndex.search(spark, dir, qv, 10, nProbe = 2).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+      val rewritten = autoKnn().collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+      assert(rewritten == manual,
+        "auto-probe pruned with stale centroids after rebuild")
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
+  test("IVF retention drops only old-date directories inside cells; probe search stays green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf5").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0,
+      ingestDate = java.sql.Date.valueOf("2024-03-01"))
+    // A second batch ingested far beyond the retention window.
+    IvfIndex.appendBatch(spark, emb.withColumn("vec_id", col("vec_id") + 100000L), dir,
+      ingestDate = java.sql.Date.valueOf("2024-01-01"))
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+
+    // Un-windowed search sees both batches; asOf prunes to the recent one.
+    val all = IvfIndex.search(spark, dir, qv, k = 2 * n, nProbe = 8).collect()
+    assert(all.exists(_.getAs[Long]("vec_id") >= 100000L))
+    val windowed = IvfIndex.search(spark, dir, qv, 2 * n, 8,
+      asOf = java.sql.Date.valueOf("2024-03-01")).collect()
+    assert(windowed.nonEmpty && windowed.forall(_.getAs[Long]("vec_id") < 100000L))
+
+    // Retention physically drops ONLY the beyond-window date dirs, per cell.
+    val dropped = IvfIndex.retain(spark, dir, java.sql.Date.valueOf("2024-03-01"))
+    assert(dropped.nonEmpty && dropped.forall(_.endsWith("ingest_date=2024-01-01")),
+      s"unexpected drops: $dropped")
+    val after = IvfIndex.search(spark, dir, qv, 2 * n, 8).collect()
+    assert(after.nonEmpty && after.forall(_.getAs[Long]("vec_id") < 100000L))
+    // Probe-pruned search (the normal narrow path) still answers.
+    assert(IvfIndex.search(spark, dir, qv, 10, 2).collect().nonEmpty)
+  }
+
   test("k-means centroids: recall@10 vs brute force, and no worse than naive seeds") {
     val emb = Tables.embeddings(spark, sf).cache()
     val naiveDir = java.nio.file.Files.createTempDirectory("graft-ivf-n").toString + "/ivf"

@@ -33,6 +33,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("header decode: hand-built PNG and JPEG bytes yield true dimensions through extractMeta") {
+    import spark.implicits._
+    // Minimal PNG: signature + IHDR length/type + width=640, height=480.
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    // Minimal JPEG: SOI, an APP0 segment (must be skipped by length), then
+    // SOF0 with height=123, width=456.
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val jpeg: Array[Byte] =
+      Array(0xFF, 0xD8).map(_.toByte) ++
+        seg(0xE0, "JFIF".getBytes ++ Array.fill[Byte](9)(0)) ++
+        seg(0xC0, Array[Byte](8, 0, 123.toByte, (456 >> 8).toByte, (456 & 0xFF).toByte, 3))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", jpeg),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes), // → stub fallback
+      Multimodal.MediaRow(4L, "audio", png)) // wrong modality → stub, even for real PNG bytes
+    val meta = Multimodal.extractMeta(rows.toDS()).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 640 && meta(1L).height == 480 && meta(1L).frames == 1)
+    assert(meta(2L).width == 456 && meta(2L).height == 123 && meta(2L).frames == 1)
+    val stub = new Multimodal.StubDecoder
+    val s3 = stub.decode("image", "not an image".getBytes)
+    assert(meta(3L).width == s3.width && meta(3L).height == s3.height)
+    val s4 = stub.decode("audio", png)
+    assert(meta(4L).width == s4.width && meta(4L).frames == s4.frames)
+  }
+
   test("stub decode is deterministic and metadata matches payload size") {
     val meta = Multimodal.extractMeta(Multimodal.deriveMedia(Tables.documents(spark, sf)))
       .collect()

@@ -86,4 +86,62 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("native top-k-by-value: partial/serialize/merge path equals global sort take k") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val agg = graft.functions.TopKByValueAgg(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = false), k = 5)
+    val rows: Gen[List[(Double, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L)))
+    check(Prop.forAll(rows, Gen.choose(0, 10)) { (xs, splitSeed) =>
+      val expected = xs.sortBy { case (v, i) => (-v, i) }.take(5)
+      val (l, r) = xs.partition { case (_, i) => (i + splitSeed) % 3 == 0 }
+      val partL = l.foldLeft(agg.createAggregationBuffer()) { case (b, (v, i)) =>
+        agg.update(b, InternalRow(v, i))
+      }
+      val partR = r.foldLeft(agg.createAggregationBuffer()) { case (b, (v, i)) =>
+        agg.update(b, InternalRow(v, i))
+      }
+      val merged = agg.merge(agg.deserialize(agg.serialize(partL)),
+        agg.deserialize(agg.serialize(partR)))
+      val out = agg.eval(merged).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val s = out.getStruct(i, 2); (s.getDouble(0), s.getLong(1))
+      }.toList
+      got == expected
+    })
+  }
+
+  test("native earliest-k: serialize survives >64KB strings and drops null-ts rows like the UDAF") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.EarliestKAgg(
+      BoundReference(0, TimestampType, nullable = true),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, StringType, nullable = false),
+      BoundReference(3, StringType, nullable = false), k = 3)
+    // writeUTF would throw UTFDataFormatException past 65535 bytes; the
+    // length-prefixed encoding must round-trip a long multi-byte body.
+    val longBody = "é" * 70000
+    val buf = agg.update(agg.createAggregationBuffer(),
+      InternalRow(5L, 1L, UTF8String.fromString("EMAIL"), UTF8String.fromString(longBody)))
+    val rt = agg.deserialize(agg.serialize(buf))
+    assert(rt.size == 1 && rt.head._4 == longBody)
+    // Null-ts rows are excluded by contract (documented in the scaladoc) —
+    // both the native aggregate and the Encoder-based UDAF twin.
+    val afterNull = agg.update(rt,
+      InternalRow(null, 2L, UTF8String.fromString("CALL"), UTF8String.fromString("x")))
+    assert(afterNull.size == 1)
+    val udaf = new graft.functions.EarliestKEngagements(3)
+    val ubuf = udaf.reduce(udaf.zero,
+      graft.functions.EngRow(null, 2L, "CALL", "x"))
+    assert(ubuf.isEmpty)
+  }
 }

@@ -53,4 +53,36 @@ class RelationalSpec extends SparkSpec {
       r.getAs[String]("linestatus") == "ALL").get
     assert(grand.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
   }
+
+  test("distributed exact quantile ≡ percentile bitwise on the high-cardinality column") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    // l_extendedprice is ~distinct-per-row — exactly the column where
+    // percentile's value→count buffer degenerates to O(rows) at scale.
+    val dist = Relational.exactQuantilesDistributed(li, "l_returnflag", "l_extendedprice", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val viaPercentile = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString(",")}))").as("ps"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(qs).map { case (p, q) => (r.getString(0), q) -> p }
+      }.toMap
+    assert(dist.keySet == viaPercentile.keySet)
+    dist.foreach { case (k, vd) =>
+      assert(java.lang.Double.doubleToLongBits(vd) ==
+        java.lang.Double.doubleToLongBits(viaPercentile(k)),
+        s"$k: distributed $vd != percentile ${viaPercentile(k)}")
+    }
+  }
+
+  test("distributed exact quantile handles degenerate and tiny groups") {
+    import spark.implicits._
+    // constant-valued group (zero histogram width), 1-row group, 2-row group
+    val df = (Seq.fill(100)(("const", 7.5)) ++ Seq(("one", 3.0)) ++
+      Seq(("two", 1.0), ("two", 2.0))).toDF("g", "x")
+    val out = Relational.exactQuantilesDistributed(df, "g", "x", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("const") == 7.5)
+    assert(out("one") == 3.0)
+    assert(out("two") == 1.5)
+  }
 }

@@ -45,6 +45,23 @@ class ScalePatternsSpec extends SparkSpec {
       s"the tiny ticket/edge sides must never shuffle the fact table:\n$plan")
   }
 
+  test("ev_topk_per_user rides the native top-k inside ObjectHashAggregate") {
+    val df = graft.functions.TopKAggregator.topEventsPerUser(Tables.events(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("top_k_by_value"),
+      s"native top-k should run in ObjectHashAggregate:\n$plan")
+    // Parity with the full-sort window formulation it replaces.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val windowed = Tables.events(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rank"))
+      .collect().toSeq
+    assert(df.collect().toSeq == windowed)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val e = Tables.events(spark, sf)
     val direct = e.groupBy(col("event_type"))

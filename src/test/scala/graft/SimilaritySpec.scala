@@ -6,6 +6,54 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("batch kNN join: probe-all is exact, default probes clear a recall floor") {
+    import graft.functions.VectorFunctions.l2Sq
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))
+    val brute = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qe"))
+      .crossJoin(emb.select(col("vec_id").as("c_vec_id"), col("embedding").as("ce")))
+      .withColumn("d2", l2Sq(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_vec_id"), col("rank"), col("c_vec_id"), col("d2"))
+      .orderBy(col("q_vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // Probing every cell removes the approximation entirely: the blocked
+    // plan is then a partitioned brute force and must match it bitwise
+    // (same distances, same (d2, id) tie-breaking through the native top-k).
+    val probeAll = Similarity.knnJoin(queries, emb, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(probeAll == brute, "probe-all blocked kNN join must equal brute force")
+
+    // Default multi-probe (4 of 8): every query answers with ranks 1..k,
+    // finds itself at rank 1 with distance 0, and recalls most of the true
+    // top-10 (the approximation the probe width buys).
+    val blocked = Similarity.knnJoin(queries, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val perQuery = blocked.groupBy(_._1)
+    assert(perQuery.size == queries.count())
+    perQuery.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1L to 10L))
+      val self = rs.find(_._2 == 1L).get
+      assert(self._3 == q && self._4 == 0.0, s"query $q must self-match at rank 1")
+    }
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recall = perQuery.map { case (q, rs) =>
+      (rs.map(_._3).toSet intersect bruteSets(q)).size.toDouble / 10
+    }
+    val meanRecall = recall.sum / recall.size
+    info(f"kNN join recall@10 (nProbe=4/8): $meanRecall%.2f")
+    assert(meanRecall >= 0.7, f"mean recall $meanRecall%.2f below floor")
+
+    // And the plan is the bounded native top-k, not a global sort.
+    val plan = Similarity.knnJoin(queries, emb).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("top_k_by_value"),
+      s"expected bounded native top-k:\n$plan")
+  }
+
   test("native codegen dot/l2sq are bitwise-equal to the HOF formulation") {
     import graft.functions.VectorFunctions._
     val emb = Tables.embeddings(spark, sf)
