@@ -58,6 +58,14 @@ object SparkEntry {
       Relational.returnedItemRevenue(Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_quantiles" -> ((s, d) => Relational.quantiles(Tables.lineitem(s, d))),
+    "q13_order_counts" -> ((s, d) =>
+      Relational.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.topSupplierRevenue(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q17_small_qty" -> ((s, d) =>
+      Relational.smallQtyRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q22_global_sales" -> ((s, d) =>
+      Relational.globalSalesOpportunity(Tables.customer(s, d), Tables.orders(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.priorityStatusGroupingSets(Tables.orders(s, d))),
     "q_multiset_ops" -> ((s, d) =>
       Relational.nationMultisetOps(Tables.customer(s, d), Tables.supplier(s, d))),
@@ -511,6 +519,47 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.5) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey, mx
+        |WHERE total_revenue = m ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM bl GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM bl JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q22_global_sales" ->
+      """WITH elig AS (SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9)),
+        |a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |      FROM elig WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM elig, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY 1""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'

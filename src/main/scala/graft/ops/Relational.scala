@@ -320,6 +320,79 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    * zero-order customers survive with count 0, then a second aggregation
+    * over the counts — the outer-join + double-group histogram pattern.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the revenue
+    * view aggregated once, its max taken as a broadcast scalar, equality
+    * join back — the create-view + scalar-subquery pattern without
+    * recomputing the view.
+    */
+  def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    supplier.join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    * per-part average-quantity subquery as one aggregation joined back —
+    * lines under 20% of their part's average quantity, averaged per year.
+    */
+  def smallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#1"): DataFrame = {
+    val bl = lineitem
+      .join(broadcast(part.filter(col("p_brand") === brand).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgs = bl.groupBy(col("l_partkey")).agg(davg(col("l_quantity")).as("avg_qty"))
+    bl.join(avgs, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Dormant high-balance customers per nation (TPC-H Q22 shape, adapted
+    * to this corpus: nation-key membership stands in for the phone-prefix
+    * filter, and "dormant" means NO URGENT orders — every customer here
+    * has some order, so the original no-orders-at-all predicate would be
+    * vacuously empty): above-average positive balances, NOT EXISTS (anti
+    * join), grouped per nation.
+    */
+  def globalSalesOpportunity(customer: DataFrame, orders: DataFrame,
+      nations: Seq[Int] = Seq(1, 3, 5, 7, 9)): DataFrame = {
+    val eligible = customer.filter(col("c_nationkey").isin(nations: _*))
+    val avgBal = eligible.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    eligible.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Exact interpolated quantiles per group — the OLAP percentile surface.
     *
     * Two exact engines, chosen by column cardinality:

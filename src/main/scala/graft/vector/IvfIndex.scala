@@ -135,6 +135,50 @@ object IvfIndex {
     }
   }
 
+  /** Batch kNN join against the on-disk layout — the physical twin of
+    * `ops.Similarity.knnJoin`: the corpus is ALREADY cell-partitioned on
+    * disk, so no assignment pass runs at query time. Queries are
+    * multi-probe-assigned against the centroid sidecar (a driver-side
+    * constant); the equi-join key is the layout's own partition column, so
+    * the corpus side arrives cell-clustered from disk (and Spark's dynamic
+    * partition pruning can skip cells no query probes when the query side
+    * broadcasts). With `asOf` the scan is statically pruned to the
+    * retention window's date directories. The per-query top-k is the
+    * bounded native aggregate — map-side combining, ≤k rows per
+    * (partition, query) into the final shuffle. At 100 TB this is the
+    * shape the training-pipeline similarity stage runs: queries stream in,
+    * the corpus never rewrites, no per-row assignment at query time.
+    */
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4, asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1, nProbe)
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+      explode(probeCells).as("cell"))
+    val base = spark.read.parquet(s"$path/vectors")
+    val windowed =
+      if (asOf == null) base
+      else base.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
+    val corpus = windowed.select(col("vec_id").as("c_vec_id"),
+      col("embedding").as("c_emb"), col("cell").cast("long").as("cell"))
+    q.join(corpus, "cell")
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** Probe: rank cells against the tiny sidecar, scan only those partitions.
     * With `asOf`, the scan is additionally pruned to the retention window's
     * `ingest_date` directories — probe × retention, both at the partition

@@ -136,6 +136,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.search(spark, dir, qv, 10, 2).collect().nonEmpty)
   }
 
+  test("on-disk batch kNN join equals the logical knnJoin on the same seeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf6").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    // kmeansIters = 0 → the sidecar centroids are the first-nCells seeds,
+    // identical to the logical operator's, so results must match exactly.
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val physical = IvfIndex.knnJoin(spark, dir, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val logical = Similarity.knnJoin(queries, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(physical == logical)
+    // And the per-query top-k runs as the bounded native aggregate.
+    val plan = IvfIndex.knnJoin(spark, dir, queries)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("top_k_by_value"),
+      s"expected bounded native top-k:\n$plan")
+  }
+
   test("k-means centroids: recall@10 vs brute force, and no worse than naive seeds") {
     val emb = Tables.embeddings(spark, sf).cache()
     val naiveDir = java.nio.file.Files.createTempDirectory("graft-ivf-n").toString + "/ivf"

@@ -54,6 +54,29 @@ class RelationalSpec extends SparkSpec {
     assert(grand.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
   }
 
+  test("order-count distribution partitions the customer space; dormant customers have no orders") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    // Q13 shape: the histogram's custdist column sums to ALL customers
+    // (zero-order customers included via the left join).
+    val dist = Relational.orderCountDistribution(c, o).collect()
+    assert(dist.map(_.getAs[Long]("custdist")).sum == c.count())
+    // Q22 shape: every reported group only counts customers with no URGENT
+    // orders and above-average balance — cross-check via recomputation.
+    val out = Relational.globalSalesOpportunity(c, o).collect()
+    val total = out.map(_.getAs[Long]("numcust")).sum
+    val urgentCust = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val recount = c.filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+      .join(urgentCust, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(total > 0 && total <= recount,
+      "Q22 must be a non-empty subset of dormant eligible customers")
+    // Q15 shape: every returned supplier carries the same (max) revenue.
+    val top = Relational.topSupplierRevenue(Tables.supplier(spark, sf), Tables.lineitem(spark, sf))
+      .collect()
+    assert(top.nonEmpty && top.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
   test("distributed exact quantile ≡ percentile bitwise on the high-cardinality column") {
     val li = Tables.lineitem(spark, sf)
     val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)

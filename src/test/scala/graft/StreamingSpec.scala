@@ -58,6 +58,40 @@ class StreamingSpec extends SparkSpec {
     assert(s1.getAs[Timestamp]("session_end") == tsAt(0, 10))
   }
 
+  test("sessionization state runs on the RocksDB state store (the at-scale provider)") {
+    // Default provider keeps all state on-heap: state size is bounded by
+    // executor memory. RocksDB spills state to local disk — the provider a
+    // 100-TB deployment runs with (millions of open sessions per
+    // executor). Same query, same results; only the state backend changes.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1, tsAt(0, 0), 7, "click", 1.0, "{}"),
+        Event(2, tsAt(0, 10), 7, "click", 2.0, "{}"),
+        Event(3, tsAt(2, 0), 7, "click", 5.0, "{}"),
+        Event(4, tsAt(8, 0), 9, "view", 1.0, "{}"))
+      val q = EventStream.sessionize(mem.toDS())
+        .writeStream.format("memory").queryName("sessions_rocks").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val s1 = spark.table("sessions_rocks").collect()
+        .find(r => r.getAs[Long]("user_id") == 7L).get
+      assert(s1.getAs[Long]("n_events") == 2L && s1.getAs[Double]("sum_value") == 3.0)
+      assert(s1.getAs[Timestamp]("session_start") == tsAt(0, 0) &&
+        s1.getAs[Timestamp]("session_end") == tsAt(0, 10))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
