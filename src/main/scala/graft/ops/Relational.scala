@@ -412,13 +412,19 @@ object Relational {
     * rows-only, `ev_approx_quantiles`).
     */
   def quantiles(lineitem: DataFrame): DataFrame = {
-    val lowCard = lineitem.groupBy(col("l_returnflag"))
+    // One per-group pass carries BOTH the low-cardinality percentiles and
+    // the high-cardinality column's extent/count — the distributed engine's
+    // stats stage rides the same aggregation instead of re-scanning.
+    val price = col("l_extendedprice").cast("double")
+    val seed = lineitem.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
-    val highCard = exactQuantilesDistributed(lineitem, "l_returnflag", "l_extendedprice", Seq(0.5))
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min(price).as("mn"), max(price).as("mx"), count(price).as("n"))
+    val highCard = exactQuantilesWithStats(lineitem, "l_returnflag", "l_extendedprice",
+      Seq(0.5), seed.select(col("l_returnflag"), col("mn"), col("mx"), col("n")))
       .select(col("l_returnflag"), col("quantile").as("med_price"))
-    lowCard.join(highCard, Seq("l_returnflag"))
+    seed.join(highCard, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("med_qty"), col("p90_qty"), col("med_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -451,10 +457,20 @@ object Relational {
       qs: Seq[Double], nBuckets: Int = 4096): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
-
     // 1. Per-group extent + count (count(v): nulls excluded, like percentile).
     val stats = df.groupBy(g).agg(
       min(v).as("mn"), max(v).as("mx"), count(v).as("n"))
+    exactQuantilesWithStats(df, groupCol, valueCol, qs, stats, nBuckets)
+  }
+
+  /** Steps 2-5 with the per-group (mn, mx, n) stats supplied by the caller
+    * — lets a query that already aggregates per group (e.g. `quantiles`)
+    * fuse step 1 into its own pass instead of re-scanning the table.
+    */
+  def exactQuantilesWithStats(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], stats: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol).cast("double")
 
     // 2. Histogram. Width-degenerate groups (all values equal) land in bucket 0.
     val bucket = when(col("mx") === col("mn"), lit(0L)).otherwise(
