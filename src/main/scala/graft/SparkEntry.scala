@@ -66,6 +66,20 @@ object SparkEntry {
       Relational.smallQtyRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
     "q22_global_sales" -> ((s, d) =>
       Relational.globalSalesOpportunity(Tables.customer(s, d), Tables.orders(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Relational.marketShare(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d), Tables.part(s, d))),
+    "q9_nation_profit" -> ((s, d) =>
+      Relational.nationProfit(Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.part(s, d))),
+    "q16_supplier_counts" -> ((s, d) =>
+      Relational.partSupplierCounts(Tables.part(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q20_excess_supply" -> ((s, d) =>
+      Relational.excessSupplySuppliers(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), Tables.lineitem(s, d))),
+    "q21_waiting_suppliers" -> ((s, d) =>
+      Relational.waitingSuppliers(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.priorityStatusGroupingSets(Tables.orders(s, d))),
     "q_multiset_ops" -> ((s, d) =>
       Relational.nationMultisetOps(Tables.customer(s, d), Tables.supplier(s, d))),
@@ -111,6 +125,17 @@ object SparkEntry {
     // tuning knob, not an operator bug.
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
+    // rows-only by design (like the sketch queries): PQ codebooks are a
+    // k-means artifact — deterministic for us, but not reproducible in
+    // DuckDB SQL at reasonable size; the recall + exactness asserts live in
+    // PqIndexSpec (ADC candidates re-ranked exactly vs brute force).
+    "vec_pq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = graft.vector.PqIndex.train(emb)
+      val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      graft.vector.PqIndex.searchAdc(graft.vector.PqIndex.encode(emb, books), emb, books, qv)
+    }),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the
     // operator) unions a deterministic re-ingest (every 7th doc under a new
@@ -123,6 +148,13 @@ object SparkEntry {
       Dedup.exactDupGroups(docs.unionByName(reIngested))
     }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
+    // Near-dup clustering: LSH pairs -> connected components (min-label
+    // propagation to fixpoint) -> (doc, cluster, size). Oracle = recursive
+    // min-id closure over the SAME md5-deterministic pair set.
+    "doc_dup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    // Composed training-corpus pipeline: language gate + quality gate +
+    // cluster-loser drop, in production order (dedup before gates).
+    "doc_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(Tables.documents(s, d))),
     "doc_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     // Capped plan: blocks over 100 docs route through within-block LSH
     // banding; the oracle mirrors BOTH paths (md5-deterministic), so the
@@ -163,6 +195,30 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
+
+  // MinHash-LSH candidate generation + exact-Jaccard verify (DuckDB side of
+  // graft.ops.Dedup.minhashDupPairs) — shared by the pairs, clusters, and
+  // clean-corpus oracles so all three see the identical candidate set.
+  private val minhashCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
+      |mh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
+      |       FROM sh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+      |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+      |          FROM mh GROUP BY doc_id, h // 3),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      |         FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS n_inter
+      |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+      |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      |          GROUP BY 1, 2, 3)""".stripMargin
+  private val minhashScored =
+    """SELECT i.doc_a, i.doc_b, i.n_shared_bands,
+      |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+      |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin
 
   // Shared CRM-view CTE bodies (DuckDB side of graft.crm.CrmViews).
   private val companiesCte =
@@ -560,6 +616,76 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH asia_nk AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |                 WHERE r_name = 'ASIA'),
+        |v AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |    AND c_nationkey IN (SELECT n_nationkey FROM asia_nk))
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q16_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (SELECT * FROM ps WHERE l_suppkey NOT IN
+        |           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, CAST(p_size % 10 AS BIGINT) AS size_band,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |GROUP BY p_brand, p_type, p_size % 10
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_band LIMIT 30""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_ship,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_ship
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM agg WHERE max_ship > 0.4 * total_ship)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |late AS (SELECT * FROM pos WHERE supp_late = 1),
+        |waiting AS (
+        |  SELECT l.l_orderkey, l.l_suppkey FROM late l
+        |  WHERE EXISTS (SELECT 1 FROM pos o
+        |                WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late o2
+        |                    WHERE o2.l_orderkey = l.l_orderkey AND o2.l_suppkey <> l.l_suppkey))
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
@@ -725,26 +851,57 @@ object SparkEntry {
         |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "doc_minhash_pairs" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w)),
-        |mh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
-        |       FROM sh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
-        |bands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key
-        |          FROM mh GROUP BY doc_id, h // 3),
-        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-        |         FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS n_inter
-        |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-        |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
-        |          GROUP BY 1, 2, 3)
-        |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM (
-        |  SELECT i.doc_a, i.doc_b, i.n_shared_bands,
-        |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-        |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b)
+      s"""WITH $minhashCtes
+        |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |          UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY cluster_id, doc_id""".stripMargin,
+    "doc_clean_corpus" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |          UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+        |losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+        |ls AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'le')) + len(list_filter(string_split(text,' '), x -> x = 'la')) + len(list_filter(string_split(text,' '), x -> x = 'les')) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'der')) + len(list_filter(string_split(text,' '), x -> x = 'die')) + len(list_filter(string_split(text,' '), x -> x = 'das')) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'el')) + len(list_filter(string_split(text,' '), x -> x = 'los')) + len(list_filter(string_split(text,' '), x -> x = 'una')) AS BIGINT) AS score_es
+        |  FROM documents),
+        |lp AS (SELECT doc_id,
+        |  CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+        |       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+        |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+        |       ELSE 'es' END AS pred_lang FROM ls),
+        |qt AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) AS n_stop
+        | FROM documents),
+        |qu AS (SELECT doc_id, n_words,
+        |  0.4*(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  + 0.3*(1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  + 0.3*least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality
+        | FROM qt)
+        |SELECT qu.doc_id, lp.pred_lang, qu.n_words, qu.quality
+        |FROM qu JOIN lp USING (doc_id)
+        |WHERE lp.pred_lang = 'en' AND qu.quality >= 0.55
+        |  AND qu.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY qu.doc_id""".stripMargin,
     "doc_simhash" ->
       """WITH wd AS (SELECT DISTINCT doc_id, wrd FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wrd FROM documents)),

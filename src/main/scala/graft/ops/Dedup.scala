@@ -107,6 +107,59 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over an undirected edge list → per-node minimum
+    * reachable id as the component label. Min-label propagation: each round
+    * is ONE shuffle (neighbor labels unioned with own, min per node), and
+    * the loop runs to fixpoint with a lineage cut per round — the standard
+    * distributed-CC shape for near-dup graphs, whose components are
+    * small-diameter (a dup cluster is near-clique), so rounds ≈ 2-3. The
+    * driver-side work per round is a single `count` of changed labels
+    * (a scalar, not data). For adversarial high-diameter graphs swap in
+    * large-star/small-star; for dedup clustering this converges faster and
+    * shuffles strictly less per round.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaEdges = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-dup clustering: MinHash-LSH pairs → connected components →
+    * (doc, cluster, size). The canonical "pick one survivor per dup
+    * cluster" step of a training-data pipeline: `cluster_id` is the
+    * minimum doc id of the component (the survivor); every other member
+    * is a drop candidate. Docs with no near-dup edge don't appear (they
+    * are trivially their own cluster).
+    */
+  def dupClusters(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
+    val pairs = minhashDupPairs(docs, jaccardThreshold).select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    cc.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** 16-bit SimHash over a doc's distinct words (md5-nibble sign trick:
     * hex digit >= 8 contributes +1 to the bit, else -1). Near-identical
     * docs land in the same bucket; `n_bucket` surfaces collisions.

@@ -519,6 +519,140 @@ object Relational {
             (col("pos") - col("lo").cast("double")) * col("v_hi")).as("quantile"))
   }
 
+  /** National market share (TPC-H Q8 shape): of all PROMO-part revenue
+    * sold into ASIA-region customers over two years, the fraction supplied
+    * by one nation, per order year. The conditional-sum-over-sum share is
+    * one aggregation; both nation dims broadcast under role names; the
+    * region filter prunes through the customer-nation join.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+      targetNation: String = "NATION_3"): DataFrame = {
+    val custNations = nation.join(
+        broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNations = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === targetNation, vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+        sum(vol).cast("double").as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Profit by supplier nation and year (TPC-H Q9 shape, adapted: this
+    * corpus has no partsupp, so profit is discounted revenue without the
+    * supply-cost term). Part filtered by a name token (`%widget%`); the
+    * part filter semi-prunes lineitem before the wide joins.
+    */
+  def nationProfit(nation: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, part: DataFrame, nameToken: String = "widget"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken)).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Supplier-count distribution (TPC-H Q16 shape, adapted: the lineitem
+    * fact stands in for partsupp as the part↔supplier relation, and the
+    * excluded-supplier set is the negative-balance suppliers instead of a
+    * comment pattern). DISTINCT suppliers per (brand, type, size band)
+    * after an anti join against the exclusion list.
+    */
+  def partSupplierCounts(part: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part.filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), (col("p_size") % 10).cast("long").as("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("size_band"))
+      .limit(30)
+
+  /** Excess-supply suppliers (TPC-H Q20 shape, adapted: shipped quantities
+    * from lineitem stand in for partsupp availability). Suppliers in one
+    * nation having some PROMO part for which one of their single shipments
+    * exceeded 40% of their total shipped quantity of that part — the
+    * nested-aggregate + semi-join-chain pattern: per-(supp, part) max and
+    * total aggregate once, threshold, then semi-join suppliers.
+    */
+  def excessSupplySuppliers(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame, nationName: String = "NATION_3"): DataFrame = {
+    val promoParts = part.filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val perSuppPart = lineitem
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(max(dec(col("l_quantity"))).as("max_ship"), dsum(col("l_quantity")).as("total_ship"))
+      .filter(col("max_ship").cast("double") > lit(0.4) * col("total_ship"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(perSuppPart, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape, adapted: no
+    * receipt/commit dates in this corpus, so "late" = shipped more than 60
+    * days after the order date). For finalized orders: count, per supplier,
+    * the orders where that supplier shipped late, some OTHER supplier also
+    * participated (EXISTS → semi join on the distinct order-supplier
+    * relation), and NO other supplier was late (NOT EXISTS → anti join on
+    * the late subset). Both correlated subqueries hit the same derived
+    * relation, aggregated once and reused.
+    */
+  def waitingSuppliers(nation: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nationName: String = "NATION_7"): DataFrame = {
+    val finalized = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = lineitem
+      .join(finalized, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    // One pass over the per-(order, supplier) relation: participation +
+    // lateness; reused for the EXISTS, the NOT-EXISTS, and the driver rows.
+    val perOrderSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val lateSupp = perOrderSupp.filter(col("supp_late"))
+    val others = perOrderSupp.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("s_k"))
+    val lateOthers = lateSupp.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("s_k"))
+    val waiting = lateSupp
+      .join(others, col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("s_k"),
+        "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("s_k"),
+        "left_anti")
+    waiting
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Returned-item revenue top-k (TPC-H Q10 shape): customers ranked by
     * the revenue of their returned lines in one quarter; nation broadcast,
     * top-20 lowers to TakeOrderedAndProject.

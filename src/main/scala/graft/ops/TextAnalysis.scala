@@ -89,6 +89,29 @@ object TextAnalysis {
       .orderBy(col("pred_lang"))
   }
 
+  /** End-to-end corpus cleaning — the composed filtering stage of a
+    * training-data pipeline: language gate (keep `lang`), quality gate
+    * (keep >= `minQuality`), and near-dup cluster-loser drop (keep only
+    * each near-dup cluster's minimum-id survivor, per
+    * `Dedup.dupClusters`). Dedup runs over the FULL corpus before the
+    * per-doc gates, matching production order (a dup of a kept doc must
+    * die even if its own quality passes). The gates are map-only joins on
+    * doc_id; the only heavy stage is the LSH clustering itself.
+    */
+  def cleanCorpus(docs: DataFrame, lang: String = "en", minQuality: Double = 0.55,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val langs = languageId(docs).select(col("doc_id"), col("pred_lang"))
+    val quality = qualityScore(docs).select(col("doc_id"), col("n_words"), col("quality"))
+    val losers = Dedup.dupClusters(docs, jaccardThreshold)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(langs, "doc_id").filter(col("pred_lang") === lang)
+      .join(quality, "doc_id").filter(col("quality") >= minQuality)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("n_words"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct word set (word-set
     * normalization — robust to reordering/repetition). `n_same` counts
     * fingerprint collisions, i.e. docs built from the same vocabulary set.

@@ -88,4 +88,51 @@ class DedupSpec extends SparkSpec {
         "clean corpus: regex tokens == whitespace tokens")
     }
   }
+
+  test("connected components labels every node with its component's min id") {
+    import spark.implicits._
+    // Two components: a path 1-2-3-4 (diameter > 1 forces multiple
+    // propagation rounds) and a triangle 10-11-12; plus isolated edge 20-21.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dup clusters: members connected, label is min id, sizes consistent") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = Dedup.dupClusters(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every paired doc appears, pair members share a cluster
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+    // label is the min member id, size matches the member count
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      members.foreach(m => assert(m._3 == members.length.toLong))
+    }
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+  }
+
+  test("clean corpus composes language, quality, and dedup gates") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.cleanCorpus(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("pred_lang") == "en")
+      assert(r.getAs[Double]("quality") >= 0.55)
+    }
+    val losers = Dedup.dupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    out.foreach(r => assert(!losers.contains(r.getAs[Long]("doc_id")),
+      "a near-dup cluster loser survived the pipeline"))
+    // the pipeline actually filters something at each gate
+    assert(out.length < docs.count())
+  }
 }

@@ -77,6 +77,41 @@ class RelationalSpec extends SparkSpec {
     assert(top.nonEmpty && top.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
   }
 
+  test("Q8/Q9/Q16/Q20/Q21 shapes hold their invariants") {
+    val (region, nation) = (Tables.region(spark, sf), Tables.nation(spark, sf))
+    val (customer, supplier) = (Tables.customer(spark, sf), Tables.supplier(spark, sf))
+    val (orders, lineitem, part) =
+      (Tables.orders(spark, sf), Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    // Q8: one row per order year in range, share within [0, 1].
+    val share = Relational.marketShare(region, nation, customer, orders, lineitem, supplier, part)
+      .collect()
+    assert(share.map(_.getAs[Long]("o_year")).toSet == Set(1997L, 1998L))
+    share.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0 && r.getAs[Double]("total_volume") > 0.0)
+    }
+    // Q9: profit strictly positive, (nation, year) unique.
+    val profit = Relational.nationProfit(nation, orders, lineitem, supplier, part).collect()
+    assert(profit.nonEmpty)
+    assert(profit.map(r => (r.getString(0), r.getLong(1))).distinct.length == profit.length)
+    profit.foreach(r => assert(r.getAs[Double]("profit") > 0.0))
+    // Q16: counts positive and sorted descending.
+    val counts = Relational.partSupplierCounts(part, lineitem, supplier)
+      .collect().map(_.getAs[Long]("supplier_cnt"))
+    assert(counts.nonEmpty && counts.forall(_ > 0) && counts.sameElements(counts.sortBy(-_)))
+    // Q20: every returned supplier belongs to the filter nation.
+    val nkey = nation.filter(col("n_name") === "NATION_3")
+      .collect().head.getAs[Int]("n_nationkey")
+    val excess = Relational.excessSupplySuppliers(nation, supplier, part, lineitem).collect()
+    val nat3Supps = supplier.filter(col("s_nationkey") === nkey)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    excess.foreach(r => assert(nat3Supps.contains(r.getAs[Long]("s_suppkey"))))
+    // Q21: each waiting supplier was the SOLE late supplier on ≥1 multi-
+    // supplier finalized order (numwait ≥ 1 by construction).
+    val waiting = Relational.waitingSuppliers(nation, supplier, orders, lineitem).collect()
+    waiting.foreach(r => assert(r.getAs[Long]("numwait") >= 1L))
+  }
+
   test("distributed exact quantile ≡ percentile bitwise on the high-cardinality column") {
     val li = Tables.lineitem(spark, sf)
     val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
