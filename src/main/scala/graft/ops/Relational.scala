@@ -632,9 +632,13 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
     // One pass over the per-(order, supplier) relation: participation +
-    // lateness; reused for the EXISTS, the NOT-EXISTS, and the driver rows.
+    // lateness; consumed THREE times (driver rows, EXISTS side, NOT-EXISTS
+    // side) under different filters/projections, which defeats exchange
+    // reuse — materialize it once (the staged-table pattern from Dedup;
+    // without this the lineitem⋈orders aggregate runs three times).
     val perOrderSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("supp_late"))
+      .localCheckpoint(true)
     val lateSupp = perOrderSupp.filter(col("supp_late"))
     val others = perOrderSupp.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("s_k"))
     val lateOthers = lateSupp.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("s_k"))
@@ -672,7 +676,11 @@ object Relational {
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity"))).as("unit_cost"))
+    // `offered` feeds BOTH the per-part min aggregate and the winners join;
+    // the differing projections defeat exchange reuse, so stage it once
+    // (otherwise the lineitem aggregation runs twice).
     val offered = unitCost.join(eligSupp, col("l_suppkey") === col("s_suppkey"))
+      .localCheckpoint(true)
     val minCost = offered.groupBy(col("l_partkey")).agg(min(col("unit_cost")).as("min_cost"))
     offered.join(minCost, Seq("l_partkey"))
       .filter(col("unit_cost") === col("min_cost"))
