@@ -130,6 +130,13 @@ object SparkEntry {
     // embedding generator could need more probes; that would be a recall
     // tuning knob, not an operator bug.
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
+    // Second cosine-LSH family (sign random projections). Oracle = the
+    // all-pairs definition at cos >= 0.9; with 8 bands of 2 bits the
+    // per-pair miss probability at that threshold is ~3e-5, and the seeded
+    // hyperplanes make the candidate set deterministic — recall verified
+    // total at every shipped SF (same fixture-dependence note as
+    // vec_dup_pairs; SimilaritySpec holds the subset + recall asserts).
+    "vec_rplsh_pairs" -> ((s, d) => Similarity.rpLshDupPairs(Tables.embeddings(s, d), 0.9)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
     // rows-only by design (like the sketch queries): PQ codebooks are a
     // k-means artifact — deterministic for us, but not reproducible in
@@ -867,6 +874,14 @@ object SparkEntry {
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "vec_rplsh_pairs" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n)
+        |SELECT vec_id_a, vec_id_b, cos AS cos_sim FROM (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.9 ORDER BY vec_id_a, vec_id_b""".stripMargin,
     "vec_index_prune" ->
       """WITH idx AS (SELECT vec_id, DATE '2024-01-01' + CAST(vec_id % 10 AS INT) AS ingest_date FROM embeddings),
         |mx AS (SELECT max(ingest_date) AS mxd FROM idx)

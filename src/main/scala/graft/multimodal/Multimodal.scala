@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side structure is real — binary columns, case-class batch
   * shapes, `mapPartitions` with a per-partition decoder instance (the Scala
   * analog of `mapInPandas`: one decoder init per partition, streamed
-  * batches, no per-row setup cost). Image decode is REAL for PNG/JPEG
-  * (`HeaderDecoder` parses IHDR / SOF frame headers byte-by-byte — no codec
-  * library needed for dimensions); audio/video and unrecognized payloads
-  * fall back to the deterministic `StubDecoder` pseudo-metadata (this
-  * container has no av codec libraries). Swapping in a full codec is one
-  * trait implementation; nothing in the plan changes.
+  * batches, no per-row setup cost). Decode is REAL where the container
+  * format allows pure-JVM parsing: PNG IHDR / JPEG SOF frame headers for
+  * images, WAV RIFF chunks (sample rate, channels, PCM frame count) for
+  * audio; compressed audio/video and unrecognized payloads fall back to
+  * the deterministic `StubDecoder` pseudo-metadata (this container has no
+  * av codec libraries). Swapping in a full codec is one trait
+  * implementation; nothing in the plan changes.
   */
 object Multimodal {
 
@@ -61,6 +62,15 @@ object Multimodal {
           case Some((w, h)) => MediaMeta(-1L, mediaType, data.length.toLong, w, h, frames = 1)
           case None => stub.decode(mediaType, data)
         }
+      } else if (mediaType == "audio") {
+        wavMeta(data) match {
+          // Audio packs into the fixed meta shape as: width = sample rate,
+          // height = channel count, frames = PCM sample-frame count — the
+          // three numbers the pipeline's duration/resample stages need.
+          case Some((rate, channels, sampleFrames)) =>
+            MediaMeta(-1L, mediaType, data.length.toLong, rate, channels, sampleFrames)
+          case None => stub.decode(mediaType, data)
+        }
       } else stub.decode(mediaType, data)
 
     private def u16(d: Array[Byte], o: Int): Int = ((d(o) & 0xFF) << 8) | (d(o + 1) & 0xFF)
@@ -76,6 +86,33 @@ object Multimodal {
           d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R')
         Some((u32(d, 16), u32(d, 20)))
       else None
+    }
+
+    private def u16le(d: Array[Byte], o: Int): Int = (d(o) & 0xFF) | ((d(o + 1) & 0xFF) << 8)
+    private def u32le(d: Array[Byte], o: Int): Int =
+      (d(o) & 0xFF) | ((d(o + 1) & 0xFF) << 8) | ((d(o + 2) & 0xFF) << 16) | ((d(o + 3) & 0xFF) << 24)
+
+    /** WAV (RIFF): "RIFF"…"WAVE", then a chunk walk — the `fmt ` chunk
+      * carries channels (u16 LE @+2), sample rate (u32 LE @+4), block align
+      * (u16 LE @+12); the `data` chunk's size / blockAlign is the PCM
+      * sample-frame count. Little-endian throughout, unlike PNG/JPEG.
+      */
+    private def wavMeta(d: Array[Byte]): Option[(Int, Int, Int)] = {
+      def tag(o: Int, s: String): Boolean =
+        o + 4 <= d.length && (0 until 4).forall(i => d(o + i) == s.charAt(i).toByte)
+      if (d.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (rate, channels, blockAlign)
+      var dataSize: Option[Int] = None
+      while (i + 8 <= d.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val size = u32le(d, i + 4)
+        if (tag(i, "fmt ") && i + 8 + 16 <= d.length)
+          fmt = Some((u32le(d, i + 12), u16le(d, i + 10), u16le(d, i + 20)))
+        else if (tag(i, "data")) dataSize = Some(size)
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for ((rate, ch, ba) <- fmt; ds <- dataSize if ba > 0)
+        yield (rate, ch, ds / ba)
     }
 
     /** JPEG: walk the marker segments from SOI to the first SOF frame header

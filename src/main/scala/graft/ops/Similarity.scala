@@ -142,6 +142,55 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** Skew-safe batch kNN join: `knnJoin` with HOT-CELL SALTING. IVF cells
+    * are rarely balanced — a dense embedding region concentrates a large
+    * fraction of the corpus in one cell, and in the plain cell-keyed join
+    * that cell becomes one straggler task. Here any cell whose corpus
+    * population exceeds `maxCellRows` is split into `ceil(n/maxCellRows)`
+    * salted sub-keys: corpus rows take a deterministic salt
+    * (`vec_id % nSalts`), queries probing that cell fan out to ALL its
+    * salts. The candidate SET is identical to the unsalted join
+    * (`SimilaritySpec` asserts result equality) — only the shuffle key
+    * granularity changes, bounding every join task at ~maxCellRows corpus
+    * rows. The per-cell salt counts are a constant-size driver map
+    * (nCells entries — same pattern as the literal centroids); the
+    * per-query top-k is unchanged map-side-combining bounded aggregation.
+    */
+  def knnJoinSalted(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      element_at(sortedCells, 1).cast("long").as("cell"))
+    // Constant-size stats: nCells rows → driver map of salt counts.
+    val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
+      .collect().map { r =>
+        r.getLong(0) -> math.max(1L, (r.getLong(1) + maxCellRows - 1) / maxCellRows).toInt
+      }.toMap
+    val saltMap = map(saltOf.toSeq.flatMap { case (cell, s) =>
+      Seq(lit(cell), lit(s)) }: _*)
+    val c = assigned.withColumn("salt",
+      pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
+    // queries fan out to every salt of each probed cell
+    val qSalted = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+      .withColumn("salt", explode(sequence(lit(0L),
+        element_at(saltMap, col("cell")).cast("long") - 1L)))
+    qSalted.join(c, Seq("cell", "salt"))
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via IVF-cell blocking — the
     * scale path. Each vector is multi-probe-assigned to its `nProbe`
     * nearest of `nCells` coarse cells; candidate pairs are generated ONLY
@@ -178,6 +227,54 @@ object Similarity {
     // the (tiny) thresholded survivors.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(normed.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_id_a")
+      .join(normed.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_id_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos").as("cos_sim"))
+      .distinct()
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  /** Sign-random-projection (hyperplane) LSH near-dup pairs — the second
+    * classic cosine LSH family, complementing the IVF-cell blocking above
+    * (Charikar, "Similarity Estimation Techniques from Rounding
+    * Algorithms", STOC 2002). Each vector's signature is the sign pattern
+    * of `nBits` dot products against fixed random hyperplanes (a literal
+    * array — map-only codegen, no shuffle); signatures band into
+    * `nBits/bandBits` keys; candidates are generated ONLY within shared
+    * band buckets (one equi-join keyed by (band, key)); every candidate is
+    * verified with the exact cosine. P[bit collision] = 1 − θ/π, so a
+    * band of b bits collides with (1−θ/π)^b and recall over the bands is
+    * 1−(1−p^b)^bands — tune (bandBits, nBits) to the target threshold.
+    * Deterministic for a fixed `seed`: hyperplanes come from a seeded
+    * Gaussian, so any run (and the spec's recall pin) reproduces the same
+    * candidate set.
+    */
+  def rpLshDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      nBits: Int = 16, bandBits: Int = 2, seed: Long = 7L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Seq[Float]] =
+      Array.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val bits = planes.map(p =>
+      when(dot(col("embedding"), typedLit(p)) >= 0, lit("1")).otherwise(lit("0")))
+    val nBands = nBits / bandBits
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat((0 until bandBits).map(i => bits(b * bandBits + i)): _*).as("band_key"))
+    }
+    val buckets = embeddings.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
     val normed = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

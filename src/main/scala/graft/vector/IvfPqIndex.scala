@@ -1,0 +1,154 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF-PQ: the composed on-disk ANN index — IVF coarse cells bound what a
+  * query READS (partition pruning), residual product quantization bounds
+  * the BYTES the pruned scan touches (the ADC stage reads ONLY the codes
+  * column, so parquet column pruning turns the 32× vector compression into
+  * an actual 32× scan reduction — the float vectors stay on disk until
+  * re-rank). This is the classic IVF-PQ construction (Jégou et al., TPAMI
+  * 2011; FAISS `IndexIVFPQ` — the reference only instantiates the flat
+  * variant, `faiss_manager.py:143`).
+  *
+  * RESIDUAL quantization: codes encode `v − centroid(cell(v))`, not `v`.
+  * Residuals concentrate near the origin with far less variance than raw
+  * vectors, so the same codebook budget quantizes them more accurately —
+  * and the query side compensates exactly, building a separate ADC lookup
+  * table per probed cell from `q − centroid(cell)`.
+  *
+  * Layout on disk:
+  *   path/centroids  — nCells coarse centroids (driver-constant sidecar)
+  *   path/codebooks  — m×ksub residual sub-centroids (PqIndex sidecar form)
+  *   path/vectors    — partitionBy(cell): vec_id, label, embedding, codes
+  *
+  * Query plan: probe nProbe cells (driver math over the sidecar) →
+  * per-cell ADC fold over the codes column only (codegen, literal LUT) →
+  * top `k·refineFactor` by approximate distance → exact re-rank of the
+  * leaders against their true embeddings (semi-join back into the probed
+  * partitions, float column read for ≤ k·refineFactor rows per cell).
+  */
+object IvfPqIndex {
+
+  /** Build the index: k-means coarse cells (IvfIndex machinery), residual
+    * PQ codebooks trained on the assigned residuals, codes computed
+    * map-only, one partitioned write.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, path: String,
+      nCells: Int = 8, kmeansIters: Int = 3, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 3): Unit = {
+    val centroids = IvfIndex.kmeansCentroids(embeddings, nCells, kmeansIters)
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1)
+    // residual = embedding − centroid(cell): the centroid lookup is a
+    // literal map over the constant-size centroid set — still map-only.
+    val centMap = map(cents.flatMap { case (cid, v) =>
+      Seq(lit(cid), typedLit(v)) }.toSeq: _*)
+    val assigned = embeddings
+      .withColumn("cell", nearest)
+      .withColumn("residual",
+        zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
+    // Train the residual codebooks on (vec_id, residual-as-embedding);
+    // staged once — consumed by pqIters training rounds AND the final encode.
+    val residuals = assigned.select(col("vec_id"), col("cell"), col("label"),
+      col("embedding"), col("residual").as("pq_embedding"))
+      .localCheckpoint(true)
+    val books = PqIndex.train(
+      residuals.select(col("vec_id"), col("pq_embedding").as("embedding")), m, ksub, pqIters)
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("sub_id", "code", "c_sub")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    residuals
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Probe-pruned ADC search + exact re-rank. Per probed cell the ADC LUT
+    * is built from the QUERY RESIDUAL against that cell's centroid, so the
+    * residual codes decode consistently. The candidate stage never touches
+    * the float column (`IvfPqSpec` pins the pruned read schema); only the
+    * k·refineFactor leaders' embeddings are read for the exact distances.
+    */
+  def search(spark: SparkSession, path: String, query: Seq[Float],
+      k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4): DataFrame = {
+    val books = PqIndex.readBooks(spark, path)
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val probed = cents.map { case (cid, c) => (l2(c, query), cid) }.sorted.take(nProbe)
+    val base = spark.read.parquet(s"$path/vectors")
+    // One ADC scan per probed cell (nProbe is small), each against its own
+    // residual LUT — partition-pruned, codes-only.
+    val perCell = probed.map { case (_, cid) =>
+      val centroid = cents.find(_._1 == cid).get._2
+      val qRes = query.zip(centroid).map { case (q, c) => q - c }
+      val lutFlat: Seq[Double] = (0 until m * ksub).map { i =>
+        val s = i / ksub; val j = i % ksub
+        (0 until dsub).map { p =>
+          val d = qRes(s * dsub + p).toDouble - books(s)(j)(p).toDouble
+          d * d
+        }.sum
+      }
+      val lut = typedLit(lutFlat)
+      val approx = aggregate(
+        expr(s"zip_with(sequence(0, ${m - 1}), codes, (s, c) -> s * $ksub + c)"),
+        lit(0.0), (acc, i) => acc + element_at(lut, i + 1))
+      base.filter(col("cell") === cid)
+        .select(col("vec_id"), approx.as("adc_d2"))
+    }
+    val cand = perCell.reduce(_ unionByName _)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k * refineFactor)
+      .select(col("vec_id"))
+    base.filter(col("cell").isin(probed.map(_._2): _*))
+      .join(broadcast(cand), "vec_id", "left_semi")
+      .withColumn("d2", l2Sq(col("embedding"), typedLit(query)))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+        col("d2").as("dist_sq"))
+  }
+
+  /** The codes-only candidate scan for one probed cell, exposed for the
+    * spec's read-schema assert (the plan must not read `embedding`).
+    */
+  def adcScan(spark: SparkSession, path: String, query: Seq[Float], cid: Long): DataFrame = {
+    val books = PqIndex.readBooks(spark, path)
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val centroid = spark.read.parquet(s"$path/centroids")
+      .filter(col("cid") === cid).select(col("c_embedding")).head.getSeq[Float](0)
+    val qRes = query.zip(centroid).map { case (q, c) => q - c }
+    val lutFlat: Seq[Double] = (0 until m * ksub).map { i =>
+      val s = i / ksub; val j = i % ksub
+      (0 until dsub).map { p =>
+        val d = qRes(s * dsub + p).toDouble - books(s)(j)(p).toDouble
+        d * d
+      }.sum
+    }
+    val lut = typedLit(lutFlat)
+    val approx = aggregate(
+      expr(s"zip_with(sequence(0, ${m - 1}), codes, (s, c) -> s * $ksub + c)"),
+      lit(0.0), (acc, i) => acc + element_at(lut, i + 1))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell") === cid)
+      .select(col("vec_id"), approx.as("adc_d2"))
+  }
+}

@@ -43,26 +43,22 @@ object PqIndex {
   /** Driver-side codebooks: books(s)(j) = centroid j of subspace s. */
   type Codebooks = Array[Array[Array[Float]]]
 
-  /** Subvector slice of the embedding column for subspace `s` (1-based
-    * slice; dsub = dim/m).
-    */
-  private def subvec(s: Int, dsub: Int): Column =
-    slice(col("embedding"), s * dsub + 1, dsub)
-
   /** Per-subspace argmin code as a map-only literal-array expression —
-    * identical tie-break (distance, then code) to IvfIndex.assign.
+    * identical tie-break (distance, then code) to IvfIndex.assign. `input`
+    * is the full-dim vector column being encoded (a raw embedding, or a
+    * residual for IvfPqIndex).
     */
-  private def codeExpr(s: Int, books: Codebooks): Column = {
+  private def codeExpr(s: Int, books: Codebooks, input: Column): Column = {
     val dsub = books(s)(0).length
     val structs = books(s).zipWithIndex.map { case (c, j) =>
-      struct(l2Sq(subvec(s, dsub), typedLit(c.toSeq)).as("d"), lit(j).as("j"))
+      struct(l2Sq(slice(input, s * dsub + 1, dsub), typedLit(c.toSeq)).as("d"), lit(j).as("j"))
     }
     element_at(transform(array_sort(array(structs.toSeq: _*)), x => x.getField("j")), 1)
   }
 
   /** All m codes as one array<int> column. */
-  def codesExpr(books: Codebooks): Column =
-    array(books.indices.map(s => codeExpr(s, books)): _*)
+  def codesExpr(books: Codebooks, input: Column = col("embedding")): Column =
+    array(books.indices.map(s => codeExpr(s, books, input)): _*)
 
   /** Lloyd-train the per-subspace codebooks. Seeds are the first `ksub`
     * vectors' subvectors (deterministic); each round re-encodes (map-only)

@@ -101,6 +101,36 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components equals a reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 8) {
+      val n = 2 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: plain union-find over the same edges
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min id in component
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.flatMap { case (_, ms) => ms.map(_ -> ms.min) }.toMap
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"n=$n edges=$edges")
+      }
+    }
+  }
+
   test("dup clusters: members connected, label is min id, sizes consistent") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.minhashDupPairs(docs).collect()

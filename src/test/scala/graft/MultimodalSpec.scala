@@ -66,6 +66,33 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(4L).width == s4.width && meta(4L).frames == s4.frames)
   }
 
+  test("header decode: hand-built WAV bytes yield rate/channels/frames through extractMeta") {
+    import spark.implicits._
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 44.1kHz stereo 16-bit PCM, 1000 sample frames (blockAlign 4, data 4000B).
+    val fmt = le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val data = Array.fill[Byte](4000)(0)
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes ++ le32(data.length) ++ data
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "audio", "just noise".getBytes), // → stub fallback
+      Multimodal.MediaRow(3L, "video", wav)) // wrong modality → stub
+    val meta = Multimodal.extractMeta(rows.toDS()).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 44100, "width carries the sample rate")
+    assert(meta(1L).height == 2, "height carries the channel count")
+    assert(meta(1L).frames == 1000, "frames carries the PCM sample-frame count")
+    val stub = new Multimodal.StubDecoder
+    val s2 = stub.decode("audio", "just noise".getBytes)
+    assert(meta(2L).width == s2.width && meta(2L).frames == s2.frames)
+    val s3 = stub.decode("video", wav)
+    assert(meta(3L).width == s3.width && meta(3L).frames == s3.frames)
+  }
+
   test("stub decode is deterministic and metadata matches payload size") {
     val meta = Multimodal.extractMeta(Multimodal.deriveMedia(Tables.documents(spark, sf)))
       .collect()

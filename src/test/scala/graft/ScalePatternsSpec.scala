@@ -71,4 +71,40 @@ class ScalePatternsSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_rows")).toMap
     assert(salted == direct)
   }
+
+  test("runtime bloom-filter pruning injects might_contain on a selective shuffle join") {
+    // At cluster scale a selective dim filter (here p_brand) should prune
+    // the fact side's shuffle input BEFORE the join — Spark's runtime
+    // bloom-filter injection does exactly that. The thresholds exist to
+    // skip tiny scans, so lower the application-side floor for the test
+    // corpus; production keeps defaults and gets this for free at 100 TB.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // forcing a shuffle join: broadcast joins don't need the runtime filter
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "0")
+      val li = Tables.lineitem(spark, sf)
+      val selective = Tables.part(spark, sf).filter(col("p_brand") === "Brand#1")
+      val q = li.join(selective, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n${plan.take(2000)}")
+      // and the filtered plan returns the same rows as the unfiltered one
+      val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set(keys(2), "10GB")
+      val plain = li.join(selective, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

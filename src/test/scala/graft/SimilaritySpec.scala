@@ -107,6 +107,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("salted kNN join equals the unsalted join while bounding per-key corpus rows") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val plain = graft.ops.Similarity.knnJoin(queries, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // maxCellRows = 10 forces every non-trivial cell to salt into many
+    // sub-keys — the hot-cell path, exercised on ALL cells.
+    val salted = graft.ops.Similarity.knnJoinSalted(queries, emb, maxCellRows = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(salted.sameElements(plain),
+      "salting must only change shuffle granularity, never the result")
+    // and with a huge threshold (no salting) it degenerates to the plain join
+    val unsalted = graft.ops.Similarity.knnJoinSalted(queries, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(unsalted.sameElements(plain))
+  }
+
+  test("RP-LSH cosine dedup: verified subset of all-pairs, full recall at high cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = graft.ops.Similarity.cosineDupPairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = graft.ops.Similarity.rpLshDupPairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos_sim")).toMap
+    // every emitted pair is exact-verified: same cosine as the all-pairs form
+    lsh.foreach { case (k, c) => assert(exact(k) == c) }
+    // 8 bands of 2 bits at cos ≥ 0.9 (θ ≤ 26°): per-band collision
+    // (1−θ/π)² ≈ 0.73, miss probability (1−0.73)^8 ≈ 3e-5 — with the
+    // fixed seed this is deterministic, and on the fixture recall is total.
+    assert(lsh.keySet == exact.keySet,
+      s"missed: ${exact.keySet.diff(lsh.keySet)}")
+  }
+
   test("blocked cosine dedup reproduces the all-pairs verifier exactly") {
     val emb = Tables.embeddings(spark, sf)
     val blocked = Similarity.cosineDupPairsBlocked(emb, 0.42).collect()
