@@ -93,6 +93,7 @@ object SparkEntry {
     // ---- event analytics (SURVEY §2.10 batch forms) ----
     "ev_tumbling_hourly" -> ((s, d) => Events.tumblingHourly(Tables.events(s, d))),
     "ev_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "ev_sliding_qtr" -> ((s, d) => Events.slidingQuarterHourly(Tables.events(s, d))),
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
     "ev_asof_join" -> ((s, d) => AsOfJoin.eventOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
@@ -782,6 +783,15 @@ object SparkEntry {
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_sliding_qtr" ->
+      """WITH e AS (SELECT *, TIMESTAMP '1970-01-01'
+        |    + CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * INTERVAL 1 SECOND AS b15 FROM events),
+        |x AS (SELECT event_type, value, b15 - k * INTERVAL 15 MINUTE AS window_start
+        |      FROM e CROSS JOIN range(0, 4) t(k))
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_buckets" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |  COUNT(*) AS n_events, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k

@@ -22,6 +22,19 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy(col("hour_ts"), col("event_type"))
 
+  /** Sliding-window aggregate (1-hour window, 15-minute slide): each event
+    * lands in exactly 4 overlapping windows — Spark's `window()` generator
+    * expands them; partial aggregation still combines map-side. The
+    * streaming twin is the same expression under a watermark.
+    */
+  def slidingQuarterHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(tsS(col("w.start")).as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Sessionization: gaps-and-islands with a 30-minute inactivity timeout.
     * Window lag/cumulative-sum; the streaming twin uses
     * flatMapGroupsWithState (graft.streaming.SessionizeStream).

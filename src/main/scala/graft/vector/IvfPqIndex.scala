@@ -74,6 +74,34 @@ object IvfPqIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Incremental ingest: encode a new (vec_id, label, embedding) batch
+    * against the EXISTING sidecars — centroid assignment, residual, codes,
+    * all map-only — and append into the cell layout. Arriving vectors are
+    * immediately visible to probe-pruned ADC search; resident data and the
+    * codebooks never rewrite (the standard IVF-PQ ingest contract: codebook
+    * drift is handled by periodic rebuilds, not per-batch retraining).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val books = PqIndex.readBooks(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1)
+    val centMap = map(cents.flatMap { case (cid, v) =>
+      Seq(lit(cid), typedLit(v)) }.toSeq: _*)
+    batch
+      .withColumn("cell", nearest)
+      .withColumn("pq_embedding",
+        zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Probe-pruned ADC search + exact re-rank. Per probed cell the ADC LUT
     * is built from the QUERY RESIDUAL against that cell's centroid, so the
     * residual codes decode consistently. The candidate stage never touches

@@ -58,6 +58,22 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch encodes against existing sidecars; new vectors are searchable") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString + "/idx"
+    IvfPqIndex.build(spark, emb, d2)
+    val before = spark.read.parquet(s"$d2/vectors").count()
+    // a batch that duplicates the query vector under a new id: after
+    // ingest, the new id must surface at distance 0 alongside vec 0
+    val batch = Seq((100000L, 99, qv)).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+    IvfPqIndex.appendBatch(spark, batch, d2)
+    assert(spark.read.parquet(s"$d2/vectors").count() == before + 1)
+    val got = IvfPqIndex.search(spark, d2, qv, k = 2, nProbe = 8, refineFactor = 8).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 100000L))
+    got.foreach(r => assert(r.getAs[Double]("dist_sq") == 0.0))
+  }
+
   test("default narrow probe stays within brute-force candidates and finds the query") {
     val got = IvfPqIndex.search(spark, dir, qv, k = 5, nProbe = 2).collect()
     assert(got.length == 5)
