@@ -33,6 +33,20 @@ object EventStream {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour / 15-minute aggregate — the streaming twin of
+    * Events.slidingQuarterHourly: the window generator fans each event
+    * into its 4 overlapping windows, the watermark closes each window 2
+    * hours after its end, and state is bounded at (open windows ×
+    * event_type) like the tumbling form.
+    */
+  def slidingQuarterHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
@@ -145,6 +159,23 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           graft.vector.IvfIndex.appendBatch(batch.sparkSession, batch, indexPath)
+      }
+      .start()
+
+  /** Streaming ingest into the COMPOSED IVF-PQ layout: each micro-batch is
+    * centroid-assigned, residual-encoded against the existing codebook
+    * sidecars (all map-only — `IvfPqIndex.appendBatch`), and appended into
+    * the cell partitions, so streamed vectors land already quantized and
+    * ADC-searchable. Codebooks never retrain per batch (the standard
+    * IVF-PQ ingest contract).
+    */
+  def ivfPqIngest(batches: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.vector.IvfPqIndex.appendBatch(batch.sparkSession, batch, indexPath)
       }
       .start()
 

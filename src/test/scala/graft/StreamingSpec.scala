@@ -210,6 +210,60 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((202L, None)), s"unmatched purchase should emit null click: $rows")
   }
 
+  test("streaming sliding windows close like the batch twin once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, tsAt(0, 5), 1, "click", 1.0, "{}"),
+      Event(2, tsAt(0, 50), 1, "click", 2.0, "{}"),
+      Event(3, tsAt(1, 10), 2, "view", 3.0, "{}"))
+    mem.addData(events: _*)
+    val q = EventStream.slidingQuarterHourly(mem.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(Event(9, tsAt(9, 0), 9, "view", 0.0, "{}")) // watermark pusher
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sliding").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    // batch twin over the same rows (the closed subset)
+    val batch = graft.ops.Events.slidingQuarterHourly(events.toDF()).collect()
+      .map(r => (r.getAs[String]("window_start") + ".0", r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(batch.subsetOf(got), s"missing windows: ${batch.diff(got)}")
+    // each event appears in exactly 4 sliding windows
+    assert(got.count(_._2 == "click") >= 4)
+  }
+
+  test("streaming IVF-PQ ingest lands vectors quantized and ADC-searchable") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-sivfpq").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sivfpq-ck").toString
+    val emb = Tables.embeddings(spark, sf)
+    graft.vector.IvfPqIndex.build(spark, emb.filter(col("vec_id") < 400), dir)
+    val late = emb.filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    val mem = MemoryStream[(Long, Int, Seq[Float])]
+    mem.addData(late.toSeq: _*)
+    val q = EventStream.ivfPqIngest(
+      mem.toDF().toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<float>")), dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    // a streamed vector surfaces through the quantized candidate stage +
+    // exact re-rank at distance 0
+    val (vid, _, qv) = late.head
+    val hit = graft.vector.IvfPqIndex.search(spark, dir, qv, k = 1, nProbe = 8,
+      refineFactor = 8).collect().head
+    assert(hit.getAs[Long]("vec_id") == vid)
+    assert(hit.getAs[Double]("dist_sq") == 0.0)
+  }
+
   test("streaming IVF ingest lands vectors in probe-searchable cell partitions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
