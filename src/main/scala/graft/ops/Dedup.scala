@@ -108,15 +108,17 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list → per-node minimum
-    * reachable id as the component label. Min-label propagation: each round
-    * is ONE shuffle (neighbor labels unioned with own, min per node), and
-    * the loop runs to fixpoint with a lineage cut per round — the standard
-    * distributed-CC shape for near-dup graphs, whose components are
-    * small-diameter (a dup cluster is near-clique), so rounds ≈ 2-3. The
-    * driver-side work per round is a single `count` of changed labels
-    * (a scalar, not data). For adversarial high-diameter graphs swap in
-    * large-star/small-star; for dedup clustering this converges faster and
-    * shuffles strictly less per round.
+    * reachable id as the component label. Each round is min-label
+    * propagation over the edges (one shuffle: neighbor labels unioned with
+    * own, min per node) FOLLOWED by a pointer-jumping step
+    * (`label(x) := min(label(x), label(label(x)))` — one more join), with a
+    * lineage cut per round and a fixpoint loop. Propagation alone is
+    * O(diameter) rounds — a 10⁶-node chain would blow any round budget;
+    * the jump step doubles the distance a label travels per round, giving
+    * O(log n) convergence on ANY graph shape (the label-doubling idea
+    * behind large-star/small-star). Near-clique dup graphs still converge
+    * in 2-3 rounds; the driver-side work per round is a single scalar
+    * `count` of changed labels.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
@@ -133,8 +135,20 @@ object Dedup {
       val viaEdges = sym
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaEdges)
+      // Materialized before the self-join below (fresh leaf attributes) and
+      // because three consumers read it: the jump's two sides + the next
+      // round. Two materializations per round is the same I/O shape as
+      // large-star/small-star's two phases.
+      val propagated = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // Pointer jump: follow each node's label to THAT node's label, so a
+      // minimum travels 2^round hops after `round` rounds, not `round`.
+      val next = propagated
+        .join(propagated.select(col("id").as("lid"), col("label").as("lbl2")),
+          col("label") === col("lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("lbl2"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
         .filter(col("label") =!= col("prev")).count()

@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components converges on a high-diameter path within the round budget") {
+    import spark.implicits._
+    // A 120-node chain: plain O(diameter) propagation would need 119
+    // rounds — far over maxRounds — so only the pointer-jumping form
+    // labels the far end correctly.
+    val n = 120
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "every chain node must reach label 0")
+  }
+
   test("connected components equals a reference union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
