@@ -175,6 +175,20 @@ object SparkEntry {
     // fallback's candidate set is reproduced bit-for-bit by DuckDB.
     "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairsCapped(Tables.documents(s, d))),
     "doc_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    // Deterministic hash-threshold sampling / split assignment / per-group
+    // cap — selection stages of the training pipeline (ops.Sampling).
+    "doc_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), "33333333")
+        .select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
+    }),
+    "doc_splits" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.assignSplits(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+    "doc_rebalance" -> ((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d), "source", "doc_id", 50)),
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -1024,6 +1038,22 @@ object SparkEntry {
         |  greatest(score_en, score_fr, score_de, score_es) AS best_score,
         |  score_en, score_fr, score_de, score_es
         |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('graft|' || doc_id), 1, 8) < '33333333'
+        |ORDER BY doc_id""".stripMargin,
+    "doc_splits" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('graft|' || doc_id), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5('graft|' || doc_id), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_rebalance" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50
+        |ORDER BY source, doc_id""".stripMargin,
     "doc_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,

@@ -101,6 +101,39 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("sampling: deterministic, stable under growth, splits partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.hashSample(docs, col("doc_id"), "33333333")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, col("doc_id"), "33333333")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same corpus, same sample")
+    val n = docs.count()
+    assert(math.abs(s1.size.toDouble / n - 0.2) < 0.1, s"~20% sample, got ${s1.size}/$n")
+    // stability under growth: sampling a SUBSET never flips membership
+    val sub = Sampling.hashSample(docs.filter(col("doc_id") < 100), col("doc_id"), "33333333")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub == s1.filter(_ < 100))
+    // splits: total partition, deterministic, ~80/10/10
+    val splits = Sampling.assignSplits(docs, col("doc_id"))
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == n)
+    assert(splits("train").toDouble / n > 0.7)
+    // per-group cap: lowest ids survive, never more than cap per group
+    val capped = Sampling.capPerGroup(docs, "source", "doc_id", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    capped.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 10)
+      val expected = docs.filter(col("source") === src)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.take(10).toSeq
+      assert(rows.map(_._2).toSeq.sorted == expected, s"group $src must keep lowest ids")
+    }
+  }
+
   test("connected components converges on a high-diameter path within the round budget") {
     import spark.implicits._
     // A 120-node chain: plain O(diameter) propagation would need 119
