@@ -95,18 +95,39 @@ object TextAnalysis {
     * each near-dup cluster's minimum-id survivor, per
     * `Dedup.dupClusters`). Dedup runs over the FULL corpus before the
     * per-doc gates, matching production order (a dup of a kept doc must
-    * die even if its own quality passes). The gates are map-only joins on
-    * doc_id; the only heavy stage is the LSH clustering itself.
+    * die even if its own quality passes).
+    *
+    * Scale shape: BOTH per-doc gates are scalar expressions over the same
+    * `text` column, so they fuse into ONE projection over one corpus scan
+    * — no per-gate join, no second pass (at 100 TB, a saved full-corpus
+    * scan + two saved doc_id shuffle joins). The expressions are the same
+    * trees `languageId`/`qualityScore` emit, so the oracle values are
+    * unchanged. The only remaining shuffle is the loser anti-join against
+    * the (tiny) dup-cluster output.
     */
   def cleanCorpus(docs: DataFrame, lang: String = "en", minQuality: Double = 0.55,
       jaccardThreshold: Double = 0.3): DataFrame = {
-    val langs = languageId(docs).select(col("doc_id"), col("pred_lang"))
-    val quality = qualityScore(docs).select(col("doc_id"), col("n_words"), col("quality"))
+    val words = split(col("text"), " ")
+    val scoreCols = langMarkers.map { case (l, ms) => markerCount(words, ms).as(s"score_$l") }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    val predFirstWins = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === col("best_score") && col("best_score") > 0, lit(l)).otherwise(acc)
+    }
     val losers = Dedup.dupClusters(docs, jaccardThreshold)
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    docs.select(col("doc_id"))
-      .join(langs, "doc_id").filter(col("pred_lang") === lang)
-      .join(quality, "doc_id").filter(col("quality") >= minQuality)
+    docs
+      .select(Seq(col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        markerCount(words, Seq("the", "a")).as("n_stop")) ++ scoreCols: _*)
+      .withColumn("best_score", best)
+      .withColumn("pred_lang", predFirstWins)
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("pred_lang"), col("n_words"), col("quality"))
       .orderBy(col("doc_id"))
