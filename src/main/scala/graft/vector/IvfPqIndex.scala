@@ -38,7 +38,8 @@ object IvfPqIndex {
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
       nCells: Int = 8, kmeansIters: Int = 3, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 3): Unit = {
+      pqIters: Int = 3,
+      ingestDate: java.sql.Date = IvfIndex.DefaultIngestDate): Unit = {
     val centroids = IvfIndex.kmeansCentroids(embeddings, nCells, kmeansIters)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
@@ -68,11 +69,24 @@ object IvfPqIndex {
       cs.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toSeq.toDF("sub_id", "code", "c_sub")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // cell × ingest_date layout: probe pruning composes with retention,
+    // exactly like IvfIndex (reference retention applies to ALL vectors,
+    // faiss_manager.py:151-172).
     residuals
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/vectors")
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"),
+        lit(ingestDate).as("ingest_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
+      .parquet(s"$path/vectors")
   }
+
+  /** Retention: drop beyond-window `ingest_date=` directories inside every
+    * cell — the layout matches IvfIndex's, so its directory-listing
+    * retention applies verbatim.
+    */
+  def retain(spark: SparkSession, path: String, asOf: java.sql.Date,
+      maxDays: Int = VectorIndex.RetentionDays): Seq[String] =
+    IvfIndex.retain(spark, path, asOf, maxDays)
 
   /** Incremental ingest: encode a new (vec_id, label, embedding) batch
     * against the EXISTING sidecars — centroid assignment, residual, codes,
@@ -81,7 +95,8 @@ object IvfPqIndex {
     * codebooks never rewrite (the standard IVF-PQ ingest contract: codebook
     * drift is handled by periodic rebuilds, not per-batch retraining).
     */
-  def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+  def appendBatch(spark: SparkSession, batch: DataFrame, path: String,
+      ingestDate: java.sql.Date = IvfIndex.DefaultIngestDate): Unit = {
     val books = PqIndex.readBooks(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
@@ -93,13 +108,17 @@ object IvfPqIndex {
       x => x.getField("cid")), 1)
     val centMap = map(cents.flatMap { case (cid, v) =>
       Seq(lit(cid), typedLit(v)) }.toSeq: _*)
-    batch
+    val dated =
+      if (batch.columns.contains("ingest_date")) batch
+      else batch.withColumn("ingest_date", lit(ingestDate))
+    dated
       .withColumn("cell", nearest)
       .withColumn("pq_embedding",
         zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"))
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/vectors")
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"), col("ingest_date"))
+      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
+      .parquet(s"$path/vectors")
   }
 
   /** Probe-pruned ADC search + exact re-rank. Per probed cell the ADC LUT
@@ -109,7 +128,9 @@ object IvfPqIndex {
     * k·refineFactor leaders' embeddings are read for the exact distances.
     */
   def search(spark: SparkSession, path: String, query: Seq[Float],
-      k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
+      asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
     val books = PqIndex.readBooks(spark, path)
     val m = books.length
     val ksub = books(0).length
@@ -120,7 +141,14 @@ object IvfPqIndex {
     def l2(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
     val probed = cents.map { case (cid, c) => (l2(c, query), cid) }.sorted.take(nProbe)
-    val base = spark.read.parquet(s"$path/vectors")
+    val raw = spark.read.parquet(s"$path/vectors")
+    // With asOf, both the ADC candidate scans and the re-rank are pruned
+    // to the retention window's date directories (probe × retention, both
+    // at the partition level — the IvfIndex contract).
+    val base =
+      if (asOf == null) raw
+      else raw.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
     // One ADC scan per probed cell (nProbe is small), each against its own
     // residual LUT — partition-pruned, codes-only.
     val perCell = probed.map { case (_, cid) =>

@@ -74,6 +74,29 @@ class IvfPqSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Double]("dist_sq") == 0.0))
   }
 
+  test("cell x ingest_date retention: old dates drop, probe search stays green") {
+    import spark.implicits._
+    val d3 = java.nio.file.Files.createTempDirectory("graft-ivfpq3").toString + "/idx"
+    val oldDay = java.sql.Date.valueOf("2024-01-01")
+    val newDay = java.sql.Date.valueOf("2024-01-10")
+    IvfPqIndex.build(spark, emb, d3, ingestDate = oldDay)
+    val batch = Seq((200000L, 7, qv)).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+    IvfPqIndex.appendBatch(spark, batch, d3, ingestDate = newDay)
+    // asOf windowing BEFORE physical retention: only the new-day vector visible
+    val windowed = IvfPqIndex.search(spark, d3, qv, k = 1, nProbe = 8,
+      refineFactor = 8, asOf = newDay).collect()
+    assert(windowed.head.getAs[Long]("vec_id") == 200000L)
+    // physical retention drops every old-day directory, keeps the new day
+    val dropped = IvfPqIndex.retain(spark, d3, asOf = newDay)
+    assert(dropped.nonEmpty && dropped.forall(_.contains("ingest_date=2024-01-01")))
+    assert(spark.read.parquet(s"$d3/vectors").count() == 1)
+    val after = IvfPqIndex.search(spark, d3, qv, k = 1, nProbe = 8, refineFactor = 8)
+      .collect()
+    assert(after.head.getAs[Long]("vec_id") == 200000L &&
+      after.head.getAs[Double]("dist_sq") == 0.0)
+  }
+
   test("default narrow probe stays within brute-force candidates and finds the query") {
     val got = IvfPqIndex.search(spark, dir, qv, k = 5, nProbe = 2).collect()
     assert(got.length == 5)
