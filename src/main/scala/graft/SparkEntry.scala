@@ -170,6 +170,13 @@ object SparkEntry {
     // cluster-loser drop, in production order (dedup before gates).
     "doc_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(Tables.documents(s, d))),
     "doc_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // NOTE: Dedup.simhashDupPairs (Hamming-radius pair search) is
+    // spec-level only (DedupSpec: probed ≡ brute-force definition). This
+    // generator's shared-vocabulary corpus makes simhash signatures
+    // concentrate (~240k hamming-0 pairs at sf0.1 even at 32 bits), so a
+    // registered radius query would emit an O(n²)-sized noise set — the
+    // operator ships with its algorithmic proof instead of a bench query;
+    // the minhash family is the discriminative near-dup tier here.
     // Capped plan: blocks over 100 docs route through within-block LSH
     // banding; the oracle mirrors BOTH paths (md5-deterministic), so the
     // fallback's candidate set is reproduced bit-for-bit by DuckDB.

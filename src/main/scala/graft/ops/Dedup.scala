@@ -174,11 +174,47 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
-  /** 16-bit SimHash over a doc's distinct words (md5-nibble sign trick:
-    * hex digit >= 8 contributes +1 to the bit, else -1). Near-identical
-    * docs land in the same bucket; `n_bucket` surfaces collisions.
+  /** Near-dup pairs by SimHash HAMMING RADIUS (the Manku/Jain/Sarma
+    * WWW'07 construction, radius 2): every doc probes with its own
+    * signature plus its 16 one-bit flips; a candidate pair is any two docs
+    * sharing a probe key (one equi-join on the probe — never an all-pairs
+    * signature compare); exact Hamming distance verifies each candidate.
+    * Recall within radius 2 is GUARANTEED, not data-dependent: for
+    * hamming(a,b) ≤ 2, flipping one differing bit on each side (or fewer)
+    * yields an equal intermediate signature, so the pair must share a
+    * probe — which is why the oracle can be the pure all-pairs definition.
+    * Probe volume is 17 rows/doc; a wider radius is more flips (radius 4 =
+    * add the C(16,2) two-bit flips), the classic probes-vs-radius dial.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 2, "probe construction covers radius <= 2; widen flips for more")
+    val sig = simhashSigs(docs).localCheckpoint(true)
+    val flips = (0 until 16).map { i =>
+      concat(substring(col("simhash"), 1, i),
+        when(substring(col("simhash"), i + 1, 1) === "0", "1").otherwise("0"),
+        substring(col("simhash"), i + 2, 16 - i - 1))
+    }
+    val probes = sig.select(col("doc_id"),
+      explode(array((col("simhash") +: flips): _*)).as("probe"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.probe") === col("b.probe") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 16), i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)))")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The (doc_id, simhash) signature relation shared by `simhash` and the
+    * Hamming-radius pair search.
+    */
+  def simhashSigs(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
     // Factor the per-word bit signs through a distinct-word dimension:
     // md5 runs once per vocabulary word instead of once per
@@ -195,14 +231,21 @@ object Dedup {
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("v")).as("s"))
       .withColumn("b01", when(col("s") > 0, "1").otherwise("0"))
-    val sig = bits.groupBy(col("doc_id"))
+    bits.groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("bit"), col("b01")))), x => x.getField("b01")),
         "").as("simhash"))
-    sig.withColumn("n_bucket",
+  }
+
+  /** 16-bit SimHash over a doc's distinct words (md5-nibble sign trick:
+    * hex digit >= 8 contributes +1 to the bit, else -1). Near-identical
+    * docs land in the same bucket; `n_bucket` surfaces collisions.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSigs(docs)
+      .withColumn("n_bucket",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
-  }
 
   /** Blocked n-gram Jaccard: exact Jaccard over all pairs within a blocking
     * key (`source`) — the classic bounded all-pairs pattern when metadata

@@ -70,6 +70,21 @@ class DedupSpec extends SparkSpec {
     sig.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{16}")))
   }
 
+  test("simhash hamming-radius pairs equal the brute-force definition exactly") {
+    val docs = Tables.documents(spark, sf)
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val sigs = Dedup.simhashSigs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash"))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && hamming(sa, sb) <= 2
+    } yield (ia, ib, hamming(sa, sb).toLong)).toSet
+    val probed = Dedup.simhashDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // guaranteed recall at radius 2: the probe construction IS the definition
+    assert(probed == brute, s"diff: ${brute.diff(probed)} / ${probed.diff(brute)}")
+  }
+
   test("curated corpus writer partitions by predicted language") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/corpus"
     val summary = TextAnalysis.writeCurated(Tables.documents(spark, sf), dir, 0.4)
