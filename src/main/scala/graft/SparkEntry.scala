@@ -108,6 +108,10 @@ object SparkEntry {
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
+    // Exact range search (all neighbors within r): map-only distance +
+    // filter — no shuffle at any scale; r² = 1.45 is the ~1-2% tail of
+    // this generator's distance distribution from vec 0.
+    "vec_range_search" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
     // Batch kNN join: top-k neighbors for EVERY row of a query table (the
     // deterministic vec_id % 37 slice), via IVF-cell blocking. The oracle
     // mirrors the BLOCKED plan itself (assignment + multi-probe + within-
@@ -132,11 +136,12 @@ object SparkEntry {
     // tuning knob, not an operator bug.
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
     // Second cosine-LSH family (sign random projections). Oracle = the
-    // all-pairs definition at cos >= 0.9; with 8 bands of 2 bits the
-    // per-pair miss probability at that threshold is ~3e-5, and the seeded
-    // hyperplanes make the candidate set deterministic — recall verified
-    // total at every shipped SF (same fixture-dependence note as
-    // vec_dup_pairs; SimilaritySpec holds the subset + recall asserts).
+    // all-pairs definition at cos >= 0.9; with 16 bands of 2 bits the
+    // per-pair miss probability at that threshold is ~6e-10 (was ~3e-5 at
+    // 8 bands — wide enough that a fixture/SF change could plausibly trip
+    // the oracle), and the seeded hyperplanes make the candidate set
+    // deterministic — recall verified total at every shipped SF
+    // (SimilaritySpec holds the subset + recall asserts).
     "vec_rplsh_pairs" -> ((s, d) => Similarity.rpLshDupPairs(Tables.embeddings(s, d), 0.9)),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
     // rows-only by design (like the sketch queries): PQ codebooks are a
@@ -199,6 +204,41 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- corpus curation (privacy / decontamination / repetition / packing) ----
+    // The corpus has no PII, so the HARNESS (not the operator) derives a
+    // PII-bearing text column deterministically from doc_id — the same
+    // fixture-injection pattern as doc_exact_dedup; the oracle mirrors the
+    // derivation. The operator itself (Curation.redactPii) takes any text.
+    "doc_pii_redact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val text2 = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com today")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" server at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(" port")))
+        .otherwise(col("text"))
+      Curation.redactPii(docs.withColumn("text", text2))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // Benchmark set = every 97th doc (the held-out eval suite); report is
+    // corpus docs sharing any word 4-gram with it. 4 is the discriminative
+    // width on this generator (727 hits at sf0.1; 8-grams find nothing,
+    // 3-grams flag a third of the corpus).
+    "doc_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Curation.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    }),
+    "doc_repetition" -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
+    "doc_pack" -> ((s, d) => Curation.packSequences(Tables.documents(s, d))),
     "mm_media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
@@ -864,6 +904,12 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT vec_id, label, cos AS cos_sim
         |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "vec_range_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, d2 AS dist_sq FROM d
+        |WHERE d2 <= 1.45 ORDER BY vec_id""".stripMargin,
     "vec_knn_join" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
@@ -1088,6 +1134,53 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 7 = 0 THEN text || ' reach me at user' || doc_id || '@example.com today'
+        |      WHEN doc_id % 7 = 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+        |      WHEN doc_id % 7 = 2 THEN text || ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' port'
+        |      ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-2),
+        |        i -> array_to_string(ws[i:i+3], ' '))) AS ng FROM w),
+        |b AS (SELECT DISTINCT ng FROM e WHERE doc_id % 97 = 0)
+        |SELECT e.doc_id, CAST(COUNT(DISTINCT e.ng) AS BIGINT) AS n_shared
+        |FROM e JOIN b USING (ng) WHERE e.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+        |btop AS (SELECT doc_id, max(c) AS top_bg FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |ttop AS (SELECT doc_id, max(c) AS top_tg FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+        |  CAST(top_bg AS DOUBLE) / (len(ws) - 1) AS top_bigram_frac,
+        |  CAST(top_tg AS DOUBLE) / (len(ws) - 2) AS top_trigram_frac
+        |FROM w JOIN btop USING (doc_id) JOIN ttop USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+        |  FROM t)
+        |SELECT doc_id, n_tokens, COALESCE(pre, 0) AS start_off,
+        |  COALESCE(pre, 0) // 512 AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -101,18 +101,23 @@ object Multimodal {
       def tag(o: Int, s: String): Boolean =
         o + 4 <= d.length && (0 until 4).forall(i => d(o + i) == s.charAt(i).toByte)
       if (d.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-      var i = 12
+      // The chunk-size field is an UNTRUSTED u32: read signed it can go
+      // negative and stall (or reverse) the walk inside an executor task.
+      // Widen to Long, and since sizes beyond the payload are equally
+      // bogus, clamp the data chunk to the bytes actually present.
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None // (rate, channels, blockAlign)
-      var dataSize: Option[Int] = None
+      var dataSize: Option[Long] = None
       while (i + 8 <= d.length && (fmt.isEmpty || dataSize.isEmpty)) {
-        val size = u32le(d, i + 4)
-        if (tag(i, "fmt ") && i + 8 + 16 <= d.length)
-          fmt = Some((u32le(d, i + 12), u16le(d, i + 10), u16le(d, i + 20)))
-        else if (tag(i, "data")) dataSize = Some(size)
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        val o = i.toInt
+        val size = u32le(d, o + 4).toLong & 0xFFFFFFFFL
+        if (tag(o, "fmt ") && i + 8 + 16 <= d.length)
+          fmt = Some((u32le(d, o + 12), u16le(d, o + 10), u16le(d, o + 20)))
+        else if (tag(o, "data")) dataSize = Some(math.min(size, (d.length - i - 8).max(0L)))
+        i += 8 + size + (size & 1L) // chunks are word-aligned; always advances (size >= 0)
       }
       for ((rate, ch, ba) <- fmt; ds <- dataSize if ba > 0)
-        yield (rate, ch, ds / ba)
+        yield (rate, ch, (ds / ba).toInt)
     }
 
     /** JPEG: walk the marker segments from SOI to the first SOF frame header

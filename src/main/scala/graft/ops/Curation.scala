@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the privacy / decontamination / repetition /
+  * packing stages a large-scale training-data pipeline runs between raw
+  * ingest and tokenization (builder-prompt scale extensions; complements
+  * TextAnalysis's language/quality/dedup gates).
+  *
+  * Scale shapes, per operator:
+  *  - PII redaction: one narrow projection of codegen'd regexps — map-only,
+  *    no shuffle, column-pruned to (doc_id, text).
+  *  - Decontamination: the benchmark side of the n-gram join is tiny by
+  *    construction (eval sets are thousands of docs, not billions), so it
+  *    BROADCASTS; corpus n-grams are generated map-side by a transform()
+  *    over each row and never shuffle — the only wide stage is the per-doc
+  *    count of matched n-grams.
+  *  - Repetition signals: top-n-gram counts per doc are computed INSIDE the
+  *    row (sort the row's n-gram array, fold for the longest run) — a
+  *    map-only alternative to the classic explode→groupBy(doc, gram) whose
+  *    shuffle would be corpus-token-sized at 100 TB.
+  *  - Sequence packing: a distributed prefix sum — per-range-bucket token
+  *    totals (constant-size driver collect) feed exclusive offsets, and
+  *    each bucket computes its local running sum independently; no global
+  *    single-partition window anywhere.
+  */
+object Curation {
+
+  // ---- PII detection / redaction -----------------------------------------
+
+  /** (pattern, replacement) in application order. Patterns are RE2-safe
+    * (no backrefs/lookaround) so Spark (java.util.regex) and DuckDB (RE2)
+    * agree on every match.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "[EMAIL]"),
+    ("phone", """555-[0-9]{4}""", "[PHONE]"),
+    ("ip", """([0-9]{1,3}\.){3}[0-9]{1,3}""", "[IP]"))
+
+  /** Per-doc PII match counts + the redacted text. Map-only: three codegen
+    * regexp_extract_all counts and a chained regexp_replace over one scan.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"n_${name}s")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  // ---- Decontamination (benchmark n-gram overlap) ------------------------
+
+  /** Word n-grams of a text column as one array per row (map-side; empty
+    * when the doc is shorter than n — sequence() would count DOWN there).
+    */
+  def ngrams(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - n + 1),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus docs sharing at least one word n-gram with any benchmark doc,
+    * with the count of distinct shared n-grams — the "test-set leakage"
+    * report. The benchmark n-gram set broadcasts (eval suites are tiny
+    * relative to a training corpus); corpus n-grams never shuffle raw —
+    * only (doc_id, matched n-gram) survivors reach the aggregation.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    val benchNgrams = benchmark
+      .select(explode(ngrams(col("text"), n)).as("ng")).distinct()
+    corpus
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("ng"))
+      .join(broadcast(benchNgrams), "ng")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The removal form: corpus minus every contaminated doc (anti-join on
+    * the report above).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame =
+    corpus.join(contaminatedDocs(corpus, benchmark, n).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  // ---- Repetition signals (Gopher-style quality filters) -----------------
+
+  /** Longest run of equal values in the SORTED array `arr` — i.e. the max
+    * occurrence count of any single value — as a row-local fold: sort the
+    * row's array, then one linear aggregate() pass. This keeps the top-gram
+    * statistic map-only; the explode→groupBy(doc, gram)→max alternative
+    * shuffles every token in the corpus.
+    */
+  private def maxRunSql(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(acc.prev <=> x, acc.run + 1L, 1L),
+       |    'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin
+
+  /** Per-doc repetition statistics: duplicate-word fraction, top-bigram
+    * fraction, top-trigram fraction — the standard repetitious-text gates
+    * (cf. the Gopher/MassiveText quality rules: fraction of characters in
+    * the most common n-gram). One projection, no shuffle.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
+      .withColumn("tgs", expr(
+        "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+      .withColumn("top_bg", expr(maxRunSql("bgs")))
+      .withColumn("top_tg", expr(maxRunSql("tgs")))
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("top_bg").cast("double") / (col("n_words") - 1)).as("top_bigram_frac"),
+        (col("top_tg").cast("double") / (col("n_words") - 2)).as("top_trigram_frac"))
+      .orderBy(col("doc_id"))
+
+  // ---- Sequence packing (concat-and-chunk) -------------------------------
+
+  /** Assign each doc its position in the concatenated token stream and the
+    * fixed-size training sequence that position falls in (GPT-style
+    * concat-then-chunk packing: the stream is cut every `budget` tokens; a
+    * doc belongs to the chunk where it starts).
+    *
+    * The global running sum is a DISTRIBUTED prefix sum, not one global
+    * window: docs bucket by contiguous doc_id range; per-bucket token
+    * totals (≤ nBuckets longs) come to the driver once and become
+    * exclusive prefix offsets; each bucket then windows only over its own
+    * rows. At 100 TB no task ever sees more than one bucket.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512, nBuckets: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max(col("doc_id"))).head.getLong(0)
+    val span = maxId / nBuckets + 1
+    val bucketed = toks.withColumn("bucket", (col("doc_id") / span).cast("int"))
+    val totals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Seq[Long] = (0 until nBuckets)
+      .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L)).init
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          element_at(typedLit(offsets), col("bucket") + 1))
+      .withColumn("seq_id", expr(s"start_off div $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** True bin-packing variant (first-fit within each partition): docs that
+    * don't fit the current bin open a new one, so no doc spans a boundary
+    * — the padding-minimizing form used when documents must stay intact.
+    * Sequential by nature, so it runs per-partition (mapPartitions) with
+    * globally-unique bin ids derived from the partition id; bin membership
+    * depends on partitioning, hence spec-level (deterministic under a
+    * fixed repartitionByRange) rather than oracle-checked.
+    */
+  def packFirstFit(docs: DataFrame, budget: Int = 512, nPartitions: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"),
+      least(size(split(col("text"), " ")).cast("long"), lit(budget.toLong)).as("n_tokens"))
+      .repartitionByRange(nPartitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+    toks.mapPartitions { it =>
+      var binInPart = 0L
+      var used = budget + 1L // over-budget sentinel: first doc opens a bin
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      it.map { case (docId, n) =>
+        if (used + n > budget) { binInPart += 1; used = 0L }
+        used += n
+        // bin id: partition-local counter offset into a per-partition range
+        (docId, n, pid * (1L << 40) + binInPart, used - n)
+      }
+    }.toDF("doc_id", "n_tokens", "bin_id", "off_in_bin")
+  }
+}

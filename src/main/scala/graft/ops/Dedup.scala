@@ -155,6 +155,12 @@ object Dedup {
       labels = next
       round += 1
     }
+    // Partially-converged labels are WRONG labels (downstream drops the
+    // wrong survivors with no signal) — fail fast instead of returning them.
+    // Pointer jumping makes this unreachable below ~2^maxRounds-diameter
+    // graphs; hitting it means the budget genuinely needs raising.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds ($changed labels still moving)")
     labels
   }
 

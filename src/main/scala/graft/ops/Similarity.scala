@@ -52,6 +52,22 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("label"), col("cos").as("cos_sim"))
 
+  /** Exact range search: every corpus vector within squared-L2 `radiusSq`
+    * of the query (the "all neighbors within r" dual of top-k — radius
+    * dedup, recall sweeps, near-duplicate audits). Map-only: one codegen'd
+    * distance + filter over one scan, no shuffle, no sort — already the
+    * 100-TB shape for a full-accuracy pass; `IvfIndex.rangeSearch` is the
+    * partition-pruned physical twin (triangle-inequality cell bound).
+    */
+  def rangeSearch(embeddings: DataFrame, queryId: Long = 0L,
+      radiusSq: Double = 1.45): DataFrame =
+    embeddings
+      .crossJoin(broadcast(queryVec(embeddings, queryId)))
+      .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
+      .filter(col("d2") <= radiusSq && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("d2").as("dist_sq"))
+      .orderBy(col("vec_id"))
+
   /** IVF-Flat approximate kNN: vectors are assigned to their nearest of
     * `nCells` deterministic seed centroids (the first `nCells` vectors by
     * id); a query probes its `nProbe` nearest cells and scans only those.
@@ -256,9 +272,15 @@ object Similarity {
     * Deterministic for a fixed `seed`: hyperplanes come from a seeded
     * Gaussian, so any run (and the spec's recall pin) reproduces the same
     * candidate set.
+    *
+    * Defaults are 16 bands × 2 bits: at cos = 0.9 the per-pair miss
+    * probability is (1−p²)^16 ≈ 6e-10 (p = 1−θ/π ≈ 0.857) — vanishing even
+    * against a million-pair fixture, vs ~3e-5 at the 8-band setting, which
+    * a fixture/SF change could plausibly trip. Re-check this bound if the
+    * registered threshold or band params ever change.
     */
   def rpLshDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
-      nBits: Int = 16, bandBits: Int = 2, seed: Long = 7L): DataFrame = {
+      nBits: Int = 32, bandBits: Int = 2, seed: Long = 7L): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes: Array[Seq[Float]] =

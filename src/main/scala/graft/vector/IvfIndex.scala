@@ -63,6 +63,22 @@ object IvfIndex {
   /** Deterministic fallback ingest day for batches that don't carry one. */
   val DefaultIngestDate: java.sql.Date = java.sql.Date.valueOf("2024-01-01")
 
+  /** Distance to the ASSIGNED (nearest) centroid is just the min over the
+    * literal centroid array — one more codegen column on the assignment
+    * scan, no join.
+    */
+  private def nearestDist(centroids: DataFrame): org.apache.spark.sql.Column = {
+    val cents = centroids.select(col("c_embedding")).collect().map(_.getSeq[Float](0))
+    sqrt(least(cents.map(v => l2Sq(col("embedding"), typedLit(v))): _*))
+  }
+
+  /** Per-cell covering radius (max member↔centroid distance) — the tiny
+    * sidecar that makes `rangeSearch` exact under cell pruning.
+    */
+  private def cellRadii(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.withColumn("cd", nearestDist(centroids))
+      .groupBy(col("cid")).agg(max(col("cd")).as("radius"))
+
   /** Build the physical index: k-means centroids (deterministic seeds,
     * `kmeansIters` Lloyd rounds — 0 reproduces the naive-seed layout),
     * assignment, and a `partitionBy(cell, ingest_date)` write. Layout and
@@ -70,14 +86,19 @@ object IvfIndex {
     * nested `ingest_date` level composes probe pruning with retention:
     * a probe touches nProbe/nCells of the cells AND ≤RetentionDays date
     * directories within each (reference retention applies to ALL vectors,
-    * `faiss_manager.py:151-172`).
+    * `faiss_manager.py:151-172`). A third sidecar, `radii` (per-cell
+    * covering radius), powers the triangle-inequality cell bound in
+    * `rangeSearch`.
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
       nCells: Int = 8, kmeansIters: Int = 3,
       ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    assign(embeddings, centroids)
+    val assigned = assign(embeddings, centroids)
+    cellRadii(assigned, centroids)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
+    assigned
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         lit(ingestDate).as("ingest_date"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
@@ -103,6 +124,24 @@ object IvfIndex {
         col("ingest_date"))
       .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
       .parquet(s"$path/vectors")
+    // Max-merge the batch's covering radii into the sidecar (driver-side:
+    // both sides are ≤nCells rows). Radii only grow on append; retention
+    // can leave them conservatively large, which keeps the bound CORRECT
+    // (never prunes a qualifying cell), just occasionally less tight.
+    val batchRadii = cellRadii(dated, centroids).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
+    val radiiPath = new org.apache.hadoop.fs.Path(s"$path/radii")
+    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(radiiPath))
+        spark.read.parquet(s"$path/radii").collect()
+          .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
+      else Map.empty[Long, Double]
+    import spark.implicits._
+    (existing.keySet ++ batchRadii.keySet).toSeq.sorted
+      .map(c => (c, math.max(existing.getOrElse(c, 0.0), batchRadii.getOrElse(c, 0.0))))
+      .toDF("cid", "radius")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
   }
 
   /** Retention: physically drop `ingest_date=` directories older than the
@@ -177,6 +216,48 @@ object IvfIndex {
       .select(col("q_vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
       .orderBy(col("q_vec_id"), col("rank"))
+  }
+
+  /** Exact range search over the on-disk layout — the partition-pruned twin
+    * of `ops.Similarity.rangeSearch`. The triangle inequality gives a cell
+    * bound: for any member x of cell c, d(q,x) ≥ d(q,centroid_c) − radius_c,
+    * so a cell with d(q,centroid) − radius > r cannot contain a hit and its
+    * directories are never read. Unlike probe-count kNN this is EXACT —
+    * the bound only skips cells that provably contain nothing — so the
+    * result equals the brute-force definition while the scan touches only
+    * qualifying cells. Falls back to scanning every cell (still exact) if
+    * the index predates the `radii` sidecar.
+    */
+  def rangeSearch(spark: SparkSession, path: String, query: Seq[Float],
+      radius: Double, asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val radiiPath = new org.apache.hadoop.fs.Path(s"$path/radii")
+    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val radii: Map[Long, Double] =
+      if (fs.exists(radiiPath))
+        spark.read.parquet(s"$path/radii").collect()
+          .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
+      else Map.empty
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+    val qualifying = cents.collect {
+      case (cid, c) if l2(c, query) - radii.getOrElse(cid, Double.MaxValue) <= radius => cid
+    }
+    val base = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(qualifying: _*)) // partition pruning on disk
+    val windowed =
+      if (asOf == null) base
+      else base.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
+    windowed
+      .withColumn("d2", l2Sq(col("embedding"), lit(query.toArray)))
+      .filter(col("d2") <= radius * radius)
+      .select(col("vec_id"), col("label"), col("d2").as("dist_sq"))
+      .orderBy(col("vec_id"))
   }
 
   /** Probe: rank cells against the tiny sidecar, scan only those partitions.

@@ -70,9 +70,13 @@ object PqIndex {
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val seedRows = embeddings.filter(col("vec_id") < ksub)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    // Seed from the ksub smallest vec_ids actually present (deterministic,
+    // no dense-0..ksub-1 id assumption — a filtered corpus seeds fine).
+    val seedRows = embeddings.orderBy(col("vec_id")).limit(ksub)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.length == ksub,
+      s"PqIndex.train needs at least ksub=$ksub vectors to seed codebooks, got ${seedRows.length}")
     var books: Codebooks = Array.tabulate(m, ksub) { (s, j) =>
       seedRows(j).slice(s * dsub, s * dsub + dsub)
     }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("PII redaction counts and replaces emails, phones, IPs") {
+    val docs = docsDF(
+      1L -> "mail me at jane.doe@corp.example.org thanks",
+      2L -> "call 555-1234 or 555-9999 tomorrow",
+      3L -> "hosts 192.168.0.1 and 10.0.42.7 are down",
+      4L -> "mixed a.b@c.io then 555-0000 then 8.8.8.8",
+      5L -> "nothing sensitive here at all")
+    val out = Curation.redactPii(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 && out(1L).getAs[String]("redacted")
+      == "mail me at [EMAIL] thanks")
+    assert(out(2L).getAs[Long]("n_phones") == 2 && out(2L).getAs[String]("redacted")
+      == "call [PHONE] or [PHONE] tomorrow")
+    assert(out(3L).getAs[Long]("n_ips") == 2 && out(3L).getAs[String]("redacted")
+      == "hosts [IP] and [IP] are down")
+    assert(out(4L).getAs[Long]("n_emails") == 1 && out(4L).getAs[Long]("n_phones") == 1 &&
+      out(4L).getAs[Long]("n_ips") == 1)
+    assert(out(4L).getAs[String]("redacted") == "mixed [EMAIL] then [PHONE] then [IP]")
+    assert(out(5L).getAs[String]("redacted") == "nothing sensitive here at all")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = docsDF(100L -> "alpha beta gamma delta epsilon")
+    val corpus = docsDF(
+      1L -> "zzz alpha beta gamma delta yyy", // shares 2 distinct 4-grams? no: 1
+      2L -> "beta gamma delta epsilon tail here", // shares 1
+      3L -> "alpha beta gamma x delta epsilon", // longest shared run is 3 — no 4-gram
+      4L -> "totally unrelated words in this doc",
+      5L -> "tiny doc") // shorter than n: no n-grams, no crash
+    val report = Curation.contaminatedDocs(corpus, bench, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(report == Map(1L -> 1L, 2L -> 1L))
+    val clean = Curation.decontaminate(corpus, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.sameElements(Array(3L, 4L, 5L)))
+  }
+
+  test("repetition signals match hand-computed fractions") {
+    val docs = docsDF(
+      1L -> "a b a b a b",       // 6 words, 2 distinct; top bigram "a b" x3 of 5; top trigram x2 of 4
+      2L -> "u v w x y z")       // all unique: top bigram/trigram runs of 1
+    val out = Curation.repetitionSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6)
+    assert(math.abs(r1.getAs[Double]("dup_word_frac") - (1.0 - 2.0 / 6)) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 3.0 / 5) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("top_trigram_frac") - 2.0 / 4) < 1e-15)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(math.abs(r2.getAs[Double]("top_bigram_frac") - 1.0 / 5) < 1e-15)
+  }
+
+  test("sequence packing equals the single-window definition and is bucket-count invariant") {
+    val docs = Tables.documents(spark, sf)
+    // Reference: the naive global-window cumsum (fine at test scale).
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val expected = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr("start_off div 512"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (nBuckets <- Seq(1, 4, 32)) {
+      val got = Curation.packSequences(docs, budget = 512, nBuckets = nBuckets)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"distributed prefix sum diverged at nBuckets=$nBuckets")
+    }
+  }
+
+  test("first-fit packing: bins never exceed the budget, every doc packed once") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 512
+    val out = Curation.packFirstFit(docs, budget).collect()
+    assert(out.length == docs.count())
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.groupBy(_.getAs[Long]("bin_id")).foreach { case (bin, rows) =>
+      val used = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(used <= budget, s"bin $bin overflows: $used > $budget")
+      // offsets tile the bin exactly
+      val sorted = rows.sortBy(_.getAs[Long]("off_in_bin"))
+      sorted.foldLeft(0L) { (expectOff, r) =>
+        assert(r.getAs[Long]("off_in_bin") == expectOff)
+        expectOff + r.getAs[Long]("n_tokens")
+      }
+    }
+    // Deterministic: same partitioning, same bins.
+    val again = Curation.packFirstFit(docs, budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
+    out.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[Long]("bin_id")))
+  }
+
+  test("n-grams of a doc shorter than n are empty, not an error") {
+    val out = docsDF(1L -> "one two")
+      .select(Curation.ngrams(col("text"), 4).as("ngs")).head
+    assert(out.getSeq[String](0).isEmpty)
+  }
+}

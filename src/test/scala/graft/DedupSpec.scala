@@ -162,6 +162,17 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L), "every chain node must reach label 0")
   }
 
+  test("connected components fails fast when the round budget exhausts mid-convergence") {
+    import spark.implicits._
+    // One round can't label a 120-node chain; partially-converged labels
+    // must raise, never silently feed the survivor-drop stage.
+    val edges = (0L until 119L).map(i => (i, i + 1)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "a", "b", maxRounds = 1)
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("connected components equals a reference union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

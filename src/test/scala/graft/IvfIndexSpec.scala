@@ -180,4 +180,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(km >= naive - 0.1, f"k-means recall $km%.2f regressed vs naive $naive%.2f")
     emb.unpersist()
   }
+
+  test("on-disk range search is exact under the triangle-inequality cell bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-r").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.build(spark, emb, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    val radius = math.sqrt(1.55)
+    // brute-force definition over the raw table (query vector included at d2=0)
+    val expected = emb
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(col("embedding"), lit(qv.toArray)))
+      .filter(col("d2") <= radius * radius)
+      .select("vec_id", "d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val got = IvfIndex.rangeSearch(spark, dir, qv, radius).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dist_sq")).toSeq
+    assert(got.nonEmpty && got == expected, "pruned range search must equal brute force")
+    // Appended vectors are range-findable and radii stay correct (append a
+    // copy of the query vector under a new id: distance 0 must appear).
+    import spark.implicits._
+    IvfIndex.appendBatch(spark,
+      Seq((900001L, 0, qv)).toDF("vec_id", "label", "embedding"), dir)
+    val after = IvfIndex.rangeSearch(spark, dir, qv, radius).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSeq
+    assert(after.contains(900001L))
+  }
+
+  test("range-search cell bound prunes on separated clusters and stays exact") {
+    // The shipped embedding fixture is one tight blob — every cell ball
+    // covers every query, so nothing CAN prune there (and the test above
+    // proves exactness on it). The bound's point is separated data: four
+    // well-spaced clusters, where a within-cluster radius must rule out
+    // the other three cells.
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 10f))
+    // Interleave ids (i*4 + cluster) so the deterministic first-nCells
+    // seeds land one per cluster.
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 50
+    } yield ((i * 4 + ci).toLong, ci,
+      c.zipWithIndex.map { case (v, j) => v + (rnd.nextInt(100) - 50) / 100f }.toSeq)
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rp").toString + "/ivf"
+    IvfIndex.build(spark, emb, dir, nCells = 4, kmeansIters = 3)
+    val qv = rows.head._3
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val radii = spark.read.parquet(s"$dir/radii").collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+    val radius = 3.0 // covers the home cluster (noise ≤ 0.5/dim), far from others
+    val qualifying = cents.count { case (cid, c) => l2(c, qv) - radii(cid) <= radius }
+    assert(qualifying < cents.length, "separated clusters must rule out cells")
+    val got = IvfIndex.rangeSearch(spark, dir, qv, radius).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dist_sq")).toSeq
+    val expected = emb
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(col("embedding"),
+        lit(qv.toArray)))
+      .filter(col("d2") <= radius * radius)
+      .select("vec_id", "d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    assert(got == expected, "pruned range search must equal brute force on clusters")
+  }
 }

@@ -93,6 +93,36 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(3L).width == s3.width && meta(3L).frames == s3.frames)
   }
 
+  test("WAV decode survives adversarial chunk sizes (unsigned u32, no stalls)") {
+    import spark.implicits._
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val fmt = le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    // A leading junk chunk whose u32 size has the high bit set (signed -8):
+    // the old signed read made the walk advance by 0 bytes — forever.
+    val junkThenFmt: Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ le32(0xFFFFFFF8) ++
+        "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes ++ le32(4000) ++ Array.fill[Byte](40)(0)
+    // A data chunk claiming 4000 bytes with only 40 present: the declared
+    // size is clamped to the bytes on hand (40 / blockAlign 4 = 10 frames).
+    val shortData: Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes ++ le32(4000) ++ Array.fill[Byte](40)(0)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", junkThenFmt),
+      Multimodal.MediaRow(2L, "audio", shortData))
+    val meta = Multimodal.extractMeta(rows.toDS()).collect().map(m => m.doc_id -> m).toMap
+    // Bogus chunk size skips past the end → stub fallback, not a hang.
+    val stub = new Multimodal.StubDecoder
+    val s1 = stub.decode("audio", junkThenFmt)
+    assert(meta(1L).width == s1.width && meta(1L).frames == s1.frames)
+    assert(meta(2L).width == 44100 && meta(2L).height == 2 && meta(2L).frames == 10)
+  }
+
   test("stub decode is deterministic and metadata matches payload size") {
     val meta = Multimodal.extractMeta(Multimodal.deriveMedia(Tables.documents(spark, sf)))
       .collect()

@@ -47,6 +47,23 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("training seeds from the smallest present ids — no dense 0..ksub-1 assumption") {
+    // A filtered corpus (ids 100+) used to throw NoSuchElementException.
+    val sparseIds = emb.filter(col("vec_id") >= 100L)
+    val sparseBooks = PqIndex.train(sparseIds)
+    assert(sparseBooks.length == 8 && sparseBooks(0).length == 16)
+    // Still deterministic on the sparse corpus.
+    val again = PqIndex.train(sparseIds)
+    sparseBooks.zip(again).foreach { case (a, b) =>
+      a.zip(b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    }
+    // Too few vectors to seed ksub codes fails with a clear message.
+    val err = intercept[IllegalArgumentException] {
+      PqIndex.train(emb.filter(col("vec_id") < 5L))
+    }
+    assert(err.getMessage.contains("ksub"))
+  }
+
   test("codebook sidecar round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/pq"
     val written = PqIndex.write(spark, emb, dir)

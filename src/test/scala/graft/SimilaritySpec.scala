@@ -171,4 +171,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     assert(hits.head.getAs[Double]("similarity_score") <= 1.0)
   }
+
+  test("range search returns exactly the vectors within the radius") {
+    import graft.functions.VectorFunctions.l2Sq
+    val emb = Tables.embeddings(spark, sf)
+    val r2 = 1.55
+    val got = Similarity.rangeSearch(emb, queryId = 0L, radiusSq = r2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dist_sq"))
+    // brute-force definition: every non-query vector at d2 <= r2
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    val expected = emb
+      .withColumn("d2", l2Sq(col("embedding"), typedLit(qe)))
+      .filter(col("d2") <= r2 && col("vec_id") =!= 0L)
+      .select("vec_id", "d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(got.nonEmpty, "radius should capture the fixture's near tail")
+    assert(got.toSeq == expected.toSeq)
+  }
 }
