@@ -239,6 +239,18 @@ object SparkEntry {
     }),
     "doc_repetition" -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
     "doc_pack" -> ((s, d) => Curation.packSequences(Tables.documents(s, d))),
+    // Vocab of 16 against this generator's ~31 distinct words so the UNK
+    // path genuinely exercises (a production vocab is just a bigger map).
+    "doc_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.tokenize(docs, Curation.buildVocab(docs, 16))
+    }),
+    "doc_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // End-of-pipeline assembly: language + quality + pack + embedding norm
+    // in ONE plan (per-doc signals fuse into one scan; the embeddings join
+    // is the only corpus-corpus shuffle).
+    "doc_assemble" -> ((s, d) =>
+      Curation.assembleExamples(Tables.documents(s, d), Tables.embeddings(s, d))),
     "mm_media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
@@ -1173,13 +1185,77 @@ object SparkEntry {
         |  CAST(top_bg AS DOUBLE) / (len(ws) - 1) AS top_bigram_frac,
         |  CAST(top_tg AS DOUBLE) / (len(ws) - 2) AS top_trigram_frac
         |FROM w JOIN btop USING (doc_id) JOIN ttop USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_tokenize" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |allw AS (SELECT unnest(ws) AS word FROM w),
+        |v0 AS (SELECT word, count(*) AS cnt FROM allw GROUP BY word ORDER BY cnt DESC, word LIMIT 16),
+        |v AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1 AS INT) AS tid FROM v0),
+        |e0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM w),
+        |e AS (SELECT doc_id, pos, ws[pos] AS word FROM e0),
+        |t AS (SELECT e.doc_id, e.pos, COALESCE(v.tid, 16) AS tid FROM e LEFT JOIN v USING (word))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (tid = 16) AS BIGINT) AS n_unk,
+        |  string_agg(tid, ' ' ORDER BY pos) AS token_str
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_quality_gate" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) AS n_stop
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+        | FROM t),
+        |s AS (SELECT doc_id, 0.4*ttr + 0.3*(1.0 - stop_ratio) + 0.3*len_score AS quality FROM u),
+        |j AS (SELECT s.doc_id, d.source, s.quality,
+        |  percent_rank() OVER (PARTITION BY d.source ORDER BY s.quality, s.doc_id) AS pr
+        |  FROM s JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, quality, pr FROM j WHERE pr >= 0.1 ORDER BY doc_id""".stripMargin,
+    "doc_assemble" ->
+      s"""WITH lng AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'le')) + len(list_filter(string_split(text,' '), x -> x = 'la')) + len(list_filter(string_split(text,' '), x -> x = 'les')) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'der')) + len(list_filter(string_split(text,' '), x -> x = 'die')) + len(list_filter(string_split(text,' '), x -> x = 'das')) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'el')) + len(list_filter(string_split(text,' '), x -> x = 'los')) + len(list_filter(string_split(text,' '), x -> x = 'una')) AS BIGINT) AS score_es
+        |  FROM documents),
+        |langs AS (SELECT doc_id,
+        |  CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+        |       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+        |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+        |       ELSE 'es' END AS pred_lang FROM lng),
+        |t AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) AS n_stop
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+        | FROM t),
+        |qual AS (SELECT doc_id, 0.4*ttr + 0.3*(1.0 - stop_ratio) + 0.3*len_score AS quality FROM u),
+        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |pck AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
+        |  FROM tok),
+        |nrm AS (SELECT vec_id AS doc_id,
+        |  sqrt(${dotSql("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS emb_norm
+        |  FROM embeddings)
+        |SELECT d.doc_id, d.source, langs.pred_lang, qual.quality, pck.n_tokens, pck.seq_id,
+        |  COALESCE(nrm.emb_norm, -1.0) AS emb_norm
+        |FROM documents d JOIN langs USING (doc_id) JOIN qual USING (doc_id)
+        |JOIN pck USING (doc_id) LEFT JOIN nrm USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_pack" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
         |  FROM t)
-        |SELECT doc_id, n_tokens, COALESCE(pre, 0) AS start_off,
-        |  COALESCE(pre, 0) // 512 AS seq_id
+        |SELECT doc_id, n_tokens, CAST(COALESCE(pre, 0) AS BIGINT) AS start_off,
+        |  CAST(COALESCE(pre, 0) // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,

@@ -163,6 +163,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Vocabulary tokenization -------------------------------------------
+
+  /** Frequency vocabulary: the top `size` words by (count desc, word asc) —
+    * a bounded artifact (like the IVF centroid sidecar), so it collects to
+    * the driver and ids assign there. One aggregation + TakeOrdered; at
+    * 100 TB the agg is the only wide stage and its key space is the
+    * vocabulary, not the corpus.
+    */
+  def buildVocab(docs: DataFrame, size: Int = 1000): Array[(String, Int)] =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(size)
+      .collect().map(_.getString(0)).zipWithIndex
+
+  /** Map-only tokenization against a fixed vocabulary: every word becomes
+    * its vocab id (OOV → `unkId` = vocab size), via a literal map — one
+    * codegen projection, no shuffle, no per-token join. Emits the id
+    * sequence as a joined string (engine-portable, hash-comparable) plus
+    * token/UNK counts.
+    */
+  def tokenize(docs: DataFrame, vocab: Array[(String, Int)]): DataFrame = {
+    val unkId = vocab.length
+    val vocabMap = map(vocab.flatMap { case (w, id) => Seq(lit(w), lit(id)) }.toSeq: _*)
+    val ids = transform(split(col("text"), " "),
+      w => coalesce(element_at(vocabMap, w), lit(unkId)))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(ids, i => i === unkId)).cast("long").as("n_unk"),
+        array_join(ids, " ").as("token_str"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Training-example assembly -----------------------------------------
+
+  /** The end-of-pipeline materialization: one row per doc carrying the
+    * signals every curation stage produced — predicted language, quality,
+    * token count, packed-sequence assignment, and the doc's embedding norm
+    * (left join on the embeddings table; −1 when the doc has no vector).
+    * One plan: the per-doc signals fuse into one scan of documents, the
+    * pack offsets ride the distributed prefix sum, and the embedding join
+    * is the only corpus-corpus shuffle (broadcast when one side is small).
+    */
+  def assembleExamples(docs: DataFrame, embeddings: DataFrame,
+      budget: Int = 512): DataFrame = {
+    val lang = TextAnalysis.languageId(docs).select(col("doc_id"), col("pred_lang"))
+    val qual = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val pack = packSequences(docs, budget).select(col("doc_id"), col("n_tokens"), col("seq_id"))
+    val norms = embeddings.select(col("vec_id").as("doc_id"),
+      sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))).as("emb_norm"))
+    docs.select(col("doc_id"), col("source"))
+      .join(lang, "doc_id").join(qual, "doc_id").join(pack, "doc_id")
+      .join(norms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("seq_id"), coalesce(col("emb_norm"), lit(-1.0)).as("emb_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** True bin-packing variant (first-fit within each partition): docs that
     * don't fit the current bin open a new one, so no doc spans a boundary
     * — the padding-minimizing form used when documents must stay intact.

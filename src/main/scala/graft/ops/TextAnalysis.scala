@@ -133,6 +133,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Percentile quality gate: drop each source's bottom `minPct` quality
+    * tail — the relative form of the absolute `minQuality` gate in
+    * `cleanCorpus` (per-domain thresholds are how production pipelines
+    * keep a noisy source from monopolizing the cut). percent_rank is a
+    * per-source window — partition-bounded, no global sort; at extreme
+    * per-source cardinality the threshold would come from an
+    * approx-percentile pass instead (same output contract).
+    */
+  def qualityGate(docs: DataFrame, minPct: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= minPct)
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct word set (word-set
     * normalization — robust to reordering/repetition). `n_same` counts
     * fingerprint collisions, i.e. docs built from the same vocabulary set.

@@ -102,6 +102,64 @@ class CurationSpec extends SparkSpec {
     out.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[Long]("bin_id")))
   }
 
+  test("tokenize: vocab ids by frequency, OOV becomes the UNK id, round-trippable") {
+    val docs = docsDF(
+      1L -> "cat dog cat bird cat",
+      2L -> "dog fish cat",
+      3L -> "newt")
+    // counts: cat=4, dog=2, bird=1, fish=1, newt=1 → vocab(3) by (cnt desc, word asc):
+    // cat=0, dog=1, bird=2; fish/newt are UNK (=3)
+    val vocab = Curation.buildVocab(docs, 3)
+    assert(vocab.toSeq == Seq("cat" -> 0, "dog" -> 1, "bird" -> 2))
+    val out = Curation.tokenize(docs, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk"), r.getAs[String]("token_str")))).toMap
+    assert(out(1L) == ((5L, 0L, "0 1 0 2 0")))
+    assert(out(2L) == ((3L, 1L, "1 3 0")))
+    assert(out(3L) == ((1L, 1L, "3")))
+  }
+
+  test("quality gate drops exactly each source's bottom decile by percent_rank") {
+    val docs = Tables.documents(spark, sf)
+    val gated = graft.ops.TextAnalysis.qualityGate(docs, 0.1).collect()
+    val total = docs.count()
+    assert(gated.length < total && gated.length > total * 0.8)
+    assert(gated.forall(_.getAs[Double]("pr") >= 0.1))
+    // per source: the dropped docs are precisely the lowest-quality ones
+    val kept = gated.map(r => r.getAs[Long]("doc_id")).toSet
+    val bySource = graft.ops.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .collect().groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val pr = i.toDouble / (n - 1)
+        assert(kept.contains(r.getAs[Long]("doc_id")) == (pr >= 0.1))
+      }
+    }
+  }
+
+  test("assembly carries every curation signal consistently in one row per doc") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Curation.assembleExamples(docs, emb).collect()
+    assert(out.length == docs.count())
+    val langs = graft.ops.TextAnalysis.languageId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val packs = Curation.packSequences(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq_id")).toMap
+    val withVec = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("pred_lang") == langs(id))
+      assert(r.getAs[Long]("seq_id") == packs(id))
+      if (withVec.contains(id)) assert(r.getAs[Double]("emb_norm") > 0)
+      else assert(r.getAs[Double]("emb_norm") == -1.0)
+    }
+  }
+
   test("n-grams of a doc shorter than n are empty, not an error") {
     val out = docsDF(1L -> "one two")
       .select(Curation.ngrams(col("text"), 4).as("ngs")).head
