@@ -42,7 +42,12 @@ object Bench {
       Tables.events(spark, sfDir).limit(1000)))
     materialize(ops.Similarity.knnL2(Tables.embeddings(spark, sfDir).limit(200)))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for targeted timing runs
+    // (SPARK_GRAFT_ONLY=doc_blocked_jaccard,doc_minhash_pairs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

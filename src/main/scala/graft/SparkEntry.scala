@@ -30,6 +30,7 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q6_revenue_forecast" -> ((s, d) => Relational.revenueForecast(Tables.lineitem(s, d))),
     "q_window_running" -> ((s, d) => Relational.supplierRunningShipments(Tables.lineitem(s, d))),
+    "q_window_funcs" -> ((s, d) => Relational.supplierShipNavigation(Tables.lineitem(s, d))),
     "q_rollup_returns" -> ((s, d) => Relational.returnsRollup(Tables.lineitem(s, d))),
     "q_setops_nations" -> ((s, d) =>
       Relational.nationSetOps(Tables.nation(s, d), Tables.customer(s, d), Tables.supplier(s, d))),
@@ -154,6 +155,18 @@ object SparkEntry {
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
         .select("embedding").head.getSeq[Float](0)
       graft.vector.PqIndex.searchAdc(graft.vector.PqIndex.encode(emb, books), emb, books, qv)
+    }),
+    // Batch ADC kNN join over the composed on-disk IVF-PQ layout: top-k for
+    // every query row, candidates scored codes-only via per-(query, cell)
+    // residual LUTs computed in-plan, exact re-rank. Rows-only like the
+    // other PQ query (k-means artifact); IvfPqSpec holds the algorithmic
+    // asserts (probe-all + full refine ≡ brute force bit-for-bit).
+    "vec_pq_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivfpq").toString + "/idx"
+      graft.vector.IvfPqIndex.build(s, emb, dir)
+      graft.vector.IvfPqIndex.knnJoin(s, dir, emb.filter(col("vec_id") % 37 === 0), nProbe = 4)
     }),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the
@@ -556,6 +569,18 @@ object SparkEntry {
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT l_suppkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn, l_orderkey, l_linenumber, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+        |  strftime(lag(l_shipdate, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS prev_ship,
+        |  strftime(lead(l_shipdate, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS next_ship,
+        |  strftime(first_value(l_shipdate) OVER w, '%Y-%m-%d %H:%M:%S') AS first_ship,
+        |  strftime(last_value(l_shipdate) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), '%Y-%m-%d %H:%M:%S') AS last_ship,
+        |  CAST(ntile(4) OVER (PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS qty_quartile
+        |FROM lineitem WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "q_rollup_returns" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

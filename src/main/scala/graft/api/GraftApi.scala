@@ -135,6 +135,25 @@ object GraftApi {
     Page(rows, rows.size.toLong, None)
   }
 
+  case class BatchSearchHit(query_id: Long, rank: Long, similarity_score: Double,
+      data_type: String, data_json: String)
+
+  /** Batch form of the search tool: all query texts answered in ONE
+    * distributed job (the per-query loop a caller would otherwise write
+    * around `searchData` — N× the scan). Same retention window, same
+    * embedder, same FAISS-parity scoring.
+    */
+  def searchDataBatch(s: SparkSession, indexPath: String,
+      queries: Seq[(Long, String)], limit: Int = 10,
+      asOf: java.sql.Date = null): Page[BatchSearchHit] = {
+    import s.implicits._
+    val qdf = queries.toDF("query_id", "query_text")
+    val rows = graft.vector.IndexPipeline
+      .searchIndexBatch(s, indexPath, qdf, limit, asOf)
+      .as[BatchSearchHit].collect().toSeq
+    Page(rows, rows.size.toLong, None)
+  }
+
   case class Conversation(thread_id: Long, thread_created_at: String, n_messages: Long,
       n_agent: Long, n_customer: Long, n_unknown: Long, first_ts: String, last_ts: String,
       first_msg_truncated: String)

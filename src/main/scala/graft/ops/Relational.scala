@@ -97,6 +97,34 @@ object Relational {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** Window-function breadth (§2.8): lag/lead neighbors, running and
+    * whole-partition first/last, and ntile quartiles — the full navigation
+    * set over one per-supplier window pass. Every ordering includes the
+    * unique (orderkey, linenumber) tail so frames are deterministic in
+    * both engines. Restricted to a supplier band so the output stays a
+    * result set, not a corpus copy; the window itself is partition-bounded
+    * (no global sort) at any scale.
+    */
+  def supplierShipNavigation(lineitem: DataFrame, maxSupp: Long = 10): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wQty = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    lineitem.filter(col("l_suppkey") <= maxSupp)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_ship", tsS(lag(col("l_shipdate"), 1).over(w)))
+      .withColumn("next_ship", tsS(lead(col("l_shipdate"), 1).over(w)))
+      .withColumn("first_ship", tsS(first(col("l_shipdate")).over(w)))
+      .withColumn("last_ship", tsS(last(col("l_shipdate")).over(wFull)))
+      .withColumn("qty_quartile", ntile(4).over(wQty).cast("long"))
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), tsS(col("l_shipdate")).as("ship_ts"),
+        col("prev_ship"), col("next_ship"), col("first_ship"), col("last_ship"),
+        col("qty_quartile"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
   /** Hierarchical aggregate: ROLLUP with grouping-set labels (§2.5 ext). */
   def returnsRollup(lineitem: DataFrame): DataFrame =
     lineitem

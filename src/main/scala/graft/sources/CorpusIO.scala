@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus interchange sources/sinks — the formats a training-data pipeline
+  * actually ingests from and exports to around its parquet core:
+  *
+  *  - JSONL (one JSON object per line, optionally gzip'd): the de-facto
+  *    corpus interchange format. Written partitioned (`source=`) so a
+  *    downstream reader partition-prunes by provenance; read with an
+  *    EXPLICIT schema — schema inference is a full extra pass over 100 TB
+  *    and infers unstable types, so it is deliberately not offered here.
+  *  - CSV with header + explicit schema, for tabular side inputs.
+  *
+  * Both readers are plain `spark.read` DataFrames: Catalyst still prunes
+  * columns, and for CSV/JSON pushes filters to the line parser. Binary
+  * columns survive a JSONL round-trip via explicit base64 (`bin_b64`)
+  * rather than format magic, so the contract is visible in the schema.
+  */
+object CorpusIO {
+
+  /** The documents-table interchange schema (TESTDATA.md shape). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** Write a corpus as gzip'd JSONL partitioned by `source` — one
+    * directory per provenance, splittable at the file level (many files
+    * per partition), the layout a crawl-export lands in.
+    */
+  def writeDocumentsJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode(SaveMode.Overwrite)
+      .partitionBy("source")
+      .option("compression", "gzip")
+      .json(path)
+
+  /** Read a JSONL corpus with the explicit schema (no inference pass).
+    * `source` comes back from the partition directories.
+    */
+  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame = {
+    // partitionBy moves `source` out of the data files into directory
+    // names; declare the remaining fields and let partition discovery
+    // restore the column.
+    val fileSchema = StructType(documentSchema.filterNot(_.name == "source"))
+    spark.read.schema(fileSchema).json(path)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Media rows (doc_id, media_type, data: binary) → JSONL with explicit
+    * base64. Binary never silently re-encodes: the column is visibly
+    * `bin_b64` on disk.
+    */
+  def writeMediaJsonl(media: DataFrame, path: String): Unit =
+    media.select(col("doc_id"), col("media_type"), base64(col("data")).as("bin_b64"))
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+
+  def readMediaJsonl(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = true),
+      StructField("bin_b64", StringType, nullable = true)))
+    spark.read.schema(schema).json(path)
+      .select(col("doc_id"), col("media_type"), unbase64(col("bin_b64")).as("data"))
+  }
+
+  /** CSV side-input reader: header + explicit schema, standard quoting. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

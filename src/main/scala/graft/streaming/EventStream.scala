@@ -146,6 +146,31 @@ object EventStream {
         col("value"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming curation: PII redaction is a stateless projection, so the
+    * batch operator applies to a document stream UNCHANGED — same codegen
+    * regexes, no state, no watermark needed. Included as the explicit
+    * streaming twin so the facade mirrors the batch tier one-for-one.
+    */
+  def redactPiiStream(docs: DataFrame): DataFrame =
+    graft.ops.Curation.redactPii(docs)
+
+  /** Streaming decontamination: a document stream filtered against a
+    * STATIC benchmark n-gram set. The batch form anti-joins (scales to an
+    * unbounded benchmark); on a stream the check becomes ROW-LOCAL — the
+    * benchmark n-grams are a bounded artifact (eval suites are thousands
+    * of docs, like the centroid sidecars), so they collect once and the
+    * filter is one codegen'd `arrays_overlap` against a literal. Zero
+    * streaming state, no watermark: a contaminated doc is dropped inside
+    * its own micro-batch, forever, at constant memory.
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    val benchNgrams: Seq[String] = benchmark
+      .select(explode(graft.ops.Curation.ngrams(col("text"), n)).as("ng"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    docs.filter(!arrays_overlap(
+      graft.ops.Curation.ngrams(col("text"), n), typedLit(benchNgrams)))
+  }
+
   /** Streaming ANN ingest: micro-batches are cell-assigned against the
     * index's centroid sidecar and appended into the `partitionBy(cell)`
     * layout (`IvfIndex.appendBatch`) — a streamed corpus lands directly in

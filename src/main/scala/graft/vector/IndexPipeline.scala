@@ -50,4 +50,41 @@ object IndexPipeline {
     }
     VectorIndex.search(idx, qv, k)
   }
+
+  /** Batch search: top-k hits for EVERY query text at once — N queries is
+    * one distributed job, not N driver round-trips. Queries embed as a
+    * map-only column (same embedder expression the ingest leg uses), the
+    * retained window loads once, and the per-query top-k is the bounded
+    * native aggregate (`TopKAggregator`) over one crossJoin — the
+    * brute-force twin of the IVF knnJoin, correct at any corpus size and
+    * the right plan while the retained window is the 7-day index the
+    * reference scans. Output: (query_id, rank, similarity_score,
+    * data_type, data_json).
+    */
+  def searchIndexBatch(spark: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int = 10, asOf: java.sql.Date = null,
+      embedder: Embedder = new HashingEmbedder()): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
+    val idx = anchor match {
+      case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
+      case None => spark.read.parquet(indexPath)
+    }
+    val q = queries.select(col("query_id"),
+      embedder.embedCol(col("query_text")).as("q_emb"))
+    val corpus = idx.select(col("vec_id"), col("embedding"), col("data_type"),
+      col("data_json"))
+    q.crossJoin(corpus)
+      .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.value")).as("d2"))
+      .join(corpus.select(col("vec_id"), col("data_type"), col("data_json")), "vec_id")
+      .select(col("query_id"), col("rank"),
+        faissSimilarity(col("d2")).as("similarity_score"),
+        col("data_type"), col("data_json"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -181,6 +181,93 @@ object IvfPqIndex {
         col("d2").as("dist_sq"))
   }
 
+  /** Batch ADC kNN join: top-k corpus neighbors for EVERY row of a query
+    * DataFrame, over the COMPRESSED layout — the scale composition of
+    * `IvfIndex.knnJoin` (cell blocking) and the ADC scan (codes-only
+    * candidate scoring). Per-query work that single-query `search` does on
+    * the driver moves INTO the plan:
+    *
+    *  1. map-only on the query side: multi-probe cell assignment against
+    *     the literal centroids, then a per-(query, probed-cell) residual
+    *     LUT — `m·ksub` sub-distances against the literal flattened
+    *     codebooks, computed ONCE per query-cell (m·ksub·dsub mults), so
+    *     scoring a corpus row later costs m array lookups, not dim mults;
+    *  2. ONE equi-join on the cell id (the layout's partition column —
+    *     corpus arrives cell-clustered from disk, codes column only);
+    *     ADC score = fold of `codes` through the query row's LUT column;
+    *  3. bounded native top-(k·refineFactor) per query (map-side
+    *     combining, ≤ that many rows per partition-query to the shuffle);
+    *  4. exact re-rank: leaders join their float embeddings + the query
+    *     vector, true distances, bounded top-k again.
+    *
+    * Approximation is (probe ∩ refine) only — output distances are exact.
+    */
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
+      asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    import graft.functions.TopKAggregator
+    val books = PqIndex.readBooks(spark, path)
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("q_emb"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1, nProbe)
+    val centMap = map(cents.flatMap { case (cid, v) =>
+      Seq(lit(cid), typedLit(v)) }.toSeq: _*)
+    // Flattened codebooks as ONE literal: flatBooks[(s*ksub + j)*dsub + p].
+    val flatBooks = typedLit(books.flatten.flatten.map(_.toDouble).toSeq)
+    val lutExpr = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val s = (i / lit(ksub)).cast("int") // subspace of LUT slot i
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, p) => {
+        val qv = element_at(col("q_res"), s * dsub + p + 1).cast("double")
+        val bv = element_at(flatBooks, i * dsub + p + 1)
+        acc + (qv - bv) * (qv - bv)
+      })
+    })
+    val qSide = queries
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probeCells))
+      .withColumn("q_res",
+        zip_with(col("q_emb"), element_at(centMap, col("cell")), (a, b) => a - b))
+      .withColumn("lut", lutExpr)
+      .select(col("q_vec_id"), col("q_emb"), col("cell"), col("lut"))
+    val raw = spark.read.parquet(s"$path/vectors")
+    val base =
+      if (asOf == null) raw
+      else raw.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+        col("ingest_date") <= lit(asOf))
+    val corpus = base.select(col("vec_id").as("c_vec_id"), col("codes"),
+      col("cell").cast("long").as("cell"))
+    val adc = aggregate(
+      expr(s"zip_with(sequence(0, ${m - 1}), codes, (s, c) -> s * $ksub + c)"),
+      lit(0.0), (acc, i) => acc + element_at(col("lut"), i + 1))
+    val leaders = qSide.join(corpus, "cell")
+      .withColumn("adc_d2", adc)
+      .groupBy(col("q_vec_id"))
+      .agg(TopKAggregator.topK(k * refineFactor, -col("adc_d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), explode(col("top.id")).as("c_vec_id"))
+    // Exact re-rank of the bounded leader set (≤ k·refineFactor per query).
+    val emb = base.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"))
+    leaders
+      .join(emb, "c_vec_id")
+      .join(queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb")),
+        "q_vec_id")
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"))
+      .agg(TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), posexplode(col("top")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** The codes-only candidate scan for one probed cell, exposed for the
     * spec's read-schema assert (the plan must not read `embedding`).
     */

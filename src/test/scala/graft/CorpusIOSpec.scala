@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.CorpusIO
+
+class CorpusIOSpec extends SparkSpec {
+
+  test("documents round-trip through partitioned gzip JSONL exactly") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    CorpusIO.writeDocumentsJsonl(docs, dir)
+    // layout: one directory per source, gzip'd part files inside
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("source=")))
+    val back = CorpusIO.readDocumentsJsonl(spark, dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("source partition pruning reaches the JSONL scan") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString + "/docs"
+    CorpusIO.writeDocumentsJsonl(docs, dir)
+    val pruned = CorpusIO.readDocumentsJsonl(spark, dir).filter(col("source") === "src1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("source"),
+      s"expected partition filters on source:\n${plan.take(600)}")
+    assert(pruned.count() == docs.filter(col("source") === "src1").count())
+  }
+
+  test("binary media columns survive the explicit-base64 JSONL contract") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.deriveMedia(
+      Tables.documents(spark, sf).limit(20)).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl3").toString + "/media"
+    CorpusIO.writeMediaJsonl(media, dir)
+    val back = CorpusIO.readMediaJsonl(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("data")).toMap
+    val orig = media.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("data")).toMap
+    assert(back.keySet == orig.keySet)
+    orig.foreach { case (id, bytes) => assert(back(id).sameElements(bytes)) }
+  }
+
+  test("CSV side input round-trips with explicit schema") {
+    import org.apache.spark.sql.types._
+    val nation = Tables.nation(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/nation"
+    CorpusIO.writeCsv(nation, dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType), StructField("n_comment", StringType)))
+    val back = CorpusIO.readCsv(spark, dir, schema)
+    assert(back.count() == nation.count())
+    val a = nation.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val b = back.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(a.sameElements(b))
+  }
+}

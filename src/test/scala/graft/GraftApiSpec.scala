@@ -104,6 +104,28 @@ class GraftApiSpec extends SparkSpec {
     assert(page.results.head.similarity_score > 0.99)
   }
 
+  test("batch search answers every query in one job, matching per-query searchData") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-batch").toString + "/idx"
+    graft.vector.IndexPipeline.indexRecords(
+      Tables.documents(spark, sf).limit(50), "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    val texts = Tables.documents(spark, sf).limit(3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val batch = GraftApi.searchDataBatch(spark, dir, texts, 5)
+    assert(batch.results.size == texts.size * 5)
+    val perQuery = batch.results.groupBy(_.query_id)
+    assert(perQuery.keySet == texts.map(_._1).toSet)
+    texts.foreach { case (qid, text) =>
+      val single = GraftApi.searchData(spark, dir, text, 5).results
+      val batched = perQuery(qid).sortBy(_.rank)
+      assert(batched.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
+      // identical hits and scores as N single calls, in one distributed job
+      assert(batched.map(h => (h.similarity_score, h.data_json)) ==
+        single.map(h => (h.similarity_score, h.data_json)))
+    }
+  }
+
   test("searchData is partition-pruned to the retention window (faiss_manager.py:91-99)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api-ret").toString + "/idx"
     val docs = Tables.documents(spark, sf).limit(40)

@@ -105,4 +105,47 @@ class IvfPqSpec extends SparkSpec {
     val ds = got.map(_.getAs[Double]("dist_sq"))
     assert(ds.sameElements(ds.sorted))
   }
+
+  test("batch ADC kNN join: probe-all + full refine equals brute force; defaults clear a recall floor") {
+    import graft.functions.VectorFunctions.l2Sq
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))
+    val brute = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qe"))
+      .crossJoin(emb.select(col("vec_id").as("c_vec_id"), col("embedding").as("ce")))
+      .withColumn("d2", l2Sq(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_vec_id"), col("rank"), col("c_vec_id"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // Probing every cell with a refine budget covering the whole corpus
+    // removes both approximations: the compressed path must reproduce the
+    // brute-force top-10 bit-for-bit (same (d2, id) tie-breaking).
+    val exact = IvfPqIndex.knnJoin(spark, dir, queries, k = 10, nProbe = 8,
+      refineFactor = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exact == brute, "probe-all full-refine ADC join must equal brute force")
+
+    // Default params: every query answers ranks 1..10, finds itself at
+    // distance 0, distances are TRUE squared L2 (exact re-rank), and the
+    // ADC candidate ordering recalls most of the true top-10.
+    val approx = IvfPqIndex.knnJoin(spark, dir, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perQuery = approx.groupBy(_._1)
+    assert(perQuery.size == queries.count())
+    val bruteD = brute.map { case (q, _, c, d) => (q, c) -> d }.toMap
+    val recalls = perQuery.map { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to 10L))
+      val self = rs.find(_._2 == 1L).get
+      assert(self._3 == q && self._4 == 0.0)
+      rs.foreach { case (qq, _, cc, dd) =>
+        bruteD.get((qq, cc)).foreach(bd => assert(bd == dd, "re-rank distances must be exact"))
+      }
+      rs.count { case (qq, _, cc, _) => bruteD.contains((qq, cc)) } / 10.0
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"batch ADC kNN join recall@10 (nProbe=2, refine=4): $avgRecall%.2f")
+    assert(avgRecall >= 0.5, f"recall $avgRecall%.2f below floor")
+  }
 }

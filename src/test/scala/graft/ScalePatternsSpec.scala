@@ -107,4 +107,40 @@ class ScalePatternsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("curation plans: PII/repetition are exchange-free map stages; decontam broadcasts the benchmark") {
+    val docs = Tables.documents(spark, sf)
+    // PII redaction: one projection over one scan — zero Exchange.
+    val piiPlan = graft.ops.Curation.redactPii(docs)
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"),
+      s"PII redaction must be map-only:\n${piiPlan.take(800)}")
+    // Repetition signals: the row-local fold keeps the top-gram statistic
+    // out of any shuffle; the only Exchange is the final presentation sort.
+    val repPlan = graft.ops.Curation.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    val repExchanges = "Exchange".r.findAllIn(repPlan).size
+    assert(repExchanges <= 1 && repPlan.contains("rangepartitioning"),
+      s"repetition signals must shuffle only for the output ordering:\n${repPlan.take(800)}")
+    // Decontamination: the benchmark n-gram set must arrive broadcast —
+    // the corpus side never shuffles its raw n-grams to a join.
+    val decontamPlan = graft.ops.Curation.contaminatedDocs(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+      .queryExecution.executedPlan.toString
+    assert(decontamPlan.contains("BroadcastHashJoin"),
+      s"benchmark n-grams must broadcast:\n${decontamPlan.take(800)}")
+  }
+
+  test("sequence packing plan: windows partition by bucket, never a global single partition") {
+    val plan = graft.ops.Curation.packSequences(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec (the bucket), so no
+    // stage funnels the corpus into one task
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l =>
+      assert(l.contains("bucket"), s"window must partition by bucket: $l"))
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may demand a single partition:\n${plan.take(800)}")
+  }
 }

@@ -143,6 +143,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L)))
   }
 
+  test("streaming curation: PII redaction and decontamination run stateless on a doc stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      1L -> "write to team.lead@corp.example.com about alpha beta gamma delta",
+      2L -> "alpha beta gamma delta epsilon plus more words here",
+      3L -> "completely unrelated content with no markers at all")
+    val bench = Seq(100L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text")
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q1 = EventStream.redactPiiStream(docs)
+      .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    val q2 = EventStream.decontaminateStream(docs, bench)
+      .writeStream.format("memory").queryName("decontam_stream").outputMode("append").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val pii = spark.table("pii_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted")).toMap
+    assert(pii(1L) == "write to [EMAIL] about alpha beta gamma delta")
+    assert(pii(3L) == "completely unrelated content with no markers at all")
+    // docs 1 and 2 share a benchmark 4-gram; only doc 3 survives — and the
+    // stream result equals the batch operator on the same rows.
+    val survivors = spark.table("decontam_stream").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(survivors.sameElements(Array(3L)))
+    val batch = graft.ops.Curation.decontaminate(
+      Seq(1L -> "write to team.lead@corp.example.com about alpha beta gamma delta",
+        2L -> "alpha beta gamma delta epsilon plus more words here",
+        3L -> "completely unrelated content with no markers at all").toDF("doc_id", "text"),
+      bench).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batch.sameElements(survivors))
+  }
+
   test("SQL registration exposes the native vector functions to spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
