@@ -180,6 +180,22 @@ object SparkEntry {
       Dedup.exactDupGroups(docs.unionByName(reIngested))
     }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
+    // Incremental ingestion dedup: an arriving batch (every 10th doc
+    // re-offered — half verbatim, half with a trailing perturbation)
+    // dedups against the PERSISTED LSH index of the resident corpus; the
+    // oracle mirrors the whole two-sided md5 pipeline, so the candidate
+    // sets agree bit-for-bit. Nothing re-derives over the resident side.
+    "doc_incr_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          when(col("doc_id") % 20 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zz yy xx"))).as("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-lsh").toString + "/lsh"
+      graft.text.LshIndex.build(s, docs, dir)
+      graft.text.LshIndex.dedupBatch(s, dir, batch)
+    }),
     // Near-dup clustering: LSH pairs -> connected components (min-label
     // propagation to fixpoint) -> (doc, cluster, size). Oracle = recursive
     // min-id closure over the SAME md5-deterministic pair set.
@@ -1022,6 +1038,41 @@ object SparkEntry {
       s"""WITH $minhashCtes
         |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_incr_dedup" ->
+      """WITH batch AS (SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN text ELSE text || ' zz yy xx' END AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |rsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM rw)),
+        |rmh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
+        |  FROM rsh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |rbands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key FROM rmh GROUP BY doc_id, h // 3),
+        |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch WHERE len(string_split(text, ' ')) >= 3),
+        |bsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM bw)),
+        |bmh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
+        |  FROM bsh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |bbands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key FROM bmh GROUP BY doc_id, h // 3),
+        |cand AS (SELECT b.doc_id AS batch_doc_id, r.doc_id AS resident_doc_id, COUNT(*) AS n_shared_bands
+        |  FROM bbands b JOIN rbands r ON b.band_id = r.band_id AND b.band_key = r.band_key AND b.doc_id <> r.doc_id
+        |  GROUP BY 1, 2),
+        |rsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+        |bsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM bsh GROUP BY doc_id),
+        |inter AS (SELECT c.batch_doc_id, c.resident_doc_id, c.n_shared_bands, COUNT(*) AS n_inter
+        |  FROM cand c JOIN bsh sa ON sa.doc_id = c.batch_doc_id
+        |  JOIN rsh sb ON sb.doc_id = c.resident_doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY 1, 2, 3),
+        |scored AS (SELECT i.batch_doc_id, i.resident_doc_id, i.n_shared_bands,
+        |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        |  FROM inter i JOIN bsizes na ON na.doc_id = i.batch_doc_id JOIN rsizes nb ON nb.doc_id = i.resident_doc_id)
+        |SELECT s.batch_doc_id, s.resident_doc_id, s.n_shared_bands, s.jaccard,
+        |  (md5(b.text) = md5(r.text)) AS is_exact
+        |FROM scored s
+        |JOIN batch b ON b.doc_id = s.batch_doc_id
+        |JOIN documents r ON r.doc_id = s.resident_doc_id
+        |WHERE s.jaccard >= 0.3
+        |ORDER BY s.batch_doc_id, s.resident_doc_id""".stripMargin,
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),

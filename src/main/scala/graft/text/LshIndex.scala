@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Persisted MinHash-LSH index — incremental corpus ingestion's dedup
+  * gate. The batch operators (`ops.Dedup`) recompute signatures over the
+  * whole corpus per run; a production pipeline dedups EACH ARRIVING BATCH
+  * against the resident corpus without touching resident text again. This
+  * index persists the derived tables once and lets a batch join against
+  * them — the text-dedup analog of the vector side's on-disk IVF family.
+  *
+  * Layout on disk (all md5-deterministic, so the DuckDB oracle reproduces
+  * the candidate sets bit-for-bit):
+  *   path/bands    — (doc_id, band_id, band_key), partitioned by band_id;
+  *                   the candidate join key. At cluster scale this table
+  *                   would be bucketBy(band_key) so the per-band join is
+  *                   co-located; partitionBy(band_id) keeps the layout
+  *                   portable here.
+  *   path/shingles — (doc_id, shingle): the exact-Jaccard verify side.
+  *   path/sizes    — (doc_id, n_sh): shingle-set sizes for the union term.
+  *   path/hashes   — (doc_id, text_hash): the exact-duplicate arm.
+  *
+  * Query cost for a batch of b docs against a resident corpus of N: the
+  * batch derives its own shingles/bands map-side; the band join touches
+  * only buckets the batch's band keys hit; the verify join reads resident
+  * shingles for candidate docs only (join pushdown; at scale a bloom or
+  * DPP filter on doc_id). Nothing re-derives over N.
+  */
+object LshIndex {
+
+  /** Derive and persist every index table for the corpus. */
+  def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val sh = Dedup.shingles(docs).localCheckpoint(true)
+    sh.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sizes")
+    Dedup.bandKeys(Dedup.minhashWide(sh))
+      .write.mode(SaveMode.Overwrite).partitionBy("band_id").parquet(s"$path/bands")
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+  }
+
+  /** Append a batch's derived rows into the index (no resident rewrite). */
+  def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val sh = Dedup.shingles(batch).localCheckpoint(true)
+    sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .write.mode(SaveMode.Append).parquet(s"$path/sizes")
+    Dedup.bandKeys(Dedup.minhashWide(sh))
+      .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
+    batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+  }
+
+  /** Dup pairs of an arriving batch AGAINST THE RESIDENT INDEX: LSH band
+    * candidates → exact shingle-Jaccard verify (identical pipeline to
+    * `Dedup.minhashDupPairs`, one side served from disk), plus an
+    * `is_exact` flag from the content-hash arm. Exact duplicates surface
+    * through the same LSH path (identical text ⇒ identical bands,
+    * jaccard 1.0), so one verified pipeline covers both tiers and the
+    * hash arm is a flag, not a second code path.
+    */
+  def dedupBatch(spark: SparkSession, path: String, batch: DataFrame,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val bSh = Dedup.shingles(batch).localCheckpoint(true)
+    val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
+    val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rBands = spark.read.parquet(s"$path/bands")
+    val cand = bBands.as("b").join(rBands.as("r"),
+        col("b.band_id") === col("r.band_id") && col("b.band_key") === col("r.band_key") &&
+          col("b.doc_id") =!= col("r.doc_id"))
+      .groupBy(col("b.doc_id").as("batch_doc_id"), col("r.doc_id").as("resident_doc_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val rSh = spark.read.parquet(s"$path/shingles")
+    val inter = cand
+      .join(bSh.as("sa"), col("batch_doc_id") === col("sa.doc_id"))
+      .join(rSh.as("sb"),
+        col("resident_doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"))
+      .agg(count(lit(1)).as("n_inter"))
+    val rSizes = spark.read.parquet(s"$path/sizes")
+    val scored = inter
+      .join(bSizes.select(col("doc_id").as("batch_doc_id"), col("n_sh").as("na")), "batch_doc_id")
+      .join(rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb")),
+        "resident_doc_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val rHashes = spark.read.parquet(s"$path/hashes")
+    val bHashes = batch.select(col("doc_id").as("batch_doc_id"), md5(col("text")).as("b_hash"))
+    scored
+      .join(bHashes, "batch_doc_id")
+      .join(rHashes.select(col("doc_id").as("resident_doc_id"), col("text_hash").as("r_hash")),
+        "resident_doc_id")
+      .select(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"),
+        col("jaccard"), (col("b_hash") === col("r_hash")).as("is_exact"))
+      .orderBy(col("batch_doc_id"), col("resident_doc_id"))
+  }
+
+  /** The ingestion gate: drop every batch doc with a resident dup, append
+    * the survivors' derived rows, return (doc_id, verdict) for the whole
+    * batch — the loop a daily crawl ingest runs.
+    */
+  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val dups = dedupBatch(spark, path, batch, jaccardThreshold)
+      .select(col("batch_doc_id").as("doc_id"),
+        when(col("is_exact"), "exact_dup").otherwise("near_dup").as("verdict"))
+      .groupBy(col("doc_id"))
+      // exact beats near when a doc matches several residents
+      .agg(min(col("verdict")).as("verdict"))
+      .localCheckpoint(true)
+    val keep = batch.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    appendBatch(spark, keep, path)
+    batch.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.text.LshIndex
+
+class LshIndexSpec extends SparkSpec {
+
+  private def fixtureBatch(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 20 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz yy xx"))).as("text"))
+
+  test("batch-vs-index dedup equals recomputing minhash pairs over the union") {
+    val docs = Tables.documents(spark, sf)
+    val batch = fixtureBatch(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val incr = LshIndex.dedupBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id")) ->
+        ((r.getAs[Long]("n_shared_bands"), r.getAs[Double]("jaccard")))).toMap
+    // Reference: the full-recompute operator over resident ∪ batch,
+    // restricted to cross pairs (resident ids < 2000000 ≤ batch ids).
+    val full = Dedup.minhashDupPairs(docs.select("doc_id", "text").unionByName(batch))
+      .filter(col("doc_a") < 2000000L && col("doc_b") >= 2000000L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("doc_a")) ->
+        ((r.getAs[Long]("n_shared_bands"), r.getAs[Double]("jaccard")))).toMap
+    assert(incr.nonEmpty && incr == full,
+      s"index-served dedup diverged: ${incr.size} vs ${full.size} pairs")
+  }
+
+  test("exact flag marks verbatim re-offers; perturbed docs are near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh2").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val pairs = LshIndex.dedupBatch(spark, dir, fixtureBatch(docs)).collect()
+    // Every batch doc pairs with its own source (id − 2000000) at least.
+    val selfPairs = pairs.filter(r =>
+      r.getAs[Long]("resident_doc_id") == r.getAs[Long]("batch_doc_id") - 2000000L)
+    assert(selfPairs.nonEmpty)
+    selfPairs.foreach { r =>
+      val src = r.getAs[Long]("resident_doc_id")
+      if (src % 20 == 0) {
+        assert(r.getAs[Boolean]("is_exact") && r.getAs[Double]("jaccard") == 1.0)
+      } else {
+        assert(!r.getAs[Boolean]("is_exact") && r.getAs[Double]("jaccard") < 1.0)
+      }
+    }
+  }
+
+  test("ingest gate drops dups, appends survivors, and catches re-offers of ingested docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh3").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    // A batch with one verbatim dup, one perturbed dup, one novel doc.
+    val src = docs.orderBy("doc_id").limit(2).collect()
+    val batch = Seq(
+      (3000001L, src(0).getAs[String]("text")),
+      (3000002L, src(1).getAs[String]("text") + " zz yy xx"),
+      (3000003L, "qq ww ee rr tt uu ii oo pp aa ss dd ff gg hh jj"))
+      .toDF("doc_id", "text")
+    val report = LshIndex.ingestBatch(spark, dir, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(report(3000001L) == "exact_dup")
+    assert(report(3000002L) == "near_dup")
+    assert(report(3000003L) == "ingested")
+    // The novel doc is now resident: re-offering it verbatim is an exact dup.
+    val reoffer = Seq((4000001L,
+      "qq ww ee rr tt uu ii oo pp aa ss dd ff gg hh jj")).toDF("doc_id", "text")
+    val second = LshIndex.ingestBatch(spark, dir, reoffer).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(second(4000001L) == "exact_dup")
+  }
+}
