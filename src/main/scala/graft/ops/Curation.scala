@@ -146,7 +146,8 @@ object Curation {
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val maxId = toks.agg(max(col("doc_id"))).head.getLong(0)
     val span = maxId / nBuckets + 1
-    val bucketed = toks.withColumn("bucket", (col("doc_id") / span).cast("int"))
+    // integer DIV, not double division: exact for ids beyond 2^53
+    val bucketed = toks.withColumn("bucket", expr(s"CAST(doc_id DIV $span AS INT)"))
     val totals = bucketed.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -184,6 +185,7 @@ object Curation {
     * token/UNK counts.
     */
   def tokenize(docs: DataFrame, vocab: Array[(String, Int)]): DataFrame = {
+    require(vocab.nonEmpty, "tokenize needs a non-empty vocabulary")
     val unkId = vocab.length
     val vocabMap = map(vocab.flatMap { case (w, id) => Seq(lit(w), lit(id)) }.toSeq: _*)
     val ids = transform(split(col("text"), " "),

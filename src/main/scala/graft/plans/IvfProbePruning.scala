@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Expression, In, LessThan, LessThanOrEqual, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 import graft.functions.FloatVecL2Sq
 
 /** Access-path selection for kNN (SURVEY.md §4: the one "genuinely engine-y"
@@ -86,6 +86,13 @@ object IvfProbePruning extends Rule[LogicalPlan] {
         arr.toFloatArray
     }
 
+  private[plans] def cellLiteral(cellAttr: Attribute, c: Long): Literal =
+    cellAttr.dataType match {
+      case IntegerType => Literal(c.toInt)
+      case LongType => Literal(c)
+      case dt => Literal.create(c.toString, dt)
+    }
+
   /** Rank the centroid sidecar (driver-side, a few KB) and return the nProbe
     * nearest cell ids, ties by cid — the same contract as `IvfIndex.search`.
     *
@@ -95,27 +102,130 @@ object IvfProbePruning extends Rule[LogicalPlan] {
     * sidecar, the listing changes, and the next plan re-reads. Cost is one
     * directory listing per planned query — no data read on a cache hit.
     */
-  private def probeCells(fsRel: HadoopFsRelation, q: Array[Float]): Option[Array[Long]] = {
+  private def probeCells(fsRel: HadoopFsRelation, q: Array[Float]): Option[Array[Long]] =
+    loadCentroids(fsRel).map(cents =>
+      cents.map { case (cid, c) => (l2sq(c, q), cid) }.sorted.take(nProbe).map(_._2))
+
+  private[plans] def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  private[plans] def loadCentroids(fsRel: HadoopFsRelation): Option[Array[(Long, Array[Float])]] =
+    loadSidecar(fsRel, "centroids", centroidCache,
+      r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private[plans] val radiiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Double)]]()
+
+  private[plans] def loadRadii(fsRel: HadoopFsRelation): Option[Array[(Long, Double)]] =
+    loadSidecar(fsRel, "radii", radiiCache,
+      r => (r.getAs[Long]("cid"), r.getAs[Double]("radius")))
+
+  /** Version-fingerprinted sidecar load: the cache key carries the sidecar
+    * directory's listing (names + mtimes + lengths), so an in-place index
+    * rebuild invalidates; cost on a hit is one directory listing.
+    */
+  private def loadSidecar[T: scala.reflect.ClassTag](fsRel: HadoopFsRelation, name: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, Array[T]],
+      decode: org.apache.spark.sql.Row => T): Option[Array[T]] = {
     val vectorsPath = fsRel.location.rootPaths.headOption.getOrElse(return None)
-    val centroidsPath = new org.apache.hadoop.fs.Path(vectorsPath.getParent, "centroids")
-    val fs = centroidsPath.getFileSystem(fsRel.sparkSession.sessionState.newHadoopConf())
-    if (!fs.exists(centroidsPath)) return None
-    val version = fs.listStatus(centroidsPath)
+    val sidecarPath = new org.apache.hadoop.fs.Path(vectorsPath.getParent, name)
+    val fs = sidecarPath.getFileSystem(fsRel.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(sidecarPath)) return None
+    val version = fs.listStatus(sidecarPath)
       .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
       .sorted.mkString(",")
-    val key = s"$centroidsPath@$version"
+    val key = s"$sidecarPath@$version"
     // Evict superseded versions of this path so rebuilds don't accumulate.
-    centroidCache.keySet.removeIf(k => k.startsWith(s"$centroidsPath@") && k != key)
-    val cents = centroidCache.computeIfAbsent(key, _ =>
-      SparkSession.active.read.parquet(centroidsPath.toString).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
-    def l2(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      acc
+    cache.keySet.removeIf(k => k.startsWith(s"$sidecarPath@") && k != key)
+    Some(cache.computeIfAbsent(key, _ =>
+      SparkSession.active.read.parquet(sidecarPath.toString).collect().map(decode)))
+  }
+}
+
+/** Access-path selection for RANGE queries — the exact sibling of the kNN
+  * probe rule: a declarative radius filter
+  *
+  *   Filter(vec_l2sq(embedding, <literal qvec>) <= <literal r²>)
+  *   over a parquet relation partitioned by `cell` with `centroids` AND
+  *   `radii` sidecars (IvfIndex.build writes both)
+  *
+  * gains a `cell IN (qualifying)` conjunct, where a cell qualifies iff
+  * d(q, centroid) − covering_radius ≤ r (triangle inequality). Unlike the
+  * kNN probe this rewrite is EXACT — the bound only discards cells that
+  * provably contain no hit — but it stays opt-in behind
+  * `spark.graft.ivf.autoRange` for symmetry (and because it adds planning
+  * I/O: two sidecar listings per matched query). The original distance
+  * predicate is kept, so rows in scanned cells still verify exactly.
+  */
+object IvfRangePruning extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.ivf.autoRange", "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        rewrite(cond, rel, e => e).map(g => f.copy(child = g)).getOrElse(f)
+      case f @ Filter(cond, p @ Project(projectList, rel: LogicalRelation)) =>
+        rewrite(cond, rel, e => resolveThroughProject(e, projectList))
+          .map(g => f.copy(child = p.copy(child = g))).getOrElse(f)
     }
-    Some(cents.map { case (cid, c) => (l2(c, q), cid) }.sorted.take(nProbe).map(_._2))
+
+  /** Substitute project-list aliases so `d2 <= r` seen above a Project
+    * resolves to the underlying vec_l2sq expression.
+    */
+  private def resolveThroughProject(e: Expression, projectList: Seq[Expression]): Expression =
+    e.transform {
+      case attr: Attribute =>
+        projectList.collectFirst {
+          case a: Alias if a.exprId == attr.exprId => a.child
+        }.getOrElse(attr)
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def rewrite(cond: Expression, rel: LogicalRelation,
+      resolve: Expression => Expression): Option[Filter] = {
+    val fsRel = rel.relation match {
+      case h: HadoopFsRelation if h.partitionSchema.fieldNames.contains("cell") => h
+      case _ => return None
+    }
+    val cellAttr = rel.output.find(_.name == "cell").getOrElse(return None)
+    // Already rewritten? (idempotency guard for the direct-filter shape)
+    if (splitConjuncts(cond).exists { case In(a: Attribute, _) => a.name == "cell"; case _ => false })
+      return None
+    val bound = splitConjuncts(cond).map(resolve).collectFirst {
+      case LessThanOrEqual(FloatVecL2Sq(_, Literal(arr: ArrayData, ArrayType(FloatType, _))),
+          Literal(r2, DoubleType)) => (arr.toFloatArray, r2.asInstanceOf[Double])
+      case LessThan(FloatVecL2Sq(_, Literal(arr: ArrayData, ArrayType(FloatType, _))),
+          Literal(r2, DoubleType)) => (arr.toFloatArray, r2.asInstanceOf[Double])
+    }
+    bound.flatMap { case (q, r2) =>
+      if (r2 < 0) return None
+      val r = math.sqrt(r2)
+      for {
+        cents <- IvfProbePruning.loadCentroids(fsRel)
+        radii <- IvfProbePruning.loadRadii(fsRel)
+      } yield {
+        val radiusOf = radii.toMap
+        val qualifying = cents.collect {
+          case (cid, c)
+              if math.sqrt(IvfProbePruning.l2sq(c, q)) -
+                radiusOf.getOrElse(cid, Double.MaxValue) <= r => cid
+        }
+        logInfo(s"graft IVF auto-range: pruning to cells ${qualifying.mkString(",")}")
+        Filter(In(cellAttr,
+          qualifying.toSeq.map(IvfProbePruning.cellLiteral(cellAttr, _))), rel)
+      }
+    }
   }
 }
 
@@ -131,6 +241,7 @@ object IvfProbePruning extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IvfProbePruning)
+    ext.injectOptimizerRule(_ => IvfRangePruning)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -206,6 +206,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.contains(900001L))
   }
 
+  test("IVF auto-range rule adds an exact cell-IN conjunct to a declarative radius filter") {
+    import spark.implicits._
+    // Separated clusters (the geometry where the bound can prune) —
+    // interleaved ids so the deterministic seeds land one per cluster.
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 10f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 50
+    } yield ((i * 4 + ci).toLong, ci,
+      c.map(v => v + (rnd.nextInt(100) - 50) / 100f).toSeq)
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ar").toString + "/ivf"
+    IvfIndex.build(spark, emb, dir, nCells = 4, kmeansIters = 3)
+    val qv = rows.head._3
+    val r2 = 9.0
+
+    def rangeQuery() = spark.read.parquet(s"$dir/vectors")
+      .filter(graft.functions.VectorFunctions.l2Sq(col("embedding"), lit(qv.toArray)) <= r2)
+      .select(col("vec_id"), col("label"))
+
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.IvfRangePruning
+    try {
+      val unpruned = rangeQuery().queryExecution.executedPlan.toString
+      assert(unpruned.contains("PartitionFilters: []"),
+        s"expected no pruning with autoRange off:\n$unpruned")
+      val expected = rangeQuery().collect().map(_.getLong(0)).sorted
+
+      spark.conf.set("spark.graft.ivf.autoRange", "true")
+      val auto = rangeQuery()
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell") && plan.contains("IN"),
+        s"expected cell IN partition filter:\n$plan")
+      // EXACT: the pruned result equals the full scan's.
+      assert(auto.collect().map(_.getLong(0)).sorted.sameElements(expected))
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoRange", "false")
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
   test("range-search cell bound prunes on separated clusters and stays exact") {
     // The shipped embedding fixture is one tight blob — every cell ball
     // covers every query, so nothing CAN prune there (and the test above
