@@ -51,6 +51,38 @@ object CorpusIO {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Permissive JSONL read for UNTRUSTED corpus exports: malformed lines
+    * land in a `_corrupt_record` column instead of failing the job (a
+    * 100 TB crawl WILL contain garbage lines; one bad file must not kill
+    * the stage). Returns (clean rows, corrupt lines) — the caller audits
+    * or quarantines the latter. Note Spark requires the corrupt column be
+    * materialized via a cache/checkpoint boundary before filtering on it;
+    * the split here does the required pass once.
+    */
+  def readDocumentsJsonlPermissive(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val fileSchema = StructType(
+      documentSchema.filterNot(_.name == "source")
+        .map(f => f.copy(nullable = true)) :+
+        StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read
+      .schema(fileSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    // `source` exists only when the layout is partition-discovered; a flat
+    // export (no source= dirs) reads with a null source column.
+    val sourceCol =
+      if (raw.columns.contains("source")) col("source")
+      else lit(null).cast(StringType).as("source")
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .select(col("doc_id"), col("text"), col("lang"), sourceCol, col("n_chars"))
+    val corrupt = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (clean, corrupt)
+  }
+
   /** Media rows (doc_id, media_type, data: binary) → JSONL with explicit
     * base64. Binary never silently re-encodes: the column is visibly
     * `bin_b64` on disk.

@@ -32,6 +32,21 @@ class CorpusIOSpec extends SparkSpec {
     assert(pruned.count() == docs.filter(col("source") === "src1").count())
   }
 
+  test("permissive JSONL read quarantines corrupt lines instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad").toString
+    val f = new java.io.PrintWriter(s"$dir/part-0.json")
+    f.println("""{"doc_id": 1, "text": "good row", "lang": "en", "n_chars": 8}""")
+    f.println("""{"doc_id": 2, "text": "also fine", "lang": "en", "n_chars": 9}""")
+    f.println("""{"doc_id": 3, "text": "truncated""") // malformed JSON
+    f.println("""not json at all""")
+    f.close()
+    val (clean, corrupt) = CorpusIO.readDocumentsJsonlPermissive(spark, dir)
+    assert(clean.collect().map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L)))
+    val bad = corrupt.collect().map(_.getString(0))
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("truncated")) && bad.exists(_.contains("not json")))
+  }
+
   test("binary media columns survive the explicit-base64 JSONL contract") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.deriveMedia(
