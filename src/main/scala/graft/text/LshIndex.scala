@@ -99,23 +99,37 @@ object LshIndex {
       .orderBy(col("batch_doc_id"), col("resident_doc_id"))
   }
 
-  /** The ingestion gate: drop every batch doc with a resident dup, append
-    * the survivors' derived rows, return (doc_id, verdict) for the whole
-    * batch — the loop a daily crawl ingest runs.
+  /** The ingestion gate: drop every batch doc with a resident dup AND
+    * within-batch exact copies (a crawl batch re-delivers its own rows
+    * too — only the min-id copy of identical text proceeds to the
+    * resident check), append the survivors' derived rows, and return
+    * (doc_id, verdict) for the whole batch — the loop a daily crawl
+    * ingest runs. Within-batch NEAR-dups are out of scope here by
+    * design: run `Dedup.minhashDupPairs` over the batch first if the
+    * source is known to self-plagiarize.
     */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
       jaccardThreshold: Double = 0.3): DataFrame = {
-    val dups = dedupBatch(spark, path, batch, jaccardThreshold)
+    // Within-batch exact tier: one hash-groupBy; losers never hit the index.
+    val batchLosers = batch
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("batch_dup").as("verdict"))
+      .localCheckpoint(true)
+    val candidates = batch.join(batchLosers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val dups = dedupBatch(spark, path, candidates, jaccardThreshold)
       .select(col("batch_doc_id").as("doc_id"),
         when(col("is_exact"), "exact_dup").otherwise("near_dup").as("verdict"))
       .groupBy(col("doc_id"))
       // exact beats near when a doc matches several residents
       .agg(min(col("verdict")).as("verdict"))
       .localCheckpoint(true)
-    val keep = batch.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val keep = candidates.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
     appendBatch(spark, keep, path)
     batch.select(col("doc_id"))
-      .join(dups, Seq("doc_id"), "left")
+      .join(batchLosers.unionByName(dups), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
       .orderBy(col("doc_id"))
   }

@@ -74,4 +74,23 @@ class LshIndexSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
     assert(second(4000001L) == "exact_dup")
   }
+
+  test("within-batch exact copies: only the min-id copy ingests, the rest are batch_dups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh4").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val novel = "mm nn bb vv cc xx ll kk jj hh gg ff dd ss aa qq"
+    val batch = Seq(
+      (5000001L, novel), (5000002L, novel), (5000003L, novel))
+      .toDF("doc_id", "text")
+    val report = LshIndex.ingestBatch(spark, dir, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(report == Map(5000001L -> "ingested",
+      5000002L -> "batch_dup", 5000003L -> "batch_dup"))
+    // exactly ONE copy became resident
+    val resident = spark.read.parquet(s"$dir/hashes")
+      .filter(col("doc_id") >= 5000000L).count()
+    assert(resident == 1)
+  }
 }
