@@ -267,6 +267,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
     }),
     "doc_repetition" -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
+    // Span-level duplication vs the WHOLE corpus (RefinedWeb-style): the
+    // share of each doc's 4-gram occurrences also present in another doc.
+    "doc_span_dup" -> ((s, d) => Curation.spanDupFractions(Tables.documents(s, d))),
     "doc_pack" -> ((s, d) => Curation.packSequences(Tables.documents(s, d))),
     // Vocab of 16 against this generator's ~31 distinct words so the UNK
     // path genuinely exercises (a production vocab is just a bigger map).
@@ -1261,6 +1264,15 @@ object SparkEntry {
         |  CAST(top_bg AS DOUBLE) / (len(ws) - 1) AS top_bigram_frac,
         |  CAST(top_tg AS DOUBLE) / (len(ws) - 2) AS top_trigram_frac
         |FROM w JOIN btop USING (doc_id) JOIN ttop USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_span_dup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, md5(unnest(list_transform(range(1, len(ws)-2),
+        |        i -> array_to_string(ws[i:i+3], ' ')))) AS gh FROM w),
+        |md AS (SELECT gh FROM (SELECT gh, count(*) AS n FROM (SELECT DISTINCT doc_id, gh FROM g) GROUP BY gh) WHERE n > 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (g.gh IN (SELECT gh FROM md)) AS BIGINT) AS n_dup_grams,
+        |  CAST(count(*) FILTER (g.gh IN (SELECT gh FROM md)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_span_frac
+        |FROM g GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "doc_tokenize" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |allw AS (SELECT unnest(ws) AS word FROM w),

@@ -164,6 +164,43 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Span-level duplication (corpus-internal) --------------------------
+
+  /** Per-doc duplicated-span fraction: the share of a doc's word n-gram
+    * occurrences whose n-gram text also appears in at least one OTHER doc
+    * — the span-level duplication metric of the Gopher/RefinedWeb family
+    * (their suffix-array exact-substring dedup, re-expressed as the
+    * n-gram-hash form that distributes). Complements doc-level dedup
+    * (which drops whole documents) by quantifying boilerplate INSIDE
+    * kept documents.
+    *
+    * Scale shape: n-grams hash to md5 before the shuffle (8-byte-ish keys,
+    * not raw spans); ONE corpus-wide aggregation computes each gram's
+    * distinct-doc count (map-side combine applies); the per-doc fraction
+    * is a second bounded aggregation. This is the honest exact form — the
+    * probabilistic tier above it is the MinHash family.
+    */
+  def spanDupFractions(docs: DataFrame, n: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("g"))
+      .withColumn("gh", md5(col("g")))
+      .select(col("doc_id"), col("gh"))
+    val multiDoc = grams.distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("gh"), lit(true).as("is_dup"))
+    grams
+      .join(multiDoc, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_span_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Vocabulary tokenization -------------------------------------------
 
   /** Frequency vocabulary: the top `size` words by (count desc, word asc) —

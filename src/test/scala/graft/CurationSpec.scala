@@ -160,6 +160,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("span-dup fractions count exactly the grams shared across docs") {
+    val docs = docsDF(
+      1L -> "a b c d e f",       // shares 4-gram "b c d e" with doc 2
+      2L -> "x b c d e y",
+      3L -> "p q r s t u")       // nothing shared
+    val out = Curation.spanDupFractions(docs, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams")))).toMap
+    // doc 1 grams: "a b c d","b c d e","c d e f" → only "b c d e" is shared
+    assert(out(1L) == ((3L, 1L)))
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((3L, 0L)))
+  }
+
   test("n-grams of a doc shorter than n are empty, not an error") {
     val out = docsDF(1L -> "one two")
       .select(Curation.ngrams(col("text"), 4).as("ngs")).head

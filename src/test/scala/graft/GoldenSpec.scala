@@ -35,4 +35,13 @@ class GoldenSpec extends SparkSpec {
     check("crm_recent_emails", crm.CrmOps.recentEmails(spark, sf, 20))
     check("vec_knn_l2", ops.Similarity.knnL2(Tables.embeddings(spark, sf)))
   }
+
+  test("curation outputs match recorded goldens") {
+    val docs = Tables.documents(spark, sf)
+    check("doc_repetition_head", ops.Curation.repetitionSignals(docs).limit(20))
+    check("doc_pack_head", ops.Curation.packSequences(docs).limit(20))
+    check("doc_tokenize_head",
+      ops.Curation.tokenize(docs, ops.Curation.buildVocab(docs, 16)).limit(20))
+    check("vec_range_search", ops.Similarity.rangeSearch(Tables.embeddings(spark, sf)))
+  }
 }
