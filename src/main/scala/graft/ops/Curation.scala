@@ -144,7 +144,11 @@ object Curation {
   def packSequences(docs: DataFrame, budget: Int = 512, nBuckets: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val maxId = toks.agg(max(col("doc_id"))).head.getLong(0)
+    val maxIdRow = toks.agg(max(col("doc_id"))).head
+    if (maxIdRow.isNullAt(0)) // empty corpus: empty result, same schema
+      return toks.withColumn("start_off", lit(0L)).withColumn("seq_id", lit(0L))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"), col("seq_id"))
+    val maxId = maxIdRow.getLong(0)
     val span = maxId / nBuckets + 1
     // integer DIV, not double division: exact for ids beyond 2^53
     val bucketed = toks.withColumn("bucket", expr(s"CAST(doc_id DIV $span AS INT)"))

@@ -119,17 +119,28 @@ object LshIndex {
       .select(col("doc_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
     val candidates = batch.join(batchLosers.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val dups = dedupBatch(spark, path, candidates, jaccardThreshold)
-      .select(col("batch_doc_id").as("doc_id"),
-        when(col("is_exact"), "exact_dup").otherwise("near_dup").as("verdict"))
-      .groupBy(col("doc_id"))
-      // exact beats near when a doc matches several residents
-      .agg(min(col("verdict")).as("verdict"))
+    // Resident exact tier FIRST, straight off the hashes sidecar: catches
+    // every verbatim re-offer — including docs too short to shingle, which
+    // the LSH report below cannot see — and spares them the LSH pipeline.
+    val residentHashes = spark.read.parquet(s"$path/hashes")
+      .select(col("text_hash").as("h")).distinct()
+    val exactDups = candidates
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(residentHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit("exact_dup").as("verdict"))
       .localCheckpoint(true)
-    val keep = candidates.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val rest = candidates.join(exactDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val nearDups = dedupBatch(spark, path, rest, jaccardThreshold)
+      .select(col("batch_doc_id").as("doc_id"), lit("near_dup").as("verdict"))
+      .distinct()
+      .localCheckpoint(true)
+    val verdicts = batchLosers.unionByName(exactDups).unionByName(nearDups)
+    val keep = candidates.join(
+      exactDups.select(col("doc_id")).unionByName(nearDups.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
     appendBatch(spark, keep, path)
     batch.select(col("doc_id"))
-      .join(batchLosers.unionByName(dups), Seq("doc_id"), "left")
+      .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
       .orderBy(col("doc_id"))
   }

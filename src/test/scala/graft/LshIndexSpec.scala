@@ -93,4 +93,19 @@ class LshIndexSpec extends SparkSpec {
       .filter(col("doc_id") >= 5000000L).count()
     assert(resident == 1)
   }
+
+  test("exact tier catches re-offers too short to shingle") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh5").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    // A two-word doc has NO 3-gram shingles — invisible to the LSH report —
+    // but the hash tier must still catch its verbatim re-offer.
+    val first = LshIndex.ingestBatch(spark, dir,
+      Seq((6000001L, "zz qq")).toDF("doc_id", "text")).collect()
+    assert(first.head.getString(1) == "ingested")
+    val second = LshIndex.ingestBatch(spark, dir,
+      Seq((6000002L, "zz qq")).toDF("doc_id", "text")).collect()
+    assert(second.head.getString(1) == "exact_dup")
+  }
 }
