@@ -54,6 +54,27 @@ object LshIndex {
       .write.mode(SaveMode.Append).parquet(s"$path/hashes")
   }
 
+  /** Fail fast when a batch reuses resident doc_ids. The candidate join
+    * excludes same-id pairs (the self-pair guard), so an id collision would
+    * silently SUPPRESS a genuine dup verdict against the same-id resident
+    * doc, and appendBatch would then persist a second row under that id
+    * with no uniqueness check. Disjointness is therefore a precondition,
+    * checked against the hashes sidecar (which has a row for every
+    * resident doc, including unshingleable ones). Cost: one small
+    * semi-join action per batch.
+    */
+  private def requireDisjointIds(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val clash = batch.select(col("doc_id"))
+      .join(spark.read.parquet(s"$path/hashes").select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(5).collect()
+    require(clash.isEmpty,
+      s"batch doc_ids collide with resident doc_ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
+        "ingest requires batch ids disjoint from the resident corpus")
+  }
+
   /** Dup pairs of an arriving batch AGAINST THE RESIDENT INDEX: LSH band
     * candidates → exact shingle-Jaccard verify (identical pipeline to
     * `Dedup.minhashDupPairs`, one side served from disk), plus an
@@ -64,6 +85,7 @@ object LshIndex {
     */
   def dedupBatch(spark: SparkSession, path: String, batch: DataFrame,
       jaccardThreshold: Double = 0.3): DataFrame = {
+    requireDisjointIds(spark, path, batch)
     val bSh = Dedup.shingles(batch).localCheckpoint(true)
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
     val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -110,6 +132,7 @@ object LshIndex {
     */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
       jaccardThreshold: Double = 0.3): DataFrame = {
+    requireDisjointIds(spark, path, batch)
     // Within-batch exact tier: one hash-groupBy; losers never hit the index.
     val batchLosers = batch
       .groupBy(md5(col("text")).as("h"))

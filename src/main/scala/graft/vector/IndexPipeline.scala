@@ -81,7 +81,12 @@ object IndexPipeline {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("vec_id"), (-col("col.value")).as("d2"))
-      .join(corpus.select(col("vec_id"), col("data_type"), col("data_json")), "vec_id")
+      // dropDuplicates: a vec_id re-ingested on several ingest_dates must not
+      // fan the rank join out into duplicate (query_id, rank) rows — the
+      // single-query path carries its payload through the top-k without a
+      // join, so this keeps batch ≡ N-singles.
+      .join(corpus.select(col("vec_id"), col("data_type"), col("data_json"))
+        .dropDuplicates("vec_id"), "vec_id")
       .select(col("query_id"), col("rank"),
         faissSimilarity(col("d2")).as("similarity_score"),
         col("data_type"), col("data_json"))

@@ -128,6 +128,17 @@ object IvfIndex {
     // both sides are ≤nCells rows). Radii only grow on append; retention
     // can leave them conservatively large, which keeps the bound CORRECT
     // (never prunes a qualifying cell), just occasionally less tight.
+    //
+    // SINGLE-WRITER REQUIRED: this is a read-merge-overwrite of a shared
+    // sidecar. Two concurrent appends could each read the pre-append radii
+    // and the last overwrite would LOSE the other side's radius growth —
+    // and a too-SMALL radius silently breaks rangeSearch's exactness (a
+    // cell that contains qualifying vectors could be pruned by the
+    // triangle-inequality bound; too-LARGE is always safe). Appends to one
+    // index path must therefore be serialized by the caller — the same
+    // contract every sidecar-merging store (e.g. a FAISS index file) has.
+    // The swap below goes through a temp dir + rename so a concurrent
+    // READER never observes a half-written sidecar.
     val batchRadii = cellRadii(dated, centroids).collect()
       .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
     val radiiPath = new org.apache.hadoop.fs.Path(s"$path/radii")
@@ -138,10 +149,13 @@ object IvfIndex {
           .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
       else Map.empty[Long, Double]
     import spark.implicits._
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/.radii_tmp")
     (existing.keySet ++ batchRadii.keySet).toSeq.sorted
       .map(c => (c, math.max(existing.getOrElse(c, 0.0), batchRadii.getOrElse(c, 0.0))))
       .toDF("cid", "radius")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    fs.delete(radiiPath, true)
+    fs.rename(tmpPath, radiiPath)
   }
 
   /** Retention: physically drop `ingest_date=` directories older than the

@@ -126,6 +126,28 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("batch search: a vec_id re-ingested on two retained days yields one hit, not two") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-dup").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(30)
+    // monotonically_increasing_id over the same 30 rows reproduces the same
+    // vec_ids, so both retained days carry every id — the rank join's payload
+    // side must dedup or every hit doubles.
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    val texts = docs.select("doc_id", "text").limit(2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val batch = GraftApi.searchDataBatch(spark, dir, texts, 5)
+    val perQuery = batch.results.groupBy(_.query_id)
+    texts.foreach { case (qid, _) =>
+      val hits = perQuery(qid)
+      assert(hits.size == 5, s"expected 5 hits for query $qid, got ${hits.size}")
+      assert(hits.map(_.rank).sorted == Seq(1L, 2L, 3L, 4L, 5L),
+        "duplicate (query_id, rank) rows — payload join fanned out")
+    }
+  }
+
   test("searchData is partition-pruned to the retention window (faiss_manager.py:91-99)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api-ret").toString + "/idx"
     val docs = Tables.documents(spark, sf).limit(40)

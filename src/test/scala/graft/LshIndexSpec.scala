@@ -94,6 +94,20 @@ class LshIndexSpec extends SparkSpec {
     assert(resident == 1)
   }
 
+  test("ingest fails fast when a batch reuses a resident doc_id") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh6").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val residentId = docs.orderBy("doc_id").limit(1).collect()(0).getAs[Long]("doc_id")
+    val clashing = Seq((residentId, "totally different text under a reused id"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](LshIndex.ingestBatch(spark, dir, clashing))
+    assert(e1.getMessage.contains("doc_ids collide"))
+    val e2 = intercept[IllegalArgumentException](LshIndex.dedupBatch(spark, dir, clashing))
+    assert(e2.getMessage.contains("doc_ids collide"))
+  }
+
   test("exact tier catches re-offers too short to shingle") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
