@@ -110,22 +110,31 @@ object Curation {
     * fraction, top-trigram fraction — the standard repetitious-text gates
     * (cf. the Gopher/MassiveText quality rules: fraction of characters in
     * the most common n-gram). One projection, no shuffle.
+    *
+    * Docs too short for an n-gram keep their row with a NULL fraction:
+    * sequence(1, size-n+1) counts DOWN below n words (sequence(1,0) =
+    * [1,0]), so the gram arrays are guarded the same way ngrams() is, and
+    * the fraction denominators are guarded against <= 0.
     */
   def repetitionSignals(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("bgs", expr(
+      .withColumn("bgs", when(col("n_words") >= 2, expr(
         "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
-      .withColumn("tgs", expr(
+        .otherwise(array().cast("array<string>")))
+      .withColumn("tgs", when(col("n_words") >= 3, expr(
         "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .otherwise(array().cast("array<string>")))
       .withColumn("top_bg", expr(maxRunSql("bgs")))
       .withColumn("top_tg", expr(maxRunSql("tgs")))
       .select(col("doc_id"), col("n_words"),
         (lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n_words"))
           .as("dup_word_frac"),
-        (col("top_bg").cast("double") / (col("n_words") - 1)).as("top_bigram_frac"),
-        (col("top_tg").cast("double") / (col("n_words") - 2)).as("top_trigram_frac"))
+        when(col("n_words") >= 2,
+          col("top_bg").cast("double") / (col("n_words") - 1)).as("top_bigram_frac"),
+        when(col("n_words") >= 3,
+          col("top_tg").cast("double") / (col("n_words") - 2)).as("top_trigram_frac"))
       .orderBy(col("doc_id"))
 
   // ---- Sequence packing (concat-and-chunk) -------------------------------
@@ -178,27 +187,42 @@ object Curation {
     * (which drops whole documents) by quantifying boilerplate INSIDE
     * kept documents.
     *
-    * Scale shape: n-grams hash to md5 before the shuffle (8-byte-ish keys,
-    * not raw spans); ONE corpus-wide aggregation computes each gram's
-    * distinct-doc count (map-side combine applies); the per-doc fraction
-    * is a second bounded aggregation. This is the honest exact form — the
-    * probabilistic tier above it is the MinHash family.
+    * Scale shape — ONE corpus-wide shuffle, then dup-only work:
+    *  - `n_grams` per doc is row-local (the size of the doc's own gram
+    *    array) — it never touches a shuffle.
+    *  - n-grams hash to md5 before the wide stage (8-byte-ish keys, not
+    *    raw spans); the single corpus-token-sized aggregation keys on the
+    *    gram hash and computes min/max doc_id — a gram is cross-doc iff
+    *    min ≠ max, so no distinct-expand and no second corpus-wide pass.
+    *  - the join-back is a SEMI-join of occurrences against only the DUP
+    *    grams (typically a small fraction of the key space): AQE
+    *    broadcasts that side when it fits and the runtime bloom filter
+    *    prunes the probe otherwise, so the occurrence stream is not
+    *    re-shuffled at corpus size.
+    * This is the honest exact form — the probabilistic tier above it is
+    * the MinHash family.
     */
   def spanDupFractions(docs: DataFrame, n: Int = 4): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("g"))
+    val withGrams = docs
+      .select(col("doc_id"), ngrams(col("text"), n).as("gs"))
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .filter(col("n_grams") > 0)
+    val occ = withGrams
+      .select(col("doc_id"), explode(col("gs")).as("g"))
       .withColumn("gh", md5(col("g")))
       .select(col("doc_id"), col("gh"))
-    val multiDoc = grams.distinct()
+    val dupGhs = occ
       .groupBy(col("gh"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .select(col("gh"), lit(true).as("is_dup"))
-    grams
-      .join(multiDoc, Seq("gh"), "left")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val dupCounts = occ
+      .join(dupGhs, Seq("gh"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    withGrams.select(col("doc_id"), col("n_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
       .withColumn("dup_span_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("dup_span_frac"))
@@ -270,12 +294,17 @@ object Curation {
     * globally-unique bin ids derived from the partition id; bin membership
     * depends on partitioning, hence spec-level (deterministic under a
     * fixed repartitionByRange) rather than oracle-checked.
+    *
+    * `n_tokens` is the TRUE document length; only the bin accounting clamps
+    * to the budget, and an over-budget doc is flagged (`over_budget`) —
+    * such a doc occupies a bin alone rather than silently misreporting its
+    * length.
     */
   def packFirstFit(docs: DataFrame, budget: Int = 512, nPartitions: Int = 32): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs.select(col("doc_id"),
-      least(size(split(col("text"), " ")).cast("long"), lit(budget.toLong)).as("n_tokens"))
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(nPartitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
@@ -284,11 +313,12 @@ object Curation {
       var used = budget + 1L // over-budget sentinel: first doc opens a bin
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       it.map { case (docId, n) =>
-        if (used + n > budget) { binInPart += 1; used = 0L }
-        used += n
+        val fit = math.min(n, budget.toLong) // bin-accounting value only
+        if (used + fit > budget) { binInPart += 1; used = 0L }
+        used += fit
         // bin id: partition-local counter offset into a per-partition range
-        (docId, n, pid * (1L << 40) + binInPart, used - n)
+        (docId, n, n > budget, pid * (1L << 40) + binInPart, used - fit)
       }
-    }.toDF("doc_id", "n_tokens", "bin_id", "off_in_bin")
+    }.toDF("doc_id", "n_tokens", "over_budget", "bin_id", "off_in_bin")
   }
 }

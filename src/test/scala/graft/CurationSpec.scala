@@ -64,6 +64,22 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("top_bigram_frac") - 1.0 / 5) < 1e-15)
   }
 
+  test("repetition signals on docs too short for an n-gram: row kept, fraction NULL") {
+    val docs = docsDF(
+      1L -> "solo",            // 1 word: no bigrams, no trigrams
+      2L -> "two words",       // 2 words: one bigram, no trigrams
+      3L -> "three word doc")  // 3 words: both defined
+    val out = Curation.repetitionSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "short docs must keep their rows")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("top_bigram_frac")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("top_trigram_frac")))
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("top_trigram_frac")))
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 0.5)
+    assert(out(3L).getAs[Double]("top_trigram_frac") == 1.0)
+  }
+
   test("sequence packing equals the single-window definition and is bucket-count invariant") {
     val docs = Tables.documents(spark, sf)
     // Reference: the naive global-window cumsum (fine at test scale).
@@ -86,20 +102,38 @@ class CurationSpec extends SparkSpec {
     val out = Curation.packFirstFit(docs, budget).collect()
     assert(out.length == docs.count())
     assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    // n_tokens is the TRUE length; bin accounting uses min(n_tokens, budget)
     out.groupBy(_.getAs[Long]("bin_id")).foreach { case (bin, rows) =>
-      val used = rows.map(_.getAs[Long]("n_tokens")).sum
+      val used = rows.map(r => math.min(r.getAs[Long]("n_tokens"), budget.toLong)).sum
       assert(used <= budget, s"bin $bin overflows: $used > $budget")
-      // offsets tile the bin exactly
+      // offsets tile the bin exactly (by the clamped accounting value)
       val sorted = rows.sortBy(_.getAs[Long]("off_in_bin"))
       sorted.foldLeft(0L) { (expectOff, r) =>
         assert(r.getAs[Long]("off_in_bin") == expectOff)
-        expectOff + r.getAs[Long]("n_tokens")
+        expectOff + math.min(r.getAs[Long]("n_tokens"), budget.toLong)
       }
     }
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("over_budget") == (r.getAs[Long]("n_tokens") > budget)))
     // Deterministic: same partitioning, same bins.
     val again = Curation.packFirstFit(docs, budget).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
     out.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[Long]("bin_id")))
+  }
+
+  test("first-fit packing reports true lengths for over-budget docs, which sit alone") {
+    val docs = docsDF(
+      1L -> Seq.fill(20)("w").mkString(" "),   // 20 tokens
+      2L -> Seq.fill(50)("x").mkString(" "),   // 50 tokens — over a budget of 32
+      3L -> Seq.fill(10)("y").mkString(" "))
+    val out = Curation.packFirstFit(docs, budget = 32, nPartitions = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Long]("n_tokens") == 50L, "true length must not be clamped")
+    assert(out(2L).getAs[Boolean]("over_budget"))
+    assert(!out(1L).getAs[Boolean]("over_budget") && !out(3L).getAs[Boolean]("over_budget"))
+    // the over-budget doc fills its bin alone (accounting value = budget)
+    val binOf2 = out(2L).getAs[Long]("bin_id")
+    assert(out.values.count(_.getAs[Long]("bin_id") == binOf2) == 1)
   }
 
   test("tokenize: vocab ids by frequency, OOV becomes the UNK id, round-trippable") {
@@ -172,6 +206,35 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == ((3L, 1L)))
     assert(out(2L) == ((3L, 1L)))
     assert(out(3L) == ((3L, 0L)))
+  }
+
+  test("span-dup plan: one corpus-wide shuffle on the gram hash, dup-only join-back") {
+    val docs = Tables.documents(spark, sf)
+    val df = Curation.spanDupFractions(docs)
+    df.collect() // run it so AQE settles the final plan
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section
+    // — count shuffles in the FINAL plan only.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ghShuffles = plan.sliding("Exchange hashpartitioning(gh".length)
+      .count(_ == "Exchange hashpartitioning(gh")
+    assert(ghShuffles == 1,
+      s"the occurrence stream must hit exactly ONE wide stage keyed on gh, saw $ghShuffles:\n" +
+        plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the dup-gram join-back must not re-shuffle the occurrence stream:\n${plan.take(1200)}")
+  }
+
+  test("span-dup: docs with repeated internal grams count occurrences, not distinct grams") {
+    val docs = docsDF(
+      1L -> "a b c d a b c d", // gram "a b c d" occurs twice in doc 1 (positions 1 and 5)...
+      2L -> "z a b c d y")
+    // doc 1 grams: "a b c d","b c d a","c d a b","d a b c","a b c d" (5 occurrences);
+    // only "a b c d" is cross-doc (also in doc 2) and it occurs TWICE in doc 1.
+    val out = Curation.spanDupFractions(docs, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams")))).toMap
+    assert(out(1L) == ((5L, 2L)))
+    assert(out(2L) == ((3L, 1L)))
   }
 
   test("n-grams of a doc shorter than n are empty, not an error") {
