@@ -20,6 +20,23 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ crmQueries
 
+  /** Build-once on-disk artifacts per (kind, sf dir) — the amortized-index
+    * contract. Production builds an index once and queries it many times,
+    * so the registered `*_build` entries time a FRESH build on every call
+    * while the `*_query` twins serve from this cache (building lazily only
+    * if no `*_build` entry ran first, e.g. under SPARK_GRAFT_ONLY). The
+    * content correctness of a cached build is checked END-TO-END: the query
+    * twin reads only the built layout and must still hash-match its
+    * engine-independent oracle.
+    */
+  private val artifactCache = new scala.collection.concurrent.TrieMap[String, String]
+  private def cachedArtifact(kind: String, sfDir: String)(build: String => Unit): String =
+    artifactCache.getOrElseUpdate(s"$kind|$sfDir", {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$kind").toString + "/idx"
+      build(dir)
+      dir
+    })
+
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.2-2.8) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -138,35 +155,71 @@ object SparkEntry {
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
     // Second cosine-LSH family (sign random projections). Oracle = the
     // all-pairs definition at cos >= 0.9; with 16 bands of 2 bits the
-    // per-pair miss probability at that threshold is ~6e-10 (was ~3e-5 at
-    // 8 bands — wide enough that a fixture/SF change could plausibly trip
-    // the oracle), and the seeded hyperplanes make the candidate set
-    // deterministic — recall verified total at every shipped SF
-    // (SimilaritySpec holds the subset + recall asserts).
-    "vec_rplsh_pairs" -> ((s, d) => Similarity.rpLshDupPairs(Tables.embeddings(s, d), 0.9)),
-    "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
-    // rows-only by design (like the sketch queries): PQ codebooks are a
-    // k-means artifact — deterministic for us, but not reproducible in
-    // DuckDB SQL at reasonable size; the recall + exactness asserts live in
-    // PqIndexSpec (ADC candidates re-ranked exactly vs brute force).
-    "vec_pq_search" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val books = graft.vector.PqIndex.train(emb)
-      val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0)
-      graft.vector.PqIndex.searchAdc(graft.vector.PqIndex.encode(emb, books), emb, books, qv)
+    // per-pair miss probability at that threshold is ~6e-10, and the
+    // seeded hyperplanes make the candidate set deterministic — recall
+    // verified total at every shipped SF (SimilaritySpec holds the subset
+    // + recall asserts). The raw corpus has NO pairs at cos ≥ 0.9 at the
+    // shipped SFs (the oracle would match on an empty set), so the HARNESS
+    // plants deterministic near-pairs: every 25th vector re-offered under
+    // id+100000, DOUBLED elementwise. Doubling a float is exact (exponent
+    // bump, no rounding), so the planted twin's band keys are bitwise
+    // identical to its source's — candidacy is guaranteed, not
+    // probabilistic — and cos(source, twin) ≈ 1.0 gives the oracle a
+    // non-empty answer with teeth. The oracle mirrors the same union.
+    "vec_rplsh_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x + x).as("embedding"))
+      Similarity.rpLshDupPairs(emb.unionByName(planted), 0.9)
     }),
-    // Batch ADC kNN join over the composed on-disk IVF-PQ layout: top-k for
-    // every query row, candidates scored codes-only via per-(query, cell)
-    // residual LUTs computed in-plan, exact re-rank. Rows-only like the
-    // other PQ query (k-means artifact); IvfPqSpec holds the algorithmic
-    // asserts (probe-all + full refine ≡ brute force bit-for-bit).
+    "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
+    // IVF-PQ build, timed as its own entry: a FRESH k-means + residual-PQ
+    // train + partitioned write per call (the honest build cost), installed
+    // into the artifact cache for the query twins. The returned summary is
+    // the only cross-engine-expressible slice of a k-means artifact — the
+    // build's CONTENT is verified end-to-end by the query twins below,
+    // whose brute-force oracles bind on data read exclusively from this
+    // layout.
+    "vec_pq_build" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivfpq").toString + "/idx"
+      graft.vector.IvfPqIndex.build(s, Tables.embeddings(s, d), dir)
+      artifactCache.putIfAbsent(s"ivfpq|$d", dir)
+      s.read.parquet(s"$dir/vectors")
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("vec_id")).as("n_distinct_ids"),
+          sum(org.apache.spark.sql.functions.size(col("codes")).cast("long")).as("n_codes"))
+    }),
+    // PQ single-query search in the PROVABLY-EXACT configuration: probe all
+    // cells, refine budget covering the whole corpus — IvfPqSpec proves this
+    // config ≡ brute force bit-for-bit, so the DuckDB brute-force top-k
+    // oracle binds (the vec_knn_l2 pattern). The fast approximate configs
+    // (narrow probe, small refine) stay spec-level in PqIndexSpec/IvfPqSpec.
+    // `cell` is dropped from the output: it is the one k-means-dependent
+    // column, and exactness of (vec_id, label, dist_sq) is centroid-free.
+    "vec_pq_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfpq", d)(p => graft.vector.IvfPqIndex.build(s, emb, p))
+      val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+      val rf = ((emb.count() + 9) / 10).toInt
+      graft.vector.IvfPqIndex.search(s, dir, qv, k = 10, nProbe = 8, refineFactor = rf)
+        .select(col("vec_id"), col("label"), col("dist_sq"))
+    }),
+    // Batch ADC kNN join over the cached on-disk IVF-PQ layout, same
+    // provably-exact configuration (probe-all + full refine ≡ brute force,
+    // IvfPqSpec): per-(query, cell) residual LUTs in-plan, codes-only
+    // candidate scoring, exact re-rank. Oracle = DuckDB brute-force
+    // per-query top-k.
     "vec_pq_knn_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivfpq").toString + "/idx"
-      graft.vector.IvfPqIndex.build(s, emb, dir)
-      graft.vector.IvfPqIndex.knnJoin(s, dir, emb.filter(col("vec_id") % 37 === 0), nProbe = 4)
+      val dir = cachedArtifact("ivfpq", d)(p => graft.vector.IvfPqIndex.build(s, emb, p))
+      val rf = ((emb.count() + 9) / 10).toInt
+      graft.vector.IvfPqIndex.knnJoin(s, dir, emb.filter(col("vec_id") % 37 === 0),
+        k = 10, nProbe = 8, refineFactor = rf)
     }),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the
@@ -180,20 +233,33 @@ object SparkEntry {
       Dedup.exactDupGroups(docs.unionByName(reIngested))
     }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
-    // Incremental ingestion dedup: an arriving batch (every 10th doc
+    // Incremental-dedup BUILD, timed as its own entry: a fresh persisted
+    // LSH index of the resident corpus per call, installed into the
+    // artifact cache for the query twin. Returned artifact = the sizes
+    // sidecar (per-doc distinct shingle counts) — md5-free and fully
+    // SQL-expressible, so the oracle binds on the build itself.
+    "doc_incr_dedup_build" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-lsh").toString + "/lsh"
+      graft.text.LshIndex.build(s, Tables.documents(s, d), dir)
+      artifactCache.putIfAbsent(s"lsh|$d", dir)
+      s.read.parquet(s"$dir/sizes").orderBy(col("doc_id"))
+    }),
+    // Incremental ingestion dedup QUERY: an arriving batch (every 10th doc
     // re-offered — half verbatim, half with a trailing perturbation)
-    // dedups against the PERSISTED LSH index of the resident corpus; the
-    // oracle mirrors the whole two-sided md5 pipeline, so the candidate
-    // sets agree bit-for-bit. Nothing re-derives over the resident side.
-    "doc_incr_dedup" -> ((s, d) => {
+    // dedups against the PERSISTED LSH index of the resident corpus —
+    // served from the artifact cache, so the bench measures the amortized
+    // query path the design argues for, not build+query. The oracle
+    // mirrors the whole two-sided md5 pipeline, so the candidate sets
+    // agree bit-for-bit. Nothing re-derives over the resident side.
+    "doc_incr_dedup_query" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
       val batch = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           when(col("doc_id") % 20 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" zz yy xx"))).as("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-lsh").toString + "/lsh"
-      graft.text.LshIndex.build(s, docs, dir)
+      val dir = cachedArtifact("lsh", d)(p => graft.text.LshIndex.build(s, docs, p))
       graft.text.LshIndex.dedupBatch(s, dir, batch)
     }),
     // Near-dup clustering: LSH pairs -> connected components (min-label
@@ -1008,13 +1074,38 @@ object SparkEntry {
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
     "vec_rplsh_pairs" ->
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x + x) AS embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM u),
         |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n)
         |SELECT vec_id_a, vec_id_b, cos AS cos_sim FROM (
         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.9 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "vec_pq_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS n_codes
+        |FROM embeddings""".stripMargin,
+    "vec_pq_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q)
+        |SELECT vec_id, label, d2 AS dist_sq
+        |FROM d ORDER BY d2, vec_id LIMIT 10""".stripMargin,
+    "vec_pq_knn_join" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS q_vec_id, e AS qe FROM emb WHERE vec_id % 37 = 0),
+        |d AS (SELECT q.q_vec_id, c.vec_id AS c_vec_id, ${l2sqSql("q.qe", "c.e")} AS d2
+        |      FROM q, emb c),
+        |r AS (SELECT q_vec_id, c_vec_id, d2,
+        |        row_number() OVER (PARTITION BY q_vec_id ORDER BY d2, c_vec_id) AS rk
+        |      FROM d)
+        |SELECT q_vec_id, CAST(rk AS BIGINT) AS rank, c_vec_id, d2 AS dist_sq
+        |FROM r WHERE rk <= 10 ORDER BY q_vec_id, rk""".stripMargin,
     "vec_index_prune" ->
       """WITH idx AS (SELECT vec_id, DATE '2024-01-01' + CAST(vec_id % 10 AS INT) AS ingest_date FROM embeddings),
         |mx AS (SELECT max(ingest_date) AS mxd FROM idx)
@@ -1041,7 +1132,12 @@ object SparkEntry {
       s"""WITH $minhashCtes
         |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
-    "doc_incr_dedup" ->
+    "doc_incr_dedup_build" ->
+      """WITH rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |rsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM rw))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rsh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_incr_dedup_query" ->
       """WITH batch AS (SELECT doc_id + 2000000 AS doc_id,
         |    CASE WHEN doc_id % 20 = 0 THEN text ELSE text || ' zz yy xx' END AS text
         |  FROM documents WHERE doc_id % 10 = 0),
@@ -1261,9 +1357,9 @@ object SparkEntry {
         |ttop AS (SELECT doc_id, max(c) AS top_tg FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
         |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
-        |  CAST(top_bg AS DOUBLE) / (len(ws) - 1) AS top_bigram_frac,
-        |  CAST(top_tg AS DOUBLE) / (len(ws) - 2) AS top_trigram_frac
-        |FROM w JOIN btop USING (doc_id) JOIN ttop USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN len(ws) >= 2 THEN CAST(top_bg AS DOUBLE) / (len(ws) - 1) END AS top_bigram_frac,
+        |  CASE WHEN len(ws) >= 3 THEN CAST(top_tg AS DOUBLE) / (len(ws) - 2) END AS top_trigram_frac
+        |FROM w LEFT JOIN btop USING (doc_id) LEFT JOIN ttop USING (doc_id) ORDER BY doc_id""".stripMargin,
     "doc_span_dup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, md5(unnest(list_transform(range(1, len(ws)-2),

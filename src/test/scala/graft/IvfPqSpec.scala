@@ -58,6 +58,21 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("single-query probe-all + full-refine equals brute force bit-for-bit") {
+    // The registered vec_pq_search configuration: probe every cell with a
+    // refine budget covering the whole corpus — both approximations off,
+    // so the output must BE the brute-force top-k (same distances, same
+    // (d2, id) tie-breaking). This is what lets the DuckDB brute-force
+    // oracle bind on the PQ path.
+    val n = emb.count()
+    val rf = ((n + 9) / 10).toInt
+    val got = IvfPqIndex.search(spark, dir, qv, k = 10, nProbe = 8, refineFactor = rf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq")))
+    val brute = graft.ops.Similarity.knnL2(emb, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq")))
+    assert(got.sameElements(brute), "probe-all full-refine search must equal brute force")
+  }
+
   test("appendBatch encodes against existing sidecars; new vectors are searchable") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString + "/idx"
