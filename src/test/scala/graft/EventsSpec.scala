@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Relational}
+
+/** Tolerance asserts for the sketch aggregates (VERDICT r4 #2): sketches
+  * can't hash-match a different engine by design, so the driver records
+  * them rows-only — these asserts bind them to their EXACT twins instead.
+  * Bounds are ~4-5× the sketch's nominal error so they fail on a broken
+  * sketch, never on sketch variance.
+  */
+class EventsSpec extends SparkSpec {
+
+  test("HLL user counts land within rsd-derived bounds of exact countDistinct") {
+    val events = Tables.events(spark, sf)
+    // rsd = 0.02 (the registered query's setting); assert 4σ relative error.
+    val approx = Events.approxUserCounts(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("exact_users")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (tpe, ex) =>
+      val ap = approx(tpe)
+      val relErr = math.abs(ap - ex).toDouble / ex
+      assert(relErr <= 4 * 0.02,
+        s"event_type=$tpe: HLL estimate $ap vs exact $ex (rel err $relErr > 8%)")
+    }
+  }
+
+  test("approx quantiles sit at ranks within tolerance of their targets") {
+    val events = Tables.events(spark, sf)
+    // approx_percentile(accuracy=1000) ⇒ nominal rank error 1e-3; assert a
+    // 10× margin by recomputing each estimate's TRUE rank in its group.
+    val approx = Events.approxValueQuantiles(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Seq(0.5 -> r.getAs[Double]("p50"), 0.9 -> r.getAs[Double]("p90"),
+          0.99 -> r.getAs[Double]("p99"))).toMap
+    val tol = 0.01
+    approx.foreach { case (tpe, qs) =>
+      val grp = events.filter(col("event_type") === tpe).select(col("value").cast("double"))
+      val n = grp.count().toDouble
+      qs.foreach { case (q, est) =>
+        val nLe = grp.filter(col("value") <= est).count().toDouble
+        val nLt = grp.filter(col("value") < est).count().toDouble
+        // the estimate's rank interval [nLt/n, nLe/n] must overlap q ± tol
+        assert(nLe / n >= q - tol && nLt / n <= q + tol,
+          s"event_type=$tpe q=$q: estimate $est has rank in " +
+            s"[${nLt / n}, ${nLe / n}], outside $q ± $tol")
+      }
+    }
+  }
+
+  test("sketch quantile estimates agree with the exact distributed engine's values") {
+    val events = Tables.events(spark, sf)
+    // Cross-check the p50 estimate against exactQuantilesDistributed (the
+    // scale-honest exact tier): the sketch median must fall between the
+    // exact interpolated quantiles at 0.5 ∓ 10·nominal rank error.
+    val lo = Relational.exactQuantilesDistributed(events, "event_type", "value", Seq(0.49))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("quantile")).toMap
+    val hi = Relational.exactQuantilesDistributed(events, "event_type", "value", Seq(0.51))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("quantile")).toMap
+    Events.approxValueQuantiles(events).collect().foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val p50 = r.getAs[Double]("p50")
+      assert(p50 >= lo(tpe) && p50 <= hi(tpe),
+        s"event_type=$tpe: sketch p50 $p50 outside exact [${lo(tpe)}, ${hi(tpe)}]")
+    }
+  }
+}
