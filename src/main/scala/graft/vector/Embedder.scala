@@ -79,3 +79,64 @@ class HashingEmbedder(override val dim: Int = 64) extends Embedder {
       FeatureHashEmbed(org.apache.spark.sql.GraftSqlBridge.expression(text), dim))
   override def embedText(text: String): Array[Float] = HashingEmbedder.embed(text, dim)
 }
+
+/** Row-local expression serving a PRECOMPUTED text→vector table: the model
+  * ran out-of-band; the plan only looks vectors up. Unknown text fails
+  * fast — silently falling back to a different embedding family would
+  * poison the index (reference parallel: the model is fixed per index,
+  * `utils.py:12-23`).
+  */
+case class LookupEmbed(child: Expression, table: Map[String, Array[Float]], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val v = table.getOrElse(text,
+      throw new IllegalArgumentException(
+        s"LookupEmbedder has no precomputed vector for text: ${text.take(60)}"))
+    new GenericArrayData(v.map(f => f: Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lookup_embed"
+}
+
+/** Second `Embedder` implementation — proof that the trait boundary admits
+  * a REAL model without touching any index/search code: vectors come from
+  * a precomputed table (the deployment shape of an external model — an
+  * ONNX session, a GPU batch job, or a vendor API produces embeddings
+  * out-of-band and the engine serves them by key). The table is a bounded
+  * driver artifact of the same class as the IVF centroid / PQ codebook
+  * sidecars and ships to executors inside the serialized expression; a
+  * per-row in-JVM model (e.g. ONNX Runtime) would implement the SAME two
+  * methods with session inference instead of a map lookup.
+  */
+class LookupEmbedder(table: Map[String, Array[Float]], override val dim: Int)
+    extends Embedder {
+  require(table.nonEmpty, "LookupEmbedder needs a non-empty text→vector table")
+  require(table.values.forall(_.length == dim),
+    s"every precomputed vector must have dim=$dim")
+  override def embedCol(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      LookupEmbed(org.apache.spark.sql.GraftSqlBridge.expression(text), table, dim))
+  override def embedText(text: String): Array[Float] =
+    table.getOrElse(text,
+      throw new IllegalArgumentException(
+        s"LookupEmbedder has no precomputed vector for text: ${text.take(60)}"))
+}
+
+object LookupEmbedder {
+  /** Build from a keyed DataFrame of (text, embedding) rows — e.g.
+    * documents joined to their model-produced vectors. Duplicate texts
+    * keep one vector deterministically (first by the frame's order after
+    * dropDuplicates). The collect is the bounded-artifact contract: use
+    * this for query-side vocabularies and fixtures; a full-corpus model
+    * belongs in a per-row Embedder impl, not a lookup table.
+    */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", embCol: String = "embedding"): LookupEmbedder = {
+    val rows = df.select(textCol, embCol).dropDuplicates(textCol)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    val table = rows.toMap
+    new LookupEmbedder(table, table.head._2.length)
+  }
+}

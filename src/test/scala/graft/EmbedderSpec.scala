@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.vector.{HashingEmbedder, IndexPipeline, VectorIndex}
+import graft.vector.{HashingEmbedder, IndexPipeline, LookupEmbedder, VectorIndex}
 
 class EmbedderSpec extends SparkSpec {
 
@@ -36,6 +36,48 @@ class EmbedderSpec extends SparkSpec {
     assert(math.abs(hits.head.getAs[Double]("similarity_score") - 1.0) < 1e-5)
     assert(hits.head.getAs[String]("data_json").contains("\"doc_id\":42"))
     assert(hits.head.getAs[String]("data_type") == "document")
+  }
+
+  test("full lifecycle through a NON-hashing embedder: the plug point is real") {
+    // Precomputed model vectors: documents joined to embeddings.parquet
+    // (the generator keys them doc_id == vec_id) — the deployment shape of
+    // a real external model (vectors produced out-of-band, served by key).
+    val docs = Tables.documents(spark, sf)
+    val joined = docs.join(Tables.embeddings(spark, sf),
+      docs("doc_id") === col("vec_id"))
+      .select(col("text"), col("embedding"))
+    val model = LookupEmbedder.fromDataFrame(joined)
+    assert(model.dim == 64)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-lookup").toString + "/idx"
+    IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"), embedder = model)
+    // The index must hold the MODEL's vectors, not the hashing stand-in's.
+    val probeText = docs.filter(col("doc_id") === 42L).select("text").head.getString(0)
+    val stored = spark.read.parquet(dir)
+      .filter(get_json_object(col("data_json"), "$.doc_id") === "42")
+      .select("embedding").head.getSeq[Float](0)
+    assert(stored == model.embedText(probeText).toSeq, "index must store model vectors")
+    assert(stored != new HashingEmbedder(64).embedText(probeText).toSeq,
+      "lifecycle must not silently route through the hashing stand-in")
+
+    // Search with the same embedder: the probed doc is its own top hit.
+    val hits = IndexPipeline.searchIndex(spark, dir, probeText, k = 3,
+      asOf = java.sql.Date.valueOf("2024-03-02"), embedder = model).collect()
+    assert(hits.length == 3 && hits.head.getAs[Long]("rank") == 1L)
+    assert(math.abs(hits.head.getAs[Double]("similarity_score") - 1.0) < 1e-5)
+    assert(hits.head.getAs[String]("data_json").contains("\"doc_id\":42"))
+
+    // Batch search path through the same embedder.
+    import spark.implicits._
+    val batch = IndexPipeline.searchIndexBatch(spark, dir,
+      Seq((42L, probeText)).toDF("query_id", "query_text"), k = 3,
+      asOf = java.sql.Date.valueOf("2024-03-02"), embedder = model).collect()
+    assert(batch.length == 3)
+    assert(batch.head.getAs[String]("data_json").contains("\"doc_id\":42"))
+
+    // Unknown text fails fast — never a silent fallback embedding.
+    intercept[IllegalArgumentException](model.embedText("never seen before zz"))
   }
 
   test("retention prunes stale ingest days out of search scope") {
