@@ -11,8 +11,7 @@ class GoldenSpec extends SparkSpec {
 
   private val goldenDir = Paths.get("src/test/resources/golden")
 
-  private def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-    val got = df.toJSON.collect().mkString("\n")
+  private def checkText(name: String, got: String): Unit = {
     val f = goldenDir.resolve(s"$name.jsonl")
     if (!Files.exists(f)) {
       Files.createDirectories(goldenDir)
@@ -22,6 +21,9 @@ class GoldenSpec extends SparkSpec {
       assert(got == Files.readString(f), s"golden drift in $name")
     }
   }
+
+  private def check(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+    checkText(name, df.toJSON.collect().mkString("\n"))
 
   test("tool outputs match recorded goldens") {
     check("crm_active_companies", crm.CrmOps.activeCompanies(spark, sf))
@@ -34,6 +36,44 @@ class GoldenSpec extends SparkSpec {
     check("crm_ticket_threads", crm.CrmOps.ticketConversationThreads(spark, sf))
     check("crm_recent_emails", crm.CrmOps.recentEmails(spark, sf, 20))
     check("vec_knn_l2", ops.Similarity.knnL2(Tables.embeddings(spark, sf)))
+  }
+
+  test("tool response ENVELOPES match recorded goldens — all nine tools (API-tier drift protection)") {
+    import graft.api.GraftApi
+    // Serialize the typed Page envelope exactly as the API tier shapes it:
+    // {results, total, after} — results via the case-class Encoder's JSON
+    // (field order = case-class declaration order, deterministic).
+    def env[T <: Product](p: GraftApi.Page[T])(
+        implicit enc: org.apache.spark.sql.Encoder[T]): String = {
+      val rows = spark.createDataset(p.results)(enc).toJSON.collect().mkString("[", ",", "]")
+      val after = p.after.map("\"" + _ + "\"").getOrElse("null")
+      s"""{"results":$rows,"total":${p.total},"after":$after}"""
+    }
+    import spark.implicits._
+    checkText("envelope_active_companies", env(GraftApi.getActiveCompanies(spark, sf)))
+    checkText("envelope_active_contacts", env(GraftApi.getActiveContacts(spark, sf)))
+    checkText("envelope_tickets_default", env(GraftApi.getTickets(spark, sf, limit = 10)))
+    checkText("envelope_recent_emails", env(GraftApi.getRecentEmails(spark, sf, limit = 10)))
+    checkText("envelope_recent_conversations",
+      env(GraftApi.getRecentConversations(spark, sf, limit = 5)))
+    checkText("envelope_company_activity",
+      env(GraftApi.getCompanyActivity(spark, sf, fanoutCap = 5)))
+    checkText("envelope_ticket_threads",
+      env(GraftApi.getTicketThreads(spark, sf, nTickets = 5)))
+    checkText("envelope_create_companies", env(GraftApi.createCompanies(spark, sf)))
+    checkText("envelope_create_contacts", env(GraftApi.createContacts(spark, sf)))
+    // The search tool's envelope, over a deterministic just-built index.
+    val dir = java.nio.file.Files.createTempDirectory("graft-golden-idx").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    val probe = docs.orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .select("text").head.getString(0)
+    checkText("envelope_search_data", env(GraftApi.searchData(spark, dir, probe, 5)))
+    // The error envelope: structured, never a thrown exception.
+    val err = GraftApi.guarded(GraftApi.getTickets(spark, sf, criteria = "bogus"))
+      .left.map(e => s"""{"error":"${e.error}"}""").left.getOrElse(fail("expected error"))
+    checkText("envelope_error", err)
   }
 
   test("curation outputs match recorded goldens") {
