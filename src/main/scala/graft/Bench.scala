@@ -13,6 +13,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Ambient load BEFORE we spin anything up: pre-existing host contention
+    // is the one thing that invalidates a bench comparison across rounds.
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +60,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute system load average at end of run: lets a reader separate
+    // host starvation (load ≫ nCPUs from OTHER processes) from real
+    // regressions when comparing rounds (the r4 BENCH artifact was
+    // contaminated exactly this way). −1.0 when the platform can't say.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${f"$loadAvgStart%.2f"},"load_avg_end":${f"$loadAvg%.2f"},"cpus":$cpus}""")
     spark.stop()
   }
 }
