@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the driver box (local[32], shuffle partitions 32);
+    // SPARK_GRAFT_CPUS overrides for targeted runs on smaller hosts.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Ambient load BEFORE we spin anything up: pre-existing host contention
     // is the one thing that invalidates a bench comparison across rounds.
     val loadAvgStart = java.lang.management.ManagementFactory

@@ -188,41 +188,49 @@ object Curation {
     * kept documents.
     *
     * Scale shape — ONE corpus-wide shuffle, then dup-only work:
-    *  - `n_grams` per doc is row-local (the size of the doc's own gram
-    *    array) — it never touches a shuffle.
-    *  - n-grams hash to md5 before the wide stage (8-byte-ish keys, not
-    *    raw spans); the single corpus-token-sized aggregation keys on the
+    *  - the occurrence stream (doc_id, gram-hash) derives EXACTLY TWICE
+    *    from the doc scan, and each derivation evaluates the n-gram
+    *    transform once per doc (explode over the generator directly — no
+    *    sibling size()/filter() columns that would re-evaluate the
+    *    quadratic gram build per row).
+    *  - n-grams hash to md5 before the wide stage (16-byte keys, not raw
+    *    spans); the single corpus-token-sized aggregation keys on the
     *    gram hash and computes min/max doc_id — a gram is cross-doc iff
     *    min ≠ max, so no distinct-expand and no second corpus-wide pass.
-    *  - the join-back is a SEMI-join of occurrences against only the DUP
-    *    grams (typically a small fraction of the key space): AQE
-    *    broadcasts that side when it fits and the runtime bloom filter
-    *    prunes the probe otherwise, so the occurrence stream is not
-    *    re-shuffled at corpus size.
+    *  - the join-back BROADCASTS the dup-gram keys (typically a small
+    *    fraction of the key space) against the occurrence stream, and
+    *    `n_grams` folds into the SAME per-doc aggregation as the dup
+    *    count — no third corpus pass and no doc-keyed re-join. (If a
+    *    pathologically boilerplate-heavy corpus outgrows the broadcast
+    *    budget, drop the hint: AQE falls back to a bloom-pruned shuffle
+    *    join and the rest of the shape is unchanged.)
+    *  - the doc stream rebalances by doc_id BEFORE gram expansion when
+    *    the scan has fewer splits than the cluster has slots (the small-
+    *    file case; a no-op guard at real corpus scale where splits are
+    *    plentiful) — the cheapest point to seed parallelism, and the
+    *    broadcast join preserves that partitioning so the per-doc
+    *    aggregation needs no further exchange.
     * This is the honest exact form — the probabilistic tier above it is
     * the MinHash family.
     */
   def spanDupFractions(docs: DataFrame, n: Int = 4): DataFrame = {
-    val withGrams = docs
-      .select(col("doc_id"), ngrams(col("text"), n).as("gs"))
-      .withColumn("n_grams", size(col("gs")).cast("long"))
-      .filter(col("n_grams") > 0)
-    val occ = withGrams
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .withColumn("gh", md5(col("g")))
-      .select(col("doc_id"), col("gh"))
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (docs.rdd.getNumPartitions >= slots) docs
+      else docs.repartition(slots, col("doc_id"))
+    val occ = src
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
     val dupGhs = occ
       .groupBy(col("gh"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
-      .select(col("gh"))
-    val dupCounts = occ
-      .join(dupGhs, Seq("gh"), "left_semi")
+      .select(col("gh"), lit(true).as("is_dup"))
+    occ
+      .join(broadcast(dupGhs), Seq("gh"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_grams"))
-    withGrams.select(col("doc_id"), col("n_grams"))
-      .join(dupCounts, Seq("doc_id"), "left")
-      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_span_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("dup_span_frac"))
