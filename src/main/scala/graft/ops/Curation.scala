@@ -214,11 +214,7 @@ object Curation {
     * the MinHash family.
     */
   def spanDupFractions(docs: DataFrame, n: Int = 4): DataFrame = {
-    val slots = docs.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (docs.rdd.getNumPartitions >= slots) docs
-      else docs.repartition(slots, col("doc_id"))
-    val occ = src
+    val occ = Par.seed(docs, col("doc_id"))
       .select(col("doc_id"), explode(ngrams(col("text"), n)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
     val dupGhs = occ

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles per doc (texts are single-space
-    * tokenized; `split(' ')` is exact here).
+    * tokenized; `split(' ')` is exact here). Seeds parallelism on the doc
+    * stream first: every consumer (minhash signatures, band keys, the
+    * exact-Jaccard verify, the persisted LSH index derivation) fans out
+    * of this explode, and several checkpoint it — a single-split source
+    * would otherwise serialize all of that into one task.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    Par.seed(docs, col("doc_id")).select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(w)-${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
@@ -221,7 +225,8 @@ object Dedup {
     * Hamming-radius pair search.
     */
   def simhashSigs(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
+    val words = Par.seed(docs, col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
     // Factor the per-word bit signs through a distinct-word dimension:
     // md5 runs once per vocabulary word instead of once per
     // (doc, word, bit). No broadcast hint: a web-scale vocabulary

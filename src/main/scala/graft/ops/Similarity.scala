@@ -236,7 +236,10 @@ object Similarity {
     // tie-breaking to the windowed row_number it replaces.
     val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
       x => x.getField("cid")), 1, nProbe)
-    val buckets = embeddings.select(col("vec_id"), explode(probeCells).as("cid"))
+    // Cell assignment and the exact verify are the per-row-heavy stages —
+    // seed parallelism on the raw vector stream (no-op on real layouts).
+    val emb = Par.seed(embeddings, col("vec_id"))
+    val buckets = emb.select(col("vec_id"), explode(probeCells).as("cid"))
     // Multi-probe collisions produce DUPLICATE candidate pairs; scoring a
     // duplicate is one codegen'd dot product, while deduping pre-score is a
     // full shuffle of the candidate set — so verify first, distinct() only
@@ -244,7 +247,7 @@ object Similarity {
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
-    val normed = embeddings.select(col("vec_id"), col("embedding"),
+    val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand
       .join(normed.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
@@ -292,13 +295,16 @@ object Similarity {
       struct(lit(b).as("band_id"),
         concat((0 until bandBits).map(i => bits(b * bandBits + i)): _*).as("band_key"))
     }
-    val buckets = embeddings.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+    // The 32 hyperplane dot products per vector are the heavy map stage —
+    // seed parallelism on the raw vector stream (no-op on real layouts).
+    val emb = Par.seed(embeddings, col("vec_id"))
+    val buckets = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
-    val normed = embeddings.select(col("vec_id"), col("embedding"),
+    val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand
       .join(normed.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
