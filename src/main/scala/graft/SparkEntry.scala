@@ -153,6 +153,12 @@ object SparkEntry {
     // embedding generator could need more probes; that would be a recall
     // tuning knob, not an operator bug.
     "vec_dup_pairs" -> ((s, d) => Similarity.cosineDupPairsBlocked(Tables.embeddings(s, d), 0.42)),
+    // SemDeDup-shaped pruning over the same verified pair generation:
+    // components of the cos >= 0.42 near-dup graph, min-id survivor each,
+    // cluster_size = how many corpus vectors that survivor represents.
+    // Oracle = all-pairs edges + recursive min-label reachability (the
+    // doc_dup_clusters precedent) + the same survivor/size projection.
+    "vec_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.42)),
     // Second cosine-LSH family (sign random projections). Oracle = the
     // all-pairs definition at cos >= 0.9; with 16 bands of 2 bits the
     // per-pair miss probability at that threshold is ~6e-10, and the
@@ -1073,6 +1079,26 @@ object SparkEntry {
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "vec_semantic_dedup" ->
+      s"""WITH RECURSIVE n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n),
+        |p AS (SELECT vec_id_a, vec_id_b FROM (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id) WHERE cos >= 0.42),
+        |edges AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM p
+        |          UNION SELECT vec_id_b, vec_id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |          UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT emb.vec_id, COALESCE(s.cluster_size, 1) AS cluster_size
+        |FROM embeddings emb
+        |LEFT JOIN cc ON cc.id = emb.vec_id
+        |LEFT JOIN sizes s ON s.cluster_id = emb.vec_id
+        |WHERE cc.id IS NULL OR cc.cluster_id = emb.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
     "vec_rplsh_pairs" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL

@@ -318,6 +318,45 @@ object Similarity {
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
+  /** SemDeDup-shaped semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * 2023): coarse-cluster the embedding space, find near-duplicate pairs
+    * only within shared cells, connect them into components, and keep ONE
+    * representative per component — the pruned corpus is the output.
+    *
+    * Composition of two independently-verified pieces: pair generation is
+    * `cosineDupPairsBlocked` (the k-means-cell blocking IS SemDeDup's
+    * "within-cluster pairwise similarity" step; blocked ≡ all-pairs by
+    * `SimilaritySpec`), clustering is `Dedup.connectedComponents`
+    * (pointer-jumping, O(log n) rounds). Survivor rule is deterministic —
+    * the minimum vec_id of each component — so the result is
+    * oracle-expressible, unlike centroid-distance survivor picks whose
+    * ties depend on float summation order.
+    *
+    * Output: one row per SURVIVING vector, `cluster_size` = how many
+    * corpus vectors it represents (1 = no near-dup). Scale shape: the dup
+    * graph (edges, labels, sizes) is proportional to the DUPLICATE
+    * fraction, not the corpus — the only corpus-sized operations are the
+    * pair generation's cell join and one anti-join of drops against the
+    * corpus (broadcast-able whenever dups are sparse; AQE picks that up
+    * from the runtime size).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
+      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
+    val pairs = cosineDupPairsBlocked(embeddings, threshold, nCells, nProbe)
+      .select(col("vec_id_a"), col("vec_id_b"))
+    // (id, label) for every vector with at least one near-dup edge;
+    // label = min vec_id of the component = the survivor.
+    val cc = Dedup.connectedComponents(pairs, "vec_id_a", "vec_id_b")
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val drops = cc.filter(col("id") =!= col("label")).select(col("id").as("vec_id"))
+    embeddings.select(col("vec_id"))
+      .join(drops, Seq("vec_id"), "left_anti")
+      .join(sizes.select(col("label").as("vec_id"), col("cluster_size")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact all-pairs cosine near-dup — O(n²) by construction. Kept as the
     * spec-level verifier for the blocked plan above; never the shipped
     * query path at scale.

@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: survivors partition the corpus, drops sit in their survivor's component") {
+    val emb = Tables.embeddings(spark, sf)
+    val kept = Similarity.semanticDedup(emb, 0.42)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = emb.count()
+
+    // The survivors' cluster sizes tile the corpus exactly: every vector is
+    // represented by exactly one survivor.
+    assert(kept.values.sum == n, "cluster sizes must sum to the corpus size")
+
+    // Ground truth from the all-pairs definition: union-find over the
+    // exact cos >= 0.42 edge set.
+    val edges = Similarity.cosineDupPairs(emb, 0.42)
+      .collect().map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val allIds = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val byComp = allIds.groupBy(find)
+
+    // Exactly the component minima survive, each carrying its component size.
+    assert(kept == byComp.map { case (root, members) => members.min -> members.length.toLong },
+      "survivors must be the per-component minimum ids with component sizes")
+  }
+
   test("vector index: append, prune, retain, search round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
     val idx = VectorIndex.fromEmbeddings(Tables.embeddings(spark, sf))
