@@ -225,4 +225,34 @@ object EventStream {
         }
       }
       .start()
+
+  /** Streaming corpus ingestion through the persisted LSH dedup gate: each
+    * micro-batch of (doc_id, text) runs the full three-tier ingest gate
+    * (`text.LshIndex.ingestBatch`: within-batch exact → resident exact →
+    * LSH near-dup against the resident index), survivors append to the
+    * index, and every doc's verdict lands in an append-only verdict log —
+    * the streaming form of the daily crawl-ingest loop, with the index
+    * growing mid-stream so later micro-batches dedup against earlier ones.
+    *
+    * Delivery contract: foreachBatch is at-least-once; on a replayed
+    * micro-batch the index's id-disjointness gate fails LOUD (the query
+    * errors) instead of silently double-appending resident rows — next to
+    * a corrupted dedup index, stopping is the cheap failure. The verdict
+    * log carries `batch_id` so a replayed batch's duplicate verdicts are
+    * identifiable and droppable downstream.
+    */
+  def corpusIngest(docs: DataFrame, indexPath: String, verdictPath: String,
+      checkpoint: String,
+      jaccardThreshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.LshIndex.ingestBatch(batch.sparkSession, indexPath, batch, jaccardThreshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+          ()
+        }
+      }
+      .start()
 }

@@ -348,4 +348,61 @@ class StreamingSpec extends SparkSpec {
     assert(days.sameElements(Array("2024-01-06", "2024-01-10")),
       s"retention should drop day 0, got ${days.mkString(",")}")
   }
+
+  test("streaming corpus ingest dedups each micro-batch and grows the index mid-stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-scorpus").toString
+    val streamIdx = base + "/stream-idx"
+    val twinIdx = base + "/twin-idx"
+    val verdictLog = base + "/verdicts"
+    val ckpt = base + "/ckpt"
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    graft.text.LshIndex.build(spark, seed, streamIdx)
+    graft.text.LshIndex.build(spark, seed, twinIdx)
+    // Micro-batch 1: fresh docs plus verbatim re-offers of RESIDENT docs.
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // Micro-batch 2: fresh docs plus verbatim re-offers of BATCH 1 docs —
+    // those dups are only catchable if batch 1's survivors became resident
+    // before batch 2 ran.
+    val b2 = docs.filter(col("doc_id") >= 320 && col("doc_id") < 340).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.corpusIngest(
+      mem.toDF().toDF("doc_id", "text"), streamIdx, verdictLog, ckpt)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // Sequential twin: the same two batches through the batch ingest loop
+    // on an identical resident index must produce identical verdicts...
+    val v1 = graft.text.LshIndex.ingestBatch(spark, twinIdx, b1.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val v2 = graft.text.LshIndex.ingestBatch(spark, twinIdx, b2.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == (v1 ++ v2).toMap, "streamed verdicts must equal the sequential ingest loop")
+    // ...and per-batch attribution survives in the log.
+    assert(spark.read.parquet(verdictLog).select("batch_id").distinct().count() == 2)
+
+    // Mid-stream growth is observable: some batch-1 doc was ingested and
+    // its batch-2 verbatim re-offer judged exact_dup against it.
+    assert((300L until 310L).exists(id =>
+      got(id) == "ingested" && got(id + 7000000L) == "exact_dup"),
+      "a batch-2 re-offer of a batch-1 survivor must be an exact_dup")
+
+    // The streamed index is row-identical to the sequential twin.
+    val a = spark.read.parquet(s"$streamIdx/hashes").orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$twinIdx/hashes").orderBy("doc_id").collect().toSeq
+    assert(a == b, "streamed index must equal the sequential twin")
+  }
 }
