@@ -302,6 +302,11 @@ object SparkEntry {
     }),
     "doc_rebalance" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), "source", "doc_id", 50)),
+    // Static data-mixture: 3 sources at 50/30/20% of a 2000-token budget —
+    // every source's budget is below its corpus share at both shipped SFs,
+    // so the truncation arm of the selection genuinely binds.
+    "doc_mix" -> ((s, d) => Sampling.mixCorpus(Tables.documents(s, d),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)),
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -1319,6 +1324,17 @@ object SparkEntry {
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 50
+        |ORDER BY source, doc_id""".stripMargin,
+    "doc_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  substr(md5('graft|' || doc_id), 1, 8) AS draw
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY draw, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
     "doc_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,

@@ -66,4 +66,44 @@ object Sampling {
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol), col("t.id").as(idCol))
       .orderBy(col(groupCol), col(idCol))
+
+  /** Source-proportional token-budget mixing — the static data-mixture
+    * step of a training pipeline (fixed mixture weights à la The Pile;
+    * DoReMi etc. LEARN these weights, then apply exactly this selection).
+    * Each listed source contributes documents until its weight-share of
+    * `tokenBudget` whitespace tokens is filled; unlisted sources are
+    * excluded. Within a source, docs are taken in `hashDraw` order — the
+    * same stable-under-growth draw as `hashSample`, so re-ingesting the
+    * corpus or growing OTHER sources never changes a source's picks, and
+    * the md5 ordering reproduces bit-for-bit in the DuckDB oracle.
+    * A doc is kept iff its source's cumulative token count up to and
+    * including it fits the source's budget: the budget is never
+    * overfilled, the tail doc that would cross it (and everything after)
+    * drops.
+    *
+    * Scale shape: map-only token count + per-source window cumsum
+    * (partition-bounded — no global sort; a pathologically dominant
+    * source would move to the distributed prefix-sum used by
+    * `Curation.packSequential`) + a literal when-chain for the per-source
+    * budgets (bounded driver artifact, like vocab/centroids — no join).
+    */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.sum
+    val budgets = weights.map { case (s, w) => (s, (w / wSum * tokenBudget).toLong) }
+    val budgetCol = budgets.tail.foldLeft(
+      when(col("source") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (s, b)) => acc.when(col("source") === s, lit(b))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
+    docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }

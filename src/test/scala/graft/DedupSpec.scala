@@ -149,6 +149,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus mixing fills each source's budget share maximally, in draw order, never over") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val budgets = Map("src0" -> 1000L, "src1" -> 600L, "src2" -> 400L)
+    val mixed = Sampling.mixCorpus(docs, weights, 2000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    assert(mixed.map(_._2).toSet == weights.keySet, "only listed sources contribute")
+    mixed.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum == rows.map(_._4).max, "cum_tokens is the running sum")
+      assert(rows.map(_._4).max <= budgets(src), s"$src budget never overfilled")
+    }
+
+    // The selection is exactly the maximal draw-ordered prefix per source:
+    // recompute from the raw corpus with an independent fold.
+    val raw = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n"),
+        Sampling.hashDraw(col("doc_id")).as("draw"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._2).flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= budgets(src)) Some((r._1, src, r._3, cum)) else None
+      }
+    }.toSet
+    assert(mixed.toSet == expected, "mixture must be the maximal per-source prefix")
+  }
+
   test("connected components converges on a high-diameter path within the round budget") {
     import spark.implicits._
     // A 120-node chain: plain O(diameter) propagation would need 119
