@@ -143,4 +143,25 @@ class ScalePatternsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"no stage may demand a single partition:\n${plan.take(800)}")
   }
+
+  test("corpus mixing plan: per-source windows, literal budgets, no join, no single partition") {
+    val plan = graft.ops.Sampling.mixCorpus(Tables.documents(spark, sf),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l =>
+      assert(l.contains("source"), s"cumsum window must partition by source: $l"))
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may demand a single partition:\n${plan.take(800)}")
+    // budgets are a literal when-chain — selection must not introduce a join
+    assert(!plan.contains("Join"), s"budget lookup must be join-free:\n${plan.take(800)}")
+  }
+
+  test("semantic dedup plan: candidate generation is equi-join shaped, never a cross product") {
+    val plan = graft.ops.Similarity.semanticDedup(Tables.embeddings(spark, sf), 0.42)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay cell-blocked equi-joins:\n${plan.take(1200)}")
+  }
 }
