@@ -83,5 +83,9 @@ class GoldenSpec extends SparkSpec {
     check("doc_tokenize_head",
       ops.Curation.tokenize(docs, ops.Curation.buildVocab(docs, 16)).limit(20))
     check("vec_range_search", ops.Similarity.rangeSearch(Tables.embeddings(spark, sf)))
+    check("vec_semantic_dedup_head",
+      ops.Similarity.semanticDedup(Tables.embeddings(spark, sf), 0.42).limit(20))
+    check("doc_mix", ops.Sampling.mixCorpus(docs,
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L))
   }
 }
