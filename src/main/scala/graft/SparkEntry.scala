@@ -310,6 +310,10 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // k=30 over the 31-word generator vocabulary: roughly half the words
+    // clear total/30 at each shipped SF, so the threshold genuinely
+    // discriminates (and the rare words are far below it).
+    "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
     // ---- corpus curation (privacy / decontamination / repetition / packing) ----
     // The corpus has no PII, so the HARNESS (not the operator) derives a
     // PII-bearing text column deterministically from doc_id — the same
@@ -1363,6 +1367,12 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
+        |ORDER BY n DESC, word""".stripMargin,
     "doc_pii_redact" ->
       """WITH t AS (
         |  SELECT doc_id,

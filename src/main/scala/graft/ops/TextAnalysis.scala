@@ -162,4 +162,25 @@ object TextAnalysis {
       .withColumn("n_same",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .orderBy(col("doc_id"))
+
+  /** Exact corpus heavy hitters: words commanding more than 1/k of all
+    * token occurrences. The exact two-stage count IS the at-scale Spark
+    * form — map-side partial aggregation means the shuffle carries one
+    * row per (partition, word), vocabulary-sized, not corpus-sized; the
+    * word-count table is then a bounded artifact consumed twice (total +
+    * filter) off one materialization. For key spaces too large to
+    * shuffle even once, `functions.MisraGries` is the bounded-memory
+    * companion sketch with the superset guarantee spec-asserted.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 30): DataFrame = {
+    val counts = Par.seed(docs, col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .select(col("word"), col("n"), col("total"))
+      .orderBy(col("n").desc, col("word"))
+  }
 }

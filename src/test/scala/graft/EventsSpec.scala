@@ -67,4 +67,39 @@ class EventsSpec extends SparkSpec {
         s"event_type=$tpe: sketch p50 $p50 outside exact [${lo(tpe)}, ${hi(tpe)}]")
     }
   }
+
+  test("Misra-Gries sketch: superset of true heavy hitters, one-sided bounded undercount") {
+    import spark.implicits._
+    import graft.functions.MisraGries
+    // Skewed fixture: word w_i appears 2^i times, i = 0..9 (n = 1023),
+    // shuffled across 8 partitions so reduce AND merge both evict.
+    val toks = (0 until 10).flatMap(i => Seq.fill(1 << i)(s"w$i"))
+    val docs = new scala.util.Random(7).shuffle(toks)
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(8)
+    val capacity = 4
+    val n = toks.size.toLong
+    val bound = n / (capacity + 1) // 204
+    val sketch = MisraGries.sketchWords(docs, capacity).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("est_n")).toMap
+    val exact = toks.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+    assert(sketch.size <= capacity, "state must stay within capacity")
+    exact.filter(_._2 > bound).keys.foreach(w =>
+      assert(sketch.contains(w), s"true heavy hitter $w (n=${exact(w)}) must survive"))
+    sketch.foreach { case (w, est) =>
+      assert(est <= exact(w), s"$w: sketch must never overcount")
+      assert(exact(w) - est <= bound, s"$w: undercount ${exact(w) - est} exceeds n/(c+1)=$bound")
+    }
+
+    // When the vocabulary fits the capacity, the sketch IS the exact
+    // count — run it over the real corpus (31 distinct words, cap 64).
+    val corpus = Tables.documents(spark, sf)
+    val full = MisraGries.sketchWords(corpus, 64).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("est_n")).toMap
+    val corpusExact = corpus.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count().collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+    assert(full == corpusExact, "no-eviction sketch must equal the exact counts")
+  }
 }
