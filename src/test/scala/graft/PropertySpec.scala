@@ -144,4 +144,29 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.EngRow(null, 2L, "CALL", "x"))
     assert(ubuf.isEmpty)
   }
+
+  private val tokenStreams: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      (8, Gen.oneOf("a", "b")),
+      (4, Gen.oneOf("c", "d", "e")),
+      (1, Gen.choose(0, 50).map("rare" + _))))
+
+  test("misra-gries: guarantees hold under any partitioning and merge order") {
+    check(Prop.forAll(tokenStreams, Gen.choose(1, 6), Gen.choose(1, 5)) { (xs, cap, nParts) =>
+      val agg = new graft.functions.MisraGries(cap)
+      val parts = xs.zipWithIndex.groupBy(_._2 % nParts).values.toList
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val est = agg.finish(parts.foldLeft(agg.zero)(agg.merge))
+      val estRev = agg.finish(parts.reverse.foldLeft(agg.zero)(agg.merge))
+      val exact = xs.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val n = xs.size.toLong
+      // integer-exact forms of the n/(cap+1) guarantees
+      est.size <= cap &&
+        exact.forall { case (w, c) => c * (cap + 1) <= n || est.contains(w) } &&
+        est.forall { case (w, e) => e <= exact(w) && (exact(w) - e) * (cap + 1) <= n } &&
+        estRev.size <= cap &&
+        exact.forall { case (w, c) => c * (cap + 1) <= n || estRev.contains(w) } &&
+        estRev.forall { case (w, e) => e <= exact(w) && (exact(w) - e) * (cap + 1) <= n }
+    })
+  }
 }
