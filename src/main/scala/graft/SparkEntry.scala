@@ -314,6 +314,23 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Composed ingest pipeline over a derived crawl snapshot: every 10th
+    // doc re-ingested verbatim under id+1000000 (exact-dup tier teeth),
+    // every 97th doc held out as the benchmark (decontam teeth; a
+    // re-ingested copy of a benchmark doc lands in the corpus and must
+    // die at decontamination, not dedup), then lang/quality gate and the
+    // doc_mix 50/30/20 budgets over the survivors.
+    "doc_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val reIngested = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = docs.unionByName(reIngested)
+      Curation.curationPipeline(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+    }),
     // ---- corpus curation (privacy / decontamination / repetition / packing) ----
     // The corpus has no PII, so the HARNESS (not the operator) derives a
     // PII-bearing text column deterministically from doc_id — the same
@@ -1373,6 +1390,49 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_pipeline" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT * FROM base WHERE doc_id % 97 = 0),
+        |ded AS (SELECT * FROM (
+        |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM corpus) WHERE doc_id = keep),
+        |cg AS (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))-2),
+        |  i -> array_to_string(string_split(text,' ')[i:i+3], ' '))) AS ng FROM ded),
+        |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text,' '))-2),
+        |  i -> array_to_string(string_split(text,' ')[i:i+3], ' '))) AS ng FROM bench),
+        |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (ng)),
+        |clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ls AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'le')) + len(list_filter(string_split(text,' '), x -> x = 'la')) + len(list_filter(string_split(text,' '), x -> x = 'les')) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'der')) + len(list_filter(string_split(text,' '), x -> x = 'die')) + len(list_filter(string_split(text,' '), x -> x = 'das')) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'el')) + len(list_filter(string_split(text,' '), x -> x = 'los')) + len(list_filter(string_split(text,' '), x -> x = 'una')) AS BIGINT) AS score_es
+        |  FROM clean),
+        |lp AS (SELECT doc_id,
+        |  CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+        |       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+        |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+        |       ELSE 'es' END AS pred_lang FROM ls),
+        |qu AS (SELECT doc_id,
+        |  0.4*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
+        |  + 0.3*(1.0 - CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
+        |  + 0.3*least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality
+        |  FROM clean),
+        |gated AS (SELECT c.doc_id, c.source, c.text FROM clean c
+        |  JOIN lp ON lp.doc_id = c.doc_id JOIN qu ON qu.doc_id = c.doc_id
+        |  WHERE lp.pred_lang = 'en' AND qu.quality >= 0.55),
+        |t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  substr(md5('graft|' || doc_id), 1, 8) AS draw
+        |  FROM gated WHERE source IN ('src0', 'src1', 'src2')),
+        |c2 AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY draw, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c2
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
+        |ORDER BY source, doc_id""".stripMargin,
     "doc_pii_redact" ->
       """WITH t AS (
         |  SELECT doc_id,

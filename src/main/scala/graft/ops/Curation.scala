@@ -325,4 +325,34 @@ object Curation {
       }
     }.toDF("doc_id", "n_tokens", "over_budget", "bin_id", "off_in_bin")
   }
+
+  /** The composed ingest pipeline — exact dedup → decontaminate →
+    * language/quality gate → source mixture — as ONE declarative plan, the
+    * full curation pass a crawl snapshot takes before training. Each stage
+    * is the already-verified operator; composing them in one plan (instead
+    * of materializing between stages) lets Catalyst prune every column the
+    * final mixture doesn't need all the way into the scans, and the
+    * corpus-sized shuffles stay at exactly three: the text-hash window
+    * (dedup), the n-gram contamination aggregation's doc_id anti-join side,
+    * and the per-source mixture window.
+    *
+    * Stage order is the production order: dedup first (cheapest filter,
+    * biggest volume cut on crawl data), decontamination before the gate
+    * (a contaminated doc must never reach training even if high-quality),
+    * mixture last (budgets apply to the CLEAN corpus).
+    */
+  def curationPipeline(corpus: DataFrame, benchmark: DataFrame,
+      weights: Map[String, Double], tokenBudget: Long,
+      lang: String = "en", minQuality: Double = 0.55, n: Int = 4): DataFrame = {
+    // Exact dedup: keep the min-id copy of each distinct text. The window
+    // shuffles on the text hash — the same single-shuffle shape as
+    // Dedup.exactDupGroups, but survivor-producing instead of report-producing.
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val deduped = corpus
+      .withColumn("keep_id", min(col("doc_id")).over(keepW))
+      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+    val clean = decontaminate(deduped, benchmark, n)
+    val gated = TextAnalysis.gate(clean, lang, minQuality)
+    Sampling.mixCorpus(gated, weights, tokenBudget)
+  }
 }

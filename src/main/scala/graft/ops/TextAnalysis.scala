@@ -163,6 +163,36 @@ object TextAnalysis {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .orderBy(col("doc_id"))
 
+  /** Fused language+quality gate that KEEPS the input's columns (the
+    * composable form of `cleanCorpus`'s scalar stage, for pipelines that
+    * still need `text`/`source` downstream): one scan, one projection, no
+    * shuffle; both predicates are the same expression trees as
+    * `languageId`/`qualityScore`, so gate decisions agree bit-for-bit
+    * with the standalone operators and the DuckDB oracle.
+    */
+  def gate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.55): DataFrame = {
+    val words = split(col("text"), " ")
+    val scoreCols = langMarkers.map { case (l, ms) => markerCount(words, ms).as(s"score_$l") }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    val predFirstWins = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === col("best_score") && col("best_score") > 0, lit(l)).otherwise(acc)
+    }
+    docs
+      .select(col("*") +: (Seq(
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        markerCount(words, Seq("the", "a")).as("n_stop")) ++ scoreCols): _*)
+      .withColumn("best_score", best)
+      .withColumn("pred_lang", predFirstWins)
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+      .select(docs.columns.map(col).toSeq :+ col("pred_lang") :+ col("n_words") :+ col("quality"): _*)
+  }
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one

@@ -242,4 +242,48 @@ class CurationSpec extends SparkSpec {
       .select(Curation.ngrams(col("text"), 4).as("ngs")).head
     assert(out.getSeq[String](0).isEmpty)
   }
+
+  test("curation pipeline: each stage's teeth bite — dup copies, contaminated, low-quality all absent") {
+    val docs = Tables.documents(spark, sf)
+    val reIngested = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val all = docs.unionByName(reIngested)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+    val benchmark = all.filter(col("doc_id") % 97 === 0)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val out = Sampling_pipelineRun(corpus, benchmark, weights)
+    val picked = out.map(_._1).toSet
+
+    // Dedup tooth: no re-ingested copy survives when its original is in
+    // the corpus (the original has the smaller id).
+    val copyWithOriginal = corpus.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("orig")).collect().map(_.getLong(0)).toSet
+        .intersect(corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
+    copyWithOriginal.foreach(o => assert(!picked.contains(o + 1000000L),
+      s"copy of in-corpus doc $o must die at dedup"))
+
+    // Decontam tooth: a corpus copy of a BENCHMARK doc shares all its
+    // n-grams with the benchmark — must never be picked.
+    val benchIds = benchmark.select("doc_id").collect().map(_.getLong(0)).toSet
+    benchIds.filter(_ < 1000000L).foreach(b =>
+      assert(!picked.contains(b + 1000000L),
+        s"corpus copy of benchmark doc $b must die at decontamination"))
+
+    // Gate tooth: every pick is en + quality >= 0.55 per the standalone ops.
+    val gatedIds = graft.ops.TextAnalysis.gate(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.subsetOf(gatedIds), "every pick must pass the standalone gate")
+
+    // Mixture tooth: budgets hold.
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = Map("src0" -> 1000L, "src1" -> 600L, "src2" -> 400L)(src)
+      assert(rows.map(_._4).max <= budget, s"$src over budget")
+    }
+  }
+
+  private def Sampling_pipelineRun(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      weights: Map[String, Double]): Array[(Long, String, Long, Long)] =
+    Curation.curationPipeline(corpus, benchmark, weights, 2000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
 }
