@@ -255,4 +255,26 @@ object EventStream {
         }
       }
       .start()
+
+  /** The vector twin of `corpusIngest`: each micro-batch of
+    * (vec_id, label, embedding) runs the cosine near-duplicate gate
+    * against the resident IVF layout (`IvfIndex.dedupIngest` — within-batch
+    * exact tier, probed-cell resident tier), survivors land in their cell
+    * partitions, verdicts in the append-only log. Same delivery contract:
+    * at-least-once, replay fails loud on the id-disjointness gate.
+    */
+  def vectorCorpusIngest(vectors: DataFrame, indexPath: String, verdictPath: String,
+      checkpoint: String,
+      threshold: Double = 0.95): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.vector.IvfIndex.dedupIngest(batch.sparkSession, indexPath, batch, threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+          ()
+        }
+      }
+      .start()
 }

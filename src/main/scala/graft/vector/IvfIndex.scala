@@ -202,17 +202,25 @@ object IvfIndex {
     * shape the training-pipeline similarity stage runs: queries stream in,
     * the corpus never rewrites, no per-row assignment at query time.
     */
-  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int = 10, nProbe: Int = 4, asOf: java.sql.Date = null,
-      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+  /** Multi-probe cell list for the `embedding` column as a literal-centroid
+    * codegen expression: the nProbe nearest cells, (distance, cid)
+    * tie-broken — shared by the batch kNN join and the dedup ingest gate.
+    */
+  private def probeCellsExpr(spark: SparkSession, path: String, nProbe: Int): org.apache.spark.sql.Column = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
-    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
+    slice(transform(array_sort(array(centStructs.toSeq: _*)),
       x => x.getField("cid")), 1, nProbe)
+  }
+
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4, asOf: java.sql.Date = null,
+      maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    val probeCells = probeCellsExpr(spark, path, nProbe)
     val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
       explode(probeCells).as("cell"))
     val base = spark.read.parquet(s"$path/vectors")
@@ -300,5 +308,58 @@ object IvfIndex {
       .limit(k)
       .select(col("vec_id"), col("label"), col("cell").cast("long").as("cid"),
         col("d2").as("dist_sq"))
+  }
+
+  /** Incremental ingest THROUGH a cosine near-duplicate gate — the vector
+    * twin of `text.LshIndex.ingestBatch`: within-batch bitwise-identical
+    * embeddings keep only the min-id copy (`batch_dup`); survivors probe
+    * their nProbe nearest cells and die on any resident vector at
+    * cos ≥ threshold (`near_dup` — candidate generation is the same
+    * cell-blocked equi-join as `Similarity.cosineDupPairsBlocked`, so an
+    * identical re-offer probes identical cells and candidacy is
+    * guaranteed); the rest append into the layout (`ingested`). Returns
+    * (vec_id, verdict) for the whole batch.
+    *
+    * Preconditions mirror the text gate: batch vec_ids must be disjoint
+    * from resident ids (fail fast — an id collision would both suppress a
+    * genuine dup verdict and persist a second row under the id), and
+    * appends to one index path are single-writer (the radii sidecar
+    * contract on `appendBatch`).
+    */
+  def dedupIngest(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.95, nProbe: Int = 4,
+      ingestDate: java.sql.Date = DefaultIngestDate): DataFrame = {
+    val residentIds = spark.read.parquet(s"$path/vectors").select(col("vec_id"))
+    require(batch.select(col("vec_id")).join(residentIds, "vec_id").isEmpty,
+      "batch vec_ids must be disjoint from resident ids")
+    val batchLosers = batch
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("keep_id"), collect_list(col("vec_id")).as("ids"))
+      .select(explode(col("ids")).as("vec_id"), col("keep_id"))
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"), lit("batch_dup").as("verdict"))
+      .localCheckpoint(true)
+    val candidates = batch.join(batchLosers.select("vec_id"), Seq("vec_id"), "left_anti")
+    val probed = candidates
+      .select(col("vec_id"), col("embedding"),
+        explode(probeCellsExpr(spark, path, nProbe)).as("cell"))
+    val resident = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
+        col("cell").cast("long").as("cell"))
+    val nearDups = probed.join(resident, "cell")
+      .withColumn("cos", dot(col("embedding"), col("r_emb")) /
+        (sqrt(dot(col("embedding"), col("embedding"))) *
+          sqrt(dot(col("r_emb"), col("r_emb")))))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id")).distinct()
+      .select(col("vec_id"), lit("near_dup").as("verdict"))
+      .localCheckpoint(true)
+    val keep = candidates.join(nearDups.select("vec_id"), Seq("vec_id"), "left_anti")
+    appendBatch(spark, keep.select(col("vec_id"), col("label"), col("embedding")),
+      path, ingestDate)
+    batch.select(col("vec_id"))
+      .join(batchLosers.unionByName(nearDups), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -405,4 +405,61 @@ class StreamingSpec extends SparkSpec {
     val b = spark.read.parquet(s"$twinIdx/hashes").orderBy("doc_id").collect().toSeq
     assert(a == b, "streamed index must equal the sequential twin")
   }
+
+  test("streaming vector ingest gates micro-batches on resident cosine near-dups") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-svec").toString
+    val streamIdx = base + "/stream-ivf"
+    val twinIdx = base + "/twin-ivf"
+    val verdictLog = base + "/verdicts"
+    val ckpt = base + "/ckpt"
+    val emb = Tables.embeddings(spark, sf)
+    graft.vector.IvfIndex.build(spark, emb.filter(col("vec_id") < 400), streamIdx)
+    graft.vector.IvfIndex.build(spark, emb.filter(col("vec_id") < 400), twinIdx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    // Batch 1: fresh vectors + verbatim re-offers of RESIDENT vectors
+    // (identical embedding → identical probe cells → cos 1 ≥ threshold).
+    val b1 = rows(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)) ++
+      rows(emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+    // Batch 2: fresh vectors + re-offers of BATCH 1 vectors — only
+    // catchable if batch 1's survivors became resident mid-stream.
+    val b2 = rows(emb.filter(col("vec_id") >= 450)) ++
+      rows(emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+        .withColumn("vec_id", col("vec_id") + 200000L))
+
+    val mem = MemoryStream[(Long, Int, Seq[Float])]
+    val q = EventStream.vectorCorpusIngest(
+      mem.toDF().toDF("vec_id", "label", "embedding"), streamIdx, verdictLog, ckpt)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val v1 = graft.vector.IvfIndex.dedupIngest(spark, twinIdx,
+      b1.toSeq.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val v2 = graft.vector.IvfIndex.dedupIngest(spark, twinIdx,
+      b2.toSeq.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == (v1 ++ v2).toMap, "streamed verdicts must equal the sequential gate")
+
+    // Resident re-offers die; batch-2 re-offers of batch-1 survivors die.
+    (0L until 20L).foreach(i => assert(got(i + 100000L) == "near_dup"))
+    assert((400L until 410L).exists(id =>
+      got(id) == "ingested" && got(id + 200000L) == "near_dup"),
+      "a batch-2 re-offer of a batch-1 survivor must be a near_dup")
+
+    // Streamed layout ≡ sequential twin.
+    val a = spark.read.parquet(s"$streamIdx/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(s"$twinIdx/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "streamed index must equal the sequential twin")
+  }
 }
