@@ -307,6 +307,12 @@ object SparkEntry {
     // so the truncation arm of the selection genuinely binds.
     "doc_mix" -> ((s, d) => Sampling.mixCorpus(Tables.documents(s, d),
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)),
+    // Epoch-upsampled mixture, budget 8000 @ maxEpochs 2: at sf0.01 src0
+    // hits the epoch cap (2 full passes, remainder discarded), src1/src2
+    // get one full pass + a partial; at sf0.1 every source is partial-only
+    // — all three arms of the semantics exercised across the shipped SFs.
+    "doc_mix_epochs" -> ((s, d) => Sampling.mixCorpusEpochs(Tables.documents(s, d),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 8000L)),
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -1357,6 +1363,28 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
+    "doc_mix_epochs" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  substr(md5('graft|' || doc_id), 1, 8) AS draw
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |cfg AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |  CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2400 ELSE 1600 END AS b
+        |  FROM t GROUP BY source),
+        |fe AS (SELECT source, least(b // tot, 2) AS full_epochs,
+        |  b - least(b // tot, 2) * tot AS rem FROM cfg),
+        |full_passes AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |  unnest(range(0, fe.full_epochs)) AS epoch
+        |  FROM t JOIN fe ON fe.source = t.source),
+        |cum AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY draw, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |partial AS (SELECT c.doc_id, c.source, c.n_tokens, fe.full_epochs AS epoch
+        |  FROM cum c JOIN fe ON fe.source = c.source
+        |  WHERE fe.full_epochs < 2 AND c.cum_tokens <= fe.rem)
+        |SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch FROM (
+        |  SELECT * FROM full_passes UNION ALL SELECT * FROM partial)
+        |ORDER BY source, epoch, doc_id""".stripMargin,
     "doc_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,

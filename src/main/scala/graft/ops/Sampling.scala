@@ -106,4 +106,53 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** Mixture with EPOCH UPSAMPLING — the low-resource arm of data mixing
+    * (high-weight, small sources repeat for multiple passes, the way
+    * curated corpora are oversampled in published mixtures): a source
+    * whose budget exceeds its size contributes ⌊budget/size⌋ full passes
+    * (capped at `maxEpochs`), then — below the cap — a `hashDraw`-ordered
+    * prefix of one more pass for the remainder. Output carries `epoch`
+    * (0-based pass number) so a training loader can interleave passes.
+    *
+    * Scale shape: per-source token totals are a bounded driver artifact
+    * (one row per listed source — the vocab/centroid class), so full
+    * passes are a map-only explode of a literal epoch range and the
+    * partial pass reuses the mixCorpus window; no join anywhere.
+    */
+  def mixCorpusEpochs(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long, maxEpochs: Int = 2): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val wSum = weights.values.sum
+    val budgets = weights.map { case (s, w) => (s, (w / wSum * tokenBudget).toLong) }
+    val base = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // three consumers: totals, full passes, partial pass
+    val totals = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullEpochs = budgets.map { case (s, b) =>
+      s -> math.min(b / totals.getOrElse(s, Long.MaxValue), maxEpochs.toLong) }
+    val remaining = budgets.map { case (s, b) =>
+      s -> (b - fullEpochs(s) * totals.getOrElse(s, 0L)) }
+    def chain(m: Map[String, Long]) = m.tail.foldLeft(
+      when(col("source") === m.head._1, lit(m.head._2))) {
+      case (acc, (s, v)) => acc.when(col("source") === s, lit(v))
+    }
+    val fe = chain(fullEpochs)
+    val rem = chain(remaining)
+    val fullPasses = base
+      .withColumn("epoch",
+        explode(when(fe > 0, sequence(lit(0L), fe - 1)).otherwise(array())))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
+    val partial = base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(fe < maxEpochs.toLong && col("cum_tokens") <= rem)
+      .select(col("doc_id"), col("source"), col("n_tokens"), fe.as("epoch"))
+    fullPasses.unionByName(partial)
+      .orderBy(col("source"), col("epoch"), col("doc_id"))
+  }
 }

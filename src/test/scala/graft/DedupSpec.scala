@@ -182,6 +182,43 @@ class DedupSpec extends SparkSpec {
     assert(mixed.toSet == expected, "mixture must be the maximal per-source prefix")
   }
 
+  test("epoch mixture: full passes under the cap, remainder as a draw-ordered prefix") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val budgets = Map("src0" -> 4000L, "src1" -> 2400L, "src2" -> 1600L)
+    val maxEpochs = 2
+    val out = Sampling.mixCorpusEpochs(docs, weights, 8000L, maxEpochs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    val raw = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        Sampling.hashDraw(col("doc_id")).as("draw"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._2).flatMap { case (src, rows) =>
+      val t = rows.map(_._3).sum
+      val fe = math.min(budgets(src) / t, maxEpochs.toLong)
+      val rem = budgets(src) - fe * t
+      val full = for { r <- rows.toSeq; e <- 0L until fe } yield (r._1, src, r._3, e)
+      val partial = if (fe < maxEpochs) {
+        var cum = 0L
+        rows.toSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= rem) Some((r._1, src, r._3, fe)) else None
+        }
+      } else Seq.empty
+      full ++ partial
+    }.toSet
+    assert(out.toSet == expected,
+      "epoch mixture must be full passes plus the draw-ordered remainder prefix")
+    // every source stays within budget across all passes
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= budgets(src), s"$src over budget")
+    }
+  }
+
   test("connected components converges on a high-diameter path within the round budget") {
     import spark.implicits._
     // A 120-node chain: plain O(diameter) propagation would need 119
