@@ -320,6 +320,10 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // 32-token windows advancing by 24 (overlapping pretraining chunks);
+    // the generator's ~50-word docs split into 1-2 windows each, so both
+    // the single-chunk and tail-window arms fire at every SF.
+    "doc_chunks" -> ((s, d) => Curation.chunkDocs(Tables.documents(s, d))),
     // Composed ingest pipeline over a derived crawl snapshot: every 10th
     // doc re-ingested verbatim under id+1000000 (exact-dup tier teeth),
     // every 97th doc held out as the benchmark (decontam teeth; a
@@ -1418,6 +1422,16 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |k AS (SELECT doc_id, ws,
+        |  1 + CAST(ceil(greatest(len(ws) - 32, 0) / 24.0) AS INT) AS n_chunks FROM w),
+        |c AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM k)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 24 + 1 AS BIGINT) AS start_tok,
+        |  CAST(len(ws[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_pipeline" ->
       """WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0),

@@ -326,6 +326,35 @@ object Curation {
     }.toDF("doc_id", "n_tokens", "over_budget", "bin_id", "off_in_bin")
   }
 
+  /** Sliding-window document chunking — the long-document splitter of a
+    * training pipeline: each doc explodes into windows of `chunkTokens`
+    * whitespace tokens advancing by `stride` (stride < chunkTokens ⇒
+    * overlapping context windows, the usual pretraining shape). The final
+    * window is the possibly-short tail; chunk starts are exactly
+    * {1, 1+stride, 2·stride+1, …} clipped to the doc, each start emitted
+    * once. Map-only: one explode over a row-local sequence, no shuffle —
+    * at 100 TB this is a projection, and the (doc_id, chunk_id) key is
+    * stable for downstream packing/dedup.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    val ws = split(col("text"), " ")
+    // number of windows: 1 + ceil(max(0, n_words - chunkTokens) / stride)
+    val nChunks = lit(1) + ceil(
+      greatest(size(ws) - chunkTokens, lit(0)).cast("double") / stride).cast("int")
+    docs
+      .select(col("doc_id"), ws.as("ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("long").as("start_tok"),
+        slice(col("ws"), col("chunk_id") * stride + 1, lit(chunkTokens)).as("toks"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** The composed ingest pipeline — exact dedup → decontaminate →
     * language/quality gate → source mixture — as ONE declarative plan, the
     * full curation pass a crawl snapshot takes before training. Each stage

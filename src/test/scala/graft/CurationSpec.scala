@@ -243,6 +243,27 @@ class CurationSpec extends SparkSpec {
     assert(out.getSeq[String](0).isEmpty)
   }
 
+  test("chunking: every token covered, stride overlap, short tail, stable keys") {
+    val words81 = (1 to 81).map(i => s"t$i")
+    val docs = docsDF(1L -> words81.mkString(" "), 2L -> "a b c")
+    val out = Curation.chunkDocs(docs, 32, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 81 tokens, window 32, stride 24 -> starts 1, 25, 49, 73; tail is 9.
+    assert(d1.map(_._3).toSeq == Seq(1L, 25L, 49L, 73L))
+    assert(d1.map(_._4).toSeq == Seq(32L, 32L, 32L, 9L))
+    d1.foreach { case (_, _, start, n, text) =>
+      assert(text == words81.slice(start.toInt - 1, start.toInt - 1 + n.toInt).mkString(" "))
+    }
+    // every token index lands in at least one window
+    val covered = d1.flatMap { case (_, _, s, n, _) => s until (s + n) }.toSet
+    assert(covered == (1L to 81L).toSet)
+
+    // short doc: one whole-doc chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
+  }
+
   test("curation pipeline: each stage's teeth bite — dup copies, contaminated, low-quality all absent") {
     val docs = Tables.documents(spark, sf)
     val reIngested = docs.filter(col("doc_id") % 10 === 0)
