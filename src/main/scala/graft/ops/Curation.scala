@@ -380,7 +380,16 @@ object Curation {
     val deduped = corpus
       .withColumn("keep_id", min(col("doc_id")).over(keepW))
       .filter(col("doc_id") === col("keep_id")).drop("keep_id")
-    val clean = decontaminate(deduped, benchmark, n)
+    // Contamination is a per-doc property (it depends only on the
+    // benchmark, never on other corpus docs), so the contaminated id set
+    // comes from the RAW corpus in a parallel branch — anti-joining it
+    // against the dedup survivors gives the same result as
+    // decontaminate(deduped) while consuming the windowed subtree ONCE
+    // (deriving the n-gram stream from `deduped` would recompute the
+    // text-hash window a second time; CurationSpec pins the single
+    // occurrence).
+    val contaminatedIds = contaminatedDocs(corpus, benchmark, n).select(col("doc_id"))
+    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
     val gated = TextAnalysis.gate(clean, lang, minQuality)
     Sampling.mixCorpus(gated, weights, tokenBudget)
   }

@@ -300,6 +300,17 @@ class CurationSpec extends SparkSpec {
       val budget = Map("src0" -> 1000L, "src1" -> 600L, "src2" -> 400L)(src)
       assert(rows.map(_._4).max <= budget, s"$src over budget")
     }
+
+    // Plan shape: the corpus-sized text-hash dedup window runs ONCE — the
+    // contamination branch must derive from the raw corpus, not re-window.
+    val plan = Curation.curationPipeline(corpus, benchmark, weights, 2000L)
+      .queryExecution.executedPlan.toString
+    val md5WindowExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(_w0")).size
+    assert(md5WindowExchanges <= 2, // one md5 window + the countDistinct partial
+      s"dedup window subtree must not duplicate:\n${plan.take(1200)}")
+    val windowNodes = plan.linesIterator.filter(_.contains("Window ")).size
+    assert(windowNodes == 2, s"exactly dedup + mixture windows expected, got $windowNodes")
   }
 
   private def Sampling_pipelineRun(corpus: org.apache.spark.sql.DataFrame,
