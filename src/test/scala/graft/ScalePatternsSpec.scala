@@ -164,4 +164,12 @@ class ScalePatternsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay cell-blocked equi-joins:\n${plan.take(1200)}")
   }
+
+  test("chunking plan: map-only — the only exchange is the presentation sort") {
+    val plan = graft.ops.Curation.chunkDocs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1 && (exchanges == 0 || plan.contains("rangepartitioning")),
+      s"chunking must not shuffle except to order output:\n${plan.take(800)}")
+  }
 }
