@@ -320,6 +320,15 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Target corpus = every 97th doc (the decontam holdout pattern);
+    // corpus side = the rest. Top 50 by integer-exact relevance density.
+    "doc_target_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.selectByRelevance(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), 50)
+    }),
     // 32-token windows advancing by 24 (overlapping pretraining chunks);
     // the generator's ~50-word docs split into 1-2 windows each, so both
     // the single-chunk and tail-window arms fire at every SF.
@@ -1422,6 +1431,17 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_target_select" ->
+      """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
+        |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),
+        |cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 <> 0),
+        |sc AS (SELECT cw.doc_id,
+        |  CAST(SUM(COALESCE(tc.t_count, 0)) AS BIGINT) AS relevance,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM cw LEFT JOIN tc ON tc.word = cw.word GROUP BY cw.doc_id)
+        |SELECT doc_id, relevance, n_tokens,
+        |  CAST(relevance AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS density
+        |FROM sc ORDER BY density DESC, doc_id LIMIT 50""".stripMargin,
     "doc_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |k AS (SELECT doc_id, ws,

@@ -193,6 +193,46 @@ object TextAnalysis {
       .select(docs.columns.map(col).toSeq :+ col("pred_lang") :+ col("n_words") :+ col("quality"): _*)
   }
 
+  /** Target-domain relevance scoring — the selection signal of
+    * importance-resampling data selection (DSIR, Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"), in
+    * an INTEGER-EXACT form: a doc's `relevance` is the sum over its
+    * tokens of that word's occurrence count in the target corpus (the
+    * unnormalized unigram importance numerator — integer arithmetic, so
+    * both engines agree bit-for-bit, unlike log-likelihood forms whose
+    * last-ulp log() differences break cross-engine hashing). `density`
+    * (relevance / n_tokens, one IEEE division — also engine-exact) is the
+    * length-normalized selection key.
+    *
+    * Scale shape: target word counts join the corpus token stream on
+    * `word` (broadcast when the target vocabulary is small — eval suites
+    * and domain seeds are — else a plain equi-join); one partial-agg
+    * shuffle keyed by doc_id. No floats until the final division.
+    */
+  def targetRelevance(corpus: DataFrame, target: DataFrame): DataFrame = {
+    val targetCounts = target
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("t_count"))
+    corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(targetCounts), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("t_count"), lit(0L))).as("relevance"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("density",
+        col("relevance").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-k selection by target relevance density — the "keep the most
+    * target-like docs" cut. Deterministic (density, doc_id) order; lowers
+    * to a TakeOrderedAndProject, never a global sort.
+    */
+  def selectByRelevance(corpus: DataFrame, target: DataFrame, k: Int = 50): DataFrame =
+    targetRelevance(corpus, target)
+      .orderBy(col("density").desc, col("doc_id"))
+      .limit(k)
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one

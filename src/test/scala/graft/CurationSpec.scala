@@ -264,6 +264,24 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
   }
 
+  test("target relevance: integer token-count scoring, top-k lowers to TakeOrdered") {
+    import graft.ops.TextAnalysis
+    val corpus = docsDF(1L -> "x y z", 2L -> "z z z", 3L -> "x x x x")
+    val target = docsDF(100L -> "x x y")
+    val rel = TextAnalysis.targetRelevance(corpus, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // t_count: x=2, y=1, z=0
+    assert(rel(1L) == ((3L, 3L, 1.0)))   // 2+1+0 over 3 tokens
+    assert(rel(2L) == ((0L, 3L, 0.0)))
+    assert(rel(3L) == ((8L, 4L, 2.0)))   // 4·2 over 4 tokens
+    val top = TextAnalysis.selectByRelevance(corpus, target, 2).collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(3L, 1L), "densest target-like docs first")
+    val plan = TextAnalysis.selectByRelevance(corpus, target, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must not globally sort:\n${plan.take(600)}")
+  }
+
   test("curation pipeline: each stage's teeth bite — dup copies, contaminated, low-quality all absent") {
     val docs = Tables.documents(spark, sf)
     val reIngested = docs.filter(col("doc_id") % 10 === 0)
