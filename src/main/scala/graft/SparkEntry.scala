@@ -320,6 +320,9 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Conjunctive keyword search over two mid-frequency vocabulary words.
+    "doc_search" -> ((s, d) =>
+      TextAnalysis.searchDocs(Tables.documents(s, d), Seq("spark", "join"))),
     // Target corpus = every 97th doc (the decontam holdout pattern);
     // corpus side = the rest. Top 50 by integer-exact relevance density.
     "doc_target_select" -> ((s, d) => {
@@ -1431,6 +1434,14 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_search" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf1,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf2
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(tf1 + tf2 AS BIGINT) AS total_tf
+        |FROM t WHERE tf1 > 0 AND tf2 > 0
+        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
     "doc_target_select" ->
       """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
         |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),

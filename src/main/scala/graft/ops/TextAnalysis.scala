@@ -233,6 +233,26 @@ object TextAnalysis {
       .orderBy(col("density").desc, col("doc_id"))
       .limit(k)
 
+  /** Conjunctive keyword search: docs containing ALL query terms, ranked
+    * by total term frequency (integer — engine-portable), ties on doc_id.
+    * Map-only scoring (per-term `size(filter(...))` over the token array,
+    * no explode, no shuffle) + a TakeOrderedAndProject top-k: the corpus
+    * exploration primitive, and the exact-match complement of the vector
+    * search tier. At 100 TB the conjunctive filter prunes before ranking,
+    * and a parquet bloom/dictionary filter on `text` would push further.
+    */
+  def searchDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val words = split(col("text"), " ")
+    val tfCols = terms.map(t => size(filter(words, w => w === t)).cast("long"))
+    val total = tfCols.reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("source"), total.as("total_tf"))
+      .filter(tfCols.map(_ > 0).reduce(_ && _))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one

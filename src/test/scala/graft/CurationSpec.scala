@@ -264,6 +264,23 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
   }
 
+  test("keyword search: conjunctive filter, tf ranking, TakeOrdered plan") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "spark join spark", "s1"), (2L, "spark only here", "s1"),
+      (3L, "join spark join join", "s2"), (4L, "neither word", "s2"))
+      .toDF("doc_id", "text", "source")
+    val hits = TextAnalysis.searchDocs(docs, Seq("spark", "join"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // doc 2 lacks 'join', doc 4 lacks both; 3 outranks 1 on total tf.
+    assert(hits.toSeq == Seq((3L, 4L), (1L, 3L)))
+    // plan assert against a real scan (a 4-row local relation pre-collapses)
+    val plan = TextAnalysis.searchDocs(Tables.documents(spark, sf), Seq("spark", "join"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n${plan.take(600)}")
+  }
+
   test("target relevance: integer token-count scoring, top-k lowers to TakeOrdered") {
     import graft.ops.TextAnalysis
     val corpus = docsDF(1L -> "x y z", 2L -> "z z z", 3L -> "x x x x")
