@@ -264,6 +264,27 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a b c")))
   }
 
+  test("chunking boundary sweep: coverage and window count hold for every (n, chunk, stride)") {
+    import spark.implicits._
+    for ((c, s) <- Seq((32, 24), (8, 8), (5, 1), (7, 3))) {
+      // one doc per length n = 1..3c+1 in a single DataFrame
+      val docs = (1 to 3 * c + 1).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = Curation.chunkDocs(docs, c, s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      (1 to 3 * c + 1).foreach { n =>
+        val chunks = out(n.toLong).sortBy(_._2)
+        val expected = 1 + math.ceil(math.max(0, n - c).toDouble / s).toInt
+        assert(chunks.length == expected, s"c=$c s=$s n=$n: window count")
+        val covered = chunks.flatMap { case (_, _, st, len) => st until (st + len) }.toSet
+        assert(covered == (1L to n.toLong).toSet, s"c=$c s=$s n=$n: coverage")
+        chunks.init.foreach { case (_, _, _, len) => assert(len == c.toLong) }
+        assert(chunks.last._4 <= c.toLong && chunks.last._4 >= 1L)
+      }
+    }
+  }
+
   test("keyword search: conjunctive filter, tf ranking, TakeOrdered plan") {
     import spark.implicits._
     import graft.ops.TextAnalysis
