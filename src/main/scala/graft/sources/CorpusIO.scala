@@ -106,4 +106,25 @@ object CorpusIO {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Compacted parquet sink — the small-files answer for the corpus write
+    * path. Two levers compose:
+    *  - the REBALANCE hint lets AQE split oversized and coalesce
+    *    undersized shuffle partitions at runtime (skewed upstream stages
+    *    stop dictating the file layout — a 10⁶-row partition next to
+    *    hundred-row ones becomes evenly sized outputs);
+    *  - `maxRecordsPerFile` hard-caps rows per file, so even a still-large
+    *    partition splits on write.
+    * Together: no small-file explosion from over-parallel upstreams, no
+    * giant unsplittable files from skew. Returns the written row count
+    * (one metadata-only read).
+    */
+  def writeCompactedParquet(df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 500000L): Long = {
+    df.hint("rebalance")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
 }

@@ -77,4 +77,23 @@ class CorpusIOSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(a.sameElements(b))
   }
+
+  test("compacted parquet sink: skewed partitions neither explode into small files nor stay giant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Pathological upstream: 64 partitions for 1200 rows (small-file bait)
+    // where one partition also dwarfs the rest (skew bait).
+    val skewed = (1L to 1200L).toDF("id")
+      .repartition(64, (col("id") === 1L).cast("int")) // all rows land in ~1 of 64 slots
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/out"
+    val n = CorpusIO.writeCompactedParquet(skewed, dir, maxRecordsPerFile = 400L)
+    assert(n == 1200L)
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    // 1200 rows / 400-cap => at least 3 files (no giant file), and far
+    // fewer than the 64 empty-partition shards the upstream would write.
+    assert(files.size >= 3 && files.size <= 16,
+      s"expected 3..16 compacted files, got ${files.size}")
+    assert(spark.read.parquet(dir).count() == 1200L)
+  }
 }
