@@ -87,5 +87,13 @@ class GoldenSpec extends SparkSpec {
       ops.Similarity.semanticDedup(Tables.embeddings(spark, sf), 0.42).limit(20))
     check("doc_mix", ops.Sampling.mixCorpus(docs,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L))
+    check("doc_mix_epochs_head", ops.Sampling.mixCorpusEpochs(docs,
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 8000L).limit(30))
+    check("doc_chunks_head", ops.Curation.chunkDocs(docs).limit(20))
+    check("doc_heavy_hitters", ops.TextAnalysis.heavyHitters(docs))
+    check("doc_search", ops.TextAnalysis.searchDocs(docs, Seq("spark", "join")))
+    check("doc_target_select_head", ops.TextAnalysis.selectByRelevance(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0), 20))
   }
 }
