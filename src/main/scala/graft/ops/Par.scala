@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism seeding for per-row-heavy map stages over narrow sources.
   *
@@ -16,6 +17,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   * stable row key (deterministic layout), and downstream per-key
   * aggregations reuse the partitioning where Catalyst can prove it.
   *
+  * The probe (`df.rdd.getNumPartitions`) only runs on SHUFFLE-FREE plans
+  * (scans/projects/filters/unions): there it builds the RDD without
+  * launching a job. On a join/aggregate/window-derived input, `.rdd`
+  * under AQE would EXECUTE the upstream stages just to read a partition
+  * count — and those inputs arrive shuffle-partitioned (≥ the configured
+  * shuffle parallelism) anyway, so seeding has nothing to buy; `seed` is
+  * an identity there.
+  *
   * Deliberately NOT applied to map-only operators (PII redaction,
   * repetition signals, tokenize, quality metrics): their zero-shuffle
   * plan IS the scale contract — pinned by `ScalePatternsSpec` — and a
@@ -24,9 +33,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * blocks, gram aggregations, candidate joins) seed their source.
   */
 object Par {
+  private def shuffleFree(plan: LogicalPlan): Boolean = !plan.exists {
+    case _: Join | _: Aggregate | _: Window | _: Distinct | _: Deduplicate |
+        _: RepartitionByExpression | _: Sort | _: GlobalLimit => true
+    case r: Repartition => r.shuffle // coalesce (shuffle=false) stays probe-safe
+    case _ => false
+  }
+
   def seed(df: DataFrame, key: Column): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= slots) df
-    else df.repartition(slots, key)
+    if (!shuffleFree(df.queryExecution.logical)) df
+    else {
+      val slots = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= slots) df
+      else df.repartition(slots, key)
+    }
   }
 }

@@ -205,9 +205,12 @@ object TextAnalysis {
     * length-normalized selection key.
     *
     * Scale shape: target word counts join the corpus token stream on
-    * `word` (broadcast when the target vocabulary is small — eval suites
-    * and domain seeds are — else a plain equi-join); one partial-agg
-    * shuffle keyed by doc_id. No floats until the final division.
+    * `word` — NO broadcast hint: AQE broadcasts from runtime size when
+    * the target vocabulary is small (eval suites, domain seeds) and
+    * degrades to a shuffle join when a whole target domain's vocabulary
+    * isn't broadcastable (the `Dedup.simhashSigs` vocabulary-join
+    * precedent); one partial-agg shuffle keyed by doc_id. No floats
+    * until the final division.
     */
   def targetRelevance(corpus: DataFrame, target: DataFrame): DataFrame = {
     val targetCounts = target
@@ -215,7 +218,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("t_count"))
     corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(targetCounts), Seq("word"), "left")
+      .join(targetCounts, Seq("word"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("t_count"), lit(0L))).as("relevance"),
         count(lit(1)).as("n_tokens"))
@@ -244,11 +247,20 @@ object TextAnalysis {
   def searchDocs(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     val words = split(col("text"), " ")
-    val tfCols = terms.map(t => size(filter(words, w => w === t)).cast("long"))
-    val total = tfCols.reduce(_ + _)
-    docs
-      .select(col("doc_id"), col("source"), total.as("total_tf"))
-      .filter(tfCols.map(_ > 0).reduce(_ && _))
+    // Project the per-term tfs ONCE, then filter/sum on the projected
+    // columns — referencing the raw token array in the filter would make
+    // the pushed-down predicate re-evaluate every term's array scan a
+    // second time.
+    val tfNames = terms.indices.map(i => s"_tf$i")
+    val projected = docs.select(
+      col("doc_id") +: col("source") +:
+        terms.zip(tfNames).map { case (t, n) =>
+          size(filter(words, w => w === t)).cast("long").as(n)
+        }: _*)
+    projected
+      .filter(tfNames.map(col(_) > 0).reduce(_ && _))
+      .select(col("doc_id"), col("source"),
+        tfNames.map(col).reduce(_ + _).as("total_tf"))
       .orderBy(col("total_tf").desc, col("doc_id"))
       .limit(k)
   }

@@ -44,14 +44,22 @@ object LshIndex {
 
   /** Append a batch's derived rows into the index (no resident rewrite). */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    // hashes are written FIRST because they are the table the
+    // id-disjointness gate checks: a crash anywhere in this append leaves
+    // the batch's ids visible in hashes, so a replayed batch trips the
+    // gate LOUDLY instead of silently double-appending the derived tables
+    // (duplicated shingle/size rows would inflate every future batch's
+    // Jaccard scores against these docs). The worst crash outcome is a
+    // doc with hash-only presence — caught by the exact tier, never
+    // double-counted.
+    batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
     val sh = Dedup.shingles(batch).localCheckpoint(true)
     sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .write.mode(SaveMode.Append).parquet(s"$path/sizes")
     Dedup.bandKeys(Dedup.minhashWide(sh))
       .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
-    batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
   }
 
   /** Fail fast when a batch reuses resident doc_ids. The candidate join

@@ -116,18 +116,21 @@ object IvfIndex {
       ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("c_embedding"))
-    val dated =
+    val dated = (
       if (batch.columns.contains("ingest_date")) assign(batch, centroids)
       else assign(batch, centroids).withColumn("ingest_date", lit(ingestDate))
-    dated
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
-        col("ingest_date"))
-      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
-      .parquet(s"$path/vectors")
+    ).localCheckpoint(true) // two consumers: radii merge, vectors append
     // Max-merge the batch's covering radii into the sidecar (driver-side:
     // both sides are ≤nCells rows). Radii only grow on append; retention
     // can leave them conservatively large, which keeps the bound CORRECT
     // (never prunes a qualifying cell), just occasionally less tight.
+    //
+    // ORDERING: the radii merge happens BEFORE the vectors append. A crash
+    // between the two leaves radii that cover vectors not yet present —
+    // conservatively LARGE, which is always safe for rangeSearch. The
+    // reverse order would open a window where appended vectors exceed the
+    // stored radius, and a too-small radius silently breaks rangeSearch's
+    // exactness with nothing to detect or repair it.
     //
     // SINGLE-WRITER REQUIRED: this is a read-merge-overwrite of a shared
     // sidecar. Two concurrent appends could each read the pre-append radii
@@ -156,6 +159,11 @@ object IvfIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
     fs.delete(radiiPath, true)
     fs.rename(tmpPath, radiiPath)
+    dated
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
+        col("ingest_date"))
+      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
+      .parquet(s"$path/vectors")
   }
 
   /** Retention: physically drop `ingest_date=` directories older than the
@@ -188,20 +196,6 @@ object IvfIndex {
     }
   }
 
-  /** Batch kNN join against the on-disk layout — the physical twin of
-    * `ops.Similarity.knnJoin`: the corpus is ALREADY cell-partitioned on
-    * disk, so no assignment pass runs at query time. Queries are
-    * multi-probe-assigned against the centroid sidecar (a driver-side
-    * constant); the equi-join key is the layout's own partition column, so
-    * the corpus side arrives cell-clustered from disk (and Spark's dynamic
-    * partition pruning can skip cells no query probes when the query side
-    * broadcasts). With `asOf` the scan is statically pruned to the
-    * retention window's date directories. The per-query top-k is the
-    * bounded native aggregate — map-side combining, ≤k rows per
-    * (partition, query) into the final shuffle. At 100 TB this is the
-    * shape the training-pipeline similarity stage runs: queries stream in,
-    * the corpus never rewrites, no per-row assignment at query time.
-    */
   /** Multi-probe cell list for the `embedding` column as a literal-centroid
     * codegen expression: the nProbe nearest cells, (distance, cid)
     * tie-broken — shared by the batch kNN join and the dedup ingest gate.
@@ -217,6 +211,20 @@ object IvfIndex {
       x => x.getField("cid")), 1, nProbe)
   }
 
+  /** Batch kNN join against the on-disk layout — the physical twin of
+    * `ops.Similarity.knnJoin`: the corpus is ALREADY cell-partitioned on
+    * disk, so no assignment pass runs at query time. Queries are
+    * multi-probe-assigned against the centroid sidecar (a driver-side
+    * constant); the equi-join key is the layout's own partition column, so
+    * the corpus side arrives cell-clustered from disk (and Spark's dynamic
+    * partition pruning can skip cells no query probes when the query side
+    * broadcasts). With `asOf` the scan is statically pruned to the
+    * retention window's date directories. The per-query top-k is the
+    * bounded native aggregate — map-side combining, ≤k rows per
+    * (partition, query) into the final shuffle. At 100 TB this is the
+    * shape the training-pipeline similarity stage runs: queries stream in,
+    * the corpus never rewrites, no per-row assignment at query time.
+    */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, nProbe: Int = 4, asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
@@ -329,9 +337,18 @@ object IvfIndex {
   def dedupIngest(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.95, nProbe: Int = 4,
       ingestDate: java.sql.Date = DefaultIngestDate): DataFrame = {
-    val residentIds = spark.read.parquet(s"$path/vectors").select(col("vec_id"))
-    require(batch.select(col("vec_id")).join(residentIds, "vec_id").isEmpty,
-      "batch vec_ids must be disjoint from resident ids")
+    val vecPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(vecPath),
+      s"no IVF layout at $path — build(...) the index before dedupIngest")
+    // One resident read serves both the disjointness gate and the cell join.
+    val residentVectors = spark.read.parquet(s"$path/vectors")
+    val clash = batch.select(col("vec_id"))
+      .join(residentVectors.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(5).collect()
+    require(clash.isEmpty,
+      s"batch vec_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
+        "ingest requires batch ids disjoint from the resident corpus")
     val batchLosers = batch
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("keep_id"), collect_list(col("vec_id")).as("ids"))
@@ -343,7 +360,7 @@ object IvfIndex {
     val probed = candidates
       .select(col("vec_id"), col("embedding"),
         explode(probeCellsExpr(spark, path, nProbe)).as("cell"))
-    val resident = spark.read.parquet(s"$path/vectors")
+    val resident = residentVectors
       .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
         col("cell").cast("long").as("cell"))
     val nearDups = probed.join(resident, "cell")

@@ -24,4 +24,15 @@ class ParSpec extends SparkSpec {
     val wide = (1L to 100L).toDF("doc_id").repartition(slots + 2)
     assert(Par.seed(wide, col("doc_id")) eq wide)
   }
+
+  test("seed is identity on shuffle-derived inputs — no partition probe runs") {
+    // A join-derived input arrives shuffle-partitioned; probing its RDD
+    // under AQE would EXECUTE the join just to count partitions, so seed
+    // must return it untouched without ever building the RDD.
+    val a = (1L to 50L).toDF("doc_id")
+    val joined = a.join(a.select(col("doc_id").as("doc_id")), "doc_id")
+    assert(Par.seed(joined, col("doc_id")) eq joined)
+    val agged = a.groupBy(col("doc_id")).count()
+    assert(Par.seed(agged, col("doc_id")) eq agged)
+  }
 }
