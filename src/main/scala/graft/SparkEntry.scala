@@ -386,6 +386,15 @@ object SparkEntry {
       Curation.contaminatedDocs(
         docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
     }),
+    // Same contamination semantics, bloom-guarded plan (the
+    // too-many-benchmarks-to-broadcast regime): output must be EXACT, so
+    // the same oracle binds.
+    "doc_decontam_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Curation.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    }),
     "doc_repetition" -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
     // Span-level duplication vs the WHOLE corpus (RefinedWeb-style): the
     // share of each doc's 4-gram occurrences also present in another doc.
@@ -1525,6 +1534,15 @@ object SparkEntry {
         |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g')) AS redacted_md5
         |FROM t ORDER BY doc_id""".stripMargin,
     "doc_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-2),
+        |        i -> array_to_string(ws[i:i+3], ' '))) AS ng FROM w),
+        |b AS (SELECT DISTINCT ng FROM e WHERE doc_id % 97 = 0)
+        |SELECT e.doc_id, CAST(COUNT(DISTINCT e.ng) AS BIGINT) AS n_shared
+        |FROM e JOIN b USING (ng) WHERE e.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The bloom guard must not change the answer: identical oracle.
+    "doc_decontam_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-2),
         |        i -> array_to_string(ws[i:i+3], ' '))) AS ng FROM w),

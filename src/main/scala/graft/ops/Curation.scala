@@ -89,6 +89,44 @@ object Curation {
     corpus.join(contaminatedDocs(corpus, benchmark, n).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Bloom-guarded contamination report — output ≡ `contaminatedDocs`
+    * (same rows, same counts), different 100-TB shape for the regime where
+    * the benchmark suite is too large to broadcast as ROWS (hundreds of
+    * eval sets, billions of held-out n-grams): the corpus gram stream is
+    * pre-filtered by a Bloom fingerprint of the benchmark grams BEFORE the
+    * exact join, so the join's probe input shrinks to true matches plus an
+    * `fpp` share of the rest — on a mostly-clean corpus that cuts the wide
+    * stage by ~(1 − fpp) while the downstream exact string join keeps the
+    * result EXACT (Bloom has no false negatives; false positives die in
+    * the join). The filter itself is a bounded driver artifact (~1.2 GB at
+    * 1B grams / 1% fpp) built by Spark's distributed sketch aggregation —
+    * the same artifact class as the IVF centroid sidecar.
+    *
+    * No broadcast hint on the exact join: AQE broadcasts the benchmark
+    * side when it IS small and shuffles both sides when it isn't — the
+    * bloom guard is what keeps the corpus side of that shuffle bounded.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 4,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val benchNgrams = benchmark
+      .select(explode(ngrams(col("text"), n)).as("ng")).distinct()
+      .localCheckpoint(true) // three consumers: size, bloom build, exact join
+    val expected = math.max(1L, benchNgrams.count())
+    val bloom = benchNgrams.select(xxhash64(col("ng")).as("gh"))
+      .stat.bloomFilter("gh", expected, fpp)
+    val mightContain = GraftSqlBridge.column(
+      graft.functions.BloomMightContainLong.fromFilter(
+        GraftSqlBridge.expression(xxhash64(col("ng"))), bloom))
+    corpus
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("ng"))
+      .filter(mightContain)
+      .join(benchNgrams, "ng")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Repetition signals (Gopher-style quality filters) -----------------
 
   /** Longest run of equal values in the SORTED array `arr` — i.e. the max

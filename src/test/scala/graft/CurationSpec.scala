@@ -48,6 +48,50 @@ class CurationSpec extends SparkSpec {
     assert(clean.sameElements(Array(3L, 4L, 5L)))
   }
 
+  test("bloom-guarded decontamination: identical report, bloom guard in the plan") {
+    val bench = docsDF(
+      100L -> "alpha beta gamma delta epsilon",
+      101L -> "one two three four five six")
+    val corpus = docsDF(
+      (1L -> "zzz alpha beta gamma delta yyy") +:
+      (2L -> "beta gamma delta epsilon tail here") +:
+      (3L -> "two three four five trailing words") +:
+      (4L -> "totally unrelated words in this doc") +:
+      (5L -> "tiny doc") +:
+      (10L to 60L).map(i => i -> s"filler doc number $i with its own unshared tokens"): _*)
+    val exact = Curation.contaminatedDocs(corpus, bench, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val bloomed = Curation.contaminatedDocsBloom(corpus, bench, n = 4)
+    val got = bloomed.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(got == exact)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // The guard must sit in the corpus-side scan stage, before the join.
+    assert(bloomed.queryExecution.executedPlan.toString.contains("bloom_might_contain"),
+      "bloom pre-filter missing from the physical plan")
+  }
+
+  test("bloom expression: no false negatives, bounded false positives, codegen ≡ interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.BloomMightContainLong
+    val members = (1L to 500L)
+    val bloom = members.toDF("gh").stat.bloomFilter("gh", members.size.toLong, 0.01)
+    val expr = BloomMightContainLong.fromFilter(
+      GraftSqlBridge.expression(col("gh")), bloom)
+    val probes = (1L to 50000L)
+    val hits = probes.toDF("gh").filter(GraftSqlBridge.column(expr))
+      .collect().map(_.getLong(0)).toSet
+    assert(members.forall(hits.contains), "false negative: a member failed might-contain")
+    assert(hits.size - members.size < (probes.size * 0.05).toInt,
+      s"false-positive rate blown: ${hits.size - members.size} of ${probes.size}")
+    // Interpreted eval (the non-codegen fallback) must agree with the
+    // codegen'd filter above on every probe.
+    probes.foreach { v =>
+      assert(expr.nullSafeEval(v) == hits.contains(v), s"codegen/interpreted split on $v")
+    }
+  }
+
   test("repetition signals match hand-computed fractions") {
     val docs = docsDF(
       1L -> "a b a b a b",       // 6 words, 2 distinct; top bigram "a b" x3 of 5; top trigram x2 of 4
