@@ -123,6 +123,22 @@ object SparkEntry {
     // rows-only for the same reason (sketch estimates are engine-specific).
     "ev_approx_quantiles" -> ((s, d) => Events.approxValueQuantiles(Tables.events(s, d))),
     "ev_topk_per_user" -> ((s, d) => graft.functions.TopKAggregator.topEventsPerUser(Tables.events(s, d))),
+    // Z-order layout roundtrip: events rewritten z-ordered on
+    // (user_id, value), then a two-dimensional selective scan over the
+    // layout — the oracle reads the RAW table, so any row the layout
+    // dropped, duplicated, or altered hash-mismatches. The pruning teeth
+    // (scan reads a fraction of the files) are asserted in ZOrderSpec.
+    "ev_zorder_scan" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = cachedArtifact("zorder", d) { p =>
+        graft.sources.ZOrder.writeZOrdered(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          p, "user_id", "value")
+      }
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100, 163) && col("value") >= 50.0)
+        .orderBy(col("event_id"))
+    }),
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
@@ -1074,6 +1090,12 @@ object SparkEntry {
         |  SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS pos
         |  FROM events) WHERE pos <= 3 ORDER BY user_id, pos""".stripMargin,
+    // Oracle reads the RAW events table — the z-ordered layout must be a
+    // content-identical rewrite.
+    "ev_zorder_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 100 AND 163 AND value >= 50.0
+        |ORDER BY event_id""".stripMargin,
     "vec_knn_l2" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
