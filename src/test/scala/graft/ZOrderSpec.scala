@@ -21,6 +21,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zs == zs.sorted && zs.distinct.size == 8)
   }
 
+  test("interleaveBits matches a reference Morton implementation and is injective") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    // Deterministic scatter over the full 12-bit × 12-bit plane.
+    val pairs = (0L until 4000L).map(i =>
+      ((i * 48271L) % 4096L, (i * 16807L) % 4096L)).distinct
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.interleaveBits(col("a"), col("b"), 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b, 12), s"mismatch at ($a, $b)")
+    }
+    assert(got.values.toSeq.distinct.size == pairs.size, "z-codes must be injective")
+  }
+
   private def fixture: DataFrame = {
     import spark.implicits._
     // Deterministic scatter: id steps by a large odd constant mod the
