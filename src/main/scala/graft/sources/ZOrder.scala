@@ -65,10 +65,50 @@ object ZOrder {
       min(col(c2).cast("double")), max(col(c2).cast("double"))).collect()
     val z = zValue(col(c1), row.getDouble(0), row.getDouble(1),
       col(c2), row.getDouble(2), row.getDouble(3), bits)
+    writeByZ(df, z, path, nFiles)
+  }
+
+  /** The skew-robust variant: buckets come from approximate QUANTILES of
+    * each column instead of a linear min/max scale (the Delta
+    * `range_partition_id` idea). On a heavy-hitter distribution linear
+    * scaling crowds most rows into a handful of buckets — hot keys then
+    * share every file with tail keys and the footer stats stop pruning;
+    * rank bucketing gives hot keys their own bucket runs, so equality
+    * predicates on them prune again. Cutpoints are a bounded driver
+    * artifact (2 × (2^bits − 1) doubles); per-row assignment is a
+    * binary-search codegen expression, not a 2^bits-branch when-chain.
+    */
+  def writeZOrderedRank(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int = 64, bits: Int = 8, relErr: Double = 0.001): Unit = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // Duplicate cutpoints are KEPT deliberately: a heavy hitter owning p%
+    // of the mass repeats across ~p% of the cutpoints, so its bucket
+    // index (count of cutpoints ≤ value) lands proportional to its CDF
+    // position — hot keys spread across the full bucket range and their
+    // distinguishing bits sit at the interleave's significant positions.
+    // Deduplicating would compress all hot keys into a few dense low
+    // indexes whose differing bits fall below the per-file z-granularity,
+    // and the layout would stop separating them.
+    val Array(cut1, cut2) = df.stat.approxQuantile(
+      Array(c1, c2), probs, relErr).map(_.sorted)
+    val z = interleaveBits(
+      bucketIdx(col(c1), cut1), bucketIdx(col(c2), cut2), bits)
+    writeByZ(df, z, path, nFiles)
+  }
+
+  /** Bucket index of a value against sorted cutpoints (count of cutpoints
+    * ≤ value) as a codegen'd binary-search expression.
+    */
+  def bucketIdx(c: Column, cutpoints: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.BucketIdx(
+      GraftSqlBridge.expression(c.cast("double")), cutpoints))
+  }
+
+  private def writeByZ(df: DataFrame, z: Column, path: String, nFiles: Int): Unit =
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
-  }
 }

@@ -88,6 +88,50 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("rank-bucketed z-order: hot-key equality predicates prune where linear bucketing cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-r").toString
+    // Heavy-hitter distribution: 10 hot user_ids carry 90% of the rows,
+    // a uniform tail stretches the domain to ~1e9 — linear min/max
+    // scaling crowds every hot id into bucket 0.
+    val df = (0L until 50000L).map { i =>
+      val uid = if (i < 45000L) i % 10L else 10L + (i * 7919L) % 999999989L
+      (i, uid, ((i * 40503L) % 100000L).toDouble / 100.0)
+    }.toDF("event_id", "user_id", "value")
+    ZOrder.writeZOrdered(df, s"$dir/lin", "user_id", "value", nFiles = 64)
+    ZOrder.writeZOrderedRank(df, s"$dir/rank", "user_id", "value", nFiles = 64)
+
+    val pred = col("user_id") === 3L // one hot id: 4500 of 50000 rows
+    val linAns = spark.read.parquet(s"$dir/lin").filter(pred)
+      .orderBy(col("event_id")).collect().toSeq
+    val rankAns = spark.read.parquet(s"$dir/rank").filter(pred)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(linAns == rankAns && rankAns.size == 4500)
+
+    val linRows = scanRows(spark.read.parquet(s"$dir/lin").filter(pred))
+    val rankRows = scanRows(spark.read.parquet(s"$dir/rank").filter(pred))
+    // Linear layout: every hot row shares bucket 0, so files mix all ten
+    // hot ids and their stats cannot exclude id 3 — most hot rows scan.
+    assert(linRows > 25000L, s"fixture no longer skew-degrades linear bucketing: $linRows")
+    // Rank layout: id 3 owns its own bucket run — near-minimal scan.
+    assert(rankRows < 15000L, s"rank bucketing failed to isolate the hot key: $rankRows")
+    assert(rankRows * 3 < linRows, s"no separation: rank=$rankRows lin=$linRows")
+  }
+
+  test("bucketIdx: binary search matches the counting definition, ties go high") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val cuts = Array(1.0, 3.0, 3.0, 7.5, 100.0)
+    val expr = graft.functions.BucketIdx(
+      GraftSqlBridge.expression(col("v")), cuts)
+    val vals = Seq(-5.0, 1.0, 2.0, 3.0, 5.0, 7.5, 99.0, 100.0, 1e9)
+    val got = vals.toDF("v").select(GraftSqlBridge.column(expr).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = vals.map(v => cuts.count(_ <= v).toLong)
+    assert(got == want)
+    vals.foreach(v => assert(expr.bucketOf(v) == cuts.count(_ <= v).toLong))
+  }
+
   test("degenerate domain: constant column collapses to one bucket, no crash") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder-c").toString
