@@ -142,6 +142,10 @@ object SparkEntry {
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
+    // SQ8 in the provably-exact configuration (refine covers the corpus —
+    // the PQ-family oracle pattern): full encode→ADC→refine machinery,
+    // brute-force answer, so the vec_knn_l2 oracle binds verbatim.
+    "vec_sq_search" -> ((s, d) => graft.vector.SqIndex.searchExact(Tables.embeddings(s, d))),
     // Exact range search (all neighbors within r): map-only distance +
     // filter — no shuffle at any scale; r² = 1.45 is the ~1-2% tail of
     // this generator's distance distribution from vec 0.
@@ -1097,6 +1101,14 @@ object SparkEntry {
         |WHERE user_id BETWEEN 100 AND 163 AND value >= 50.0
         |ORDER BY event_id""".stripMargin,
     "vec_knn_l2" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
+        |  d2 AS dist_sq, 1.0 - d2/2.0 AS similarity
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // Exact-config SQ8 must equal brute force — identical oracle to vec_knn_l2.
+    "vec_sq_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q)
