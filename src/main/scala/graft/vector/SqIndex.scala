@@ -100,7 +100,11 @@ object SqIndex {
 
   /** The provably-exact configuration: refine budget covers the corpus,
     * so every candidate is re-ranked by true distance — brute-force
-    * answer through the full SQ path, oracle-bindable.
+    * answer through the full SQ path, oracle-bindable. The corpus-sized
+    * limit makes the candidate cut a no-op (Spark falls back from
+    * TakeOrdered to a plain sort there) — this is the correctness-gate
+    * config, not the production path; production uses a small `refine`,
+    * where the per-query top-refine is the bounded TakeOrdered pattern.
     */
   def searchExact(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =
     search(embeddings, queryId, k, refine = Int.MaxValue)
