@@ -95,5 +95,9 @@ class GoldenSpec extends SparkSpec {
     check("doc_target_select_head", ops.TextAnalysis.selectByRelevance(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0), 20))
+    check("doc_decontam_bloom", ops.Curation.contaminatedDocsBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)))
+    check("vec_sq_search", vector.SqIndex.searchExact(Tables.embeddings(spark, sf)))
   }
 }
