@@ -146,6 +146,14 @@ object SparkEntry {
     // the PQ-family oracle pattern): full encode→ADC→refine machinery,
     // brute-force answer, so the vec_knn_l2 oracle binds verbatim.
     "vec_sq_search" -> ((s, d) => graft.vector.SqIndex.searchExact(Tables.embeddings(s, d))),
+    // Batch SQ join: the ADC band (± the analytic decode-error bound)
+    // provably contains the true top-k, so the re-rank answer is exactly
+    // brute force and the oracle is the plain per-query top-k SQL.
+    "vec_sq_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      graft.vector.SqIndex.knnJoin(emb.filter(col("vec_id") % 37 === 0), emb)
+    }),
     // Exact range search (all neighbors within r): map-only distance +
     // filter — no shuffle at any scale; r² = 1.45 is the ~1-2% tail of
     // this generator's distance distribution from vec 0.
@@ -1107,6 +1115,16 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
         |  d2 AS dist_sq, 1.0 - d2/2.0 AS similarity
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // Banded SQ join is provably brute force — per-query top-k oracle.
+    "vec_sq_knn_join" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS q_vec_id, e AS qe FROM emb WHERE vec_id % 37 = 0),
+        |d AS (SELECT q.q_vec_id, emb.vec_id AS c_vec_id,
+        |  ${l2sqSql("emb.e", "q.qe")} AS d2 FROM emb, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |  ORDER BY d2, c_vec_id) AS rn FROM d)
+        |SELECT q_vec_id, CAST(rn AS BIGINT) AS rank, c_vec_id, d2 AS dist_sq
+        |FROM r WHERE rn <= 10 ORDER BY q_vec_id, rank""".stripMargin,
     // Exact-config SQ8 must equal brute force — identical oracle to vec_knn_l2.
     "vec_sq_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),

@@ -98,6 +98,67 @@ object SqIndex {
         col("d2").as("dist_sq"), faissSimilarity(col("d2")).as("similarity"))
   }
 
+  /** Whole-corpus decode error bound: each dimension reconstructs within
+    * half a quantization step (span/510), so every vector's decode lies
+    * within E = sqrt(Σ (span_d/510)²) of the original in L2 — and by the
+    * triangle inequality every pair's |sqrt(ADC) − sqrt(true)| ≤ E. The
+    * small absolute slack covers the float32 cast of the decoded values
+    * (ulp-level, orders of magnitude under the quantization term).
+    */
+  def decodeErrorBound(mins: Array[Double], maxs: Array[Double]): Double =
+    math.sqrt(mins.indices.map { d =>
+      val e = (maxs(d) - mins(d)) / 510.0; e * e
+    }.sum) + 1e-4
+
+  /** Batch kNN join through the SQ codes with a PROVABLY exact re-rank
+    * band (the classic quantized-search refinement bound): rank all
+    * (query, code) pairs by asymmetric distance, then keep every
+    * candidate whose optimistic bound sqrt(adc) − E is ≤ the k-th
+    * smallest pessimistic bound sqrt(adc) + E. At least k true distances
+    * sit ≤ that threshold (the k candidates defining it), so the true
+    * k-th distance does too, and every true top-k member's optimistic
+    * bound clears it — the band provably contains the true top-k for ANY
+    * data, and the true-distance re-rank returns exactly the brute-force
+    * answer. The oracle binds analytically, not empirically.
+    *
+    * Scale shape: the ADC pass is the codes-only scan (the compression's
+    * point — FAISS's SQ flat search is this same linear scan); both
+    * window passes share one q_vec_id-keyed shuffle, and only the banded
+    * survivors (≈k per query when E is tight) touch their raw vectors in
+    * the re-rank join. Sublinear candidate generation composes upstream
+    * (IVF cells) exactly as in `IvfPqIndex`.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mins, maxs) = train(corpus)
+    val eps = decodeErrorBound(mins, maxs)
+    val codes = encode(corpus, mins, maxs)
+      .select(col("vec_id").as("c_vec_id"),
+        decodeCol(col("codes"), mins.toSeq, maxs.toSeq)
+          .cast("array<float>").as("dec"))
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+    val byQ = Window.partitionBy(col("q_vec_id"))
+    val banded = codes
+      .crossJoin(broadcast(q))
+      .withColumn("adc_r", sqrt(l2Sq(col("q_emb"), col("dec"))))
+      .withColumn("ub", col("adc_r") + lit(eps))
+      .withColumn("lb", col("adc_r") - lit(eps))
+      .withColumn("rn_ub",
+        row_number().over(byQ.orderBy(col("ub"), col("c_vec_id"))))
+      .withColumn("kth_ub", max(when(col("rn_ub") <= k, col("ub"))).over(byQ))
+      .filter(col("lb") <= col("kth_ub"))
+      .select(col("q_vec_id"), col("q_emb"), col("c_vec_id"))
+    banded
+      .join(corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb")),
+        "c_vec_id")
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number()
+        .over(byQ.orderBy(col("d2"), col("c_vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("c_vec_id"), col("d2").as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** The provably-exact configuration: refine budget covers the corpus,
     * so every candidate is re-ranked by true distance — brute-force
     * answer through the full SQ path, oracle-bindable. The corpus-sized

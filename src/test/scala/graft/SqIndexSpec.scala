@@ -47,6 +47,34 @@ class SqIndexSpec extends SparkSpec {
     assert(sq == brute)
   }
 
+  test("banded kNN join equals the brute-force join, including duplicate-vector ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2Sq
+    // Fixture plus exact duplicates of vectors 5 and 6 under new ids —
+    // the tie-break (d2, c_vec_id) must order them deterministically.
+    val base = fixture
+    val dups = base.filter(col("vec_id").isin(5L, 6L))
+      .withColumn("vec_id", col("vec_id") + 1000L)
+      .withColumn("label", concat(col("label"), lit("_dup")))
+    val corpus = base.unionByName(dups)
+    val queries = corpus.filter(col("vec_id") % 37 === 0)
+
+    val got = graft.vector.SqIndex.knnJoin(queries, corpus, k = 5).collect().toSeq
+    val brute = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"))
+      .crossJoin(queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb")))
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec_id"), col("rank"), col("c_vec_id"), col("d2").as("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+      .collect().toSeq
+    assert(got == brute)
+    // Every query found its own duplicate-free self at rank 1, distance 0.
+    assert(got.filter(_.getLong(1) == 1L).forall(_.getDouble(3) == 0.0))
+  }
+
   test("budgeted config: high recall at an 8x-over-k refine budget") {
     val df = fixture
     val brute = Similarity.knnL2(df, queryId = 3L, k = 10)
