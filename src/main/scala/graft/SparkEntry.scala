@@ -351,6 +351,26 @@ object SparkEntry {
     // Conjunctive keyword search over two mid-frequency vocabulary words.
     "doc_search" -> ((s, d) =>
       TextAnalysis.searchDocs(Tables.documents(s, d), Seq("spark", "join"))),
+    // Exact contiguous-phrase search; "fast table" hits 18 docs at sf0.01
+    // / 273 at sf0.1 (max 2 occurrences), so the positional test, the
+    // overlap counting, AND the top-k cut all have teeth at both SFs.
+    "doc_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, d), Seq("fast", "table"))),
+    // Scaled-integer tf-idf disjunctive retrieval over one mid-frequency
+    // and one rare term — the idf weighting must dominate for the ranking
+    // to differ from raw tf, which is what the oracle then checks.
+    "doc_tfidf_search" -> ((s, d) =>
+      TextAnalysis.tfidfSearch(Tables.documents(s, d), Seq("table", "spark"))),
+    // Cross-source 4-gram leakage matrix over all C(20,2) source pairs.
+    "doc_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    // Prefix-filtered all-pairs Jaccard at tau = 1/4 over 3-gram shingles:
+    // finds the same 25-pair near-dup population as doc_minhash_pairs at
+    // sf0.01 (256 at sf0.1) but with a lossless-filter contract; the
+    // oracle is the straight all-pairs definition, independent of the
+    // prefix-filter derivation it checks.
+    "doc_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d))),
     // Target corpus = every 97th doc (the decontam holdout pattern);
     // corpus side = the rest. Top 50 by integer-exact relevance density.
     "doc_target_select" -> ((s, d) => {
@@ -1503,6 +1523,55 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(tf1 + tf2 AS BIGINT) AS total_tf
         |FROM t WHERE tf1 > 0 AND tf2 > 0
         |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
+    "doc_phrase_search" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  CASE WHEN len(ws) >= 2
+        |    THEN len(list_filter(range(1, len(ws)), i -> ws[i] = 'fast' AND ws[i+1] = 'table'))
+        |    ELSE 0 END AS n_hits
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_hits AS BIGINT) AS n_hits FROM h
+        |WHERE n_hits > 0 ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+    "doc_tfidf_search" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf1,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf2
+        |  FROM documents),
+        |s AS (SELECT COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM t)
+        |SELECT doc_id, source,
+        |  CAST(tf1 * ((1000000 * n_docs) // greatest(df1, 1))
+        |     + tf2 * ((1000000 * n_docs) // greatest(df2, 1)) AS BIGINT) AS score
+        |FROM t, s WHERE tf1 > 0 OR tf2 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "doc_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g0 AS (SELECT source, unnest(list_transform(range(1, len(ws)-2),
+        |  i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM w),
+        |g AS (SELECT DISTINCT source, md5(gram) AS gh FROM g0),
+        |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared_grams AS BIGINT) AS shared_grams,
+        |  CAST(shared_grams AS DOUBLE) / CAST(na.n + nb.n - shared_grams AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    "doc_prefix_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS gh
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM w)),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(x.s + y.s - n_inter AS BIGINT) AS n_union,
+        |  CAST(n_inter AS DOUBLE) / CAST(x.s + y.s - n_inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE n_inter * 4 >= (x.s + y.s - n_inter)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "doc_target_select" ->
       """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
         |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),

@@ -348,4 +348,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Prefix-filtered all-pairs Jaccard (the AllPairs / PPJoin family —
+    * Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search", Xiao et
+    * al. 2008): EXACT Jaccard-threshold pair enumeration over the whole
+    * corpus with no blocking key and no probabilistic recall contract —
+    * the third candidate-generation strategy of the near-dup family
+    * (blocking = needs a metadata key; MinHash-LSH = tunable miss
+    * probability; prefix filter = lossless). Under a global total order on
+    * gram keys, two sets with J >= tau must share their SMALLEST common
+    * element inside both prefixes of length |x| - ceil(tau*|x|) + 1 (if
+    * all shared grams sat in x's suffix, inter <= ceil(tau*|x|) - 1 <
+    * tau*|union| — contradiction), so only prefixes join. Ordering grams
+    * by ascending document frequency makes every prefix the doc's RAREST
+    * grams, so candidate lists stay short on skewed real corpora.
+    *
+    * Scale shape: one distinct over (doc_id, gh); df + per-doc rank are
+    * one aggregation and one doc-keyed window over that table; the
+    * candidate join runs on prefix rows only (rare keys by construction);
+    * verification joins the two gram arrays per CANDIDATE pair — never
+    * all pairs. The threshold keep-test is an integer cross-multiplication
+    * (den*inter >= num*union), so the cut is exact rational arithmetic —
+    * no float wobble at the boundary; the reported `jaccard` double is
+    * display-only. ceil(tau*sz) is exact integer math ((num*sz + den-1)
+    * DIV den).
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+      tauNum: Int = 1, tauDen: Int = 4): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need a rational 0 < tau <= 1")
+    import org.apache.spark.sql.expressions.Window
+    // The gram table feeds four consumers (df counts, the ranked prefix,
+    // both verify arrays) — materialize once, the staged-table pattern of
+    // blockedJaccardPairsCapped.
+    val grams = shingles(docs, n)
+      .select(col("doc_id"), md5(col("shingle")).as("gh"))
+      .localCheckpoint(true)
+    val dfs = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val byGlobalOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val ranked = grams.join(dfs, "gh")
+      .select(col("doc_id"), col("gh"),
+        row_number().over(byGlobalOrder).as("rk"),
+        count(lit(1)).over(whole).as("sz"))
+    val prefix = ranked.filter(
+      col("rk") <= col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) DIV $tauDen") + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gh"))).as("ghs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ghs").as("ga"), col("sz").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ghs").as("gb"), col("sz").as("nb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

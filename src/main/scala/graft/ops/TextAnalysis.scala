@@ -285,4 +285,151 @@ object TextAnalysis {
       .select(col("word"), col("n"), col("total"))
       .orderBy(col("n").desc, col("word"))
   }
+
+  /** Exact phrase search: docs containing the token phrase CONTIGUOUSLY,
+    * with the overlapping-occurrence count (every start position counts,
+    * so "a b a" occurs twice in "a b a b a" — the suffix-array convention,
+    * not the non-overlapping replace() one). Token-boundary exact: a
+    * phrase matches only on whole whitespace tokens, never inside a word.
+    *
+    * Map-only like `searchDocs`: the token array projects once, the match
+    * test is a filter over row-local start positions (no explode, no
+    * shuffle), and the top-k lowers to TakeOrderedAndProject. At 100 TB
+    * this is a scan; the conjunctive presence of all phrase words could
+    * pre-prune via `searchDocs`' predicate before the positional test.
+    *
+    * The start-position sequence is guarded by size >= n — Spark's
+    * sequence() counts DOWN when the upper bound is below the lower
+    * (sequence(1,0) = [1,0]), which would fabricate out-of-range probes
+    * on docs shorter than the phrase.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val n = phrase.length
+    val projected = docs.select(
+      col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+    val matchAt = (i: Column) =>
+      phrase.zipWithIndex.map { case (w, j) =>
+        element_at(col("ws"), (i + lit(j)).cast("int")) === lit(w)
+      }.reduce(_ && _)
+    projected
+      .select(col("doc_id"), col("source"),
+        when(size(col("ws")) >= n,
+          size(filter(sequence(lit(1), size(col("ws")) - n + 1), matchAt)))
+          .otherwise(lit(0)).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Cross-source n-gram overlap matrix — the leakage audit BETWEEN corpus
+    * sources (the decontamination op audits corpus-vs-benchmark; this one
+    * answers "which ingest sources are mirroring each other's content",
+    * the first question when a crawl and a curated dump double-count the
+    * same pages). For every source pair: the number of distinct word
+    * n-grams present in both, plus the gram-set Jaccard.
+    *
+    * Scale shape: grams md5 to 16-byte keys map-side and collapse to
+    * DISTINCT (source, gh) — the only corpus-sized shuffle, with partial
+    * aggregation. The self-join then runs on the collapsed gram-key table
+    * (≤ #sources rows per gh, so Σ df² is bounded by #sources × table
+    * size — no skew blow-up), and the output is ≤ C(#sources, 2) rows.
+    * The collapsed table localCheckpoints because three consumers (sizes,
+    * both join sides) would otherwise each re-derive the corpus scan.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 4): DataFrame = {
+    val grams = Par.seed(docs, col("doc_id"))
+      .select(col("source"), explode(Curation.ngrams(col("text"), n)).as("g"))
+      .select(col("source"), md5(col("g")).as("gh"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    grams.as("a").join(grams.as("b"),
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.select(col("source").as("src_a"), col("n_grams").as("na")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n_grams").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Disjunctive ranked retrieval by SCALED-INTEGER tf-idf: docs matching
+    * ANY query term, scored Σ_t tf_t · ((SCALE·N) div df_t) — the idf
+    * weight as an integer quotient, so rarer terms dominate exactly as in
+    * real tf-idf but every score is a BIGINT both engines agree on
+    * bit-for-bit (the `targetRelevance` integer-exact precedent; real
+    * log-idf BM25 is `bm25Search` below, spec-asserted rather than
+    * oracle-hashed because last-ulp log() differences are engine-local).
+    *
+    * Scale shape: per-term tf columns project once off the scan (map-only,
+    * like `searchDocs`); N and the per-term dfs come from ONE aggregation
+    * over those projected columns, broadcast back as a single row; scoring
+    * is then scalar math and the top-k lowers to TakeOrderedAndProject.
+    * The doc scan runs twice (stats + scoring) — both passes map-only and
+    * column-pruned, the at-scale alternative to materializing a
+    * corpus-sized checkpoint.
+    */
+  def tfidfSearch(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      scale: Long = 1000000L): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val words = split(col("text"), " ")
+    val tfNames = terms.indices.map(i => s"_tf$i")
+    val projected = docs.select(
+      col("doc_id") +: col("source") +:
+        terms.zip(tfNames).map { case (t, nm) =>
+          size(filter(words, w => w === t)).cast("long").as(nm)
+        }: _*)
+    val stats = projected.agg(
+      count(lit(1)).as("n_docs"),
+      tfNames.map(nm =>
+        sum(when(col(nm) > 0, 1L).otherwise(0L)).as(s"df$nm")): _*)
+    val score = tfNames.map(nm =>
+      col(nm) * expr(s"(($scale * n_docs) DIV greatest(df$nm, 1))")).reduce(_ + _)
+    projected.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Okapi BM25 ranked retrieval — the real log-idf form with length
+    * normalization (k1/b defaults from the literature). Same two-pass
+    * map-only shape as `tfidfSearch`, plus the corpus average doc length
+    * in the broadcast stats row. Scores are doubles built from log();
+    * correctness is pinned by `ScalePatternsSpec`-style asserts in
+    * `TextSearchSpec` (hand-computed fixture scores, tf/idf monotonicity)
+    * rather than the cross-engine hash oracle, which integer-exact
+    * `tfidfSearch` covers for the ranking family.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val words = split(col("text"), " ")
+    val tfNames = terms.indices.map(i => s"_tf$i")
+    val projected = docs.select(
+      col("doc_id") +: col("source") +: size(words).cast("long").as("dl") +:
+        terms.zip(tfNames).map { case (t, nm) =>
+          size(filter(words, w => w === t)).cast("long").as(nm)
+        }: _*)
+    val statCols = avg(col("dl")).as("avgdl") +:
+      tfNames.map(nm =>
+        sum(when(col(nm) > 0, 1L).otherwise(0L)).as(s"df$nm"))
+    val stats = projected.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    // BM25+-free classic form: idf = ln((N - df + 0.5) / (df + 0.5) + 1)
+    val score = tfNames.map { nm =>
+      val tf = col(nm).cast("double")
+      val idf = log(
+        (col("n_docs") - col(s"df$nm") + 0.5) / (col(s"df$nm") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    projected.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
