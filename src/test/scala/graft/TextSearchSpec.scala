@@ -126,6 +126,33 @@ class TextSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("phraseSearch plan: map-only scan + TakeOrderedAndProject, zero shuffles") {
+    val plan = TextAnalysis.phraseSearch(Tables.documents(spark, sf), Seq("fast", "table"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"phrase top-k should lower to TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"phrase search is a scan — no shuffle belongs in this plan:\n$plan")
+  }
+
+  test("tfidfSearch plan: broadcast stats row, top-k lowering, no sort-merge join") {
+    val plan = TextAnalysis.tfidfSearch(Tables.documents(spark, sf), Seq("table", "spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"tf-idf top-k should lower to TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the single stats row must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here warrants a sort-merge join:\n$plan")
+  }
+
+  test("prefixJaccardPairs plan: every join is keyed — no cartesian product") {
+    val plan = Dedup.prefixJaccardPairs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix filtering must keep the candidate join keyed on gh:\n$plan")
+  }
+
   test("prefixJaccardPairs keeps a pair at EXACTLY the threshold (integer cut)") {
     // Shingle sets: doc1 has 4 grams, doc2 has 2, sharing 2 => J = 2/4 = 1/2.
     val d = docsDf(
