@@ -356,6 +356,38 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Marginal-novelty attribution per source — the companion of
+    * `sourceOverlap`: for each source, how many of its distinct word
+    * n-grams appear in NO earlier source (sources ordered by name — the
+    * deterministic stand-in for ingest order), i.e. the greedy "what does
+    * this source add on top of the ones before it" decomposition used to
+    * rank ingest priorities. n_novel sums to the corpus's total distinct
+    * gram count; novelty_frac = n_novel / n_grams is the source's marginal
+    * contribution rate.
+    *
+    * Scale shape: ONE corpus-sized shuffle (distinct (source, gh) with
+    * partial aggregation, gram keys md5'd map-side); first-owner min() and
+    * per-source totals are both gram-table-sized aggregations off that
+    * one materialization. Sources owning zero novel grams (fully mirrored
+    * corpora) keep their row via the left join.
+    */
+  def sourceNovelty(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sg = Par.seed(docs, col("doc_id"))
+      .select(col("source"), explode(Curation.ngrams(col("text"), n)).as("g"))
+      .select(col("source"), md5(col("g")).as("gh"))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val novel = sg.groupBy(col("gh")).agg(min(col("source")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Disjunctive ranked retrieval by SCALED-INTEGER tf-idf: docs matching
     * ANY query term, scored Σ_t tf_t · ((SCALE·N) div df_t) — the idf
     * weight as an integer quotient, so rarer terms dominate exactly as in
