@@ -24,16 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which the vectorized
-    * Spark reader rejects. Read nanos as long, floor to micros (exact for
-    * this data: values are micro-precision), and surface a TimestampType
-    * column so downstream ops are uniform.
+  /** events.parquet has shipped `ts` in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) (which the vectorized reader rejects —
+    * read nanos as long via the legacy flag, floor to micros) and plain
+    * micros TIMESTAMP_NTZ. Adapt on the observed schema and surface a
+    * uniform TimestampType column either way (session TZ is pinned UTC, so
+    * the NTZ cast preserves wall time).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
