@@ -187,6 +187,12 @@ object SparkEntry {
     // Oracle = all-pairs edges + recursive min-label reachability (the
     // doc_dup_clusters precedent) + the same survivor/size projection.
     "vec_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.42)),
+    // Region-balanced diversity sample: 16 sign-pattern regions (first 4
+    // dims), cap 8 per region in stable hashDraw order — the embedding-
+    // space twin of doc_rebalance. 16 regions over 500/5000 vectors means
+    // the cap genuinely cuts at both shipped SFs.
+    "vec_diverse_sample" -> ((s, d) =>
+      Sampling.diverseSample(Tables.embeddings(s, d), 8, 4)),
     // Second cosine-LSH family (sign random projections). Oracle = the
     // all-pairs definition at cos >= 0.9; with 16 bands of 2 bits the
     // per-pair miss probability at that threshold is ~6e-10, and the
@@ -371,6 +377,35 @@ object SparkEntry {
     // prefix-filter derivation it checks.
     "doc_prefix_jaccard" -> ((s, d) =>
       Dedup.prefixJaccardPairs(Tables.documents(s, d))),
+    // Exact substring dedup (Lee et al. 2021): every duplicated 8-token
+    // span keeps only its global first occurrence; later occurrences are
+    // cut out and the text rebuilt. The removal complement of the
+    // doc_span_dup measurement.
+    "doc_span_removal" -> ((s, d) =>
+      Curation.removeDupSpans(Tables.documents(s, d))),
+    // Inverted-index-served conjunctive search: same contract and terms
+    // as doc_search, but answered from the persisted posting-list layout
+    // (the oracle binds the INDEX path to the raw-corpus definition).
+    "doc_inverted_search" -> ((s, d) => {
+      val dir = cachedArtifact("invidx", d) { p =>
+        graft.text.InvertedIndex.build(s, Tables.documents(s, d), p)
+      }
+      graft.text.InvertedIndex.search(s, dir, Seq("spark", "join"))
+    }),
+    // Index build + df serving: times a FRESH posting build (artifact
+    // cache install), then reads document frequencies for a term list
+    // back off the built layout — content pinned by the raw-corpus oracle.
+    "doc_inverted_build" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-invidx-fresh")
+        .toString + "/idx"
+      graft.text.InvertedIndex.build(s, Tables.documents(s, d), dir)
+      artifactCache.put(s"invidx|$d", dir)
+      graft.text.InvertedIndex.docFreq(s, dir,
+        Seq("spark", "join", "table", "fast", "merge"))
+    }),
+    // One-pass per-source audit card (docs/tokens/chars/lang mix/exact-dup
+    // rate) — the datasheet table a corpus release ships.
+    "doc_corpus_card" -> ((s, d) => TextAnalysis.corpusCard(Tables.documents(s, d))),
     // Target corpus = every 97th doc (the decontam holdout pattern);
     // corpus side = the rest. Top 50 by integer-exact relevance density.
     "doc_target_select" -> ((s, d) => {
@@ -1208,6 +1243,20 @@ object SparkEntry {
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // Sign-pattern regions over the raw floats, hashDraw order, cap 8 —
+    // every piece is engine-portable, so the oracle mirrors the rule.
+    "vec_diverse_sample" ->
+      """WITH b AS (SELECT vec_id,
+        |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket,
+        |  substring(md5('graft|' || CAST(vec_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM embeddings),
+        |r AS (SELECT bucket, vec_id,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY draw, vec_id) AS rk FROM b)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(rk AS BIGINT) AS draw_rank, vec_id
+        |FROM r WHERE rk <= 8 ORDER BY bucket, draw_rank""".stripMargin,
     "vec_semantic_dedup" ->
       s"""WITH RECURSIVE n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n),
@@ -1572,6 +1621,60 @@ object SparkEntry {
         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE n_inter * 4 >= (x.s + y.s - n_inter)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact substring dedup: rn = 1 is the gram's global first occurrence
+    // under (doc_id, p) — the same min(struct) rule the Spark side uses;
+    // every later occurrence's 8 covered positions are cut.
+    "doc_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+        |grams AS (
+        |  SELECT doc_id, p, md5(array_to_string(ws[p+1:p+8], ' ')) AS gh
+        |  FROM toks, LATERAL (SELECT unnest(range(0, len(ws) - 8 + 1)) AS p) t
+        |  WHERE len(ws) >= 8),
+        |ranked AS (
+        |  SELECT doc_id, p, row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+        |  FROM grams),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, p + o AS pos
+        |  FROM ranked, LATERAL (SELECT unnest(range(0, 8)) AS o) s
+        |  WHERE rn > 1),
+        |remagg AS (SELECT doc_id, list(pos) AS rem, count(*) AS n_removed FROM rem GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN t.text
+        |       -- coalesce: DuckDB's array_to_string on an EMPTY list (a
+        |       -- fully-removed doc) is NULL where Spark's array_join is ''
+        |       ELSE coalesce(array_to_string([t.ws[i+1] FOR i IN range(0, len(t.ws)) IF NOT list_contains(r.rem, i)], ' '), '')
+        |  END AS clean_text,
+        |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens
+        |FROM toks t LEFT JOIN remagg r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // The index-served search must reproduce the raw-corpus definition —
+    // the oracle is doc_search's, verbatim.
+    "doc_inverted_search" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf1,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf2
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(tf1 + tf2 AS BIGINT) AS total_tf
+        |FROM t WHERE tf1 > 0 AND tf2 > 0
+        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
+    // df/total_tf served from the built posting layout vs the raw corpus.
+    "doc_inverted_build" ->
+      """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(COUNT(*) AS BIGINT) AS total_tf
+        |FROM u WHERE term IN ('spark', 'join', 'table', 'fast', 'merge')
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "doc_corpus_card" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "doc_target_select" ->
       """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
         |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),

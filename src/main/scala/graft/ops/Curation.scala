@@ -431,4 +431,49 @@ object Curation {
     val gated = TextAnalysis.gate(clean, lang, minQuality)
     Sampling.mixCorpus(gated, weights, tokenBudget)
   }
+
+  // ---- Exact substring dedup (span REMOVAL) ------------------------------
+
+  /** Exact substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every `n`-token span
+    * that occurs more than once in the corpus keeps ONLY its globally
+    * first occurrence (min (doc_id, position)); tokens covered by any
+    * other occurrence are REMOVED and the document text is rebuilt from
+    * the survivors in original order. The surgical complement of
+    * `spanDupFractions`, which only measures the duplicated mass.
+    *
+    * Scale shape (the suffix-array batch pipeline re-expressed as joins):
+    *  - one gram-hash-keyed aggregation finds each gram's global first
+    *    occurrence and its occurrence count (`min(struct)` + count — no
+    *    distinct-expand, no second corpus pass);
+    *  - only multi-occurrence grams survive the filter, so the join back
+    *    onto the occurrence stream carries the DUPLICATE mass, not the
+    *    corpus (AQE broadcasts it on lightly-duplicated corpora);
+    *  - covered positions explode from dup occurrences only (≤ n · dup
+    *    mass rows), collapse to a per-doc position set, and the rebuild
+    *    is one map-side indexed `filter` over the doc's own token array —
+    *    docs with no removals never join anything.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val occ = Par.seed(docs, col("doc_id"))
+      .select(col("doc_id"), posexplode(ngrams(col("text"), n)))
+      .select(col("doc_id"), col("pos").as("p"), md5(col("col")).as("gh"))
+    val dupFirst = occ.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("f.doc_id").as("f_doc"), col("f.p").as("f_p"))
+    val removedPos = occ.join(dupFirst, Seq("gh"))
+      .filter(!(col("doc_id") === col("f_doc") && col("p") === col("f_p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("rem"))
+    docs.join(removedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("rem").isNull, col("text")).otherwise(array_join(
+          filter(split(col("text"), " "), (_, i) => !array_contains(col("rem"), i)),
+          " ")).as("clean_text"),
+        coalesce(size(col("rem")).cast("long"), lit(0L)).as("n_removed_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -155,4 +155,35 @@ object Sampling {
     fullPasses.unionByName(partial)
       .orderBy(col("source"), col("epoch"), col("doc_id"))
   }
+
+  /** Semantic-diversity sampling: cap the corpus per COARSE SEMANTIC
+    * REGION instead of per source — the embedding-space twin of
+    * `capPerGroup`, for "don't let one dense topic cluster dominate the
+    * sample" (the selection step SemDeDup-style pruning leaves implicit).
+    * Regions are the sign pattern of the first `bits` embedding dims — a
+    * fixed sign-random-projection bucket (deterministic, model-free, and
+    * computable by ANY engine reading the same floats, unlike k-means
+    * cells); within a region, draws follow the stable `hashDraw` order
+    * with vec_id tie-break.
+    *
+    * Scale shape: bucket assignment is a map-only projection; the cap
+    * rides the bounded native top-k aggregate (≤2·cap rows per group
+    * buffered anywhere, partial agg before the shuffle) — no per-region
+    * window sort, and the shuffle key space is 2^bits, not the corpus.
+    */
+  def diverseSample(embeddings: DataFrame, cap: Int, bits: Int = 8): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    val bucket = (0 until bits).map(d =>
+        when(element_at(col("embedding"), d + 1) > lit(0.0f), lit(1 << d)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val drawNum = conv(hashDraw(col("vec_id")), 16, 10).cast("double")
+    embeddings.select(col("vec_id"), bucket.as("bucket"), drawNum.as("draw"))
+      .groupBy(col("bucket"))
+      .agg(graft.functions.TopKAggregator.topK(cap, -col("draw"), col("vec_id")).as("top"))
+      .select(col("bucket"), posexplode(col("top")))
+      .select(col("bucket"), (col("pos") + 1).cast("long").as("draw_rank"),
+        col("col.id").as("vec_id"))
+      .orderBy(col("bucket"), col("draw_rank"))
+  }
 }

@@ -464,4 +464,30 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Per-source corpus data card — the audit table a dataset release
+    * ships (datasheet / data-statement style): volume (docs, whitespace
+    * tokens, chars), language mix, and the exact-duplicate rate, all from
+    * ONE aggregation over one scan. `count_distinct(md5(text))` is the
+    * only memory-heavy term and is two-phase (partial distinct per map
+    * task on the hash, not the text); everything else is a plain
+    * map-side-combined sum. The shuffle key space is the source list —
+    * bounded — so this stays one wide stage at any corpus size.
+    */
+  def corpusCard(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), md5(col("text")).as("th"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("th")).as("n_distinct_texts"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_distinct_texts"), col("n_dup_docs"), col("dup_frac"))
+      .orderBy(col("source"))
 }

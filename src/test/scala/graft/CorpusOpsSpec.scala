@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Sampling, TextAnalysis}
+
+/** The corpus-release tier added in round 5's second wave: exact substring
+  * REMOVAL (Lee et al. 2021 semantics), the per-source data card, and
+  * region-balanced diversity sampling over embeddings.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("removeDupSpans cuts later occurrences of a shared 8-token span, keeps the first") {
+    val span = "q w e r t y u i" // 8 tokens
+    val d = docsDf(
+      (1L, s"alpha $span omega"),
+      (2L, s"prefix words here $span suffix"),
+      (3L, "unrelated text entirely without any shared span"))
+    val got = Curation.removeDupSpans(d, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (s"alpha $span omega", 0L), "first occurrence must be untouched")
+    assert(got(2L) == ("prefix words here suffix", 8L), "later occurrence must be cut")
+    assert(got(3L)._2 == 0L)
+  }
+
+  test("removeDupSpans: within-doc repeats cut too, and overlapping dup spans merge their cover") {
+    // span repeats twice inside one doc: second occurrence (8 tokens) removed.
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val d = docsDf((1L, s"$span mid $span"))
+    val got = Curation.removeDupSpans(d, n = 8).collect().head
+    assert(got.getString(1) == s"$span mid")
+    assert(got.getLong(2) == 8L)
+  }
+
+  test("removeDupSpans: docs shorter than the span width pass through; full removal gives empty string") {
+    val span = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = docsDf(
+      (1L, "short doc"),
+      (2L, span), // first occurrence — kept
+      (3L, span)) // exact 8-token duplicate — fully removed
+    val got = Curation.removeDupSpans(d, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("short doc", 0L))
+    assert(got(2L) == (span, 0L))
+    assert(got(3L) == ("", 8L), "fully-removed doc must be empty string, not null")
+  }
+
+  test("removeDupSpans agrees with a brute-force reference on the corpus sample") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val n = 8
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map[String, (Long, Int)]()
+    for ((id, ws) <- rows; p <- 0 to ws.length - n) {
+      val g = ws.slice(p, p + n).mkString(" ")
+      if (!firstSeen.contains(g)) firstSeen(g) = (id, p)
+    }
+    val want = rows.map { case (id, ws) =>
+      val rem = scala.collection.mutable.Set[Int]()
+      for (p <- 0 to ws.length - n) {
+        val g = ws.slice(p, p + n).mkString(" ")
+        if (firstSeen(g) != ((id, p))) rem ++= (p until p + n)
+      }
+      id -> (ws.zipWithIndex.collect { case (w, i) if !rem(i) => w }.mkString(" "), rem.size.toLong)
+    }.toMap
+    val got = Curation.removeDupSpans(docs, n).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("corpusCard aggregates the fixture exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s1"), // exact dup of 1
+      (3L, "d e", "fr", "s1"),
+      (4L, "f g h i", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.corpusCard(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_tokens") == 8L)
+    assert(s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[Long]("n_distinct_texts") == 2L)
+    assert(s1.getAs[Long]("n_dup_docs") == 1L)
+    assert(math.abs(s1.getAs[Double]("dup_frac") - 1.0 / 3.0) < 1e-15)
+    assert(got("s2").getAs[Long]("n_dup_docs") == 0L)
+  }
+
+  test("diverseSample caps every region, picks by (hashDraw, vec_id), and matches the window reference") {
+    val emb = Tables.embeddings(spark, sf)
+    val cap = 5
+    val got = Sampling.diverseSample(emb, cap, bits = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // cap respected and ranks are 1..m per bucket
+    got.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.length <= cap, s"bucket $b over cap")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // window-reference: row_number over (draw, vec_id) per sign-bucket
+    val bucket = (0 until 4).map(d =>
+        when(element_at(col("embedding"), d + 1) > lit(0.0f), lit(1 << d)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(Sampling.hashDraw(col("vec_id")), col("vec_id"))
+    val want = emb.select(col("vec_id"), bucket.as("bucket"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .collect().map(r => (r.getInt(1), r.getInt(2).toLong, r.getLong(0))).toSet
+    assert(got.toSet == want)
+  }
+}
