@@ -450,20 +450,28 @@ object TextAnalysis {
       tfNames.map(nm =>
         sum(when(col(nm) > 0, 1L).otherwise(0L)).as(s"df$nm"))
     val stats = projected.agg(count(lit(1)).as("n_docs"), statCols: _*)
-    // BM25+-free classic form: idf = ln((N - df + 0.5) / (df + 0.5) + 1)
-    val score = tfNames.map { nm =>
+    projected.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), bm25ScoreExpr(tfNames, k1, b).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The Okapi BM25 score tree over columns (_tfI, dl, n_docs, df_tfI,
+    * avgdl) — BM25+-free classic form, idf = ln((N − df + 0.5)/(df + 0.5)
+    * + 1). SHARED between the corpus-scan path (`bm25Search`) and the
+    * index-served path (`text.InvertedIndex.bm25`): one expression tree
+    * means both run the identical IEEE ops in the identical order, which
+    * is what lets the spec assert bitwise equality between them.
+    */
+  private[graft] def bm25ScoreExpr(tfNames: Seq[String], k1: Double, b: Double): Column =
+    tfNames.map { nm =>
       val tf = col(nm).cast("double")
       val idf = log(
         (col("n_docs") - col(s"df$nm") + 0.5) / (col(s"df$nm") + 0.5) + 1.0)
       idf * (tf * (k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     }.reduce(_ + _)
-    projected.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("source"), score.as("score"))
-      .filter(col("score") > 0.0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-  }
 
   /** Per-source corpus data card — the audit table a dataset release
     * ships (datasheet / data-statement style): volume (docs, whitespace

@@ -43,6 +43,44 @@ class InvertedIndexSpec extends SparkSpec {
     assert(dup.map(_.toString).toSeq == single.map(_.toString).toSeq)
   }
 
+  test("appendBatch: incremental postings equal a from-scratch build (no resident rewrite)") {
+    val docs = Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val incDir = java.nio.file.Files.createTempDirectory("graft-invidx-inc").toString + "/idx"
+    InvertedIndex.build(spark, first, incDir, nBuckets = 16)
+    InvertedIndex.appendBatch(spark, rest, incDir)
+    for (terms <- Seq(Seq("spark", "join"), Seq("table"))) {
+      val inc = InvertedIndex.search(spark, incDir, terms, k = 50).collect().map(_.toString).toSeq
+      val full = InvertedIndex.search(spark, indexDir, terms, k = 50).collect().map(_.toString).toSeq
+      assert(inc == full, s"terms=$terms")
+    }
+    val incDf = InvertedIndex.docFreq(spark, incDir, Seq("spark", "merge")).collect().map(_.toString).toSeq
+    val fullDf = InvertedIndex.docFreq(spark, indexDir, Seq("spark", "merge")).collect().map(_.toString).toSeq
+    assert(incDf == fullDf)
+  }
+
+  test("appendBatch fails fast on an already-indexed doc_id (replay gate)") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-gate").toString + "/idx"
+    InvertedIndex.build(spark, docs.limit(50), dir, nBuckets = 8)
+    val err = intercept[IllegalArgumentException] {
+      InvertedIndex.appendBatch(spark, docs.limit(10), dir)
+    }
+    assert(err.getMessage.contains("already indexed"))
+  }
+
+  test("index-served BM25 is bitwise-equal to the scan-based form") {
+    val docs = Tables.documents(spark, sf)
+    for (terms <- Seq(Seq("spark", "join"), Seq("table", "spark"), Seq("merge"))) {
+      val served = InvertedIndex.bm25(spark, indexDir, terms, k = 30).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val scanned = TextAnalysis.bm25Search(docs, terms, k = 30).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(served == scanned, s"terms=$terms")
+    }
+  }
+
   test("docFreq matches direct corpus counts") {
     val docs = Tables.documents(spark, sf)
     val got = InvertedIndex.docFreq(spark, indexDir, Seq("spark", "merge")).collect()
