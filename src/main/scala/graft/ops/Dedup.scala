@@ -392,8 +392,23 @@ object Dedup {
         count(lit(1)).over(whole).as("sz"))
     val prefix = ranked.filter(
       col("rk") <= col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) DIV $tauDen") + 1)
+    // Two further LOSSLESS cuts from the PPJoin family ride inside the
+    // join condition (both pure integer arithmetic):
+    //  - length filter: J >= tau forces min(sz)*den >= max(sz)*num
+    //    (inter <= min and inter >= tau*union >= tau*max);
+    //  - positional filter: for the pair's globally-first common gram at
+    //    ranks (rk_a, rk_b), overlap <= 1 + min(sz_a-rk_a, sz_b-rk_b),
+    //    which must reach the required o = ceil(tau/(1+tau)*(sz_a+sz_b))
+    //    (from inter >= tau*(sz_a+sz_b-inter)). Keeping a pair when ANY
+    //    shared-prefix occurrence passes is a superset of PPJoin's
+    //    first-occurrence rule — still lossless, join-shaped.
+    val tSum = tauNum + tauDen
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * tauDen >= col("b.sz") * tauNum &&
+        col("b.sz") * tauDen >= col("a.sz") * tauNum &&
+        (lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk"))) * tSum >=
+          (col("a.sz") + col("b.sz")) * tauNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = grams.groupBy(col("doc_id"))

@@ -277,4 +277,25 @@ object EventStream {
         }
       }
       .start()
+
+  /** The retrieval-index twin of `corpusIngest`: each micro-batch of
+    * (doc_id, text, source) docs appends its posting rows into the
+    * persisted `text.InvertedIndex` layout — arriving docs are term-
+    * searchable from the next query on, with NO resident rewrite (the
+    * reference rewrites its whole day-index per append). Same delivery
+    * contract as the other ingest twins: at-least-once, and a replayed
+    * batch fails LOUD on the doclens id-disjointness gate instead of
+    * silently splitting a doc's term frequencies across duplicate
+    * posting rows.
+    */
+  def invertedIngest(docs: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.InvertedIndex.appendBatch(batch.sparkSession, batch, indexPath)
+        }
+      }
+      .start()
 }

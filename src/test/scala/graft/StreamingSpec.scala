@@ -462,4 +462,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b, "streamed index must equal the sequential twin")
   }
+
+  test("streaming inverted-index ingest: docs become searchable mid-stream, final index equals a batch build") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sinv").toString
+    val streamIdx = base + "/stream-inv"
+    val ckpt = base + "/ckpt"
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 100)
+    graft.text.InvertedIndex.build(spark, seed, streamIdx, nBuckets = 16)
+
+    def rows(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStream.invertedIngest(
+      mem.toDF().toDF("doc_id", "text", "source"), streamIdx, ckpt)
+    mem.addData(rows(100, 200).toSeq: _*); q.processAllAvailable()
+    // mid-stream: a batch-1 doc is already term-searchable
+    val mid = graft.text.InvertedIndex.search(spark, streamIdx, Seq("table"), k = 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(mid.exists(id => id >= 100 && id < 200),
+      "batch-1 docs must be searchable before the stream ends")
+    mem.addData(rows(200, 300).toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val batchIdx = base + "/batch-inv"
+    graft.text.InvertedIndex.build(spark, docs.filter(col("doc_id") < 300), batchIdx, nBuckets = 16)
+    for (terms <- Seq(Seq("spark", "join"), Seq("table"))) {
+      val streamed = graft.text.InvertedIndex.search(spark, streamIdx, terms, k = 1000)
+        .collect().map(_.toString).toSeq
+      val batch = graft.text.InvertedIndex.search(spark, batchIdx, terms, k = 1000)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch, s"terms=$terms")
+    }
+  }
 }
