@@ -455,6 +455,16 @@ object Curation {
     *    docs with no removals never join anything.
     */
   def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    // The gram-occurrence stream feeds two gh-keyed consumers (the
+    // first-occurrence aggregation and the join-back). Deliberately
+    // RECOMPUTED per consumer, not staged: the stream is ~n× corpus size,
+    // so re-running the map-only scan+explode is cheaper than
+    // materializing it (measured: localCheckpoint staging is ~2× slower
+    // here and loses the hash partitioning across the checkpoint anyway).
+    // The join-back — rather than a per-gram collect_list of occurrences
+    // off the single shuffle — is the skew-safe choice: a degenerate
+    // corpus where one gram repeats millions of times would otherwise
+    // buffer all its occurrences in one aggregation task.
     val occ = Par.seed(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(ngrams(col("text"), n)))
       .select(col("doc_id"), col("pos").as("p"), md5(col("col")).as("gh"))
