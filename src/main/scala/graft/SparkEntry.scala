@@ -406,6 +406,25 @@ object SparkEntry {
     // One-pass per-source audit card (docs/tokens/chars/lang mix/exact-dup
     // rate) — the datasheet table a corpus release ships.
     "doc_corpus_card" -> ((s, d) => TextAnalysis.corpusCard(Tables.documents(s, d))),
+    // Bucketed-snapshot CDC: init from the corpus, then ONE batch that
+    // updates every 10th doc, inserts a copy of every 25th under id+1e6,
+    // and deletes every 97th — only dirty buckets rewritten (spec-pinned);
+    // the final snapshot must equal the declarative merge the oracle runs.
+    "doc_snapshot_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-snap").toString + "/s"
+      graft.sources.SnapshotStore.init(s, docs, dir)
+      val ups = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" updated")))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val dels = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      graft.sources.SnapshotStore.upsert(s, dir, ups, dels)
+      graft.sources.SnapshotStore.read(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // Target corpus = every 97th doc (the decontam holdout pattern);
     // corpus side = the rest. Top 50 by integer-exact relevance density.
     "doc_target_select" -> ((s, d) => {
@@ -1675,6 +1694,22 @@ object SparkEntry {
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // The declarative merge the physical bucketed upsert must equal.
+    "doc_snapshot_upsert" ->
+      """WITH up AS (
+        |  SELECT doc_id, text || ' updated' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        |    AND doc_id NOT IN (SELECT doc_id FROM del)
+        |  UNION ALL
+        |  SELECT * FROM up WHERE doc_id NOT IN (SELECT doc_id FROM del))
+        |ORDER BY doc_id""".stripMargin,
     "doc_target_select" ->
       """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
         |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),

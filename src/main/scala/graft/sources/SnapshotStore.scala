@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed corpus snapshot with PARTITION-PRUNED upserts — incremental
+  * view maintenance for a mutable document corpus without a table format.
+  * A crawl pipeline re-offers changed documents and retracts dead ones
+  * continuously; rewriting the whole snapshot per batch is the same
+  * write-amplification mistake as the reference's full-day-index rewrite
+  * (`faiss_manager.py:248-250`). Here the snapshot lives hash-partitioned
+  * by `bucket = pmod(hash(doc_id), nBuckets)`, and an upsert:
+  *
+  *   1. computes the batch's DIRTY bucket set (bounded by nBuckets — a
+  *      driver artifact, like the IVF centroid sidecar);
+  *   2. reads ONLY those bucket directories of the resident snapshot
+  *      (directory-level partition pruning);
+  *   3. merges keep-latest (batch beats resident on the same doc_id,
+  *      deletes drop the row) inside the dirty buckets alone;
+  *   4. overwrites ONLY the dirty bucket directories, via Spark's dynamic
+  *      partition overwrite — clean buckets' files are never touched
+  *      (spec-asserted on file paths+mtimes).
+  *
+  * Write amplification per batch is O(corpus/nBuckets × dirty buckets),
+  * not O(corpus): at 100 TB with 4096 buckets, a 1k-doc batch rewrites
+  * ≲ dirty-bucket share of the data, and reads the same. The merge is
+  * one join-shaped stage over the dirty slice; nothing scans the clean
+  * remainder. Readers always see a consistent column layout; the bucket
+  * column stays queryable for co-located self-joins.
+  */
+object SnapshotStore {
+
+  private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+
+  /** Materialize the initial snapshot, hash-partitioned by doc_id bucket. */
+  def init(spark: SparkSession, docs: DataFrame, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    withBucket(docs, nBuckets).write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$path/snapshot")
+    spark.range(1).select(lit(nBuckets).as("n_buckets"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  private def meta(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
+
+  /** Apply one batch of upserts and deletes. `upserts` rows replace
+    * resident rows with the same doc_id (and insert new ids); `deletes`
+    * removes ids. Only the buckets containing a touched doc_id are read
+    * or rewritten.
+    */
+  def upsert(spark: SparkSession, path: String, upserts: DataFrame,
+      deletes: DataFrame): Unit = {
+    val nBuckets = meta(spark, path)
+    val up = withBucket(upserts, nBuckets).localCheckpoint(true)
+    val del = withBucket(deletes.select(col("doc_id")), nBuckets)
+      .localCheckpoint(true)
+    val dirty = (up.select(col("bucket")).distinct().collect() ++
+      del.select(col("bucket")).distinct().collect())
+      .map(_.getInt(0)).distinct.toSeq
+    if (dirty.isEmpty) return
+    val resident = spark.read.parquet(s"$path/snapshot")
+      .filter(col("bucket").isin(dirty: _*))
+    // keep-latest merge inside the dirty slice: resident rows lose to a
+    // same-id upsert (left_anti), then the batch unions in; deletes drop
+    // from both sides.
+    val touchedIds = up.select(col("doc_id")).union(del.select(col("doc_id")))
+    val kept = resident.join(touchedIds, Seq("doc_id"), "left_anti")
+    // localCheckpoint is the read-before-overwrite barrier: `merged`
+    // derives from the very files the dynamic overwrite is about to
+    // replace, so it must be fully materialized before the write starts
+    // (otherwise write tasks race the deletion of their own input).
+    // Only the dirty-bucket slice materializes — bounded by design.
+    val merged = kept.unionByName(
+        up.join(del.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(kept.columns.map(col).toSeq: _*))
+      .localCheckpoint(true)
+    val conf = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dynamic mode: only partitions present in `merged` (= the dirty
+      // buckets; a fully-emptied bucket is re-written empty via the
+      // union's schema rows if any survive — an all-deleted bucket keeps
+      // its directory absent from the write and is handled below)
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$path/snapshot")
+      // a dirty bucket whose every row was deleted produces no output
+      // rows, so dynamic overwrite leaves its old files — drop such
+      // bucket dirs explicitly (listings only, no data read)
+      val survivors = merged.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      dirty.filterNot(survivors).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/snapshot/bucket=$b"), true)
+      }
+    } finally {
+      conf match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Read the current snapshot (without the layout's bucket column). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/snapshot").drop("bucket")
+}
