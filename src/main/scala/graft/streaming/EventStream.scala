@@ -298,4 +298,32 @@ object EventStream {
         }
       }
       .start()
+
+  /** CDC stream → bucketed snapshot: a change stream with an `op` column
+    * ("U" upsert / "D" delete) applies to the `sources.SnapshotStore`
+    * layout per micro-batch — each batch rewrites only its dirty buckets,
+    * so a trickle of changes against a 100-TB snapshot stays a trickle of
+    * IO. Within one micro-batch a doc_id may carry several changes;
+    * foreachBatch applies the LAST change per id in `seqCol` order (the
+    * Debezium-style per-key ordering contract), so replaying a prefix of
+    * the stream is idempotent per batch.
+    */
+  def snapshotCdc(changes: DataFrame, snapshotPath: String, checkpoint: String,
+      seqCol: String = "seq"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+            .localCheckpoint(true)
+          val ups = latest.filter(col("op") === "U").drop("op", seqCol)
+          val dels = latest.filter(col("op") === "D").select(col("doc_id"))
+          graft.sources.SnapshotStore.upsert(batch.sparkSession, snapshotPath, ups, dels)
+        }
+      }
+      .start()
 }

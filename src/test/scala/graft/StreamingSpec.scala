@@ -501,4 +501,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"terms=$terms")
     }
   }
+
+  test("snapshot CDC stream: per-batch dirty-bucket merges, last-change-per-id wins within a batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-scdc").toString
+    val snap = base + "/snap"
+    val ckpt = base + "/ckpt"
+    val docsInit = (0L until 40L).map(i => (i, s"orig$i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.SnapshotStore.init(spark, docsInit, snap, nBuckets = 8)
+
+    // (op, seq, doc_id, text, lang, source, n_chars)
+    val mem = MemoryStream[(String, Long, Long, String, String, String, Long)]
+    val q = EventStream.snapshotCdc(
+      mem.toDF().toDF("op", "seq", "doc_id", "text", "lang", "source", "n_chars"),
+      snap, ckpt)
+    // batch 1: doc 1 updated twice (seq 2 wins), doc 2 deleted, doc 100 inserted
+    mem.addData(
+      ("U", 1L, 1L, "one-v1", "en", "s", 6L),
+      ("U", 2L, 1L, "one-v2", "en", "s", 6L),
+      ("D", 1L, 2L, "", "en", "s", 0L),
+      ("U", 1L, 100L, "new", "en", "s", 3L))
+    q.processAllAvailable()
+    val mid = graft.sources.SnapshotStore.read(spark, snap)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mid(1L) == "one-v2", "last change per id within the batch must win")
+    assert(!mid.contains(2L) && mid(100L) == "new")
+    // batch 2: update-then-delete the same id — the delete (higher seq) wins
+    mem.addData(
+      ("U", 3L, 3L, "three-v2", "en", "s", 8L),
+      ("D", 4L, 3L, "", "en", "s", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val fin = graft.sources.SnapshotStore.read(spark, snap)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!fin.contains(3L), "an update-then-delete batch must end deleted")
+    assert(fin.size == 40 - 1 + 1 - 1) // minus ids 2 and 3, plus id 100
+  }
 }
