@@ -76,6 +76,10 @@ object SparkEntry {
       Relational.returnedItemRevenue(Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_quantiles" -> ((s, d) => Relational.quantiles(Tables.lineitem(s, d))),
+    // ANALYZE-style stats: 5 lineitem columns profiled in one aggregation
+    // (exact ndv via Expand; exact quartiles via percentile ≡ quantile_cont).
+    "q_column_stats" -> ((s, d) => Relational.columnStats(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))),
     "q13_order_counts" -> ((s, d) =>
       Relational.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "q15_top_supplier" -> ((s, d) =>
@@ -931,6 +935,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_column_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val,
+           |  quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50,
+           |  quantile_cont($c, 0.75) AS p75
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,

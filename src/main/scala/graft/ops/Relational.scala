@@ -762,4 +762,37 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+
+  /** ANALYZE-style column statistics — the stats surface a cost-based
+    * optimizer consumes (row count, null count, exact NDV, extent, and
+    * exact p25/p50/p75), one output row per profiled column. All columns
+    * profile in ONE aggregation over one scan: Spark rewrites the
+    * multiple exact count-distincts into a single Expand-based plan
+    * (rows × profiled-columns into the shuffle — the price of EXACT ndv;
+    * the estimate tier for wider tables is approx_count_distinct, the
+    * `ev_approx_users` precedent). Percentiles use `percentile`, which
+    * DuckDB's `quantile_cont` matches bitwise (the q_quantiles
+    * precedent); min/max/quantiles cast to double so heterogeneous
+    * columns stack into one typed result.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(d).as(s"min_$c"), max(d).as(s"max_$c"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"q_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', n_$c, nulls_$c, ndv_$c, min_$c, max_$c, q_$c[0], q_$c[1], q_$c[2]"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.size}, $stacked) AS " +
+          "(column, n_rows, n_nulls, ndv, min_val, max_val, p25, p50, p75)"))
+      .orderBy(col("column"))
+  }
 }

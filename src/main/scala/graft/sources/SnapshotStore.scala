@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * one join-shaped stage over the dirty slice; nothing scans the clean
   * remainder. Readers always see a consistent column layout; the bucket
   * column stays queryable for co-located self-joins.
+  *
+  * SINGLE WRITER REQUIRED (the `IvfIndex` radii-sidecar contract):
+  * dynamic partition overwrite is not transactional — two concurrent
+  * upserts touching the same bucket can interleave read-merge-write and
+  * lose one side's rows. Serialize upserts (the streaming `snapshotCdc`
+  * twin does so naturally: one foreachBatch at a time). Readers racing a
+  * writer can also observe a bucket mid-replace; snapshot-isolated reads
+  * need a table format (Delta/Iceberg), deliberately out of scope here.
   */
 object SnapshotStore {
 

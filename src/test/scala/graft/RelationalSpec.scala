@@ -154,4 +154,25 @@ class RelationalSpec extends SparkSpec {
     assert(out("one") == 3.0)
     assert(out("two") == 1.5)
   }
+
+  test("columnStats profiles nulls, exact ndv, extent, and quartiles per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), 10L), (Some(2.0), 10L), (Some(2.0), 20L),
+      (None, 30L), (Some(4.0), 30L))
+      .toDF("x", "k")
+    val got = Relational.columnStats(df, Seq("x", "k")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getAs[Long]("n_rows") == 5L)
+    assert(x.getAs[Long]("n_nulls") == 1L)
+    assert(x.getAs[Long]("ndv") == 3L) // nulls excluded from ndv
+    assert(x.getAs[Double]("min_val") == 1.0 && x.getAs[Double]("max_val") == 4.0)
+    // percentile over the 4 non-null values [1,2,2,4]
+    assert(x.getAs[Double]("p50") == 2.0)
+    assert(x.getAs[Double]("p25") == 1.75)
+    val k = got("k")
+    assert(k.getAs[Long]("ndv") == 3L && k.getAs[Long]("n_nulls") == 0L)
+    assert(k.getAs[Double]("p50") == 20.0)
+  }
 }
