@@ -86,6 +86,59 @@ object InvertedIndex {
   private def meta(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
 
+  /** Logical deletes — the Lucene deleted-docs model: removing a doc from
+    * its posting lists in place would rewrite every bucket its terms hash
+    * into, so deletes append to a tombstone log and every serving path
+    * anti-joins it (the log is bounded by deletes-since-compaction and
+    * broadcasts). The append id-gate keys on doclens, which keeps the
+    * tombstoned row until compaction — so a deleted id stays burned until
+    * `compact`, after which re-offering it is the document-REPLACEMENT
+    * path: delete → compact → append.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).write.mode(SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(ts) => df.join(broadcast(ts), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log into the layout: rewrite postings and doclens
+    * WITHOUT the deleted docs, then drop the log LAST — a crash before
+    * the drop leaves tombstones that no longer match anything, which
+    * anti-join as no-ops (safe; never resurrects a doc). The rewritten
+    * tables localCheckpoint first: they derive from the very files the
+    * overwrite replaces (the SnapshotStore read-before-overwrite
+    * barrier). Production note: compaction is per-bucket embarrassingly
+    * parallel and would run bucket-at-a-time against a 100-TB layout;
+    * the whole-table form keeps this surface small.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (tombstones(spark, path).isEmpty) return
+    val postings = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/postings")).localCheckpoint(true)
+    val doclens = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/doclens")).localCheckpoint(true)
+    postings.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$path/postings")
+    doclens.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    ()
+  }
+
   /** The bucket a term's postings live in — computed with the SAME
     * Murmur3 the build used, via Spark's own `hash` expression so build
     * and query can never disagree on the modulus placement.
@@ -102,8 +155,9 @@ object InvertedIndex {
       terms: Seq[String]): DataFrame = {
     val nBuckets = meta(spark, path)
     val buckets = termBuckets(spark, terms, nBuckets).values.toSeq.distinct
-    spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
   }
 
   /** Conjunctive term search served from the index: same contract and
@@ -139,7 +193,10 @@ object InvertedIndex {
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     val tfNames = terms.indices.map(i => s"_tf$i")
-    val doclens = spark.read.parquet(s"$path/doclens")
+    // doclens feeds n_docs/avgdl — tombstoned docs must leave the stats
+    // too, or served BM25 would drift from the scan over the live corpus
+    val doclens = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/doclens"))
     val distinctTerms = terms.distinct
     val pruned = prunedPostings(spark, path, distinctTerms).localCheckpoint(true)
     // pivot the matched postings to one row per doc with per-term tfs,

@@ -81,6 +81,46 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("tombstones: deletes leave search/df/BM25 immediately; compact folds the log and frees ids") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-del").toString + "/idx"
+    InvertedIndex.build(spark, docs, dir, nBuckets = 16)
+    val delIds = InvertedIndex.search(spark, dir, Seq("table"), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    InvertedIndex.delete(spark, dir, delIds.toDF("doc_id"))
+    val live = docs.join(delIds.toDF("doc_id"), Seq("doc_id"), "left_anti")
+    // search over the index ≡ scan over the live corpus
+    val served = InvertedIndex.search(spark, dir, Seq("table"), k = 50)
+      .collect().map(_.toString).toSeq
+    val scanned = TextAnalysis.searchDocs(live, Seq("table"), k = 50)
+      .collect().map(_.toString).toSeq
+    assert(served == scanned)
+    assert(!served.exists(s => delIds.exists(id => s.startsWith(s"[$id,"))))
+    // BM25 stays BITWISE equal to the scan over the live corpus
+    val bmServed = InvertedIndex.bm25(spark, dir, Seq("table", "spark"), k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val bmScanned = TextAnalysis.bm25Search(live, Seq("table", "spark"), k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(bmServed == bmScanned)
+    // a tombstoned-but-uncompacted id is still burned for appends
+    intercept[IllegalArgumentException] {
+      InvertedIndex.appendBatch(spark,
+        docs.filter(col("doc_id") === delIds.head), dir)
+    }
+    // compaction: identical results, log gone, freed ids re-appendable
+    InvertedIndex.compact(spark, dir)
+    val afterCompact = InvertedIndex.search(spark, dir, Seq("table"), k = 50)
+      .collect().map(_.toString).toSeq
+    assert(afterCompact == served)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    InvertedIndex.appendBatch(spark,
+      docs.filter(col("doc_id") === delIds.head), dir)
+    val back = InvertedIndex.search(spark, dir, Seq("table"), k = 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(back.contains(delIds.head), "the replaced doc must be searchable again")
+  }
+
   test("docFreq matches direct corpus counts") {
     val docs = Tables.documents(spark, sf)
     val got = InvertedIndex.docFreq(spark, indexDir, Seq("spark", "merge")).collect()
