@@ -429,6 +429,30 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Versioned twin of the same batch: immutable files + atomic manifest
+    // commits, so version 1 stays byte-stable under the upsert and both
+    // versions are served from one store — the time-travel read the
+    // mutable SnapshotStore documents as needing a table format. Output =
+    // v1 ∪ v2 tagged by version; oracle = the corpus itself (v1) plus the
+    // declarative merge (v2).
+    "doc_snapshot_timetravel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-vstore").toString + "/s"
+      val v1 = graft.sources.VersionedStore.init(s, docs, dir)
+      val ups = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" updated")))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val dels = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val v2 = graft.sources.VersionedStore.upsert(s, dir, ups, dels)
+      graft.sources.VersionedStore.read(s, dir, Some(v1)).withColumn("version", lit(1L))
+        .unionByName(
+          graft.sources.VersionedStore.read(s, dir, Some(v2)).withColumn("version", lit(2L)))
+        .select(col("version"), col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("version"), col("doc_id"))
+    }),
     // Target corpus = every 97th doc (the decontam holdout pattern);
     // corpus side = the rest. Top 50 by integer-exact relevance density.
     "doc_target_select" -> ((s, d) => {
@@ -1726,6 +1750,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM up WHERE doc_id NOT IN (SELECT doc_id FROM del))
         |ORDER BY doc_id""".stripMargin,
+    "doc_snapshot_timetravel" ->
+      """WITH up AS (
+        |  SELECT doc_id, text || ' updated' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        |    AND doc_id NOT IN (SELECT doc_id FROM del)
+        |  UNION ALL
+        |  SELECT * FROM up WHERE doc_id NOT IN (SELECT doc_id FROM del))
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, text, lang, source, n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, doc_id, text, lang, source, n_chars
+        |FROM merged
+        |ORDER BY version, doc_id""".stripMargin,
     "doc_target_select" ->
       """WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id % 97 = 0),
         |tc AS (SELECT word, COUNT(*) AS t_count FROM tw GROUP BY word),

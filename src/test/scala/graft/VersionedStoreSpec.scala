@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedStore
+
+/** Versioned snapshot store: time travel, immutability of committed files,
+  * optimistic-concurrency conflict detection, compaction, vacuum, and the
+  * all-new-bucket upsert edge.
+  */
+class VersionedStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-vstore").toString + "/s"
+
+  private def contentMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def filesUnder(dir: String): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("upsert commits a new version; latest read = declarative merge; asOf reads the past") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp()
+    val v1 = VersionedStore.init(spark, docs, dir, nBuckets = 16)
+    val ups = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val dels = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val v2 = VersionedStore.upsert(spark, dir, ups, dels)
+    assert(v1 === 1L && v2 === 2L)
+    assert(VersionedStore.versions(spark, dir) === Seq(1L, 2L))
+
+    val base = contentMap(docs)
+    val upRows = contentMap(ups)
+    val delIds = dels.collect().map(_.getLong(0)).toSet
+    val touched = upRows.keySet ++ delIds
+    val want = (base.view.filterKeys(id => !touched(id)).toMap ++
+      upRows.view.filterKeys(id => !delIds(id)).toMap)
+    assert(contentMap(VersionedStore.read(spark, dir)) === want)
+    // time travel: version 1 still serves the pre-upsert corpus exactly
+    assert(contentMap(VersionedStore.read(spark, dir, Some(v1))) === base)
+  }
+
+  test("committed version files are immutable — an upsert writes only its own new directory") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val dir = tmp()
+    VersionedStore.init(spark, docs, dir, nBuckets = 8)
+    val before = filesUnder(s"$dir/files/v=1")
+    assert(before.nonEmpty)
+    VersionedStore.upsert(spark, dir,
+      docs.limit(20).withColumn("text", lit("rewritten")),
+      spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS doc_id").limit(0))
+    assert(filesUnder(s"$dir/files/v=1") === before,
+      "v=1 files changed — versions must be immutable")
+    assert(filesUnder(s"$dir/files/v=2").nonEmpty)
+  }
+
+  test("two committers racing from the same base: exactly one wins, the loser gets a conflict") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val dir = tmp()
+    val v1 = VersionedStore.init(spark, docs, dir, nBuckets = 8)
+    val upsA = docs.limit(5).withColumn("text", lit("A"))
+    val upsB = docs.limit(5).withColumn("text", lit("B"))
+    val none = docs.select(col("doc_id")).limit(0)
+    VersionedStore.upsert(spark, dir, upsA, none, expected = Some(v1))
+    val e = intercept[VersionedStore.CommitConflictException] {
+      VersionedStore.upsert(spark, dir, upsB, none, expected = Some(v1))
+    }
+    assert(e.getMessage.contains("retry"))
+    // winner's state intact; loser's data directory cleaned up
+    val texts = VersionedStore.read(spark, dir).select(col("text"))
+      .collect().map(_.getString(0))
+    assert(texts.count(_ == "A") === 5 && !texts.contains("B"))
+    assert(!new java.io.File(s"$dir/files/v=3").exists())
+  }
+
+  test("compact rewrites into one owning version; content unchanged; vacuum drops unreferenced versions") {
+    val docs = Tables.documents(spark, sf).limit(300)
+    val dir = tmp()
+    VersionedStore.init(spark, docs, dir, nBuckets = 8)
+    VersionedStore.upsert(spark, dir,
+      docs.limit(30).withColumn("text", lit("u1")), docs.select(col("doc_id")).limit(0))
+    VersionedStore.upsert(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0).withColumn("text", lit("u2")),
+      docs.select(col("doc_id")).limit(0))
+    val before = contentMap(VersionedStore.read(spark, dir))
+    val vC = VersionedStore.compact(spark, dir)
+    assert(contentMap(VersionedStore.read(spark, dir)) === before)
+    // after compaction the latest manifest references only the compacted dir
+    VersionedStore.vacuum(spark, dir, retainVersions = 1)
+    val left = new java.io.File(s"$dir/files").listFiles().map(_.getName).toSet
+    assert(left === Set(s"v=$vC"), s"vacuum left $left")
+    assert(contentMap(VersionedStore.read(spark, dir)) === before)
+    // the vacuumed-away version is no longer time-travelable
+    intercept[IllegalArgumentException] {
+      VersionedStore.read(spark, dir, Some(1L))
+    }
+  }
+
+  test("upsert whose dirty buckets are all new (no resident files) inserts cleanly") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp()
+    // one resident doc → one resident bucket; the batch scatters over many
+    VersionedStore.init(spark, docs.limit(1), dir, nBuckets = 16)
+    val batch = docs.filter(col("doc_id").between(100, 199))
+    VersionedStore.upsert(spark, dir, batch, docs.select(col("doc_id")).limit(0))
+    val got = contentMap(VersionedStore.read(spark, dir))
+    val want = contentMap(docs.limit(1)) ++ contentMap(batch)
+    assert(got === want)
+  }
+
+  test("empty batch commits a metadata-only version") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val dir = tmp()
+    VersionedStore.init(spark, docs, dir, nBuckets = 8)
+    val none = docs.limit(0)
+    val v2 = VersionedStore.upsert(spark, dir, none, none.select(col("doc_id")))
+    assert(v2 === 2L)
+    assert(contentMap(VersionedStore.read(spark, dir)) === contentMap(docs))
+  }
+}
