@@ -358,6 +358,11 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Trained linear quality classifier: "reads like src0" vs the rest,
+    // integer fixed-point probability-difference weights over a top-300
+    // vocab, map-only scoring. Oracle retrains the same model in SQL.
+    "doc_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, d), "src0")),
     // Conjunctive keyword search over two mid-frequency vocabulary words.
     "doc_search" -> ((s, d) =>
       TextAnalysis.searchDocs(Tables.documents(s, d), Seq("spark", "join"))),
@@ -1623,6 +1628,24 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 300)),
+        |cls AS (SELECT tok.w AS w,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cb
+        |  FROM tok JOIN vocab ON tok.w = vocab.w GROUP BY tok.w),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cb) AS BIGINT) AS tb,
+        |    COUNT(*) AS v FROM cls),
+        |wts AS (SELECT w,
+        |    (1000000000 * (ct + 1)) // (tt + v) - (1000000000 * (cb + 1)) // (tb + v) AS wt
+        |  FROM cls, tot),
+        |sc AS (SELECT t.doc_id, t.source, COALESCE(SUM(wt), 0) AS score
+        |  FROM tok t LEFT JOIN wts ON t.w = wts.w GROUP BY t.doc_id, t.source)
+        |SELECT doc_id, source, CAST(score AS BIGINT) AS score, score > 0 AS pred_target
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "doc_search" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf1,

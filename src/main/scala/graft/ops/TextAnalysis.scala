@@ -265,6 +265,70 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Train the weight table of a linear bag-of-words classifier for "reads
+    * like `targetSource`" — the trained quality-classifier gate of
+    * GPT-3/LLaMA-style curation (a fastText-class linear model), in an
+    * integer-exact fixed-point form. Per vocab word,
+    *
+    *   w(word) = ⌊S·(cntT+1)/(totT+V)⌋ − ⌊S·(cntB+1)/(totB+V)⌋,  S = 1e9
+    *
+    * the difference of add-1-smoothed class-conditional word probabilities
+    * (T = target class, B = background, V = vocab size, totals over vocab
+    * tokens). Each weight's SIGN equals the Naive-Bayes log-odds sign for
+    * that word — both compare the same two smoothed probabilities — so the
+    * Σ tf·w decision score is the probability-difference linear analog of
+    * NB, chosen over log-space NB because every operation here is integer
+    * and therefore bit-exact across engines (the `tfidfSearch` /
+    * `targetRelevance` fixed-point precedent; last-ulp ln() divergence
+    * would break cross-engine hashing).
+    *
+    * Scale shape: vocab = top-`vocabSize` words by global count (bounded
+    * driver artifact, the `buildVocab` class); training counts = ONE
+    * token-stream aggregation keyed by vocab word (keyspace = V after the
+    * vocab semi-join; AQE broadcasts the vocab side). Class totals fold on
+    * the driver over the V collected rows.
+    */
+  def trainWordClassifier(docs: DataFrame, targetSource: String,
+      vocabSize: Int = 300): Array[(String, Long)] = {
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize).select(col("w"))
+    val cls = tok.join(vocab, Seq("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cb"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(cls.nonEmpty, "empty corpus: no vocabulary to train on")
+    val v = cls.length.toLong
+    val totT = cls.map(_._2).sum
+    val totB = cls.map(_._3).sum
+    val S = 1000000000L
+    cls.map { case (w, ct, cb) =>
+      w -> (S * (ct + 1) / (totT + v) - S * (cb + 1) / (totB + v))
+    }.sortBy(_._1)
+  }
+
+  /** Score every doc against a trained weight table, MAP-ONLY: the weights
+    * ride as a literal map (the `Curation.tokenize` pattern) and each row
+    * folds its own token array — no explode, no join, no shuffle; out-of-
+    * vocabulary tokens contribute 0. `pred_target` is the decision at the
+    * natural 0 threshold.
+    */
+  def classifyDocs(docs: DataFrame, weights: Array[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty, "need a non-empty weight table")
+    val wmap = map(weights.flatMap { case (w, wt) => Seq(lit(w), lit(wt)) }.toSeq: _*)
+    docs.select(col("doc_id"), col("source"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, x) => acc + coalesce(element_at(wmap, x), lit(0L))).as("score"))
+      .withColumn("pred_target", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train-then-score in one call — the registered-query form. */
+  def qualityClassifier(docs: DataFrame, targetSource: String,
+      vocabSize: Int = 300): DataFrame =
+    classifyDocs(docs, trainWordClassifier(docs, targetSource, vocabSize))
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one

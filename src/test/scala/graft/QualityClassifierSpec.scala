@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Trained linear quality classifier: weight-sign faithfulness to
+  * Naive-Bayes log-odds, map-only scoring ≡ an explode-join reference,
+  * separation on the real corpus, and the no-shuffle scoring plan.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  private def fixture() = {
+    import spark.implicits._
+    Seq(
+      (1L, "good clean prose with varied words", "tgt"),
+      (2L, "good careful prose more varied words here", "tgt"),
+      (3L, "spam spam spam buy now spam", "bg"),
+      (4L, "buy now spam click buy now", "bg"),
+      (5L, "varied prose words appear again", "tgt"),
+      (6L, "click here now spam click", "bg")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("per-word weight sign equals the Naive-Bayes add-1 log-odds sign") {
+    val d = fixture()
+    val weights = TextAnalysis.trainWordClassifier(d, "tgt", vocabSize = 100).toMap
+    // recompute NB log-odds in doubles from first principles
+    val toks = d.collect().flatMap(r =>
+      r.getString(1).split(" ").map(w => (w, r.getString(2) == "tgt")))
+    val vocab = weights.keySet
+    val inVocab = toks.filter(t => vocab(t._1))
+    val v = vocab.size
+    val totT = inVocab.count(_._2).toLong
+    val totB = inVocab.size - totT
+    weights.foreach { case (w, wt) =>
+      val ct = inVocab.count(t => t._1 == w && t._2).toLong
+      val cb = inVocab.count(t => t._1 == w && !t._2).toLong
+      val logOdds = math.log((ct + 1.0) / (totT + v)) - math.log((cb + 1.0) / (totB + v))
+      assert(math.signum(wt.toDouble) === math.signum(logOdds),
+        s"weight sign diverges from NB log-odds for '$w' ($wt vs $logOdds)")
+    }
+  }
+
+  test("map-only scoring equals the explode-join reference") {
+    val d = fixture()
+    val weights = TextAnalysis.trainWordClassifier(d, "tgt", vocabSize = 100)
+    val got = TextAnalysis.classifyDocs(d, weights).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("w", "wt")
+    val want = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(wdf, Seq("w"), "left")
+      .groupBy(col("doc_id")).agg(sum(coalesce(col("wt"), lit(0L))).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("the classifier separates the target source on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val scored = TextAnalysis.qualityClassifier(docs, "src0")
+    val byClass = scored
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("score").cast("double")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byClass(true) > byClass(false),
+      s"target docs must score higher on average: $byClass")
+    // and the decision threshold actually fires both ways at this SF
+    val preds = scored.select(col("pred_target")).distinct().collect().map(_.getBoolean(0)).toSet
+    assert(preds === Set(true, false))
+  }
+
+  test("scoring is map-only: no join, no aggregate exchange before the output sort") {
+    val d = Tables.documents(spark, sf)
+    val weights = TextAnalysis.trainWordClassifier(d, "src0")
+    val plan = TextAnalysis.classifyDocs(d, weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"scoring must not aggregate:\n$plan")
+  }
+}
