@@ -62,6 +62,59 @@ object LshIndex {
       .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
   }
 
+  /** Logical deletes — a doc retracted from the corpus must stop matching
+    * future batches. Same Lucene-style contract as `InvertedIndex.delete`:
+    * ids append to a tombstone log and every serving path anti-joins it
+    * (bounded by deletes-since-compaction). The disjointness gate still
+    * sees the tombstoned row in `hashes`, so a deleted id stays BURNED
+    * until `compact` — delete → compact → append is the document-
+    * replacement path, exactly as on the inverted-index side.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).write.mode(SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) => df.join(t, Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log into the layout: rewrite every table WITHOUT
+    * the deleted docs, then drop the log LAST (a crash beforehand leaves
+    * tombstones that no longer match anything — harmless). `hashes` is
+    * rewritten last of the tables so a crash mid-compaction keeps the
+    * deleted ids burned in the disjointness gate (conservative failure:
+    * an id can stay burned longer, never come back early). localCheckpoint
+    * is the read-before-overwrite barrier — each rewrite derives from the
+    * very files it replaces.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (tombstones(spark, path).isEmpty) return
+    def rewrite(table: String, partitioned: Boolean): Unit = {
+      val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
+        .localCheckpoint(true)
+      val w = kept.write.mode(SaveMode.Overwrite)
+      if (partitioned) w.partitionBy("band_id").parquet(s"$path/$table")
+      else w.parquet(s"$path/$table")
+    }
+    rewrite("shingles", partitioned = false)
+    rewrite("sizes", partitioned = false)
+    rewrite("bands", partitioned = true)
+    rewrite("hashes", partitioned = false)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Fail fast when a batch reuses resident doc_ids. The candidate join
     * excludes same-id pairs (the self-pair guard), so an id collision would
     * silently SUPPRESS a genuine dup verdict against the same-id resident
@@ -97,7 +150,10 @@ object LshIndex {
     val bSh = Dedup.shingles(batch).localCheckpoint(true)
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
     val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val rBands = spark.read.parquet(s"$path/bands")
+    // tombstoned residents drop out of the candidate side; every later
+    // join (shingles/sizes/hashes) is keyed by surviving candidates, so
+    // one anti-join covers the whole near-dup path
+    val rBands = dropTombstoned(spark, path, spark.read.parquet(s"$path/bands"))
     val cand = bBands.as("b").join(rBands.as("r"),
         col("b.band_id") === col("r.band_id") && col("b.band_key") === col("r.band_key") &&
           col("b.doc_id") =!= col("r.doc_id"))
@@ -153,7 +209,7 @@ object LshIndex {
     // Resident exact tier FIRST, straight off the hashes sidecar: catches
     // every verbatim re-offer — including docs too short to shingle, which
     // the LSH report below cannot see — and spares them the LSH pipeline.
-    val residentHashes = spark.read.parquet(s"$path/hashes")
+    val residentHashes = dropTombstoned(spark, path, spark.read.parquet(s"$path/hashes"))
       .select(col("text_hash").as("h")).distinct()
     val exactDups = candidates
       .select(col("doc_id"), md5(col("text")).as("h"))

@@ -122,4 +122,58 @@ class LshIndexSpec extends SparkSpec {
       Seq((6000002L, "zz qq")).toDF("doc_id", "text")).collect()
     assert(second.head.getString(1) == "exact_dup")
   }
+
+  test("deleted residents stop matching: near-dup and exact tiers both honor tombstones") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh6").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val batch = fixtureBatch(docs)
+    val before = LshIndex.dedupBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id")))
+    assert(before.nonEmpty)
+    // retract every resident that matched anything
+    val deadIds = before.map(_._2).distinct
+    LshIndex.delete(spark, dir, deadIds.toSeq.toDF("doc_id"))
+    val after = LshIndex.dedupBatch(spark, dir, batch).collect()
+    assert(after.isEmpty, s"tombstoned residents still matched: ${after.length} pairs")
+    // exact tier: a verbatim re-offer of a deleted doc's text now ingests
+    val deadText = docs.filter(col("doc_id") === deadIds.head)
+      .select(col("text")).head.getString(0)
+    val verdict = LshIndex.ingestBatch(spark, dir,
+      Seq((7000001L, deadText)).toDF("doc_id", "text")).collect().head.getString(1)
+    assert(verdict == "ingested", s"deleted text should re-ingest, got $verdict")
+  }
+
+  test("deleted ids stay burned until compact; compacted index equals a fresh build") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh7").toString + "/lsh"
+    LshIndex.build(spark, docs, dir)
+    val deadIds = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    LshIndex.delete(spark, dir, deadIds)
+    // pre-compaction: the id is burned — re-offering it fails the gate
+    val reuse = Seq((0L, "totally new text under a deleted id")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](LshIndex.ingestBatch(spark, dir, reuse))
+    assert(e.getMessage.contains("doc_ids collide"))
+    LshIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(), "compact must drop the log")
+    // post-compaction: replacement path open again
+    val verdict = LshIndex.ingestBatch(spark, dir, reuse).collect().head.getString(1)
+    assert(verdict == "ingested")
+    // and serving equals a FRESH index over the surviving corpus + the replacement
+    val survivors = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(reuse)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-lsh8").toString + "/lsh"
+    LshIndex.build(spark, survivors, fresh)
+    val batch = fixtureBatch(docs)
+    val a = LshIndex.dedupBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val b = LshIndex.dedupBatch(spark, fresh, batch).collect()
+      .map(r => (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(a == b, s"compacted (${a.size}) vs fresh (${b.size}) diverged")
+  }
 }
