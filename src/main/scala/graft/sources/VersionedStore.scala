@@ -10,31 +10,37 @@ import java.net.URI
   * atomic manifest commit, i.e. the Iceberg/Delta idea reduced to exactly what
   * the corpus pipeline needs:
   *
-  *   - data files are written ONCE, under `files/v=N/bucket=B/`, and never
-  *     rewritten or appended; a version's write touches only its own new
-  *     directory, so a reader can never observe a half-replaced bucket (the
-  *     documented race in [[SnapshotStore]]'s dynamic-overwrite design);
-  *   - a manifest `manifests/v<N>.json` maps every live bucket to the version
-  *     whose files currently serve it — an upsert's manifest repoints only the
-  *     DIRTY buckets and inherits every clean bucket's entry unchanged, so
-  *     write amplification stays O(dirty share), exactly as before;
+  *   - each commit writes its rows ONCE, into a fresh uniquely-named data
+  *     directory (`files/v<N>-<nonce>/bucket=B/`) that is never rewritten or
+  *     appended, so a reader can never observe a half-replaced bucket (the
+  *     documented race in [[SnapshotStore]]'s dynamic-overwrite design), and
+  *     a writer that dies between data write and commit leaves only an
+  *     unreferenced directory for `vacuum` to collect — never a wedged
+  *     version number;
+  *   - a manifest `manifests/v<N>.json` maps every live bucket to the data
+  *     directory currently serving it — an upsert's manifest repoints only
+  *     the DIRTY buckets and inherits every clean bucket's entry unchanged,
+  *     so write amplification stays O(dirty share), exactly as before;
   *   - the commit is ONE atomic rename of the manifest into place. Rename
-  *     fails if the destination exists, which makes concurrent committers
-  *     safe: the loser gets a [[CommitConflictException]] and must re-read
-  *     and retry (optimistic concurrency, the Delta protocol's core move) —
-  *     this REPLACES the single-writer-by-contract caveat with an enforced
-  *     protocol;
+  *     refuses an existing destination, so of two committers racing from the
+  *     same base exactly one wins; the loser gets a
+  *     [[CommitConflictException]], deletes its own (uniquely named, still
+  *     unreferenced) data directory, and must re-read and retry — optimistic
+  *     concurrency, the Delta protocol's core move, REPLACING the mutable
+  *     store's single-writer-by-contract caveat with an enforced protocol;
   *   - readers resolve a manifest first (latest, or any retained version for
-  *     time travel) and read exactly the files it lists — snapshot isolation
-  *     for free, because those files are immutable.
+  *     time travel) and read exactly the directories it lists — snapshot
+  *     isolation for free, because those directories are immutable.
   *
   * At 100 TB: the manifest is O(nBuckets) driver-side JSON (4096 entries ≈
-  * 50 KB — the same bounded-artifact class as the IVF centroid sidecar);
+  * 100 KB — the same bounded-artifact class as the IVF centroid sidecar);
   * data IO per upsert is unchanged from [[SnapshotStore]]; `compact()`
-  * bounds manifest fragmentation (the number of distinct `v=` directories a
-  * read must list) and `vacuum()` bounds storage growth, both standard
-  * maintenance jobs. No table-format dependency — plain parquet + one JSON
-  * file per version, readable by ANY engine that can follow the manifest.
+  * bounds manifest fragmentation (the number of distinct data directories a
+  * read must touch) and `vacuum()` bounds storage growth — with an age
+  * guard so it cannot collect a directory an in-flight committer just wrote
+  * (the Delta VACUUM retention rule). No table-format dependency — plain
+  * parquet + one JSON file per version, readable by ANY engine that can
+  * follow the manifest.
   */
 object VersionedStore {
 
@@ -47,20 +53,20 @@ object VersionedStore {
     df.withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
 
   // ---- manifest (hand-rolled fixed-shape JSON: {"version":N,"n_buckets":B,
-  // ---- "owner":{"<bucket>":<version>,...}}) --------------------------------
+  // ---- "owner":{"<bucket>":"<dataDir>",...}}) ------------------------------
 
   private def renderManifest(version: Long, nBuckets: Int,
-      owner: Map[Int, Long]): String = {
+      owner: Map[Int, String]): String = {
     val entries = owner.toSeq.sortBy(_._1)
-      .map { case (b, v) => s""""$b":$v""" }.mkString(",")
+      .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
     s"""{"version":$version,"n_buckets":$nBuckets,"owner":{$entries}}"""
   }
 
-  private def parseManifest(s: String): (Long, Int, Map[Int, Long]) = {
+  private def parseManifest(s: String): (Long, Int, Map[Int, String]) = {
     def field(name: String): String = {
       val i = s.indexOf(s""""$name":""")
       require(i >= 0, s"manifest missing $name: $s")
-      s.substring(i + name.length + 3).takeWhile(c => c.isDigit)
+      s.substring(i + name.length + 3).takeWhile(_.isDigit)
     }
     val version = field("version").toLong
     val nBuckets = field("n_buckets").toInt
@@ -68,7 +74,7 @@ object VersionedStore {
     val body = s.substring(start, s.indexOf("}", start))
     val owner = body.split(",").filter(_.nonEmpty).map { e =>
       val Array(k, v) = e.split(":")
-      k.replace("\"", "").trim.toInt -> v.trim.toLong
+      k.replace("\"", "").trim.toInt -> v.replace("\"", "").trim
     }.toMap
     (version, nBuckets, owner)
   }
@@ -94,7 +100,7 @@ object VersionedStore {
   }
 
   private def readManifest(spark: SparkSession, path: String,
-      v: Long): (Long, Int, Map[Int, Long]) = {
+      v: Long): (Long, Int, Map[Int, String]) = {
     val f = fs(spark, path)
     val p = manifestPath(path, v)
     require(f.exists(p), s"version $v not found at $path")
@@ -103,13 +109,12 @@ object VersionedStore {
     parseManifest(s)
   }
 
-  /** Atomically commit manifest for version `v`. The temp-write + rename is
-    * the entire commit protocol: rename refuses an existing destination, so
-    * of two racing committers producing the same next version exactly one
-    * wins; the loser must re-read the new state and retry its merge.
+  /** Atomically commit the manifest for version `v`. The temp-write + rename
+    * IS the commit protocol: rename refuses an existing destination, so of
+    * two racing committers producing the same next version exactly one wins.
     */
   private def commit(spark: SparkSession, path: String, v: Long,
-      nBuckets: Int, owner: Map[Int, Long]): Unit = {
+      nBuckets: Int, owner: Map[Int, String]): Unit = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/manifests"))
     val dst = manifestPath(path, v)
@@ -129,41 +134,45 @@ object VersionedStore {
 
   // ---- writes --------------------------------------------------------------
 
-  /** Write `df`'s rows (pre-bucketed) under `files/v=N/`, returning the set
-    * of buckets that produced rows.
+  /** Write `bucketed`'s rows into a FRESH uniquely-named data directory;
+    * returns (dirName, buckets that produced rows). The nonce means no two
+    * writers ever contend on a directory, and a crash after this write
+    * leaves only vacuum-collectable garbage.
     */
-  private def writeVersionFiles(spark: SparkSession, path: String, v: Long,
-      bucketed: DataFrame): Set[Int] = {
-    // ErrorIfExists doubles as the data-plane conflict detector: two
-    // committers racing toward the same next version cannot both own this
-    // directory, so the second writer fails here (and must NOT delete the
-    // first writer's files — hence conflict, not cleanup).
-    try bucketed.write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
-      .parquet(s"$path/files/v=$v")
-    catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("already exists") =>
-      throw new CommitConflictException(
-        s"version $v data directory already written at $path — re-read and retry")
-    }
+  private def writeDataDir(spark: SparkSession, path: String, v: Long,
+      bucketed: DataFrame): (String, Set[Int]) = {
+    val dirName = f"v$v%08d-${System.nanoTime()}%x"
+    bucketed.write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
+      .parquet(s"$path/files/$dirName")
     val f = fs(spark, path)
-    f.listStatus(new Path(s"$path/files/v=$v"))
+    val present = f.listStatus(new Path(s"$path/files/$dirName"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
+    (dirName, present)
   }
+
+  private def dropOwnDir(spark: SparkSession, path: String, dirName: String): Unit =
+    fs(spark, path).delete(new Path(s"$path/files/$dirName"), true)
 
   /** Create version 1 from the initial corpus. */
   def init(spark: SparkSession, docs: DataFrame, path: String,
       nBuckets: Int = 64): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val present = writeVersionFiles(spark, path, 1L, withBucket(docs, nBuckets))
-    commit(spark, path, 1L, nBuckets, present.map(_ -> 1L).toMap)
+    val (dirName, present) = writeDataDir(spark, path, 1L, withBucket(docs, nBuckets))
+    try commit(spark, path, 1L, nBuckets, present.map(_ -> dirName).toMap)
+    catch { case e: CommitConflictException =>
+      dropOwnDir(spark, path, dirName); throw e
+    }
     1L
   }
 
   /** Apply upserts + deletes on top of `expected` (default: latest),
     * committing `expected + 1`. Reads and rewrites ONLY dirty buckets;
     * clean buckets' manifest entries carry over untouched. Throws
-    * [[CommitConflictException]] if someone else committed first.
+    * [[CommitConflictException]] if someone else committed first — the
+    * caller re-reads and retries (its merge must be recomputed against the
+    * new state, so the data directory written here is deleted: it is
+    * uniquely this writer's and referenced by nothing).
     */
   def upsert(spark: SparkSession, path: String, upserts: DataFrame,
       deletes: DataFrame, expected: Option[Long] = None): Long = {
@@ -192,19 +201,19 @@ object VersionedStore {
       kept.unionByName(upClean.select(kept.columns.map(col).toSeq: _*))
     }
     // immutable-version write: no read-before-overwrite barrier needed —
-    // the files being read (owner versions) and written (v=next) are
-    // disjoint directories by construction.
-    val present = writeVersionFiles(spark, path, next, merged)
-    val newOwner = (owner -- dirty) ++ present.map(_ -> next)
+    // the directories being read (owners) and written (fresh nonce dir)
+    // are disjoint by construction.
+    val (dirName, present) = writeDataDir(spark, path, next, merged)
+    val newOwner = (owner -- dirty) ++ present.map(_ -> dirName)
     try commit(spark, path, next, nBuckets, newOwner)
     catch { case e: CommitConflictException =>
-      fs(spark, path).delete(new Path(s"$path/files/v=$next"), true); throw e
+      dropOwnDir(spark, path, dirName); throw e
     }
     next
   }
 
-  /** Rewrite every live bucket into one fresh version directory — bounds the
-    * number of distinct `v=` directories a read touches (manifest
+  /** Rewrite every live bucket into one fresh data directory — bounds the
+    * number of distinct directories a read touches (manifest
     * defragmentation; the Iceberg "rewrite data files" maintenance action).
     * Content is unchanged, so this is safe to run any time.
     */
@@ -212,56 +221,64 @@ object VersionedStore {
     val base = currentVersion(spark, path)
     val (_, nBuckets, owner) = readManifest(spark, path, base)
     val next = base + 1L
-    val present = writeVersionFiles(spark, path, next,
+    val (dirName, present) = writeDataDir(spark, path, next,
       readBuckets(spark, path, owner))
-    try commit(spark, path, next, nBuckets, present.map(_ -> next).toMap)
+    try commit(spark, path, next, nBuckets, present.map(_ -> dirName).toMap)
     catch { case e: CommitConflictException =>
-      fs(spark, path).delete(new Path(s"$path/files/v=$next"), true); throw e
+      dropOwnDir(spark, path, dirName); throw e
     }
     next
   }
 
-  /** Delete version directories referenced by NO retained manifest, keeping
-    * the latest `retainVersions` manifests (older manifests are dropped, so
-    * time travel reaches at most that far back — the standard vacuum
-    * trade).
+  /** Drop manifests older than the latest `retainVersions` (bounding how far
+    * back time travel reaches), then delete every data directory referenced
+    * by NO retained manifest — which also collects directories orphaned by
+    * writers that died before committing. `olderThanMs` is the safety
+    * window: a directory younger than it is NEVER deleted, because it may
+    * belong to an in-flight commit that has written data but not yet
+    * renamed its manifest (the Delta VACUUM retention rule; default 24 h —
+    * tests pass 0 for immediacy).
     */
-  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 7): Unit = {
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 7,
+      olderThanMs: Long = 24L * 3600 * 1000): Unit = {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val retained = vs.takeRight(retainVersions)
-    val live: Set[Long] = retained
+    val live: Set[String] = retained
       .flatMap(v => readManifest(spark, path, v)._3.values).toSet
     vs.dropRight(retainVersions)
       .foreach(v => f.delete(manifestPath(path, v), false))
     val filesDir = new Path(s"$path/files")
+    val cutoff = System.currentTimeMillis() - olderThanMs
     if (f.exists(filesDir)) f.listStatus(filesDir)
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
-      .filterNot(live).filterNot(retained.toSet)
-      .foreach(v => f.delete(new Path(s"$path/files/v=$v"), true))
+      .filter(st => !live(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   // ---- reads ---------------------------------------------------------------
 
   /** Assemble the rows a manifest describes: one pruned read per distinct
-    * owning version (buckets grouped so the plan stays a bounded union —
+    * owning directory (buckets grouped so the plan stays a bounded union —
     * `compact` keeps that bound small), bucket column restored from the
     * directory layout via basePath.
     */
   private def readBuckets(spark: SparkSession, path: String,
-      owner: Map[Int, Long]): DataFrame = {
+      owner: Map[Int, String]): DataFrame = {
     require(owner.nonEmpty, "empty snapshot")
-    owner.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
-      spark.read.option("basePath", s"$path/files/v=$v")
+    owner.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, entries) =>
+      spark.read.option("basePath", s"$path/files/$d")
         .parquet(entries.keys.toSeq.sorted
-          .map(b => s"$path/files/v=$v/bucket=$b"): _*)
+          .map(b => s"$path/files/$d/bucket=$b"): _*)
     }.reduce(_ unionByName _)
   }
 
-  /** Read a snapshot version (default: latest) — time travel is just
-    * naming an older retained version.
+  /** Read a snapshot version (default: latest) — time travel is just naming
+    * an older retained version. A version whose every row was deleted has
+    * an empty owner map and no schema on disk to serve; reading it is an
+    * error by contract (store a schema sidecar if empty snapshots must be
+    * readable).
     */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, path))

@@ -48,18 +48,24 @@ class VersionedStoreSpec extends SparkSpec {
     assert(contentMap(VersionedStore.read(spark, dir, Some(v1))) === base)
   }
 
+  private def dataDirs(dir: String): Seq[String] =
+    Option(new java.io.File(s"$dir/files").listFiles()).toSeq.flatten
+      .map(_.getName).sorted
+
   test("committed version files are immutable — an upsert writes only its own new directory") {
     val docs = Tables.documents(spark, sf).limit(200)
     val dir = tmp()
     VersionedStore.init(spark, docs, dir, nBuckets = 8)
-    val before = filesUnder(s"$dir/files/v=1")
+    val Seq(v1dir) = dataDirs(dir)
+    assert(v1dir.startsWith("v00000001-"))
+    val before = filesUnder(s"$dir/files/$v1dir")
     assert(before.nonEmpty)
     VersionedStore.upsert(spark, dir,
       docs.limit(20).withColumn("text", lit("rewritten")),
       spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS doc_id").limit(0))
-    assert(filesUnder(s"$dir/files/v=1") === before,
-      "v=1 files changed — versions must be immutable")
-    assert(filesUnder(s"$dir/files/v=2").nonEmpty)
+    assert(filesUnder(s"$dir/files/$v1dir") === before,
+      "version-1 files changed — committed directories must be immutable")
+    assert(dataDirs(dir).exists(_.startsWith("v00000002-")))
   }
 
   test("two committers racing from the same base: exactly one wins, the loser gets a conflict") {
@@ -78,7 +84,8 @@ class VersionedStoreSpec extends SparkSpec {
     val texts = VersionedStore.read(spark, dir).select(col("text"))
       .collect().map(_.getString(0))
     assert(texts.count(_ == "A") === 5 && !texts.contains("B"))
-    assert(!new java.io.File(s"$dir/files/v=3").exists())
+    // loser left no data directory behind (only init's and the winner's)
+    assert(dataDirs(dir).size === 2, s"unexpected dirs: ${dataDirs(dir)}")
   }
 
   test("compact rewrites into one owning version; content unchanged; vacuum drops unreferenced versions") {
@@ -93,10 +100,13 @@ class VersionedStoreSpec extends SparkSpec {
     val before = contentMap(VersionedStore.read(spark, dir))
     val vC = VersionedStore.compact(spark, dir)
     assert(contentMap(VersionedStore.read(spark, dir)) === before)
-    // after compaction the latest manifest references only the compacted dir
-    VersionedStore.vacuum(spark, dir, retainVersions = 1)
-    val left = new java.io.File(s"$dir/files").listFiles().map(_.getName).toSet
-    assert(left === Set(s"v=$vC"), s"vacuum left $left")
+    // plant an orphan (a writer that died between data write and commit):
+    // vacuum must collect it along with the superseded version directories
+    new java.io.File(s"$dir/files/v00000099-deadbeef/bucket=0").mkdirs()
+    VersionedStore.vacuum(spark, dir, retainVersions = 1, olderThanMs = 0L)
+    val left = dataDirs(dir)
+    assert(left.size === 1 && left.head.startsWith(f"v$vC%08d-"),
+      s"vacuum left $left")
     assert(contentMap(VersionedStore.read(spark, dir)) === before)
     // the vacuumed-away version is no longer time-travelable
     intercept[IllegalArgumentException] {
