@@ -326,4 +326,33 @@ object EventStream {
         }
       }
       .start()
+
+  /** CDC into the VERSIONED store: same Debezium-shaped change stream and
+    * last-change-per-key collapse as `snapshotCdc`, but every micro-batch
+    * becomes an atomic manifest commit — so the stream leaves an auditable
+    * version history (each batch = one version, time-travelable until
+    * vacuumed) instead of mutating in place. foreachBatch serializes
+    * batches, so the optimistic-concurrency gate never fires from the
+    * stream itself; it still protects against an EXTERNAL writer racing
+    * the stream, which the mutable twin cannot detect at all.
+    */
+  def versionedCdc(changes: DataFrame, storePath: String, checkpoint: String,
+      seqCol: String = "seq"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+            .localCheckpoint(true)
+          val ups = latest.filter(col("op") === "U").drop("op", seqCol)
+          val dels = latest.filter(col("op") === "D").select(col("doc_id"))
+          graft.sources.VersionedStore.upsert(batch.sparkSession, storePath, ups, dels)
+          ()
+        }
+      }
+      .start()
 }

@@ -541,4 +541,45 @@ class StreamingSpec extends SparkSpec {
     assert(!fin.contains(3L), "an update-then-delete batch must end deleted")
     assert(fin.size == 40 - 1 + 1 - 1) // minus ids 2 and 3, plus id 100
   }
+
+  test("versioned CDC stream: one atomic commit per micro-batch, history time-travelable") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.VersionedStore
+    val base = java.nio.file.Files.createTempDirectory("graft-vcdc").toString
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    val docsInit = (0L until 40L).map(i => (i, s"orig$i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    VersionedStore.init(spark, docsInit, store, nBuckets = 8)
+
+    val mem = MemoryStream[(String, Long, Long, String, String, String, Long)]
+    val q = EventStream.versionedCdc(
+      mem.toDF().toDF("op", "seq", "doc_id", "text", "lang", "source", "n_chars"),
+      store, ckpt)
+    mem.addData(
+      ("U", 1L, 1L, "one-v1", "en", "s", 6L),
+      ("U", 2L, 1L, "one-v2", "en", "s", 6L),
+      ("D", 1L, 2L, "", "en", "s", 0L),
+      ("U", 1L, 100L, "new", "en", "s", 3L))
+    q.processAllAvailable()
+    mem.addData(
+      ("U", 3L, 3L, "three-v2", "en", "s", 8L),
+      ("D", 4L, 3L, "", "en", "s", 0L))
+    q.processAllAvailable()
+    q.stop()
+    // two batches on top of init → versions 1, 2, 3, all readable
+    assert(VersionedStore.versions(spark, store) === Seq(1L, 2L, 3L))
+    def texts(v: Long) = VersionedStore.read(spark, store, Some(v))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = texts(1L)
+    assert(v1(1L) == "orig1" && v1.contains(2L) && !v1.contains(100L))
+    val v2 = texts(2L)
+    assert(v2(1L) == "one-v2" && !v2.contains(2L) && v2(100L) == "new")
+    val v3 = texts(3L)
+    assert(!v3.contains(3L), "update-then-delete batch must end deleted")
+    assert(v3.size == 40 - 1 + 1 - 1)
+  }
 }
