@@ -106,4 +106,53 @@ object Events {
       .select(col("user_id"), col("c_name"), col("total_value"), col("n_events"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
+
+  // ---- persisted mergeable-sketch cube ------------------------------------
+
+  /** Materialize a per-(day, event_type) DataSketches-HLL cube of distinct
+    * users — the pre-aggregated serving tier for "distinct users over an
+    * arbitrary date range". `approxUserCounts` answers one query by
+    * rescanning events; this cube scans the raw stream ONCE, and every
+    * later range query touches only sketch rows (day-partitioned, pruned
+    * at the directory level). HLL registers are order-independent maxima,
+    * so merging per-day sketches over a range is LOSSLESS versus building
+    * one sketch over the range's raw events — the estimate is identical,
+    * spec-asserted — which is what makes pre-aggregation sound here. At
+    * 100 TB: the cube is O(days × event types) rows of ≤ 2^lgK-register
+    * binaries; a new day appends one partition, never rewriting resident
+    * days (`appendDaySketches`).
+    */
+  def buildDistinctSketchCube(events: DataFrame, path: String, lgK: Int = 14): Unit =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("day").parquet(path)
+
+  /** Append one incoming day's sketch rows — new partitions only, the
+    * incremental path (resident days' files untouched, spec-asserted).
+    */
+  def appendDaySketches(events: DataFrame, path: String, lgK: Int = 14): Unit =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("day").parquet(path)
+
+  /** Serve a date-range distinct-user estimate from the cube: partition
+    * pruning cuts the read to the range's day directories, then one
+    * union-merge per event type over sketch binaries. No raw event is
+    * touched.
+    */
+  def approxUsersOverRange(spark: org.apache.spark.sql.SparkSession, path: String,
+      from: String, to: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day").between(from, to))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("event_type"))
 }

@@ -102,4 +102,72 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
     assert(full == corpusExact, "no-eviction sketch must equal the exact counts")
   }
+
+  test("HLL sketch cube: merged per-day sketches estimate EXACTLY like one sketch over the range") {
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllcube").toString + "/cube"
+    graft.ops.Events.buildDistinctSketchCube(events, dir)
+    val served = graft.ops.Events
+      .approxUsersOverRange(spark, dir, "2024-01-01", "2024-12-31")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one sketch straight over the raw range — HLL registers are
+    // order-independent maxima, so the union must be lossless
+    val direct = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served === direct, s"union-served $served diverged from direct $direct")
+    // and the estimate is within HLL error of the exact distinct count
+    // (rsd ≈ 1.04/√2^14 ≈ 0.8%; assert a 5σ-ish 5% band)
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    served.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)) / exact(t).toDouble <= 0.05,
+        s"$t: estimate $est vs exact ${exact(t)} outside the HLL error band")
+    }
+  }
+
+  test("HLL sketch cube: appending a day adds partitions without touching resident files") {
+    val events = Tables.events(spark, sf)
+    val lastDay = events.select(max(to_date(col("ts")))).head.getDate(0).toString
+    val resident = events.filter(to_date(col("ts")) < lit(lastDay))
+    val incoming = events.filter(to_date(col("ts")) === lit(lastDay))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllinc").toString + "/cube"
+    graft.ops.Events.buildDistinctSketchCube(resident, dir)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = files()
+    graft.ops.Events.appendDaySketches(incoming, dir)
+    val after = files()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "resident day files must be untouched by an append")
+    assert(after.size > before.size, "the new day must add files")
+    // served range over everything == a cube built from scratch
+    val full = java.nio.file.Files.createTempDirectory("graft-hllfull").toString + "/cube"
+    graft.ops.Events.buildDistinctSketchCube(events, full)
+    val a = graft.ops.Events.approxUsersOverRange(spark, dir, "2024-01-01", "2024-12-31")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.ops.Events.approxUsersOverRange(spark, full, "2024-01-01", "2024-12-31")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("HLL sketch cube: a range query prunes to the range's day partitions") {
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllprune").toString + "/cube"
+    graft.ops.Events.buildDistinctSketchCube(events, dir)
+    // the same pruned scan approxUsersOverRange builds, pre-aggregation so
+    // input_file_name() is still row-attributable
+    val scanned = spark.read.parquet(dir)
+      .filter(col("day").between("2024-01-05", "2024-01-07"))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => f.contains("day=2024-01-05") || f.contains("day=2024-01-06") ||
+        f.contains("day=2024-01-07")),
+      s"scan leaked outside the range: ${scanned.mkString(", ")}")
+  }
 }
