@@ -145,6 +145,10 @@ object SparkEntry {
     }),
     // ---- similarity search / vector index (SURVEY §3.1, scale extensions) ----
     "vec_knn_l2" -> ((s, d) => Similarity.knnL2(Tables.embeddings(s, d))),
+    // Matryoshka-style funnel: prefix-16-dim candidates (m=50), exact
+    // full-vector re-rank. The rule is deterministic end to end, so the
+    // oracle mirrors BOTH stages rather than binding only an exact config.
+    "vec_prefix_rerank" -> ((s, d) => Similarity.prefixRerankKnn(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
     // SQ8 in the provably-exact configuration (refine covers the corpus —
     // the PQ-family oracle pattern): full encode→ADC→refine machinery,
@@ -1234,6 +1238,17 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
         |  d2 AS dist_sq, 1.0 - d2/2.0 AS similarity
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    "vec_prefix_rerank" ->
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+        |pref AS (SELECT vec_id, label, e, ${l2sqSql("n.e[1:16]", "q.qe[1:16]")} AS pd2
+        |         FROM n, q),
+        |cand AS (SELECT * FROM pref ORDER BY pd2, vec_id LIMIT 50),
+        |rr AS (SELECT vec_id, label, pd2, ${l2sqSql("cand.e", "q.qe")} AS d2
+        |       FROM cand, q)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
+        |  pd2 AS prefix_dist_sq, d2 AS dist_sq
+        |FROM (SELECT * FROM rr ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
     // Banded SQ join is provably brute force — per-query top-k oracle.
     "vec_sq_knn_join" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

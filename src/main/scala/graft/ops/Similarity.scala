@@ -41,6 +41,38 @@ object Similarity {
         faissSimilarity(col("d2")).as("similarity"))
   }
 
+  /** Two-stage prefix-dimension search: candidates by squared L2 over the
+    * first `dims` dimensions, exact re-rank of those m candidates over the
+    * full vector — the truncated-embedding funnel (Matryoshka
+    * representation learning, Kusupati et al. 2022: prefix dims carry a
+    * coarse-to-fine embedding; classic dimension-reduced candidate
+    * generation otherwise). At scale the prefix would persist as its own
+    * column, so stage 1's scan reads dims/d of the vector bytes (parquet
+    * column pruning) and stage 2 touches only m rows — the same
+    * candidates-then-refine economics as IVF-PQ, but with zero training
+    * and an EXACT re-rank stage. Both stages lower to
+    * TakeOrderedAndProject; the whole query is two bounded top-ks.
+    */
+  def prefixRerankKnn(embeddings: DataFrame, queryId: Long = 0L, dims: Int = 16,
+      m: Int = 50, k: Int = 10): DataFrame = {
+    require(dims >= 1, "need at least one prefix dimension")
+    require(m >= k, "candidate count must cover the result count")
+    val cand = embeddings
+      .crossJoin(broadcast(queryVec(embeddings, queryId)))
+      .withColumn("pd2",
+        l2Sq(slice(col("embedding"), 1, dims), slice(col("q_embedding"), 1, dims)))
+      .orderBy(col("pd2"), col("vec_id"))
+      .limit(m)
+    cand
+      .withColumn("d2", l2Sq(col("embedding"), col("q_embedding")))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"),
+        col("pd2").as("prefix_dist_sq"), col("d2").as("dist_sq"))
+  }
+
   /** Exact top-k by cosine similarity (embedding near-dup / semantic search
     * baseline).
     */

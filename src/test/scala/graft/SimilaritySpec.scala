@@ -213,4 +213,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "radius should capture the fixture's near tail")
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("prefix-rerank funnel with all-candidates equals brute-force kNN bitwise") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val funnel = Similarity.prefixRerankKnn(emb, dims = 16, m = n, k = 10).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq")))
+    val brute = Similarity.knnL2(emb, k = 10).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq")))
+    assert(funnel.toSeq == brute.toSeq,
+      "with m = N the funnel must reproduce exact kNN bit-for-bit")
+  }
+
+  test("prefix-rerank candidates really are the prefix-distance top-m") {
+    import graft.functions.VectorFunctions.l2Sq
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.prefixRerankKnn(emb, dims = 16, m = 50, k = 50).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("prefix_dist_sq")).toMap
+    // reference: prefix distances computed directly
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    val want = emb
+      .withColumn("pd2", l2Sq(slice(col("embedding"), 1, 16),
+        typedLit(qe.slice(0, 16))))
+      .orderBy(col("pd2"), col("vec_id")).limit(50)
+      .select("vec_id", "pd2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
 }
