@@ -362,6 +362,9 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Dense hourly grid with zero-fill + LOCF forward-fill — the
+    // time-series regularization op; empty hours must appear.
+    "ev_resample_hourly" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
     // Trained linear quality classifier: "reads like src0" vs the rest,
     // integer fixed-point probability-difference weights over a top-300
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
@@ -1166,6 +1169,25 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_resample_hourly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |ext AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |  date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM ext) g)
+        |SELECT grid.event_type, strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  COALESCE(sv, 0.0) AS sum_value,
+        |  last_value(sv IGNORE NULLS) OVER (PARTITION BY grid.event_type
+        |    ORDER BY grid.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ffill_value
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+        |ORDER BY 1, 2""".stripMargin,
     "ev_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -107,6 +107,39 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(k)
 
+  /** Gap-filled hourly resample per event type — the time-series
+    * regularization step (dashboarding, anomaly baselines, feature
+    * windows need a DENSE grid, not just hours that happened to have
+    * events): every hour of the stream's [min, max] extent appears for
+    * every type, with zero-filled counts/sums and a forward-filled "last
+    * observed hourly sum" (LOCF). The grid is event_types × hour
+    * sequence off a broadcast 1-row extent aggregate — never a
+    * corpus-sized generator; the LOCF window partitions by type over
+    * hour-bounded rows (time extent, not data volume, bounds the frame).
+    * Sums ride the decimal-exact `dsum` so both engines agree bitwise.
+    */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+    val extent = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(extent))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("ffill_value", last(col("sv"), ignoreNulls = true).over(w))
+      .select(col("event_type"), tsS(col("h")).as("hour_ts"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"),
+        col("ffill_value"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
   // ---- persisted mergeable-sketch cube ------------------------------------
 
   /** Materialize a per-(day, event_type) DataSketches-HLL cube of distinct

@@ -103,6 +103,32 @@ class EventsSpec extends SparkSpec {
     assert(full == corpusExact, "no-eviction sketch must equal the exact counts")
   }
 
+  test("resampleHourly fills empty hours with zeros and carries the last observed sum forward") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "2024-01-01 00:10:00", 2.0),
+      ("a", "2024-01-01 00:40:00", 3.0),
+      // hour 01 empty for a
+      ("a", "2024-01-01 02:05:00", 7.0),
+      ("b", "2024-01-01 01:30:00", 1.0)
+      // b missing hours 00 and 02
+    ).toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Events.resampleHourly(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size === 6, s"2 types × 3 hours expected, got ${got.keySet}")
+    assert(got(("a", "2024-01-01 00:00:00")) == ((2L, 5.0, Some(5.0))))
+    assert(got(("a", "2024-01-01 01:00:00")) == ((0L, 0.0, Some(5.0))),
+      "empty hour must zero-fill the sum and carry the last observation")
+    assert(got(("a", "2024-01-01 02:00:00")) == ((1L, 7.0, Some(7.0))))
+    assert(got(("b", "2024-01-01 00:00:00")) == ((0L, 0.0, None)),
+      "hours before the first observation stay null in the LOCF column")
+    assert(got(("b", "2024-01-01 01:00:00")) == ((1L, 1.0, Some(1.0))))
+    assert(got(("b", "2024-01-01 02:00:00")) == ((0L, 0.0, Some(1.0))))
+  }
+
   test("HLL sketch cube: merged per-day sketches estimate EXACTLY like one sketch over the range") {
     val events = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-hllcube").toString + "/cube"
