@@ -365,6 +365,10 @@ object SparkEntry {
     // Dense hourly grid with zero-fill + LOCF forward-fill — the
     // time-series regularization op; empty hours must appear.
     "ev_resample_hourly" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
+    // view → click → purchase conversion funnel, strictly-ordered steps;
+    // users carry NULLs from their drop-out stage onward.
+    "ev_funnel" -> ((s, d) =>
+      Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // Trained linear quality classifier: "reads like src0" vs the rest,
     // integer fixed-point probability-difference weights over a top-300
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
@@ -1188,6 +1192,22 @@ object SparkEntry {
         |FROM grid LEFT JOIN hourly
         |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h
         |ORDER BY 1, 2""".stripMargin,
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id,
+        |  strftime(ts1, '%Y-%m-%d %H:%M:%S') AS t1,
+        |  strftime(ts2, '%Y-%m-%d %H:%M:%S') AS t2,
+        |  strftime(ts3, '%Y-%m-%d %H:%M:%S') AS t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "ev_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -140,6 +140,36 @@ object Events {
       .orderBy(col("event_type"), col("hour_ts"))
   }
 
+  /** Ordered funnel analysis: per user, the earliest time each step was
+    * reached with every step STRICTLY AFTER the previous one (the
+    * MATCH_RECOGNIZE-less formulation: stage i = min event time of step i
+    * among events later than stage i−1's time). Users keep their row from
+    * the first step on, with NULL times from wherever they dropped out —
+    * the per-user detail a conversion report aggregates. Scale shape:
+    * every stage is a user-keyed equi-join + partial-aggregated min over
+    * only that step's events (the type filter prunes first), so one funnel
+    * of k steps is k bounded join+agg stages all sharing the user_id key —
+    * co-partitioning carries across stages, no window over event history.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val staged = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (s, i)) =>
+      val tPrev = s"t${i + 1}"
+      val tCur = s"t${i + 2}"
+      val reached = events.filter(col("event_type") === s)
+        .select(col("user_id"), col("ts"))
+        .join(acc.select(col("user_id"), col(tPrev)), Seq("user_id"))
+        .filter(col("ts") > col(tPrev))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(tCur))
+      acc.join(reached, Seq("user_id"), "left")
+    }
+    staged.select(col("user_id") +:
+        steps.indices.map(i => tsS(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+      .orderBy(col("user_id"))
+  }
+
   // ---- persisted mergeable-sketch cube ------------------------------------
 
   /** Materialize a per-(day, event_type) DataSketches-HLL cube of distinct

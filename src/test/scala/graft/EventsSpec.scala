@@ -129,6 +129,42 @@ class EventsSpec extends SparkSpec {
     assert(got(("b", "2024-01-01 02:00:00")) == ((0L, 0.0, Some(1.0))))
   }
 
+  test("funnel enforces strict step order and carries NULLs from the drop-out stage") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: clicked BEFORE viewing — click must not count; no purchase
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      // user 3: view then purchase but never clicked — purchase must not count
+      (3L, "view", "2024-01-01 08:00:00"),
+      (3L, "purchase", "2024-01-01 08:30:00"),
+      // user 4: never viewed — not in the funnel at all
+      (4L, "purchase", "2024-01-01 07:00:00"),
+      // user 5: two views; the EARLIEST anchors the funnel
+      (5L, "view", "2024-01-01 06:00:00"),
+      (5L, "view", "2024-01-01 06:30:00"),
+      (5L, "click", "2024-01-01 06:10:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == ((Some("2024-01-01 10:00:00"),
+      Some("2024-01-01 10:05:00"), Some("2024-01-01 10:10:00"))))
+    assert(got(2L) == ((Some("2024-01-01 09:30:00"), None, None)),
+      "a click before the first view must not advance the funnel")
+    assert(got(3L) == ((Some("2024-01-01 08:00:00"), None, None)),
+      "a purchase without a prior click must not advance the funnel")
+    assert(got(5L) == ((Some("2024-01-01 06:00:00"),
+      Some("2024-01-01 06:10:00"), None)),
+      "the earliest view anchors; the click between the two views counts")
+  }
+
   test("HLL sketch cube: merged per-day sketches estimate EXACTLY like one sketch over the range") {
     val events = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-hllcube").toString + "/cube"
