@@ -369,6 +369,8 @@ object SparkEntry {
     // users carry NULLs from their drop-out stage onward.
     "ev_funnel" -> ((s, d) =>
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // signup-week cohorts × any-activity retention by week offset.
+    "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
     // Trained linear quality classifier: "reads like src0" vs the rest,
     // integer fixed-point probability-difference weights over a top-300
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
@@ -1208,6 +1210,23 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "ev_cohort_retention" ->
+      """WITH signup AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |sz AS (SELECT cw, COUNT(*) AS cohort_size FROM signup GROUP BY 1),
+        |act AS (SELECT DISTINCT s.cw,
+        |    CAST(date_diff('day', s.cw, date_trunc('week', e.ts)) / 7 AS INT)
+        |      AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN signup s ON e.user_id = s.user_id
+        |  WHERE date_trunc('week', e.ts) >= s.cw),
+        |ret AS (SELECT cw, week_offset, COUNT(*) AS n_active FROM act GROUP BY 1, 2)
+        |SELECT CAST(ret.cw AS DATE) AS cohort_week, week_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM ret JOIN sz ON ret.cw = sz.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "ev_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

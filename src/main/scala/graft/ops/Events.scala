@@ -170,6 +170,37 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Weekly cohort retention: users cohort by the week of their FIRST
+    * signup; a cohort's week-N retention is the share of its users with
+    * ANY activity in cohort-week + N. Both week anchors are Monday-
+    * truncated in both engines, the offset is an exact integer (the day
+    * difference of two week-truncated dates is divisible by 7), and the
+    * single rate division is one IEEE op — all engine-portable. Scale
+    * shape: cohort assignment is one user-keyed agg; the activity join is
+    * user-keyed (co-partitioned with it); the (cohort, offset) key space
+    * is calendar-bounded, so the final agg is tiny no matter the volume.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val size = signup.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    val active = events.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .join(signup, Seq("user_id"))
+      .select(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .filter(col("week_offset") >= 0)
+      .distinct()
+    active.groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(size, Seq("cw"))
+      .select(to_date(col("cw")).as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   // ---- persisted mergeable-sketch cube ------------------------------------
 
   /** Materialize a per-(day, event_type) DataSketches-HLL cube of distinct

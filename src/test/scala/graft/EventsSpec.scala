@@ -165,6 +165,26 @@ class EventsSpec extends SparkSpec {
       "the earliest view anchors; the click between the two views counts")
   }
 
+  test("cohort retention: signup-week anchors, pre-signup activity excluded, exact rates") {
+    import spark.implicits._
+    // week of 2024-01-01 is a Monday-anchored week
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"), // cohort W0, active W0 + W1
+      (1L, "view", "2024-01-08 10:00:00"),
+      (2L, "signup", "2024-01-02 10:00:00"), // cohort W0, active only W0
+      (2L, "view", "2023-12-28 10:00:00"), // pre-signup activity: ignored
+      (3L, "view", "2024-01-01 09:00:00") // never signed up: not in any cohort
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Events.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(("2024-01-01", 0), ("2024-01-01", 1)))
+    assert(got(("2024-01-01", 0)) == ((2L, 2L, 1.0)),
+      "both cohort members are active in week 0 (the signup itself counts)")
+    assert(got(("2024-01-01", 1)) == ((1L, 2L, 0.5)))
+  }
+
   test("HLL sketch cube: merged per-day sketches estimate EXACTLY like one sketch over the range") {
     val events = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-hllcube").toString + "/cube"
