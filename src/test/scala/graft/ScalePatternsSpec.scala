@@ -172,4 +172,36 @@ class ScalePatternsSpec extends SparkSpec {
     assert(exchanges <= 1 && (exchanges == 0 || plan.contains("rangepartitioning")),
       s"chunking must not shuffle except to order output:\n${plan.take(800)}")
   }
+
+  test("columnStats plan: no Expand, no grouping-less single-reducer aggregate") {
+    val plan = graft.ops.Relational.columnStats(Tables.lineitem(spark, sf),
+        Seq("l_quantity", "l_extendedprice", "l_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"multi-distinct must not rewrite via Expand:\n${plan.take(1000)}")
+    // every aggregate carries grouping keys — the old shape funneled the
+    // melted table into one keys=[] reducer
+    val keyless = "keys=\\[\\]".r.findAllIn(plan).size
+    assert(keyless == 0,
+      s"found $keyless grouping-less aggregates:\n${plan.take(1500)}")
+  }
+
+  test("prefix-rerank plan: both stages lower to TakeOrderedAndProject") {
+    val plan = graft.ops.Similarity.prefixRerankKnn(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"candidate and re-rank stages must both be bounded top-ks:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      "the query vector must broadcast, not cross-join by nested loop")
+  }
+
+  test("funnel plan: every stage joins on the user key, no event-history window") {
+    val plan = graft.ops.Events.funnel(Tables.events(spark, sf),
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the funnel must not window over event history:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"stages must stay user-keyed equi-joins:\n${plan.take(1000)}")
+  }
 }
