@@ -126,6 +126,38 @@ class VersionedStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("randomized op sequence: every version always equals the reference model's history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = tmp()
+    def df(m: Map[Long, String]) = m.toSeq.toDF("doc_id", "text")
+    // reference model: a plain Map folded through the same ops
+    var model = (0L until 50L).map(i => i -> s"t$i").toMap
+    VersionedStore.init(spark, df(model), dir, nBuckets = 8)
+    val history = scala.collection.mutable.Map(1L -> model)
+    var v = 1L
+    for (step <- 1 to 6) {
+      val ups = (0 until rnd.nextInt(10)).map(_ =>
+        rnd.nextLong(70) -> s"s$step-${rnd.nextInt(100)}").toMap
+      val dels = (0 until rnd.nextInt(6)).map(_ => rnd.nextLong(70)).toSet
+      val op = rnd.nextInt(4)
+      if (op == 3) {
+        v = VersionedStore.compact(spark, dir)
+        history(v) = model // compaction never changes content
+      } else {
+        v = VersionedStore.upsert(spark, dir,
+          df(ups), dels.toSeq.toDF("doc_id"))
+        model = (model -- dels -- ups.keys) ++ ups.view.filterKeys(k => !dels(k))
+        history(v) = model
+      }
+      // EVERY retained version must still serve its recorded state
+      history.foreach { case (ver, want) =>
+        val got = contentMap(VersionedStore.read(spark, dir, Some(ver)))
+        assert(got === want, s"step $step: version $ver drifted")
+      }
+    }
+  }
+
   test("empty batch commits a metadata-only version") {
     val docs = Tables.documents(spark, sf).limit(50)
     val dir = tmp()
