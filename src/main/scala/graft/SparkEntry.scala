@@ -371,6 +371,16 @@ object SparkEntry {
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // signup-week cohorts × any-activity retention by week offset.
     "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    // Two-proportion z-test; arm = user_id parity (the deterministic
+    // harness derivation, like the PII fixture); conversion = a purchase
+    // over 150 — the threshold keeps both arms mixed at every SF, so the
+    // statistic is non-degenerate wherever the driver checks it.
+    "ev_ab_test" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Events.abTestConversion(Tables.events(s, d),
+        pmod(col("user_id"), lit(2L)),
+        col("event_type") === "purchase" && col("value") > 150.0)
+    }),
     // Trained linear quality classifier: "reads like src0" vs the rest,
     // integer fixed-point probability-difference weights over a top-300
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
@@ -1227,6 +1237,28 @@ object SparkEntry {
         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
         |FROM ret JOIN sz ON ret.cw = sz.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_ab_test" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS x FROM u GROUP BY arm),
+        |w AS (SELECT
+        |  (SELECT n FROM arms WHERE arm = 0) AS n_a,
+        |  (SELECT x FROM arms WHERE arm = 0) AS x_a,
+        |  (SELECT n FROM arms WHERE arm = 1) AS n_b,
+        |  (SELECT x FROM arms WHERE arm = 1) AS x_b)
+        |SELECT n_a, x_a, CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  n_b, x_b, CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+        |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  ELSE NULL END AS z
+        |FROM w""".stripMargin,
     "ev_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
@@ -199,6 +199,46 @@ object Events {
         (col("n_active").cast("double") / col("cohort_size").cast("double"))
           .as("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Two-proportion z-test between experiment arms: per-user conversion
+    * flags aggregate to per-arm (n, x), then the pooled z statistic
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * Every operation here (+,−,×,÷,√) is IEEE correctly-rounded, so with
+    * the identical expression tree both engines produce the identical
+    * double — unlike ln()-based statistics, this one CAN be oracle-bound
+    * bitwise. Scale shape: one user-keyed aggregation (the only shuffle
+    * proportional to data), then a two-row arm rollup; the z math runs on
+    * a single joined row.
+    */
+  def abTestConversion(events: DataFrame, arm: Column,
+      isConversion: Column): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(isConversion, 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", arm)
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val joined = a.crossJoin(b) // 1×1
+    val pA = col("x_a").cast("double") / col("n_a").cast("double")
+    val pB = col("x_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // degenerate experiments (nobody or everybody converted) have zero
+    // pooled variance: the statistic is undefined, emitted as NULL rather
+    // than tripping engine-specific 0/0 behavior
+    val defined = col("x_a") + col("x_b") > 0 &&
+      col("x_a") + col("x_b") < col("n_a") + col("n_b")
+    joined.select(col("n_a"), col("x_a"), pA.as("p_a"),
+      col("n_b"), col("x_b"), pB.as("p_b"),
+      when(defined,
+        (pA - pB) / sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+        .as("z"))
   }
 
   // ---- persisted mergeable-sketch cube ------------------------------------
