@@ -266,14 +266,33 @@ object Events {
 
   /** Append one incoming day's sketch rows — new partitions only, the
     * incremental path (resident days' files untouched, spec-asserted).
+    * Replaying a resident day fails FAST (the `InvertedIndex.appendBatch`
+    * id-gate contract): the HLL registers themselves are idempotent under
+    * a replay, but the `n_events` sums are not — a silent double-append
+    * would corrupt every later range report's event counts. The gate is a
+    * directory listing, no data read.
     */
-  def appendDaySketches(events: DataFrame, path: String, lgK: Int = 14): Unit =
+  def appendDaySketches(events: DataFrame, path: String, lgK: Int = 14): Unit = {
+    val spark = events.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val resident = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSet
+      val incoming = events.select(to_date(col("ts")).cast("string").as("d"))
+        .distinct().collect().map(_.getString(0))
+      val clash = incoming.filter(resident)
+      require(clash.isEmpty,
+        s"days already in the cube: ${clash.mkString(", ")} — " +
+          "sketch appends must not replay resident days (n_events would double)")
+    }
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
         count(lit(1)).as("n_events"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("day").parquet(path)
+  }
 
   /** Serve a date-range distinct-user estimate from the cube: partition
     * pruning cuts the read to the range's day directories, then one

@@ -236,6 +236,12 @@ class EventsSpec extends SparkSpec {
     val b = graft.ops.Events.approxUsersOverRange(spark, full, "2024-01-01", "2024-12-31")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
+    // replaying an already-resident day must fail loud: HLL registers are
+    // idempotent but the n_events sums would silently double
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Events.appendDaySketches(incoming, dir)
+    }
+    assert(e.getMessage.contains("replay"))
   }
 
   test("HLL sketch cube: a range query prunes to the range's day partitions") {
