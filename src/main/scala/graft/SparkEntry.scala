@@ -371,6 +371,9 @@ object SparkEntry {
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // signup-week cohorts × any-activity retention by week offset.
     "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    // Markov transition counts + conditional probabilities over per-user
+    // event sequences (ts order, event_id tie-break).
+    "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
     // Two-proportion z-test; arm = user_id parity (the deterministic
     // harness derivation, like the PII fixture); conversion = a purchase
     // over 150 — the threshold keeps both arms mixed at every SF, so the
@@ -1237,6 +1240,16 @@ object SparkEntry {
         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
         |FROM ret JOIN sz ON ret.cw = sz.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_transition_matrix" ->
+      """WITH seq AS (SELECT user_id, event_type AS a,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |c AS (SELECT a, b, COUNT(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT a, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.a AS from_type, c.b AS to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t ON c.a = t.a
+        |ORDER BY from_type, to_type""".stripMargin,
     "ev_ab_test" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS arm,
         |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0

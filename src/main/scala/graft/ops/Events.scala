@@ -201,6 +201,32 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** First-order behavioral transition matrix: for consecutive events of
+    * the same user (ordered by ts with event_id as the deterministic
+    * tie-break), the count and conditional probability of each
+    * (from_type → to_type) step — the Markov-chain view of user behavior
+    * that powers next-action prediction and anomaly scoring. Scale shape:
+    * ONE user-partitioned window over per-user sequences (bounded by a
+    * user's own history, never global), then aggregation over the
+    * type×type key space — constant-bounded no matter the volume. The
+    * probability is a single IEEE division off integer counts, so the
+    * oracle binds bitwise.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Two-proportion z-test between experiment arms: per-user conversion
     * flags aggregate to per-arm (n, x), then the pooled z statistic
     *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).

@@ -185,6 +185,34 @@ class EventsSpec extends SparkSpec {
     assert(got(("2024-01-01", 1)) == ((1L, 2L, 0.5)))
   }
 
+  test("transition matrix: per-user ordering, event_id tie-break, rows sum to 1 per from-state") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view -> click -> purchase (by ts)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:02:00"),
+      // user 2: two events at the SAME ts — event_id breaks the tie
+      (4L, 2L, "view", "2024-01-01 09:00:00"),
+      (5L, 2L, "error", "2024-01-01 09:00:00"),
+      // user 3: single event — contributes no transition
+      (6L, 3L, "view", "2024-01-01 08:00:00")
+    ).toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "error") -> ((1L, 0.5)),
+      ("click", "purchase") -> ((1L, 1.0))))
+    // real corpus: probabilities per from_type sum to 1
+    val real = graft.ops.Events.transitionMatrix(Tables.events(spark, sf))
+    val sums = real.groupBy(col("from_type")).agg(sum(col("p")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    sums.foreach { case (t, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"$t transition row sums to $s") }
+  }
+
   test("HLL sketch cube: merged per-day sketches estimate EXACTLY like one sketch over the range") {
     val events = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-hllcube").toString + "/cube"
