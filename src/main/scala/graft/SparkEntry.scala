@@ -575,6 +575,9 @@ object SparkEntry {
       Curation.assembleExamples(Tables.documents(s, d), Tables.embeddings(s, d))),
     "mm_media_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(Tables.documents(s, d))),
+    // Content-addressed dedup audit over the media payloads (CAS model):
+    // copies per content hash, bytes saved per modality.
+    "mm_dedup_stats" -> ((s, d) => graft.multimodal.Multimodal.dedupStats(Tables.documents(s, d))),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -2115,6 +2118,20 @@ object SparkEntry {
         |  CAST(240 + strlen(text) % 720 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 24 + strlen(text) % 240 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_dedup_stats" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    md5(text) AS h, CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents),
+        |b AS (SELECT media_type, h, COUNT(*) AS copies, MIN(nb) AS nb
+        |  FROM m GROUP BY 1, 2)
+        |SELECT media_type, CAST(SUM(copies) AS BIGINT) AS n_media,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(copies * nb) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+        |  CAST(SUM(nb) AS DOUBLE) / CAST(SUM(copies * nb) AS DOUBLE) AS dedup_ratio
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

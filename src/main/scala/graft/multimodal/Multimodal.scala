@@ -213,4 +213,27 @@ object Multimodal {
         col("width").cast("long").as("width"), col("height").cast("long").as("height"),
         col("frames").cast("long").as("frames"))
       .orderBy(col("doc_id"))
+
+  /** Content-addressed storage audit per modality: media blobs group by
+    * content hash (the CAS/dedup-store model — a crawl re-delivers the
+    * same image under many pages), yielding copy counts and the byte
+    * savings a dedup store realizes. Hash-groupBy over the binary column
+    * only — the blob bytes never shuffle twice: the first aggregation
+    * carries (hash, byte-length), the second is blob-count-sized.
+    */
+  def dedupStats(docs: DataFrame): DataFrame = {
+    val perBlob = deriveMedia(docs).toDF()
+      .select(col("media_type"), md5(col("data")).as("h"),
+        length(col("data")).cast("long").as("nb"))
+      .groupBy(col("media_type"), col("h"))
+      .agg(count(lit(1)).as("copies"), min(col("nb")).as("nb"))
+    perBlob.groupBy(col("media_type"))
+      .agg(sum(col("copies")).as("n_media"),
+        count(lit(1)).as("n_unique"),
+        sum(col("copies") * col("nb")).as("bytes_total"),
+        sum(col("nb")).as("bytes_unique"))
+      .withColumn("dedup_ratio",
+        col("bytes_unique").cast("double") / col("bytes_total").cast("double"))
+      .orderBy(col("media_type"))
+  }
 }

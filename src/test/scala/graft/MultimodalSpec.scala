@@ -135,4 +135,20 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(meta.map(_.doc_id).sorted.sameElements(again.map(_.doc_id).sorted))
   }
+
+  test("dedup stats: planted copies collapse to one stored blob per content hash") {
+    import spark.implicits._
+    // ids 0,3,6 → image modality; 0 and 6 carry IDENTICAL payloads
+    val docs = Seq(
+      (0L, "same bytes"), (6L, "same bytes"), (3L, "different bytes"),
+      (1L, "audio one"), (4L, "audio one"), // audio copies
+      (2L, "video only")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.dedupStats(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("image") == ((3L, 2L, 10L + 10L + 15L, 10L + 15L)))
+    assert(got("audio") == ((2L, 1L, 18L, 9L)))
+    assert(got("video") == ((1L, 1L, 10L, 10L)))
+  }
 }
