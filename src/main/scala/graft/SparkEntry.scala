@@ -389,6 +389,17 @@ object SparkEntry {
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
     "doc_quality_classifier" -> ((s, d) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, d), "src0")),
+    // Normalized dedup over a derived corpus: every 9th doc re-ingested
+    // UPPERCASED under id+3e6 (the PII fixture pattern) — raw-exact dedup
+    // is blind to these; the canonical form must catch them.
+    "doc_norm_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val variants = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), upper(col("text")).as("text"))
+      TextAnalysis.normalizedDupGroups(
+        docs.select(col("doc_id"), col("text")).unionByName(variants))
+    }),
     // Conjunctive keyword search over two mid-frequency vocabulary words.
     "doc_search" -> ((s, d) =>
       TextAnalysis.searchDocs(Tables.documents(s, d), Seq("spark", "join"))),
@@ -1770,6 +1781,21 @@ object SparkEntry {
         |  FROM tok t LEFT JOIN wts ON t.w = wts.w GROUP BY t.doc_id, t.source)
         |SELECT doc_id, source, CAST(score AS BIGINT) AS score, score > 0 AS pred_target
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_norm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, upper(text) FROM documents WHERE doc_id % 9 = 0),
+        |n AS (SELECT doc_id, md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))) AS h
+        |  FROM corpus),
+        |g AS (SELECT h, COUNT(*) AS n_docs, COUNT(DISTINCT raw_h) AS n_raw_variants,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM n GROUP BY 1)
+        |SELECT h AS norm_hash, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_raw_variants AS BIGINT) AS n_raw_variants, doc_ids
+        |FROM g WHERE n_docs > 1 ORDER BY norm_hash""".stripMargin,
     "doc_search" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf1,

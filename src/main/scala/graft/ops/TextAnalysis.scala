@@ -265,6 +265,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Canonical text normalization for dedup keying: lowercase, non-
+    * alphanumerics to spaces, whitespace collapsed and trimmed — the
+    * pre-hash canonicalization every production dedup runs so that case
+    * and punctuation variants of the same content collide. ASCII-scoped
+    * (the corpus contract); both regexes are portable Spark↔RE2 syntax.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Duplicate groups under NORMALIZED text: groups whose canonical form
+    * collides, with the count of distinct RAW variants inside each (1 =
+    * plain exact dups; >1 = case/punctuation variants only normalization
+    * catches). Same hash-groupBy shape as exact dedup — normalization is
+    * a map-side projection, so the scale story is unchanged.
+    */
+  def normalizedDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("raw_h"),
+        md5(normalizeText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_variants"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .select(col("h").as("norm_hash"), col("n_docs"), col("n_raw_variants"),
+        col("doc_ids"))
+      .orderBy(col("norm_hash"))
+
   /** Train the weight table of a linear bag-of-words classifier for "reads
     * like `targetSource`" — the trained quality-classifier gate of
     * GPT-3/LLaMA-style curation (a fastText-class linear model), in an

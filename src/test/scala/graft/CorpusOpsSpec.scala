@@ -115,4 +115,18 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getInt(2).toLong, r.getLong(0))).toSet
     assert(got.toSet == want)
   }
+
+  test("normalized dedup unifies case/punctuation variants but never distinct content") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD"),
+      (4L, "hello worlds"), // distinct content — must NOT join the group
+      (5L, "same raw"), (6L, "same raw") // plain exact dups: one raw variant
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizedDupGroups(d).collect()
+      .map(r => r.getString(3) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("1,2,3" -> ((3L, 3L)), "5,6" -> ((2L, 1L))))
+  }
 }
