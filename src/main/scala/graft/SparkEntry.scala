@@ -392,6 +392,21 @@ object SparkEntry {
     // Normalized dedup over a derived corpus: every 9th doc re-ingested
     // UPPERCASED under id+3e6 (the PII fixture pattern) — raw-exact dedup
     // is blind to these; the canonical form must catch them.
+    // Eval-hygiene audit: near-dup pairs STRADDLING train/val/test — the
+    // contamination a random split leaks when duplicates exist. Composes
+    // the verified MinHash pair generation with the stable split rule.
+    "doc_split_leakage" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val splits = graft.ops.Sampling.assignSplits(
+        docs.select(col("doc_id")), col("doc_id"))
+      Dedup.minhashDupPairs(docs)
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "doc_norm_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
@@ -1535,6 +1550,17 @@ object SparkEntry {
       s"""WITH $minhashCtes
         |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_split_leakage" ->
+      s"""WITH $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashScored)
+        |  WHERE jaccard >= 0.3),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5('graft|' || doc_id), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5('graft|' || doc_id), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jaccard
+        |FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+        |WHERE a.split <> b.split ORDER BY doc_a, doc_b""".stripMargin,
     "doc_incr_dedup_build" ->
       """WITH rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |rsh AS (SELECT DISTINCT doc_id, shingle FROM (
