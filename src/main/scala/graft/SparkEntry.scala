@@ -362,6 +362,10 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // √-temperature source mixing (α=0.5 of the p^α smoothing rule):
+    // budgets derived from the data, not hand-set weights.
+    "doc_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), 2000L)),
     // Dense hourly grid with zero-fill + LOCF forward-fill — the
     // time-series regularization op; empty hours must appear.
     "ev_resample_hourly" -> ((s, d) => Events.resampleHourly(Tables.events(s, d))),
@@ -1734,6 +1738,25 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
+    "doc_temperature_mix" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tokens) AS t FROM base GROUP BY 1),
+        |s AS (SELECT list_sum(list(sqrt(CAST(t AS DOUBLE)) ORDER BY source)) AS ss
+        |  FROM tot),
+        |bud AS (SELECT source,
+        |    CAST(FLOOR(2000 * sqrt(CAST(t AS DOUBLE)) / ss) AS BIGINT) AS b
+        |  FROM tot, s),
+        |cum AS (SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY substr(md5('graft|' || doc_id), 1, 8), doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM base)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.b AS source_budget
+        |FROM cum c JOIN bud b ON c.source = b.source
+        |WHERE c.cum_tokens <= b.b
+        |ORDER BY c.source, c.doc_id""".stripMargin,
     "doc_mix_epochs" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

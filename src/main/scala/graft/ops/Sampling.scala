@@ -120,6 +120,44 @@ object Sampling {
     * passes are a map-only explode of a literal epoch range and the
     * partial pass reuses the mixCorpus window; no join anywhere.
     */
+  /** Square-root temperature source mixing — the α = 0.5 point of the
+    * p^α smoothing rule multilingual/multi-source corpora use (mT5,
+    * CC-100): per-source budgets ∝ √(source token total), so large
+    * sources are down-weighted and small ones up-weighted WITHOUT fixed
+    * hand-set weights. α = 0.5 specifically because √ is IEEE
+    * correctly-rounded — the budget longs are bit-identical cross-engine
+    * (a general p^α would hit pow()'s last-ulp divergence), with the
+    * √-sum folded in source-sorted order (the list_sum sequential-fold
+    * parity pattern). One totals aggregation (bounded by the source list,
+    * collected as a driver artifact), then the same per-source
+    * hash-ordered cumulative cut as `mixCorpus`.
+    */
+  def temperatureMix(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "budget must be positive")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // two consumers: totals and the cut
+    val totals = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(totals.nonEmpty, "empty corpus")
+    val sqs = totals.map { case (s, t) => s -> math.sqrt(t.toDouble) }
+    val sumSq = sqs.map(_._2).sum // left fold in source-sorted order
+    val budgets = sqs.map { case (s, q) =>
+      s -> (tokenBudget.toDouble * q / sumSq).toLong }
+    val budgetCol = budgets.tail.foldLeft(
+      when(col("source") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (s, b)) => acc.when(col("source") === s, lit(b))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        budgetCol.as("source_budget"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   def mixCorpusEpochs(docs: DataFrame, weights: Map[String, Double],
       tokenBudget: Long, maxEpochs: Int = 2): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")

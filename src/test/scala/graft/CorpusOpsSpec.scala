@@ -116,6 +116,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("temperature mix: √-smoothing up-weights small sources, budgets respected") {
+    import spark.implicits._
+    // skewed fixture: big source 10× the small one
+    val docs = (
+      (1L to 100L).map(i => (i, ("w " * 10).trim, "big")) ++
+      (101L to 110L).map(i => (i, ("w " * 10).trim, "small"))
+    ).toDF("doc_id", "text", "source")
+    val B = 300L
+    val got = Sampling.temperatureMix(docs, B)
+    val taken = got.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok"), max(col("source_budget")).as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // raw shares: big 1000/1100 ≈ 0.909; √-shares: √1000/(√1000+√100) ≈ 0.76
+    val bigBudget = taken("big")._2
+    val smallBudget = taken("small")._2
+    assert(bigBudget + smallBudget <= B)
+    assert(smallBudget.toDouble / (bigBudget + smallBudget) > 100.0 / 1100.0,
+      "the small source's budget share must exceed its raw token share")
+    assert(bigBudget.toDouble / (bigBudget + smallBudget) < 1000.0 / 1100.0,
+      "the big source must be down-weighted")
+    // the cut respects each budget
+    taken.foreach { case (s, (tok, b)) =>
+      assert(tok <= b, s"$s took $tok tokens over budget $b") }
+  }
+
   test("normalized dedup unifies case/punctuation variants but never distinct content") {
     import spark.implicits._
     val d = Seq(
