@@ -80,6 +80,10 @@ object SparkEntry {
     // (exact ndv via Expand; exact quartiles via percentile ≡ quantile_cont).
     "q_column_stats" -> ((s, d) => Relational.columnStats(Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))),
+    // Decimal-exact moments → Pearson r + OLS of extendedprice on quantity
+    // (built-in corr() can't oracle-bind: float accumulation order).
+    "q_regression" -> ((s, d) =>
+      Relational.regressionMoments(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
     "q13_order_counts" -> ((s, d) =>
       Relational.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "q15_top_supplier" -> ((s, d) =>
@@ -1023,6 +1027,28 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_regression" ->
+      // decimal → double goes VIA VARCHAR: DuckDB's direct decimal cast is
+      // not correctly rounded for wide values (observed 2 ulp off at sf0.1);
+      // strtod on the exact decimal string is, matching Spark's BigDecimal
+      // conversion bit-for-bit.
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy FROM m)
+        |SELECT n, sx / nd AS mean_x, sy / nd AS mean_y,
+        |  sxy / nd - (sx / nd) * (sy / nd) AS cov_xy,
+        |  sxx / nd - (sx / nd) * (sx / nd) AS var_x,
+        |  syy / nd - (sy / nd) * (sy / nd) AS var_y,
+        |  (sxy / nd - (sx / nd) * (sy / nd)) / (sxx / nd - (sx / nd) * (sx / nd)) AS slope,
+        |  sy / nd - ((sxy / nd - (sx / nd) * (sy / nd)) / (sxx / nd - (sx / nd) * (sx / nd))) * (sx / nd) AS intercept,
+        |  (sxy / nd - (sx / nd) * (sy / nd))
+        |    / sqrt((sxx / nd - (sx / nd) * (sx / nd)) * (syy / nd - (sy / nd) * (sy / nd))) AS corr
+        |FROM d""".stripMargin,
     "q_column_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
       cols.map { c =>

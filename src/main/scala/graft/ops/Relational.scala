@@ -816,4 +816,34 @@ object Relational {
         col("min_val"), col("max_val"), col("p25"), col("p50"), col("p75"))
       .orderBy(col("column"))
   }
+
+  /** Pearson correlation + OLS regression of y on x from DECIMAL-EXACT
+    * moment sums — the cross-engine-deterministic form of corr()/
+    * regr_slope(): the five raw moments (Σx, Σy, Σxy, Σx², Σy²) sum as
+    * fixed-point decimals (order-independent, exact — the `dsum`
+    * convention), so the handful of IEEE ops deriving covariance, slope,
+    * intercept and r run on identical doubles in both engines and the
+    * oracle binds bitwise. A built-in corr() can NOT do this: its
+    * streaming float accumulation is partition-order-dependent. One
+    * aggregation, one output row; population (divide-by-n) convention.
+    */
+  def regressionMoments(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      dsum(col(xCol)).as("sx"), dsum(col(yCol)).as("sy"),
+      dsumProd(col(xCol), col(yCol)).as("sxy"),
+      dsumProd(col(xCol), col(xCol)).as("sxx"),
+      dsumProd(col(yCol), col(yCol)).as("syy"))
+    val nD = col("n").cast("double")
+    val meanX = col("sx") / nD
+    val meanY = col("sy") / nD
+    val covXY = col("sxy") / nD - meanX * meanY
+    val varX = col("sxx") / nD - meanX * meanX
+    val varY = col("syy") / nD - meanY * meanY
+    val slope = covXY / varX
+    agg.select(col("n"), meanX.as("mean_x"), meanY.as("mean_y"),
+      covXY.as("cov_xy"), varX.as("var_x"), varY.as("var_y"),
+      slope.as("slope"), (meanY - slope * meanX).as("intercept"),
+      (covXY / sqrt(varX * varY)).as("corr"))
+  }
 }

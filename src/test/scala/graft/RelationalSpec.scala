@@ -175,4 +175,19 @@ class RelationalSpec extends SparkSpec {
     assert(k.getAs[Long]("ndv") == 3L && k.getAs[Long]("n_nulls") == 0L)
     assert(k.getAs[Double]("p50") == 20.0)
   }
+
+  test("regression moments agree with built-in corr/regr within float tolerance and exactly on a fixture") {
+    val li = Tables.lineitem(spark, sf)
+    val r = Relational.regressionMoments(li, "l_quantity", "l_extendedprice")
+      .collect().head
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice"))).head.getDouble(0)
+    assert(math.abs(r.getAs[Double]("corr") - builtin) < 1e-9,
+      s"decimal-exact corr ${r.getAs[Double]("corr")} vs built-in $builtin")
+    // exact fixture: y = 2x + 1 → slope 2, intercept 1, corr 1
+    import spark.implicits._
+    val d = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0)).toDF("x", "y")
+    val f = Relational.regressionMoments(d, "x", "y").collect().head
+    assert(f.getAs[Double]("slope") == 2.0 && f.getAs[Double]("intercept") == 1.0)
+    assert(f.getAs[Double]("corr") == 1.0)
+  }
 }
