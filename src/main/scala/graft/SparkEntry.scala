@@ -400,6 +400,22 @@ object SparkEntry {
     // Normalized dedup over a derived corpus: every 9th doc re-ingested
     // UPPERCASED under id+3e6 (the PII fixture pattern) — raw-exact dedup
     // is blind to these; the canonical form must catch them.
+    // Cross-tier dedup agreement: every TEXT near-dup pair re-scored by
+    // the EMBEDDING tier (ids align across the two tables) — in a real
+    // pipeline, text-dup pairs the embedding space calls distant are
+    // paraphrase-suspects or an embedder-quality flag.
+    "doc_vec_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Dedup.minhashDupPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+        .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos_sim"))
+        .withColumn("vec_agrees", col("cos_sim") >= 0.42)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // Eval-hygiene audit: near-dup pairs STRADDLING train/val/test — the
     // contamination a random split leaks when duplicates exist. Composes
     // the verified MinHash pair generation with the stable split rule.
@@ -1580,6 +1596,17 @@ object SparkEntry {
       s"""WITH $minhashCtes
         |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_vec_agreement" ->
+      s"""WITH $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashScored)
+        |  WHERE jaccard >= 0.3),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |m AS (SELECT vec_id, ev, sqrt(${dotSql("ev", "ev")}) AS nrm FROM e)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  ${dotSql("a.ev", "b.ev")} / (a.nrm * b.nrm) AS cos_sim,
+        |  ${dotSql("a.ev", "b.ev")} / (a.nrm * b.nrm) >= 0.42 AS vec_agrees
+        |FROM pairs p JOIN m a ON p.doc_a = a.vec_id JOIN m b ON p.doc_b = b.vec_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "doc_split_leakage" ->
       s"""WITH $minhashCtes,
         |pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashScored)
