@@ -84,6 +84,9 @@ object SparkEntry {
     // (built-in corr() can't oracle-bind: float accumulation order).
     "q_regression" -> ((s, d) =>
       Relational.regressionMoments(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
+    // 20-bucket equi-width distribution of extendedprice, empty buckets kept.
+    "q_histogram" -> ((s, d) =>
+      Relational.histogram(Tables.lineitem(s, d), "l_extendedprice")),
     "q13_order_counts" -> ((s, d) =>
       Relational.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "q15_top_supplier" -> ((s, d) =>
@@ -1043,6 +1046,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """WITH ext AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+        |c AS (SELECT LEAST(19, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+        |      / (mx - mn) * 20) AS BIGINT)) AS bucket, COUNT(*) AS n
+        |  FROM lineitem, ext WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 20)) AS bucket, mn, mx FROM ext)
+        |SELECT g.bucket, g.mn + CAST(g.bucket AS DOUBLE) * (g.mx - g.mn) / 20 AS lo,
+        |  g.mn + CAST(g.bucket + 1 AS DOUBLE) * (g.mx - g.mn) / 20 AS hi,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c ON g.bucket = c.bucket
+        |ORDER BY g.bucket""".stripMargin,
     "q_regression" ->
       // decimal → double goes VIA VARCHAR: DuckDB's direct decimal cast is
       // not correctly rounded for wide values (observed 2 ulp off at sf0.1);

@@ -817,6 +817,36 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Equi-width histogram of a numeric column: `nBuckets` buckets over the
+    * observed [min, max] extent, max landing in the last bucket (the
+    * columnStats/quantile-engine bucketing rule). One broadcast extent
+    * aggregate + one bucket-keyed count — the profiling shape behind every
+    * distribution plot; empty buckets are emitted so the output is always
+    * the full grid. Bucket boundaries are single IEEE expressions off the
+    * same doubles in both engines.
+    */
+  def histogram(df: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets > 0, "need at least one bucket")
+    val v = col(c).cast("double")
+    val extent = df.agg(min(v).as("mn"), max(v).as("mx"))
+    val bucket = when(col("mx") === col("mn"), lit(0L)).otherwise(
+      least(lit(nBuckets - 1L),
+        floor((v - col("mn")) / (col("mx") - col("mn")) * nBuckets))).cast("long")
+    val counts = df.filter(v.isNotNull).crossJoin(broadcast(extent))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(extent))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("mn") + col("bucket").cast("double") * (col("mx") - col("mn")) / nBuckets)
+          .as("lo"),
+        (col("mn") + (col("bucket") + 1L).cast("double") * (col("mx") - col("mn")) / nBuckets)
+          .as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Pearson correlation + OLS regression of y on x from DECIMAL-EXACT
     * moment sums — the cross-engine-deterministic form of corr()/
     * regr_slope(): the five raw moments (Σx, Σy, Σxy, Σx², Σy²) sum as
