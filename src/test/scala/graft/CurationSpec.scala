@@ -413,6 +413,42 @@ class CurationSpec extends SparkSpec {
     assert(windowNodes == 2, s"exactly dedup + mixture windows expected, got $windowNodes")
   }
 
+  test("pipeline v2: trained classifier gate + √-temperature mix compose over gated survivors") {
+    val docs = Tables.documents(spark, sf)
+    val gated = graft.ops.TextAnalysis.gate(docs)
+    // the classifier trains on the PIPELINE's own intermediate, not the raw corpus
+    val weights = graft.ops.TextAnalysis.trainWordClassifier(gated, "src0")
+    val scored = graft.ops.TextAnalysis.classifyDocs(gated, weights)
+    val kept = gated.join(scored.filter(col("pred_target")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val mixed = graft.ops.Sampling.temperatureMix(
+      kept.select(col("doc_id"), col("source"), col("text")), 1000L)
+    val out = mixed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty, "the composed pipeline must select something")
+
+    // every pick passed both gates
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val positiveIds = scored.filter(col("pred_target")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, _, _, _) =>
+      assert(gatedIds(id) && positiveIds(id), s"doc $id skipped a gate") }
+
+    // budgets match an independent scalar recomputation over the kept corpus
+    val totals = kept.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sumSq = totals.map(t => math.sqrt(t._2.toDouble)).sum
+    val wantBudgets = totals.map { case (s, t) =>
+      s -> (1000.0 * math.sqrt(t.toDouble) / sumSq).toLong }.toMap
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._4).toSet == Set(wantBudgets(src)),
+        s"$src budget diverged from the scalar recomputation")
+      assert(rows.map(_._3).max <= wantBudgets(src), s"$src cut exceeded its budget")
+    }
+  }
+
   private def Sampling_pipelineRun(corpus: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame,
       weights: Map[String, Double]): Array[(Long, String, Long, Long)] =
