@@ -382,6 +382,8 @@ object SparkEntry {
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // signup-week cohorts × any-activity retention by week offset.
     "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    // Exact trailing-7-day distinct users per calendar day.
+    "ev_rolling_wau" -> ((s, d) => Events.rollingActiveUsers(Tables.events(s, d))),
     // Markov transition counts + conditional probabilities over per-user
     // event sequences (ts order, event_id tie-break).
     "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
@@ -1330,6 +1332,17 @@ object SparkEntry {
         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
         |FROM ret JOIN sz ON ret.cw = sz.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_rolling_wau" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |ext AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |grid AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM ext),
+        |contrib AS (SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day, user_id
+        |  FROM daily)
+        |SELECT g.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+        |FROM grid g LEFT JOIN contrib c ON g.day = c.day
+        |GROUP BY g.day ORDER BY g.day""".stripMargin,
     "ev_transition_matrix" ->
       """WITH seq AS (SELECT user_id, event_type AS a,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b

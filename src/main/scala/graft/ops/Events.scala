@@ -201,6 +201,31 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Rolling 7-day active users per calendar day (WAU) — EXACT tier. The
+    * classic windowed-distinct cannot ride a window function (distinct
+    * doesn't decompose), so each (day, user) observation CONTRIBUTES
+    * ITSELF to the `windowDays` days it is visible from (a bounded
+    * explode), and one day-keyed exact countDistinct finishes the job:
+    * the fan-out is ×windowDays on the DAILY-distinct stream — calendar-
+    * bounded, never event-proportional. Gap days report their trailing
+    * actives too (the grid covers the full extent). The approximate tier
+    * for arbitrary ranges is the HLL sketch cube above.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least one day")
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val grid = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val contrib = daily.select(
+      explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}), interval 1 day)"))
+        .as("day"),
+      col("user_id"))
+    grid.join(contrib, Seq("day"), "left")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("day"))
+  }
+
   /** First-order behavioral transition matrix: for consecutive events of
     * the same user (ordered by ts with event_id as the deterministic
     * tie-break), the count and conditional probability of each

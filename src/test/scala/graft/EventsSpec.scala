@@ -185,6 +185,25 @@ class EventsSpec extends SparkSpec {
     assert(got(("2024-01-01", 1)) == ((1L, 2L, 0.5)))
   }
 
+  test("rolling WAU: a user counts for exactly the trailing window, gap days included") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-10 09:00:00") // gap: days 02-09 have no events
+    ).toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("event_type", lit("view")).withColumn("event_id", col("user_id"))
+    val got = graft.ops.Events.rollingActiveUsers(ev, windowDays = 7).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.size === 10, "every calendar day of the extent must appear")
+    (1 to 7).foreach(d => assert(got(f"2024-01-$d%02d") === 2L,
+      s"both day-1 users are visible through day $d"))
+    assert(got("2024-01-08") === 0L, "day-1 activity expires after 7 days")
+    assert(got("2024-01-09") === 0L)
+    assert(got("2024-01-10") === 1L)
+  }
+
   test("transition matrix: per-user ordering, event_id tie-break, rows sum to 1 per from-state") {
     import spark.implicits._
     val ev = Seq(
