@@ -87,6 +87,9 @@ object SparkEntry {
     // 20-bucket equi-width distribution of extendedprice, empty buckets kept.
     "q_histogram" -> ((s, d) =>
       Relational.histogram(Tables.lineitem(s, d), "l_extendedprice")),
+    // Per-returnflag regression: the GROUP BY twin of q_regression.
+    "q_regression_by_flag" -> ((s, d) => Relational.regressionMomentsBy(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")),
     "q13_order_counts" -> ((s, d) =>
       Relational.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "q15_top_supplier" -> ((s, d) =>
@@ -1060,6 +1063,24 @@ object SparkEntry {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n
         |FROM grid g LEFT JOIN c ON g.bucket = c.bucket
         |ORDER BY g.bucket""".stripMargin,
+    "q_regression_by_flag" ->
+      """WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy FROM m)
+        |SELECT l_returnflag, n, sx / nd AS mean_x, sy / nd AS mean_y,
+        |  sxy / nd - (sx / nd) * (sy / nd) AS cov_xy,
+        |  sxx / nd - (sx / nd) * (sx / nd) AS var_x,
+        |  syy / nd - (sy / nd) * (sy / nd) AS var_y,
+        |  (sxy / nd - (sx / nd) * (sy / nd)) / (sxx / nd - (sx / nd) * (sx / nd)) AS slope,
+        |  sy / nd - ((sxy / nd - (sx / nd) * (sy / nd)) / (sxx / nd - (sx / nd) * (sx / nd))) * (sx / nd) AS intercept,
+        |  (sxy / nd - (sx / nd) * (sy / nd))
+        |    / sqrt((sxx / nd - (sx / nd) * (sx / nd)) * (syy / nd - (sy / nd) * (sy / nd))) AS corr
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q_regression" ->
       // decimal → double goes VIA VARCHAR: DuckDB's direct decimal cast is
       // not correctly rounded for wide values (observed 2 ulp off at sf0.1);

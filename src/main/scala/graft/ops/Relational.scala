@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
@@ -857,13 +857,14 @@ object Relational {
     * streaming float accumulation is partition-order-dependent. One
     * aggregation, one output row; population (divide-by-n) convention.
     */
-  def regressionMoments(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val agg = df.agg(
-      count(lit(1)).as("n"),
-      dsum(col(xCol)).as("sx"), dsum(col(yCol)).as("sy"),
-      dsumProd(col(xCol), col(yCol)).as("sxy"),
-      dsumProd(col(xCol), col(xCol)).as("sxx"),
-      dsumProd(col(yCol), col(yCol)).as("syy"))
+  private def momentAggs(xCol: String, yCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    dsum(col(xCol)).as("sx"), dsum(col(yCol)).as("sy"),
+    dsumProd(col(xCol), col(yCol)).as("sxy"),
+    dsumProd(col(xCol), col(xCol)).as("sxx"),
+    dsumProd(col(yCol), col(yCol)).as("syy"))
+
+  private def momentDerived: Seq[Column] = {
     val nD = col("n").cast("double")
     val meanX = col("sx") / nD
     val meanY = col("sy") / nD
@@ -871,9 +872,26 @@ object Relational {
     val varX = col("sxx") / nD - meanX * meanX
     val varY = col("syy") / nD - meanY * meanY
     val slope = covXY / varX
-    agg.select(col("n"), meanX.as("mean_x"), meanY.as("mean_y"),
+    Seq(col("n"), meanX.as("mean_x"), meanY.as("mean_y"),
       covXY.as("cov_xy"), varX.as("var_x"), varY.as("var_y"),
       slope.as("slope"), (meanY - slope * meanX).as("intercept"),
       (covXY / sqrt(varX * varY)).as("corr"))
+  }
+
+  def regressionMoments(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val aggs = momentAggs(xCol, yCol)
+    df.agg(aggs.head, aggs.tail: _*).select(momentDerived: _*)
+  }
+
+  /** Per-group twin: one grouped aggregation, same decimal-exact moments
+    * and identical derived-expression tree — the GROUP BY version of
+    * regr_slope()/corr() with cross-engine-bitwise output.
+    */
+  def regressionMomentsBy(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val aggs = momentAggs(xCol, yCol)
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: momentDerived: _*)
+      .orderBy(col(groupCol))
   }
 }
