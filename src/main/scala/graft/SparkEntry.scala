@@ -291,6 +291,8 @@ object SparkEntry {
       Dedup.exactDupGroups(docs.unionByName(reIngested))
     }),
     "doc_minhash_pairs" -> ((s, d) => Dedup.minhashDupPairs(Tables.documents(s, d))),
+    // One-row executive dedup summary (data-card headline numbers).
+    "doc_dedup_report" -> ((s, d) => Dedup.dedupReport(Tables.documents(s, d))),
     // Incremental-dedup BUILD, timed as its own entry: a fresh persisted
     // LSH index of the resident corpus per call, installed into the
     // artifact cache for the query twin. Returned artifact = the sizes
@@ -1054,8 +1056,9 @@ object SparkEntry {
     "q_histogram" ->
       """WITH ext AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
         |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
-        |c AS (SELECT LEAST(19, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
-        |      / (mx - mn) * 20) AS BIGINT)) AS bucket, COUNT(*) AS n
+        |c AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE LEAST(19, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+        |      / (mx - mn) * 20) AS BIGINT)) END AS bucket, COUNT(*) AS n
         |  FROM lineitem, ext WHERE l_extendedprice IS NOT NULL GROUP BY 1),
         |grid AS (SELECT unnest(range(0, 20)) AS bucket, mn, mx FROM ext)
         |SELECT g.bucket, g.mn + CAST(g.bucket AS DOUBLE) * (g.mx - g.mn) / 20 AS lo,
@@ -1645,6 +1648,18 @@ object SparkEntry {
       s"""WITH $minhashCtes
         |SELECT doc_a, doc_b, n_shared_bands, jaccard FROM ($minhashScored)
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_dedup_report" ->
+      s"""WITH $minhashCtes,
+        |near AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs
+        |  FROM ($minhashScored) WHERE jaccard >= 0.3),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |ex AS (SELECT
+        |    CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+        |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1))
+        |SELECT n_docs, n_exact_dup_docs, n_dup_groups, n_near_dup_pairs,
+        |  CAST(n_exact_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_frac
+        |FROM tot, ex, near""".stripMargin,
     "doc_vec_agreement" ->
       s"""WITH $minhashCtes,
         |pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashScored)

@@ -423,4 +423,23 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** One-row executive dedup report — the numbers a corpus release's data
+    * card leads with: corpus size, exact-duplicate mass (docs beyond each
+    * group's keeper + group count + fraction), and the verified near-dup
+    * pair count. Three independent 1-row aggregates cross-joined; the
+    * near tier reuses the full banded MinHash pipeline, so this is one
+    * scan + the standard dedup shapes, no new machinery.
+    */
+  def dedupReport(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    val near = minhashDupPairs(docs, jaccardThreshold)
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+    total.crossJoin(exact).crossJoin(near)
+      .withColumn("exact_dup_frac",
+        col("n_exact_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
 }
