@@ -345,6 +345,24 @@ object Events {
       .partitionBy("day").parquet(path)
   }
 
+  /** Correction path: drop the incoming days' resident partitions, then
+    * append fresh sketches — the late-data/backfill complement of the
+    * replay gate (which exists precisely so corrections go through THIS
+    * explicit door instead of silently double-appending). Directory
+    * deletes only; resident days outside the incoming set are untouched.
+    */
+  def rebuildDaySketches(events: DataFrame, path: String, lgK: Int = 14): Unit = {
+    val spark = events.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      events.select(to_date(col("ts")).cast("string").as("d")).distinct()
+        .collect().map(_.getString(0))
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
+    }
+    appendDaySketches(events, path, lgK)
+  }
+
   /** Serve a date-range distinct-user estimate from the cube: partition
     * pruning cuts the read to the range's day directories, then one
     * union-merge per event type over sketch binaries. No raw event is

@@ -289,6 +289,14 @@ class EventsSpec extends SparkSpec {
       graft.ops.Events.appendDaySketches(incoming, dir)
     }
     assert(e.getMessage.contains("replay"))
+    // ...and the explicit correction door re-lands the day cleanly: the
+    // cube still equals the from-scratch build afterwards
+    graft.ops.Events.rebuildDaySketches(incoming, dir)
+    val c = graft.ops.Events.approxUsersOverRange(spark, dir, "2024-01-01", "2024-12-31")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val d2 = graft.ops.Events.approxUsersOverRange(spark, full, "2024-01-01", "2024-12-31")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c === d2, "rebuilt cube must equal a from-scratch build (incl. n_events)")
   }
 
   test("HLL sketch cube: a range query prunes to the range's day partitions") {

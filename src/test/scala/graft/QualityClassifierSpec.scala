@@ -69,6 +69,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(preds === Set(true, false))
   }
 
+  test("held-out generalization: trained on the train fold, balanced accuracy well above chance on test") {
+    // sf0.01 deliberately: the default spec SF leaves ~2 positive train
+    // docs — nothing to learn from. Balanced accuracy (mean per-class
+    // recall) is the imbalance-robust metric: src0 is 1 source in 20, so
+    // raw accuracy would reward the trivial all-negative predictor.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val split = graft.ops.Sampling.assignSplits(docs, col("doc_id"))
+    val train = split.filter(col("split") === "train")
+    val test = split.filter(col("split") === "test")
+    val weights = TextAnalysis.trainWordClassifier(train, "src0")
+    val scored = TextAnalysis.classifyDocs(test, weights).collect()
+      .map(r => r.getString(1) -> r.getBoolean(3))
+    val pos = scored.filter(_._1 == "src0")
+    val neg = scored.filter(_._1 != "src0")
+    assert(pos.nonEmpty && neg.nonEmpty, "both classes must appear in the test fold")
+    val balanced = (pos.count(_._2).toDouble / pos.length +
+      neg.count(!_._2).toDouble / neg.length) / 2
+    assert(balanced >= 0.6,
+      s"held-out balanced accuracy $balanced must clear 0.6 " +
+        s"(pos ${pos.count(_._2)}/${pos.length}, neg ${neg.count(!_._2)}/${neg.length})")
+  }
+
   test("scoring is map-only: no join, no aggregate exchange before the output sort") {
     val d = Tables.documents(spark, sf)
     val weights = TextAnalysis.trainWordClassifier(d, "src0")
