@@ -407,6 +407,13 @@ object SparkEntry {
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
     "doc_quality_classifier" -> ((s, d) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, d), "src0")),
+    // ROC-sweep calibration of the classifier's cutoff: the balanced-
+    // accuracy-maximizing threshold with its confusion counts.
+    "doc_threshold_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = TextAnalysis.qualityClassifier(Tables.documents(s, d), "src0")
+      TextAnalysis.calibrateThreshold(scored, col("source") === "src0")
+    }),
     // Normalized dedup over a derived corpus: every 9th doc re-ingested
     // UPPERCASED under id+3e6 (the PII fixture pattern) — raw-exact dedup
     // is blind to these; the canonical form must catch them.
@@ -1947,6 +1954,37 @@ object SparkEntry {
         |  FROM tok t LEFT JOIN wts ON t.w = wts.w GROUP BY t.doc_id, t.source)
         |SELECT doc_id, source, CAST(score AS BIGINT) AS score, score > 0 AS pred_target
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_threshold_calibration" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 300)),
+        |cls AS (SELECT tok.w AS w,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cb
+        |  FROM tok JOIN vocab ON tok.w = vocab.w GROUP BY tok.w),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cb) AS BIGINT) AS tb,
+        |    COUNT(*) AS v FROM cls),
+        |wts AS (SELECT w,
+        |    (1000000000 * (ct + 1)) // (tt + v) - (1000000000 * (cb + 1)) // (tb + v) AS wt
+        |  FROM cls, tot),
+        |sc AS (SELECT t.doc_id, t.source, COALESCE(SUM(wt), 0) AS score
+        |  FROM tok t LEFT JOIN wts ON t.w = wts.w GROUP BY t.doc_id, t.source),
+        |per AS (SELECT score, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS nn
+        |  FROM sc GROUP BY score),
+        |tt2 AS (SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n FROM per),
+        |cum AS (SELECT score,
+        |    CAST(SUM(np) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |  FROM per)
+        |SELECT CAST(score AS BIGINT) AS threshold, tp, fp,
+        |  CAST(t.p - tp AS BIGINT) AS fn, CAST(t.n - fp AS BIGINT) AS tn,
+        |  (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)
+        |    + CAST(t.n - fp AS DOUBLE) / CAST(t.n AS DOUBLE)) / 2.0 AS balanced_accuracy
+        |FROM cum, tt2 t ORDER BY tp * t.n + (t.n - fp) * t.p DESC, score LIMIT 1""".stripMargin,
     "doc_norm_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -359,6 +359,41 @@ object TextAnalysis {
       vocabSize: Int = 300): DataFrame =
     classifyDocs(docs, trainWordClassifier(docs, targetSource, vocabSize))
 
+  /** Decision-threshold calibration by ROC sweep: among all cutoffs
+    * "positive iff score ≥ t" (t ranging over observed scores), pick the
+    * one maximizing BALANCED accuracy — the imbalance-robust criterion
+    * (the raw-0 cut of a probability-difference scorer misfires when the
+    * target class is 1 source in 20; the held-out spec demonstrated it).
+    * Everything is integer: candidates collapse to per-distinct-score
+    * counts, cumulative tp/fp come from one prefix-sum window, and the
+    * argmax key is tp·N + tn·P (the integer order-equivalent of balanced
+    * accuracy — no float enters the comparison). Scale note: the sweep's
+    * window runs over DISTINCT scores, not docs; at corpus scale bucket
+    * the score axis first (the exact-quantile engine's histogram trick)
+    * and sweep bucket boundaries.
+    */
+  def calibrateThreshold(scored: DataFrame, isPos: Column): DataFrame = {
+    val per = scored.groupBy(col("score")).agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("np"),
+      sum(when(isPos, 0L).otherwise(1L)).as("nn"))
+    val tot = per.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("nn")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("tn", col("n") - col("fp"))
+      .withColumn("fn", col("p") - col("tp"))
+      .orderBy((col("tp") * col("n") + col("tn") * col("p")).desc, col("score"))
+      .limit(1)
+      .select(col("score").as("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp").cast("double") / col("p").cast("double") +
+          col("tn").cast("double") / col("n").cast("double")) / lit(2.0))
+          .as("balanced_accuracy"))
+  }
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one

@@ -91,6 +91,48 @@ class QualityClassifierSpec extends SparkSpec {
         s"(pos ${pos.count(_._2)}/${pos.length}, neg ${neg.count(!_._2)}/${neg.length})")
   }
 
+  test("threshold calibration matches a brute-force sweep; calibrated cutoff holds up held-out") {
+    import spark.implicits._
+    // fixture: brute-force the optimal balanced-accuracy cutoff
+    val rows = Seq((10L, true), (8L, true), (7L, false), (5L, true),
+      (3L, false), (1L, false), (0L, false))
+    val got = TextAnalysis.calibrateThreshold(
+      rows.toDF("score", "is_pos"), col("is_pos")).collect().head
+    val (pTot, nTot) = (rows.count(_._2).toDouble, rows.count(!_._2).toDouble)
+    val brute = rows.map(_._1).distinct.map { t =>
+      val tp = rows.count(r => r._1 >= t && r._2)
+      val tn = rows.count(r => r._1 < t && !r._2)
+      (t, (tp / pTot + tn / nTot) / 2)
+    }.maxBy { case (t, b) => (b, -t) }
+    assert(got.getAs[Long]("threshold") === brute._1)
+    assert(got.getAs[Double]("balanced_accuracy") === brute._2)
+
+    // calibrate on the train fold, decide on the test fold: never worse
+    // than the raw 0 cut, and strictly better on this corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val split = graft.ops.Sampling.assignSplits(docs, col("doc_id"))
+    val weights = TextAnalysis.trainWordClassifier(
+      split.filter(col("split") === "train"), "src0")
+    def balAt(fold: String, thr: Long): Double = {
+      val s = TextAnalysis.classifyDocs(split.filter(col("split") === fold), weights)
+        .collect().map(r => r.getLong(2) -> (r.getString(1) == "src0"))
+      val pos = s.filter(_._2); val neg = s.filterNot(_._2)
+      (pos.count(_._1 >= thr).toDouble / pos.length +
+        neg.count(_._1 < thr).toDouble / neg.length) / 2
+    }
+    val trainScored = TextAnalysis.classifyDocs(
+      split.filter(col("split") === "train"), weights)
+    val cal = TextAnalysis.calibrateThreshold(trainScored, col("source") === "src0")
+      .collect().head
+    // on TRAIN the swept cutoff is optimal by construction — at least as
+    // good as the raw 0 cut
+    assert(cal.getAs[Double]("balanced_accuracy") >= balAt("train", 1L) - 1e-12)
+    // held-out it stays well above chance (a strict-dominance claim would
+    // be statistically naive with a handful of positive test docs)
+    val heldOut = balAt("test", cal.getAs[Long]("threshold"))
+    assert(heldOut >= 0.6, s"calibrated held-out balanced accuracy $heldOut below 0.6")
+  }
+
   test("scoring is map-only: no join, no aggregate exchange before the output sort") {
     val d = Tables.documents(spark, sf)
     val weights = TextAnalysis.trainWordClassifier(d, "src0")
