@@ -389,6 +389,9 @@ object SparkEntry {
     "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
     // Exact trailing-7-day distinct users per calendar day.
     "ev_rolling_wau" -> ((s, d) => Events.rollingActiveUsers(Tables.events(s, d))),
+    // Volume anomalies: hours >= 2σ from the type's hourly mean over the
+    // gap-filled series (2σ so the driver-checked result is non-empty).
+    "ev_anomalous_hours" -> ((s, d) => Events.anomalousHours(Tables.events(s, d), 2.0)),
     // Markov transition counts + conditional probabilities over per-user
     // event sequences (ts order, event_id tie-break).
     "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(Tables.events(s, d))),
@@ -1363,6 +1366,33 @@ object SparkEntry {
         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
         |FROM ret JOIN sz ON ret.cw = sz.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_anomalous_hours" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ext AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |  date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM ext) g),
+        |series AS (SELECT grid.event_type, grid.h, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |  FROM grid LEFT JOIN hourly
+        |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(CAST(n_events AS DECIMAL(18,2))) AS DOUBLE) AS sc,
+        |    CAST(SUM(CAST(n_events AS DECIMAL(18,2)) * CAST(n_events AS DECIMAL(18,2))) AS DOUBLE) AS scc
+        |  FROM series GROUP BY 1),
+        |zt AS (SELECT s.event_type, s.h, s.n_events,
+        |    sc / CAST(n_hours AS DOUBLE) AS mean_events,
+        |    sqrt(scc / CAST(n_hours AS DOUBLE)
+        |      - (sc / CAST(n_hours AS DOUBLE)) * (sc / CAST(n_hours AS DOUBLE))) AS sd_events
+        |  FROM series s JOIN st ON s.event_type = st.event_type)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_events,
+        |  mean_events, sd_events,
+        |  (CAST(n_events AS DOUBLE) - mean_events) / sd_events AS z
+        |FROM zt
+        |WHERE sd_events > 0
+        |  AND abs((CAST(n_events AS DOUBLE) - mean_events) / sd_events) >= 2.0
+        |ORDER BY event_type, hour_ts""".stripMargin,
     "ev_rolling_wau" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |ext AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),

@@ -201,6 +201,35 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Hours whose event volume deviates ≥ k standard deviations from the
+    * type's hourly mean — volume-anomaly detection over the GAP-FILLED
+    * series (a dead hour is exactly the anomaly a sparse series hides).
+    * Per-type moments come from decimal-exact sums of the integer counts
+    * (order-independent), and the z-score is a fixed IEEE tree, so the
+    * oracle binds bitwise; a constant series (sd = 0) flags nothing by
+    * guard. Cost: the resample grid + one bounded per-type aggregation.
+    */
+  def anomalousHours(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val series = resampleHourly(events)
+      .select(col("event_type"), col("hour_ts"), col("n_events"))
+    val stats = series.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      dsum(col("n_events")).as("sc"),
+      dsumProd(col("n_events"), col("n_events")).as("scc"))
+    val nD = col("n_hours").cast("double")
+    val mean = col("sc") / nD
+    val sd = sqrt(col("scc") / nD - mean * mean)
+    series.join(stats, Seq("event_type"))
+      .withColumn("mean_events", mean)
+      .withColumn("sd_events", sd)
+      .withColumn("z", when(sd > 0,
+        (col("n_events").cast("double") - mean) / sd))
+      .filter(abs(col("z")) >= k)
+      .select(col("event_type"), col("hour_ts"), col("n_events"),
+        col("mean_events"), col("sd_events"), col("z"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
   /** Rolling 7-day active users per calendar day (WAU) — EXACT tier. The
     * classic windowed-distinct cannot ride a window function (distinct
     * doesn't decompose), so each (day, user) observation CONTRIBUTES
