@@ -87,6 +87,9 @@ object SparkEntry {
     // 20-bucket equi-width distribution of extendedprice, empty buckets kept.
     "q_histogram" -> ((s, d) =>
       Relational.histogram(Tables.lineitem(s, d), "l_extendedprice")),
+    // Top-10 customer revenue concentration with cumulative shares.
+    "q_revenue_concentration" -> ((s, d) =>
+      Relational.revenueConcentration(Tables.orders(s, d), Tables.lineitem(s, d))),
     // Per-returnflag regression: the GROUP BY twin of q_regression.
     "q_regression_by_flag" -> ((s, d) => Relational.regressionMomentsBy(
       Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")),
@@ -374,6 +377,8 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Per-source token shares + inverse-Simpson effective source count.
+    "doc_source_balance" -> ((s, d) => TextAnalysis.sourceBalance(Tables.documents(s, d))),
     // √-temperature source mixing (α=0.5 of the p^α smoothing rule):
     // budgets derived from the data, not hand-set weights.
     "doc_temperature_mix" -> ((s, d) =>
@@ -1076,6 +1081,25 @@ object SparkEntry {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n
         |FROM grid g LEFT JOIN c ON g.bucket = c.bucket
         |ORDER BY g.bucket""".stripMargin,
+    "q_revenue_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |tot AS (SELECT SUM(rd) AS td FROM rev),
+        |top AS (SELECT o_custkey, rd,
+        |    ROW_NUMBER() OVER (ORDER BY rd DESC, o_custkey) AS rank
+        |  FROM rev ORDER BY rd DESC, o_custkey LIMIT 10),
+        |cum AS (SELECT rank, o_custkey, rd,
+        |    SUM(rd) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crd
+        |  FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, o_custkey,
+        |  CAST(CAST(rd AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(rd AS VARCHAR) AS DOUBLE) / CAST(CAST(td AS VARCHAR) AS DOUBLE)
+        |    AS revenue_share,
+        |  CAST(CAST(crd AS VARCHAR) AS DOUBLE) / CAST(CAST(td AS VARCHAR) AS DOUBLE)
+        |    AS cum_share
+        |FROM cum, tot ORDER BY rank""".stripMargin,
     "q_regression_by_flag" ->
       """WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
@@ -1892,6 +1916,16 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
+    "doc_source_balance" ->
+      """WITH per AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+        |    CAST(SUM(tokens * tokens) AS BIGINT) AS sum_sq FROM per)
+        |SELECT source, tokens,
+        |  CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(total * total AS DOUBLE) / CAST(sum_sq AS DOUBLE) AS effective_sources
+        |FROM per, tot ORDER BY source""".stripMargin,
     "doc_temperature_mix" ->
       """WITH base AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

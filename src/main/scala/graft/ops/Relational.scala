@@ -857,6 +857,36 @@ object Relational {
     * streaming float accumulation is partition-order-dependent. One
     * aggregation, one output row; population (divide-by-n) convention.
     */
+  /** Revenue concentration: the top-k customers with each one's share of
+    * TOTAL corpus revenue and the running cumulative share — the "what
+    * fraction do our biggest accounts represent" business shape.
+    * Revenue stays DECIMAL (exact, order-independent) until the share
+    * divisions; per-customer aggregation is the only corpus-proportional
+    * shuffle, the top-k lowers to TakeOrdered, and the cumulative window
+    * runs over k rows.
+    */
+  def revenueConcentration(orders: DataFrame, lineitem: DataFrame,
+      k: Int = 10): DataFrame = {
+    val rev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rd"))
+    val tot = rev.agg(sum(col("rd")).as("td"))
+    val top = rev.orderBy(col("rd").desc, col("o_custkey")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rd").desc, col("o_custkey"))).cast("long"))
+    val wCum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(tot))
+      .withColumn("cum_rd", sum(col("rd")).over(wCum))
+      .select(col("rank"), col("o_custkey"),
+        col("rd").cast("double").as("revenue"),
+        (col("rd").cast("double") / col("td").cast("double")).as("revenue_share"),
+        (col("cum_rd").cast("double") / col("td").cast("double")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
   private def momentAggs(xCol: String, yCol: String): Seq[Column] = Seq(
     count(lit(1)).as("n"),
     dsum(col(xCol)).as("sx"), dsum(col(yCol)).as("sy"),

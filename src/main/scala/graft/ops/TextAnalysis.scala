@@ -394,6 +394,29 @@ object TextAnalysis {
           .as("balanced_accuracy"))
   }
 
+  /** Source-balance audit for the data card: per-source token share plus
+    * the corpus-level inverse-Simpson "effective number of sources"
+    * (1/Σp² — 20 equal sources score 20, one dominant source scores ≈ 1;
+    * the diversity number a mixture design targets). Integer-exact core:
+    * Σn_s² and N² are exact longs (well under 2^53 at any per-source
+    * count the BIGINT share math admits), so the two share divisions are
+    * the only float ops and the oracle binds bitwise.
+    */
+  def sourceBalance(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val tot = perSource.agg(
+      sum(col("tokens")).as("total"),
+      sum(col("tokens") * col("tokens")).as("sum_sq"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        (col("tokens").cast("double") / col("total").cast("double")).as("share"),
+        ((col("total") * col("total")).cast("double") / col("sum_sq").cast("double"))
+          .as("effective_sources"))
+      .orderBy(col("source"))
+  }
+
   /** Exact corpus heavy hitters: words commanding more than 1/k of all
     * token occurrences. The exact two-stage count IS the at-scale Spark
     * form — map-side partial aggregation means the shuffle carries one
