@@ -72,6 +72,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sourceBalance: shares sum to 1; effective sources exact on a hand fixture") {
+    import spark.implicits._
+    // two sources, 30 vs 10 tokens → p = (0.75, 0.25), 1/Σp² = 1.6
+    val d = Seq(
+      (1L, ("w " * 30).trim, "big"),
+      (2L, ("w " * 10).trim, "small")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceBalance(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("big") == ((30L, 0.75, 1.6)))
+    assert(got("small") == ((10L, 0.25, 1.6)))
+    // real corpus: shares sum to 1, effective count within (1, n_sources]
+    val real = TextAnalysis.sourceBalance(Tables.documents(spark, sf)).collect()
+    assert(math.abs(real.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    val eff = real.head.getDouble(3)
+    assert(eff > 1.0 && eff <= real.length.toDouble)
+  }
+
   test("corpusCard aggregates the fixture exactly") {
     import spark.implicits._
     val d = Seq(

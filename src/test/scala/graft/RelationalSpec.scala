@@ -176,6 +176,18 @@ class RelationalSpec extends SparkSpec {
     assert(k.getAs[Double]("p50") == 20.0)
   }
 
+  test("revenue concentration: ranks dense, shares positive, cumulative share monotone and consistent") {
+    val r = Relational.revenueConcentration(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to r.length))
+    val shares = r.map(_.getAs[Double]("revenue_share"))
+    assert(shares.forall(_ > 0) && shares.sameElements(shares.sortBy(-_)),
+      "shares must be positive and ordered with the revenue ranking")
+    val cums = r.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum_share must be monotone")
+    assert(math.abs(cums.last - shares.sum) < 1e-12 && cums.last <= 1.0)
+  }
+
   test("regression moments agree with built-in corr/regr within float tolerance and exactly on a fixture") {
     val li = Tables.lineitem(spark, sf)
     val r = Relational.regressionMoments(li, "l_quantity", "l_extendedprice")
