@@ -162,6 +162,8 @@ object SparkEntry {
     // full-vector re-rank. The rule is deterministic end to end, so the
     // oracle mirrors BOTH stages rather than binding only an exact config.
     "vec_prefix_rerank" -> ((s, d) => Similarity.prefixRerankKnn(Tables.embeddings(s, d))),
+    // Per-dimension extent/dead-dim audit over the embedding corpus.
+    "vec_dim_extent" -> ((s, d) => Similarity.dimExtent(Tables.embeddings(s, d))),
     "vec_knn_cosine" -> ((s, d) => Similarity.knnCosine(Tables.embeddings(s, d))),
     // SQ8 in the provably-exact configuration (refine covers the corpus —
     // the PQ-family oracle pattern): full encode→ADC→refine machinery,
@@ -1532,6 +1534,15 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank, vec_id, label,
         |  d2 AS dist_sq, 1.0 - d2/2.0 AS similarity
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    "vec_dim_extent" ->
+      """SELECT i.i AS dim,
+        |  MIN(CAST(embedding[i.i + 1] AS DOUBLE)) AS min_v,
+        |  MAX(CAST(embedding[i.i + 1] AS DOUBLE)) AS max_v,
+        |  CAST(SUM(CASE WHEN embedding[i.i + 1] <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonzero,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM embeddings, (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) i
+        |GROUP BY i.i ORDER BY dim""".stripMargin,
     "vec_prefix_rerank" ->
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT e AS qe FROM n WHERE vec_id = 0),

@@ -41,6 +41,25 @@ object Similarity {
         faissSimilarity(col("d2")).as("similarity"))
   }
 
+  /** Per-dimension embedding QA: min/max/non-zero count for every
+    * coordinate — the dead-dimension and range audit an embedding corpus
+    * runs before index build (a constant or all-zero dimension wastes
+    * index bytes and, for prefix-dim search, candidate quality). One
+    * posexplode + dim-keyed aggregation (key space = d, never corpus-
+    * proportional); extremes of floats widen exactly to double, so the
+    * oracle binds bitwise with no float-sum hazard (means are deliberately
+    * absent — cross-engine float accumulation is order-dependent).
+    */
+  def dimExtent(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"),
+        sum(when(col("v") =!= 0.0f, 1L).otherwise(0L)).as("n_nonzero"),
+        count(lit(1)).as("n"))
+      .orderBy(col("dim"))
+
   /** Two-stage prefix-dimension search: candidates by squared L2 over the
     * first `dims` dimensions, exact re-rank of those m candidates over the
     * full vector — the truncated-embedding funnel (Matryoshka
