@@ -381,6 +381,21 @@ object SparkEntry {
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
     // Per-source token shares + inverse-Simpson effective source count.
     "doc_source_balance" -> ((s, d) => TextAnalysis.sourceBalance(Tables.documents(s, d))),
+    // Per-source document-length quantiles through the distributed exact
+    // order-statistics engine (percentile ≡ quantile_cont bitwise).
+    "doc_len_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lens = Tables.documents(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Relational.exactQuantilesDistributed(lens, "source", "n_tokens",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .groupBy(col("source")).agg(
+          max(when(col("q") === 0.25, col("quantile"))).as("p25"),
+          max(when(col("q") === 0.5, col("quantile"))).as("p50"),
+          max(when(col("q") === 0.75, col("quantile"))).as("p75"),
+          max(when(col("q") === 0.95, col("quantile"))).as("p95"))
+        .orderBy(col("source"))
+    }),
     // √-temperature source mixing (α=0.5 of the p^α smoothing rule):
     // budgets derived from the data, not hand-set weights.
     "doc_temperature_mix" -> ((s, d) =>
@@ -1927,6 +1942,13 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
+    "doc_len_quantiles" ->
+      """SELECT source,
+        |  quantile_cont(len(string_split(text, ' ')), 0.25) AS p25,
+        |  quantile_cont(len(string_split(text, ' ')), 0.5) AS p50,
+        |  quantile_cont(len(string_split(text, ' ')), 0.75) AS p75,
+        |  quantile_cont(len(string_split(text, ' ')), 0.95) AS p95
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "doc_source_balance" ->
       """WITH per AS (SELECT source,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
