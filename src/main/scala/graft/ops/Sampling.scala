@@ -67,6 +67,47 @@ object Sampling {
       .select(col(groupCol), col("t.id").as(idCol))
       .orderBy(col(groupCol), col(idCol))
 
+  /** Per-source cumulative token count in stable `hashDraw` draw order,
+    * as a DISTRIBUTED prefix sum (the `Curation.packSequences` shape, keyed
+    * on the draw instead of doc_id ranges): docs bucket by the leading
+    * `bucketChars` hex chars of their draw — lowercase-hex lexicographic
+    * order IS draw order, so bucket boundaries align with the ordering and
+    * per-(source, bucket) totals (≤ sources · 16^bucketChars longs, a
+    * bounded driver artifact) become exclusive prefix offsets; each window
+    * task then sorts only its own (source, bucket) slice. A billion-row
+    * web-crawl source never funnels through one reducer — the old
+    * `Window.partitionBy(source)` cumsum did exactly that.
+    *
+    * Long addition is associative, so offset + within-bucket cumsum equals
+    * the single-window cumsum bit-for-bit: the DuckDB oracle keeps the
+    * declarative one-window form and still hash-matches.
+    *
+    * Input must carry (doc_id, source, n_tokens); adds `cum_tokens`.
+    */
+  private def cumTokensBySource(base: DataFrame, bucketChars: Int): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 4, "bucketChars must be in [1,4]")
+    val bucketed = base
+      .withColumn("_draw", hashDraw(col("doc_id")))
+      .withColumn("_bucket", substring(col("_draw"), 1, bucketChars))
+    val totals = bucketed.groupBy(col("source"), col("_bucket"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offsets: Map[String, Long] = totals.keys.map(_._1).toSeq.distinct.flatMap { s =>
+      val bs = totals.keys.collect { case (`s`, b) => b }.toSeq.sorted
+      bs.zip(bs.scanLeft(0L)((acc, b) => acc + totals((s, b))).init)
+        .map { case (b, off) => s"$s|$b" -> off }
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("_bucket"))
+      .orderBy(col("_draw"), col("doc_id"))
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), concat_ws("|", col("source"), col("_bucket")))
+    bucketed
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + offCol)
+      .drop("_draw", "_bucket")
+  }
+
   /** Source-proportional token-budget mixing — the static data-mixture
     * step of a training pipeline (fixed mixture weights à la The Pile;
     * DoReMi etc. LEARN these weights, then apply exactly this selection).
@@ -81,14 +122,13 @@ object Sampling {
     * overfilled, the tail doc that would cross it (and everything after)
     * drops.
     *
-    * Scale shape: map-only token count + per-source window cumsum
-    * (partition-bounded — no global sort; a pathologically dominant
-    * source would move to the distributed prefix-sum used by
-    * `Curation.packSequential`) + a literal when-chain for the per-source
-    * budgets (bounded driver artifact, like vocab/centroids — no join).
+    * Scale shape: map-only token count + the bucketed distributed prefix
+    * sum of `cumTokensBySource` (no per-source single-reducer window) + a
+    * literal when-chain for the per-source budgets (bounded driver
+    * artifact, like vocab/centroids — no join).
     */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
-      tokenBudget: Long): DataFrame = {
+      tokenBudget: Long, bucketChars: Int = 2): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
     val wSum = weights.values.sum
     val budgets = weights.map { case (s, w) => (s, (w / wSum * tokenBudget).toLong) }
@@ -96,12 +136,11 @@ object Sampling {
       when(col("source") === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (s, b)) => acc.when(col("source") === s, lit(b))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
-    docs.filter(col("source").isin(weights.keys.toSeq: _*))
+    val base = docs.filter(col("source").isin(weights.keys.toSeq: _*))
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .localCheckpoint(true) // two consumers: bucket totals and the cut
+    cumTokensBySource(base, bucketChars)
       .filter(col("cum_tokens") <= budgetCol)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))
@@ -118,7 +157,8 @@ object Sampling {
     * Scale shape: per-source token totals are a bounded driver artifact
     * (one row per listed source — the vocab/centroid class), so full
     * passes are a map-only explode of a literal epoch range and the
-    * partial pass reuses the mixCorpus window; no join anywhere.
+    * partial pass reuses the mixCorpus bucketed prefix sum; no join
+    * anywhere.
     */
   /** Square-root temperature source mixing — the α = 0.5 point of the
     * p^α smoothing rule multilingual/multi-source corpora use (mT5,
@@ -132,7 +172,8 @@ object Sampling {
     * collected as a driver artifact), then the same per-source
     * hash-ordered cumulative cut as `mixCorpus`.
     */
-  def temperatureMix(docs: DataFrame, tokenBudget: Long): DataFrame = {
+  def temperatureMix(docs: DataFrame, tokenBudget: Long,
+      bucketChars: Int = 2): DataFrame = {
     require(tokenBudget > 0, "budget must be positive")
     val base = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -148,10 +189,7 @@ object Sampling {
       when(col("source") === budgets.head._1, lit(budgets.head._2))) {
       case (acc, (s, b)) => acc.when(col("source") === s, lit(b))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
-    base
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    cumTokensBySource(base, bucketChars)
       .filter(col("cum_tokens") <= budgetCol)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
         budgetCol.as("source_budget"))
@@ -159,7 +197,7 @@ object Sampling {
   }
 
   def mixCorpusEpochs(docs: DataFrame, weights: Map[String, Double],
-      tokenBudget: Long, maxEpochs: Int = 2): DataFrame = {
+      tokenBudget: Long, maxEpochs: Int = 2, bucketChars: Int = 2): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
     require(maxEpochs >= 1, "maxEpochs must be at least 1")
     val wSum = weights.values.sum
@@ -184,10 +222,7 @@ object Sampling {
       .withColumn("epoch",
         explode(when(fe > 0, sequence(lit(0L), fe - 1)).otherwise(array())))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(hashDraw(col("doc_id")), col("doc_id"))
-    val partial = base
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val partial = cumTokensBySource(base, bucketChars)
       .filter(fe < maxEpochs.toLong && col("cum_tokens") <= rem)
       .select(col("doc_id"), col("source"), col("n_tokens"), fe.as("epoch"))
     fullPasses.unionByName(partial)

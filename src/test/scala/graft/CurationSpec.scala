@@ -401,16 +401,18 @@ class CurationSpec extends SparkSpec {
       assert(rows.map(_._4).max <= budget, s"$src over budget")
     }
 
-    // Plan shape: the corpus-sized text-hash dedup window runs ONCE — the
-    // contamination branch must derive from the raw corpus, not re-window.
+    // Plan shape: since the mixture stage grew its bucketed distributed
+    // prefix sum (r6), mixCorpus checkpoints its narrow (doc_id, source,
+    // n_tokens) base before collecting bucket totals — so the upstream
+    // dedup/decontam/gate stages materialize exactly ONCE behind that
+    // barrier, and the final plan shows only the post-checkpoint mixture
+    // window, partitioned by (source, draw-bucket), never bare source.
     val plan = Curation.curationPipeline(corpus, benchmark, weights, 2000L)
       .queryExecution.executedPlan.toString
-    val md5WindowExchanges = plan.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning(_w0")).size
-    assert(md5WindowExchanges <= 2, // one md5 window + the countDistinct partial
-      s"dedup window subtree must not duplicate:\n${plan.take(1200)}")
-    val windowNodes = plan.linesIterator.filter(_.contains("Window ")).size
-    assert(windowNodes == 2, s"exactly dedup + mixture windows expected, got $windowNodes")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.size == 1, s"exactly the mixture window expected, got ${windowLines.size}")
+    windowLines.foreach(l =>
+      assert(l.contains("_bucket"), s"mixture window must partition by draw bucket: $l"))
   }
 
   test("pipeline v2: trained classifier gate + √-temperature mix compose over gated survivors") {

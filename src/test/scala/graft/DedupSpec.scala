@@ -182,6 +182,27 @@ class DedupSpec extends SparkSpec {
     assert(mixed.toSet == expected, "mixture must be the maximal per-source prefix")
   }
 
+  test("mixture prefix sum is bucket-count invariant (distributed ≡ per-source window)") {
+    // The packSequences precedent: the bucketed offsets must reproduce the
+    // single-window cumsum exactly for ANY bucketing granularity.
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val ref = Sampling.mixCorpus(docs, weights, 2000L, bucketChars = 2).collect().map(key).toSet
+    for (bc <- Seq(1, 3)) {
+      assert(Sampling.mixCorpus(docs, weights, 2000L, bucketChars = bc)
+        .collect().map(key).toSet == ref, s"mixCorpus differs at bucketChars=$bc")
+    }
+    val refT = Sampling.temperatureMix(docs, 2000L, bucketChars = 2).collect().map(key).toSet
+    assert(Sampling.temperatureMix(docs, 2000L, bucketChars = 1)
+      .collect().map(key).toSet == refT, "temperatureMix differs at bucketChars=1")
+    val refE = Sampling.mixCorpusEpochs(docs, weights, 8000L, 2, bucketChars = 2)
+      .collect().map(key).toSet
+    assert(Sampling.mixCorpusEpochs(docs, weights, 8000L, 2, bucketChars = 1)
+      .collect().map(key).toSet == refE, "mixCorpusEpochs differs at bucketChars=1")
+  }
+
   test("epoch mixture: full passes under the cap, remainder as a draw-ordered prefix") {
     import org.apache.spark.sql.functions.{col, size, split}
     import graft.ops.Sampling

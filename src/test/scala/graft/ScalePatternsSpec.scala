@@ -144,18 +144,29 @@ class ScalePatternsSpec extends SparkSpec {
       s"no stage may demand a single partition:\n${plan.take(800)}")
   }
 
-  test("corpus mixing plan: per-source windows, literal budgets, no join, no single partition") {
-    val plan = graft.ops.Sampling.mixCorpus(Tables.documents(spark, sf),
-      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
-      .queryExecution.executedPlan.toString
-    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windowLines.nonEmpty)
-    windowLines.foreach(l =>
-      assert(l.contains("source"), s"cumsum window must partition by source: $l"))
-    assert(!plan.contains("SinglePartition"),
-      s"no stage may demand a single partition:\n${plan.take(800)}")
-    // budgets are a literal when-chain — selection must not introduce a join
-    assert(!plan.contains("Join"), s"budget lookup must be join-free:\n${plan.take(800)}")
+  test("corpus mixing plan: bucketed prefix-sum windows, literal budgets, no join, no single partition") {
+    // All three mixture ops share cumTokensBySource; assert the shape on each.
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val plans = Seq(
+      graft.ops.Sampling.mixCorpus(docs, weights, 2000L),
+      graft.ops.Sampling.temperatureMix(docs, 2000L),
+      graft.ops.Sampling.mixCorpusEpochs(docs, weights, 8000L))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { plan =>
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.nonEmpty)
+      // the cumsum window must partition by (source, draw-bucket): a bare
+      // source partitioning is one reducer per source — the 100-TB straggler
+      windowLines.foreach { l =>
+        assert(l.contains("_bucket"), s"cumsum window must partition by draw bucket: $l")
+        assert(l.contains("source"), s"cumsum window must also key on source: $l")
+      }
+      assert(!plan.contains("SinglePartition"),
+        s"no stage may demand a single partition:\n${plan.take(800)}")
+      // budgets + bucket offsets are literal artifacts — no join anywhere
+      assert(!plan.contains("Join"), s"budget lookup must be join-free:\n${plan.take(800)}")
+    }
   }
 
   test("semantic dedup plan: candidate generation is equi-join shaped, never a cross product") {
