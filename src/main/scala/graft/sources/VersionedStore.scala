@@ -53,13 +53,15 @@ object VersionedStore {
     df.withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
 
   // ---- manifest (hand-rolled fixed-shape JSON: {"version":N,"n_buckets":B,
-  // ---- "owner":{"<bucket>":"<dataDir>",...}}) ------------------------------
+  // ---- "writer":"<nonce>","owner":{"<bucket>":"<dataDir>",...}}) -----------
+  // The writer nonce exists solely so the read-back commit verification can
+  // tell two byte-identical owner maps from different committers apart.
 
   private def renderManifest(version: Long, nBuckets: Int,
-      owner: Map[Int, String]): String = {
+      owner: Map[Int, String], writerNonce: String): String = {
     val entries = owner.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
-    s"""{"version":$version,"n_buckets":$nBuckets,"owner":{$entries}}"""
+    s"""{"version":$version,"n_buckets":$nBuckets,"writer":"$writerNonce","owner":{$entries}}"""
   }
 
   private def parseManifest(s: String): (Long, Int, Map[Int, String]) = {
@@ -110,26 +112,48 @@ object VersionedStore {
   }
 
   /** Atomically commit the manifest for version `v`. The temp-write + rename
-    * IS the commit protocol: rename refuses an existing destination, so of
-    * two racing committers producing the same next version exactly one wins.
+    * is the commit step, but rename-refuses-existing-destination is an
+    * HDFS-only contract: LocalFileSystem (rename(2)) and S3A silently
+    * REPLACE an existing destination and report success, so the
+    * exists()-then-rename sequence alone would let two racing committers
+    * both "succeed". The protocol therefore verifies the commit by reading
+    * the destination back: each manifest carries a per-writer nonce, and a
+    * committer wins iff the bytes now at the destination are exactly the
+    * bytes it wrote. Whatever the filesystem's replace semantics, the
+    * destination holds exactly one writer's manifest — that writer wins,
+    * every other committer observes foreign bytes and gets the conflict.
+    * (Residual window on replace-semantics filesystems: a racer whose
+    * exists() ran before the winner's rename AND whose own rename lands
+    * after the winner's read-back replaces the winner silently. On HDFS
+    * rename is atomically no-overwrite and the protocol is exact; on local
+    * and object stores the window is the microseconds between read-back
+    * and a concurrent in-flight rename, vs the whole data-write duration
+    * before this fix.)
     */
   private def commit(spark: SparkSession, path: String, v: Long,
       nBuckets: Int, owner: Map[Int, String]): Unit = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/manifests"))
     val dst = manifestPath(path, v)
-    if (f.exists(dst))
+    if (f.exists(dst)) // fast-path; the read-back below is authoritative
       throw new CommitConflictException(
         s"version $v already committed at $path — re-read and retry")
+    val mine = renderManifest(v, nBuckets, owner,
+      f"${System.nanoTime()}%x-${Thread.currentThread().getId}%x")
     val tmp = new Path(s"$path/manifests/_tmp-$v-${System.nanoTime()}")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(v, nBuckets, owner).getBytes("UTF-8"))
+    try out.write(mine.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
       throw new CommitConflictException(
         s"concurrent commit of version $v at $path — re-read and retry")
     }
+    val in = f.open(dst)
+    val committed = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    if (committed != mine)
+      throw new CommitConflictException(
+        s"lost commit race for version $v at $path — re-read and retry")
   }
 
   // ---- writes --------------------------------------------------------------
@@ -141,7 +165,10 @@ object VersionedStore {
     */
   private def writeDataDir(spark: SparkSession, path: String, v: Long,
       bucketed: DataFrame): (String, Set[Int]) = {
-    val dirName = f"v$v%08d-${System.nanoTime()}%x"
+    // name = v<version>-t<creation millis hex>-<nonce>: the embedded wall
+    // clock is what vacuum() age-guards on — directory mtime is synthetic on
+    // object stores and parquet task commits keep touching it on real ones
+    val dirName = f"v$v%08d-t${System.currentTimeMillis()}%x-${System.nanoTime()}%x"
     bucketed.write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
       .parquet(s"$path/files/$dirName")
     val f = fs(spark, path)
@@ -185,6 +212,16 @@ object VersionedStore {
       throw new CommitConflictException(
         s"version $next already committed at $path — re-read and retry")
     val up = withBucket(upserts, nBuckets).localCheckpoint(true)
+    // One row per doc_id, enforced: two same-id rows in one batch would both
+    // survive the left_anti merge and duplicate the key forever (every later
+    // merge propagates both). Callers with multi-change batches collapse
+    // last-wins first (versionedCdc does); a silent collapse here would have
+    // to invent an order, so ambiguity fails fast instead.
+    val dupId = up.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"upserts batch carries duplicate doc_id ${dupId.headOption.map(_.get(0)).orNull}" +
+        " — collapse to one row per key (last-wins) before upsert")
     val del = withBucket(deletes.select(col("doc_id")), nBuckets)
       .localCheckpoint(true)
     val dirty = (up.select(col("bucket")).distinct().collect() ++
@@ -237,7 +274,10 @@ object VersionedStore {
     * window: a directory younger than it is NEVER deleted, because it may
     * belong to an in-flight commit that has written data but not yet
     * renamed its manifest (the Delta VACUUM retention rule; default 24 h —
-    * tests pass 0 for immediacy).
+    * tests pass 0 for immediacy). Age comes from the creation timestamp
+    * embedded in the directory NAME (a protocol property), not filesystem
+    * mtime (synthetic on object stores, writer-task-dependent on real
+    * ones); legacy nameless-timestamp directories fall back to mtime.
     */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 7,
       olderThanMs: Long = 24L * 3600 * 1000): Unit = {
@@ -251,9 +291,12 @@ object VersionedStore {
       .foreach(v => f.delete(manifestPath(path, v), false))
     val filesDir = new Path(s"$path/files")
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def createdAt(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.split("-").find(_.startsWith("t"))
+        .flatMap(t => scala.util.Try(java.lang.Long.parseLong(t.tail, 16)).toOption)
+        .getOrElse(st.getModificationTime)
     if (f.exists(filesDir)) f.listStatus(filesDir)
-      .filter(st => !live(st.getPath.getName) &&
-        st.getModificationTime <= cutoff)
+      .filter(st => !live(st.getPath.getName) && createdAt(st) <= cutoff)
       .foreach(st => f.delete(st.getPath, true))
   }
 

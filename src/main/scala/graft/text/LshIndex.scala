@@ -94,25 +94,42 @@ object LshIndex {
     * tombstones that no longer match anything — harmless). `hashes` is
     * rewritten last of the tables so a crash mid-compaction keeps the
     * deleted ids burned in the disjointness gate (conservative failure:
-    * an id can stay burned longer, never come back early). localCheckpoint
-    * is the read-before-overwrite barrier — each rewrite derives from the
-    * very files it replaces.
+    * an id can stay burned longer, never come back early).
+    *
+    * Each table rewrites into a FRESH sibling directory that is renamed
+    * into place (old dir staged aside, then dropped) — the VersionedStore
+    * move. The old Overwrite-in-place form relied on localCheckpoint as
+    * its read-before-overwrite barrier, which survives Spark-level
+    * failures but loses the table outright if the whole application dies
+    * after the delete and before the rewrite lands (checkpoint blocks
+    * live only in executor storage). Now a crash during the rewrite job
+    * leaves the live directory untouched; the exposure shrinks to the
+    * two metadata renames, and a dead writer's `._compact`/`._old`
+    * leftovers are swept on the next compaction.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     if (tombstones(spark, path).isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rewrite(table: String, partitioned: Boolean): Unit = {
+      val fresh = new org.apache.hadoop.fs.Path(s"$path/$table._compact")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$table._old")
+      fs.delete(fresh, true); fs.delete(old, true) // dead-writer leftovers
       val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-        .localCheckpoint(true)
-      val w = kept.write.mode(SaveMode.Overwrite)
-      if (partitioned) w.partitionBy("band_id").parquet(s"$path/$table")
-      else w.parquet(s"$path/$table")
+      val w = kept.write.mode(SaveMode.ErrorIfExists)
+      if (partitioned) w.partitionBy("band_id").parquet(fresh.toString)
+      else w.parquet(fresh.toString)
+      require(fs.rename(live, old), s"compact: cannot stage $table aside")
+      require(fs.rename(fresh, live), s"compact: cannot swap $table into place")
+      fs.delete(old, true)
     }
     rewrite("shingles", partitioned = false)
     rewrite("sizes", partitioned = false)
     rewrite("bands", partitioned = true)
     rewrite("hashes", partitioned = false)
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    fs.delete(p, true)
   }
 
   /** Fail fast when a batch reuses resident doc_ids. The candidate join

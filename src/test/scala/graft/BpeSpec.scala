@@ -87,4 +87,35 @@ class BpeSpec extends SparkSpec {
     // every adjacent pair occurs once — below the min-count-2 bar
     assert(Bpe.train(d, nMerges = 5) === Seq.empty)
   }
+
+  test("batched rounds: fewer aggregation rounds than merges, same merge list") {
+    val docs = Tables.documents(spark, sf)
+    val wc = Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (got, rounds) = Bpe.trainWithStats(docs, nMerges = 24)
+    assert(got === referenceTrain(wc, nMerges = 24),
+      "batched training must replay the sequential argmax decisions verbatim")
+    assert(rounds < got.size,
+      s"batching must save rounds: $rounds rounds for ${got.size} merges")
+    // maxBatch=1 degenerates to the sequential trainer — same list again
+    assert(Bpe.trainWithStats(docs, nMerges = 24, maxBatch = 1)._1 === got)
+  }
+
+  test("batch acceptance is conservative on adversarial derived-pair corpora") {
+    import spark.implicits._
+    // "a b a b ..." — merging (a,b) creates high-count derived pairs
+    // (ab,ab); a naive disjointness-only batch would also take a lower
+    // pair and diverge from the sequential argmax.
+    val d = Seq(
+      (1L, ("ab " * 40).trim),         // word "ab" repeated: chars a,b
+      (2L, ("abab " * 30).trim),       // "abab": a b a b
+      (3L, ("cd " * 25).trim),
+      (4L, ("xy " * 24).trim)).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (m <- Seq(1, 2, 3, 4, 6)) {
+      assert(Bpe.train(d, nMerges = m) === referenceTrain(wc, nMerges = m),
+        s"divergence at nMerges=$m")
+    }
+  }
 }

@@ -158,6 +158,21 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("an upserts batch with duplicate doc_ids fails fast, committing nothing") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val dir = tmp()
+    VersionedStore.init(spark, docs, dir, nBuckets = 8)
+    val before = VersionedStore.currentVersion(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.upsert(spark, dir,
+        docs.limit(2).withColumn("doc_id", lit(7L)), // two rows, same id
+        docs.limit(0).select(col("doc_id")))
+    }
+    assert(e.getMessage.contains("duplicate doc_id"))
+    assert(VersionedStore.currentVersion(spark, dir) === before,
+      "a rejected batch must not commit a version")
+  }
+
   test("empty batch commits a metadata-only version") {
     val docs = Tables.documents(spark, sf).limit(50)
     val dir = tmp()
