@@ -284,6 +284,25 @@ object SparkEntry {
       graft.vector.IvfPqIndex.knnJoin(s, dir, emb.filter(col("vec_id") % 37 === 0),
         k = 10, nProbe = 8, refineFactor = rf)
     }),
+    // Vector-tier point-delete lifecycle (takedown/GDPR), oracle-bound: the
+    // cached IVF layout gets a deterministic tombstone set (every 41st
+    // vec_id — including the query vector itself, so the nearest hit at
+    // d=0 is tombstoned and must vanish) at artifact-build time. Exact-
+    // config search (probe ALL cells) must then equal brute-force top-k
+    // over the corpus MINUS the deleted ids. Compaction parity and the
+    // knnJoin/rangeSearch/ingest-gate behaviors are IvfIndexSpec-pinned.
+    "vec_delete_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfdel", d) { p =>
+        graft.vector.IvfIndex.build(s, emb, p)
+        graft.vector.IvfIndex.delete(s, p,
+          emb.filter(col("vec_id") % 41 === 0).select("vec_id"))
+      }
+      val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+      graft.vector.IvfIndex.search(s, dir, qv, k = 10, nProbe = 8)
+        .select(col("vec_id"), col("label"), col("dist_sq"))
+    }),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the
     // operator) unions a deterministic re-ingest (every 7th doc under a new
@@ -1595,6 +1614,14 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT vec_id, label, cos AS cos_sim
         |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // Brute-force top-k over the corpus minus the tombstoned ids — the
+    // anti-join is the only piece the plain kNN oracle doesn't already pin.
+    "vec_delete_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 41 <> 0)
+        |SELECT vec_id, label, d2 AS dist_sq
+        |FROM d ORDER BY d2, vec_id LIMIT 10""".stripMargin,
     "vec_range_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2

@@ -166,6 +166,66 @@ object IvfIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Logical point deletes — takedown/GDPR removal for the vector tier,
+    * the lifecycle `text.LshIndex`/`text.InvertedIndex` already have:
+    * vec_ids append to a tombstone log and EVERY serving path
+    * (`search`/`knnJoin`/`rangeSearch`, and the dedupIngest candidate
+    * side) anti-joins it, so a deleted vector stops matching immediately,
+    * pre-compaction. The dedupIngest id gate still sees the tombstoned
+    * row in the layout — a deleted id stays BURNED until `compact`
+    * (delete → compact → append is the replacement path). The log is
+    * bounded by deletes-since-compaction; the anti-join broadcasts.
+    * Shared by [[IvfPqIndex]], whose layout is identical.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode(SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  private[vector] def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct())
+    else None
+  }
+
+  private[vector] def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log into the layout: rewrite `vectors` WITHOUT the
+    * deleted rows into a fresh sibling directory, rename it into place
+    * (the crash-safe swap `LshIndex.compact` uses — the live directory is
+    * never the write target, so an application crash mid-rewrite loses
+    * nothing), then drop the log. Works unchanged for [[IvfPqIndex]]:
+    * every column (incl. `codes`) and the `cell × ingest_date`
+    * partitioning are preserved row-for-row.
+    *
+    * Sidecars are deliberately untouched: centroids define the layout's
+    * assignment function and must survive compaction (a fresh k-means
+    * would re-cell the corpus), and the per-cell radii stay conservatively
+    * LARGE — the only safe direction for `rangeSearch`'s
+    * triangle-inequality bound (the appendBatch crash-ordering contract).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (tombstones(spark, path).isEmpty) return
+    val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/vectors._compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path/vectors._old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fresh, true); fs.delete(old, true) // dead-writer leftovers
+    dropTombstoned(spark, path, spark.read.parquet(live.toString))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
+      .parquet(fresh.toString)
+    require(fs.rename(live, old), s"compact: cannot stage vectors aside at $path")
+    require(fs.rename(fresh, live), s"compact: cannot swap vectors into place at $path")
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** Retention: physically drop `ingest_date=` directories older than the
     * `(asOf−maxDays, asOf]` window inside every cell — the IVF analog of
     * `VectorIndex.retain` (reference `_remove_old_indexes`,
@@ -231,7 +291,7 @@ object IvfIndex {
     val probeCells = probeCellsExpr(spark, path, nProbe)
     val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
       explode(probeCells).as("cell"))
-    val base = spark.read.parquet(s"$path/vectors")
+    val base = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
     val windowed =
       if (asOf == null) base
       else base.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
@@ -277,7 +337,7 @@ object IvfIndex {
     val qualifying = cents.collect {
       case (cid, c) if l2(c, query) - radii.getOrElse(cid, Double.MaxValue) <= radius => cid
     }
-    val base = spark.read.parquet(s"$path/vectors")
+    val base = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .filter(col("cell").isin(qualifying: _*)) // partition pruning on disk
     val windowed =
       if (asOf == null) base
@@ -304,7 +364,7 @@ object IvfIndex {
       .orderBy(col("qd2"), col("cid"))
       .limit(nProbe)
       .select(col("cid")).collect().map(_.getLong(0))
-    val base = spark.read.parquet(s"$path/vectors")
+    val base = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .filter(col("cell").isin(probed: _*)) // partition pruning: only probed dirs read
     val windowed =
       if (asOf == null) base
@@ -360,7 +420,9 @@ object IvfIndex {
     val probed = candidates
       .select(col("vec_id"), col("embedding"),
         explode(probeCellsExpr(spark, path, nProbe)).as("cell"))
-    val resident = residentVectors
+    // tombstoned residents stop matching as dup candidates; the id-clash
+    // gate above still reads them (deleted ids stay burned until compact)
+    val resident = dropTombstoned(spark, path, residentVectors)
       .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
         col("cell").cast("long").as("cell"))
     val nearDups = probed.join(resident, "cell")

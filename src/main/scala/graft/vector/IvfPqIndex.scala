@@ -88,6 +88,17 @@ object IvfPqIndex {
       maxDays: Int = VectorIndex.RetentionDays): Seq[String] =
     IvfIndex.retain(spark, path, asOf, maxDays)
 
+  /** Point deletes + compaction ride the IvfIndex tombstone lifecycle
+    * verbatim — same layout, same log, same crash-safe swap; the `codes`
+    * column rides the rewrite untouched. `search`/`knnJoin`/`adcScan`
+    * anti-join the log pre-compaction.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IvfIndex.delete(spark, path, ids)
+
+  def compact(spark: SparkSession, path: String): Unit =
+    IvfIndex.compact(spark, path)
+
   /** Incremental ingest: encode a new (vec_id, label, embedding) batch
     * against the EXISTING sidecars — centroid assignment, residual, codes,
     * all map-only — and append into the cell layout. Arriving vectors are
@@ -141,7 +152,7 @@ object IvfPqIndex {
     def l2(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
     val probed = cents.map { case (cid, c) => (l2(c, query), cid) }.sorted.take(nProbe)
-    val raw = spark.read.parquet(s"$path/vectors")
+    val raw = IvfIndex.dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
     // With asOf, both the ADC candidate scans and the re-rank are pruned
     // to the retention window's date directories (probe × retention, both
     // at the partition level — the IvfIndex contract).
@@ -238,7 +249,7 @@ object IvfPqIndex {
         zip_with(col("q_emb"), element_at(centMap, col("cell")), (a, b) => a - b))
       .withColumn("lut", lutExpr)
       .select(col("q_vec_id"), col("q_emb"), col("cell"), col("lut"))
-    val raw = spark.read.parquet(s"$path/vectors")
+    val raw = IvfIndex.dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
     val base =
       if (asOf == null) raw
       else raw.filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
@@ -290,7 +301,7 @@ object IvfPqIndex {
     val approx = aggregate(
       expr(s"zip_with(sequence(0, ${m - 1}), codes, (s, c) -> s * $ksub + c)"),
       lit(0.0), (acc, i) => acc + element_at(lut, i + 1))
-    spark.read.parquet(s"$path/vectors")
+    IvfIndex.dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .filter(col("cell") === cid)
       .select(col("vec_id"), approx.as("adc_d2"))
   }

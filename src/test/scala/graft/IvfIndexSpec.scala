@@ -291,4 +291,78 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
     assert(got == expected, "pruned range search must equal brute force on clusters")
   }
+
+  test("delete: tombstoned ids vanish from search/knnJoin/rangeSearch pre-compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.build(spark, emb, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    // delete the query's two nearest neighbors (incl. itself)
+    val doomed = IvfIndex.search(spark, dir, qv, k = 2, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.delete(spark, dir, doomed.toDF("vec_id"))
+    val served = IvfIndex.search(spark, dir, qv, k = 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!served(_)), "deleted ids must stop matching immediately")
+    val joined = IvfIndex.knnJoin(spark, dir,
+      emb.filter(col("vec_id") === 0L), k = 10, nProbe = 8)
+      .select("c_vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!joined(_)), "knnJoin must honor tombstones")
+    val ranged = IvfIndex.rangeSearch(spark, dir, qv, radius = 1e9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!ranged(_)), "rangeSearch must honor tombstones")
+    assert(ranged.nonEmpty, "survivors still serve")
+  }
+
+  test("compact folds tombstones; serving equals an index the deleted never entered") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-cmpA").toString + "/ivf"
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-cmpB").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf).limit(400).cache()
+    val doomed = Seq(3L, 17L, 42L)
+    IvfIndex.build(spark, emb, dirA)
+    IvfIndex.delete(spark, dirA, doomed.toDF("vec_id"))
+    IvfIndex.compact(spark, dirA)
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dirA/tombstones")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(fsPath), "compact must drop the folded tombstone log")
+    // reference: same centroids (copied sidecars), only survivors appended
+    IvfIndex.build(spark, emb.filter(!col("vec_id").isin(doomed: _*)), dirB)
+    // centroid sets differ (k-means saw different corpora), so compare via
+    // exact full-probe searches — both must equal the brute-force survivors
+    val qv = emb.filter(col("vec_id") === 1L).select("embedding").head.getSeq[Float](0)
+    def top(dir: String) = IvfIndex.search(spark, dir, qv, k = 8, nProbe = 8)
+      .select("vec_id", "dist_sq").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(dirA) == top(dirB),
+      "compacted index must serve exactly what a never-deleted build serves")
+    // a compacted layout accepts re-appends of previously-deleted ids
+    IvfIndex.appendBatch(spark, emb.filter(col("vec_id") === 3L)
+      .select("vec_id", "label", "embedding"), dirA)
+    assert(IvfIndex.search(spark, dirA, qv, k = 400, nProbe = 8)
+      .filter(col("vec_id") === 3L).count() === 1L)
+  }
+
+  test("dedupIngest: tombstoned residents stop matching but their ids stay burned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dig").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf).limit(300).cache()
+    IvfIndex.build(spark, emb, dir)
+    val victim = emb.filter(col("vec_id") === 5L)
+      .select("vec_id", "label", "embedding").cache()
+    IvfIndex.delete(spark, dir, Seq(5L).toDF("vec_id"))
+    // identical embedding under a fresh id: without the tombstone it would
+    // die as near_dup against resident 5 — now it must ingest
+    val offer = victim.withColumn("vec_id", lit(900001L))
+    val verdicts = IvfIndex.dedupIngest(spark, dir, offer, threshold = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(900001L) === "ingested",
+      s"tombstoned resident must not veto ingest, got $verdicts")
+    // but the deleted ID itself stays burned until compact
+    val burned = intercept[IllegalArgumentException] {
+      IvfIndex.dedupIngest(spark, dir, victim, threshold = 0.9999)
+    }
+    assert(burned.getMessage.contains("collide"))
+  }
 }

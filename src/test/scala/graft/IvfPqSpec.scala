@@ -163,4 +163,33 @@ class IvfPqSpec extends SparkSpec {
     info(f"batch ADC kNN join recall@10 (nProbe=2, refine=4): $avgRecall%.2f")
     assert(avgRecall >= 0.5, f"recall $avgRecall%.2f below floor")
   }
+
+  test("delete + compact ride the IvfIndex tombstone lifecycle; codes survive the rewrite") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString + "/idx"
+    IvfPqIndex.build(spark, emb, d)
+    val doomed = IvfPqIndex.search(spark, d, qv, k = 2, nProbe = 8, refineFactor = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfPqIndex.delete(spark, d, doomed.toDF("vec_id"))
+    // pre-compaction: tombstoned ids vanish from search and the batch join
+    val served = IvfPqIndex.search(spark, d, qv, k = 10, nProbe = 8, refineFactor = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!served(_)), "deleted ids must stop serving immediately")
+    val joined = IvfPqIndex.knnJoin(spark, d, emb.filter(col("vec_id") === 0L),
+      k = 10, nProbe = 8, refineFactor = 64)
+      .select("c_vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!joined(_)), "knnJoin must honor tombstones")
+    // compact folds the log; results unchanged, codes column intact
+    val before = IvfPqIndex.search(spark, d, qv, k = 10, nProbe = 8, refineFactor = 64)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+    IvfPqIndex.compact(spark, d)
+    val after = IvfPqIndex.search(spark, d, qv, k = 10, nProbe = 8, refineFactor = 64)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+    assert(after == before, "compaction must not change served results")
+    val cols = spark.read.parquet(s"$d/vectors").columns.toSet
+    assert(Set("vec_id", "label", "embedding", "codes", "cell", "ingest_date")
+      .subsetOf(cols), s"compacted layout lost columns: $cols")
+    val p = new org.apache.hadoop.fs.Path(s"$d/tombstones")
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
 }
