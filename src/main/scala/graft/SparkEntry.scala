@@ -689,6 +689,31 @@ object SparkEntry {
     // Content-addressed dedup audit over the media payloads (CAS model):
     // copies per content hash, bytes saved per modality.
     "mm_dedup_stats" -> ((s, d) => graft.multimodal.Multimodal.dedupStats(Tables.documents(s, d))),
+    // Perceptual (pixel-level) image near-dup — what byte-exact
+    // mm_dedup_stats misses: the same picture re-encoded. HARNESS builds a
+    // deterministic 16×16 gray PNG per doc (pixel(x,y) = (doc_id·31 + 7x +
+    // 13y) mod 256) and RE-ENCODES every 9th doc's pixels under a new id
+    // with a different PNG filter + deflate level (byte-different file,
+    // identical pixels). The operator decodes REAL PNG bytes (Inflater +
+    // scanline-filter reconstruction) and groups by integer-exact aHash;
+    // the oracle recomputes the hash in SQL from the pixel DEFINITION —
+    // binding the whole decode+downsample+hash path cross-engine.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PngCodec}
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        def px(src: Long): Array[Int] =
+          Array.tabulate(256)(p => ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt)
+        val base = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px(id), 16, 16))
+        if (id % 9 == 0)
+          Seq(base, Multimodal.MediaRow(id + 2000000L, "image",
+            PngCodec.encodeGray(px(id), 16, 16, filterType = 1, level = 9)))
+        else Seq(base)
+      }
+      Multimodal.phashDupGroups(media)
+    }),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -2486,6 +2511,28 @@ object SparkEntry {
         |  CAST(SUM(nb) AS BIGINT) AS bytes_unique,
         |  CAST(SUM(nb) AS DOUBLE) / CAST(SUM(copies * nb) AS DOUBLE) AS dedup_ratio
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Recompute the aHash from the pixel DEFINITION (the PNG bytes are a
+    // JVM-side encoding detail): 16×16 pixels → 8×8 cells of 4 (floor-avg)
+    // → mean threshold → 64-char bit string, all integer arithmetic.
+    "mm_phash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 9 = 0),
+        |px AS (
+        |  SELECT i.doc_id, t.x, u.y, (i.src * 31 + t.x * 7 + u.y * 13) % 256 AS v
+        |  FROM imgs i, range(16) t(x), range(16) u(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS cell
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |means AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, '' ORDER BY cy, cx) AS ahash
+        |  FROM cells c JOIN means USING (doc_id) GROUP BY c.doc_id)
+        |SELECT ahash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM bits GROUP BY ahash HAVING COUNT(*) > 1 ORDER BY ahash""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -214,6 +214,87 @@ object Multimodal {
         col("frames").cast("long").as("frames"))
       .orderBy(col("doc_id"))
 
+  // ---- perceptual image near-dup ------------------------------------------
+
+  /** Average hash over decoded grayscale pixels, as a 64-char '0'/'1'
+    * string (engine-portable; a BIGINT would lose bit 63 to the sign).
+    * Area-downsample to an 8×8 grid with integer floor boundaries
+    * (cell (cx,cy) covers x ∈ [cx·w/8, (cx+1)·w/8), same for y), cell
+    * value = floor(pixel sum / pixel count), then bit = cell > floor(mean
+    * of the 64 cells). Every step is integer arithmetic, so any engine
+    * computing from the same pixel definition produces the identical
+    * string — the mm_phash_dedup oracle recomputes it in SQL.
+    */
+  def aHashBits(pixels: Array[Int], w: Int, h: Int): String = {
+    val cells = new Array[Long](64)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var sum = 0L; var n = 0L
+      for (y <- y0 until y1; x <- x0 until x1) { sum += pixels(y * w + x); n += 1 }
+      cells(cy * 8 + cx) = if (n > 0) sum / n else 0L
+    }
+    val mean = cells.sum / 64
+    cells.map(c => if (c > mean) '1' else '0').mkString
+  }
+
+  /** Difference hash (horizontal-gradient variant): 9×8 grid with the same
+    * floor-boundary area downsample; bit (cy, cx) = cell(cx+1) > cell(cx).
+    * More robust than aHash to global brightness shifts; spec-level (the
+    * oracle binds aHash, which already pins the decode + downsample path).
+    */
+  def dHashBits(pixels: Array[Int], w: Int, h: Int): String = {
+    val grid = Array.ofDim[Long](8, 9)
+    for (cy <- 0 until 8; cx <- 0 until 9) {
+      val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var sum = 0L; var n = 0L
+      for (y <- y0 until y1; x <- x0 until x1) { sum += pixels(y * w + x); n += 1 }
+      grid(cy)(cx) = if (n > 0) sum / n else 0L
+    }
+    (for (cy <- 0 until 8; cx <- 0 until 8)
+      yield if (grid(cy)(cx + 1) > grid(cy)(cx)) '1' else '0').mkString
+  }
+
+  case class ImageHash(doc_id: Long, ahash: String, dhash: String)
+
+  /** Perceptual hashes for every decodable image payload — the pixel-level
+    * dedup tier `dedupStats`' byte-exact hashing misses: a crawl
+    * re-delivers the same picture re-encoded (different PNG filter bytes,
+    * different deflate level, stripped ancillary chunks), with distinct
+    * content hashes but identical pixels. Decode + hash is map-only (one
+    * decoder pass per partition, binary never leaves the executor);
+    * undecodable payloads drop out (the header-metadata path still audits
+    * them).
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type == "image")
+          PngCodec.decodeGray(r.data).map { case (w, h, px) =>
+            ImageHash(r.doc_id, aHashBits(px, w, h), dHashBits(px, w, h))
+          }
+        else None
+      }
+    }
+  }
+
+  /** Perceptual duplicate groups: images whose aHash collides. Scale shape:
+    * map-only decode/hash, then ONE shuffle keyed on the 64-bit hash with
+    * 8-byte-class rows — the exact-dedup hash-groupBy shape, pixels never
+    * shuffle. (A Hamming-radius pair tier would ride the SimHash
+    * probe-key construction; exact-collision grouping is the re-encode
+    * detector.)
+    */
+  def phashDupGroups(media: Dataset[MediaRow]): DataFrame =
+    imageHashes(media).toDF()
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("ahash"))
+
   /** Content-addressed storage audit per modality: media blobs group by
     * content hash (the CAS/dedup-store model — a crawl re-delivers the
     * same image under many pages), yielding copy counts and the byte

@@ -151,4 +151,144 @@ class MultimodalSpec extends SparkSpec {
     assert(got("audio") == ((2L, 1L, 18L, 9L)))
     assert(got("video") == ((1L, 1L, 10L, 10L)))
   }
+
+  test("PNG codec: every scanline filter reconstructs the exact pixels") {
+    import graft.multimodal.PngCodec
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(p => (p * 37 + 11) % 256)
+    for (ft <- Seq(0, 1)) {
+      val bytes = PngCodec.encodeGray(px, w, h, filterType = ft)
+      val Some((dw, dh, got)) = PngCodec.decodeGray(bytes)
+      assert((dw, dh) == ((w, h)) && got.sameElements(px), s"filter $ft round trip")
+    }
+    // Up/Average/Paeth (2/3/4): hand-filter the scanlines, deflate, wrap in
+    // chunks via the encoder's own framing by splicing the raw stream
+    for (ft <- Seq(2, 3, 4)) {
+      val raw = new Array[Byte]((w + 1) * h)
+      for (y <- 0 until h) {
+        raw(y * (w + 1)) = ft.toByte
+        for (x <- 0 until w) {
+          val v = px(y * w + x)
+          val a = if (x > 0) px(y * w + x - 1) else 0
+          val b = if (y > 0) px((y - 1) * w + x) else 0
+          val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+          val pred = ft match {
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (w + 1) + 1 + x) = ((v - pred) & 0xFF).toByte
+        }
+      }
+      // reuse encoder output as a template: swap its IDAT payload
+      val filt0 = PngCodec.encodeGray(px, w, h, filterType = 0)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      val idat = out.toByteArray
+      // rebuild: signature+IHDR from template (8 + 25 bytes), new IDAT, IEND
+      val bb = new java.io.ByteArrayOutputStream()
+      bb.write(filt0, 0, 8 + 25)
+      def w32(v: Long): Unit = { bb.write(((v >> 24) & 0xFF).toInt); bb.write(((v >> 16) & 0xFF).toInt)
+        bb.write(((v >> 8) & 0xFF).toInt); bb.write((v & 0xFF).toInt) }
+      w32(idat.length.toLong); bb.write("IDAT".getBytes("US-ASCII")); bb.write(idat)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(idat); w32(crc.getValue)
+      w32(0L); bb.write("IEND".getBytes("US-ASCII"))
+      val iendCrc = new java.util.zip.CRC32(); iendCrc.update("IEND".getBytes("US-ASCII"))
+      w32(iendCrc.getValue)
+      val Some((_, _, got)) = PngCodec.decodeGray(bb.toByteArray)
+      assert(got.sameElements(px), s"filter $ft reconstruction")
+    }
+  }
+
+  test("PNG codec: truncated and garbage bytes decode to None, never throw") {
+    import graft.multimodal.PngCodec
+    val px = Array.tabulate(64)(_ % 256)
+    val good = PngCodec.encodeGray(px, 8, 8)
+    assert(PngCodec.decodeGray(good).isDefined)
+    // cuts through the signature, IHDR, and mid-IDAT must all reject;
+    // losing only the IEND tail is legitimately decodable (IDAT complete)
+    for (cut <- Seq(4, 12, 30, good.length - 20))
+      assert(PngCodec.decodeGray(good.take(cut)).isEmpty, s"truncation at $cut")
+    assert(PngCodec.decodeGray("not a png at all".getBytes).isEmpty)
+    val corrupted = good.clone
+    corrupted(40) = (corrupted(40) ^ 0x55).toByte // inside IDAT
+    assert(PngCodec.decodeGray(corrupted).isEmpty ||
+      PngCodec.decodeGray(corrupted).isDefined) // must not throw either way
+  }
+
+  test("perceptual dedup: re-encoded twins collide on aHash/dHash, byte dedup misses them") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    import spark.implicits._
+    val px = Array.tabulate(256)(p => (p * 31 + (p / 16) * 13) % 256)
+    val orig = PngCodec.encodeGray(px, 16, 16, filterType = 0)
+    val reenc = PngCodec.encodeGray(px, 16, 16, filterType = 1, level = 9)
+    assert(!orig.sameElements(reenc), "re-encode must produce different bytes")
+    val other = PngCodec.encodeGray(px.map(v => 255 - v), 16, 16)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", orig),
+      Multimodal.MediaRow(2L, "image", reenc),
+      Multimodal.MediaRow(3L, "image", other),
+      Multimodal.MediaRow(4L, "image", "junk".getBytes), // undecodable → dropped
+      Multimodal.MediaRow(5L, "audio", orig)).toDS() // wrong modality → dropped
+    val hashes = Multimodal.imageHashes(media).collect().map(h => h.doc_id -> h).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L).ahash == hashes(2L).ahash && hashes(1L).dhash == hashes(2L).dhash,
+      "identical pixels must hash identically regardless of encoding")
+    assert(hashes(1L).ahash != hashes(3L).ahash, "inverted image must differ")
+    val groups = Multimodal.phashDupGroups(media).collect()
+    assert(groups.length == 1 &&
+      groups.head.getAs[Long]("n_copies") == 2L &&
+      groups.head.getAs[Long]("min_doc_id") == 1L &&
+      groups.head.getAs[Long]("max_doc_id") == 2L)
+  }
+
+  test("perceptual hash is robust to a one-pixel perturbation; RGB decode is integer-exact") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    val px = Array.tabulate(1024)(p => (p * 7 + 3) % 256)
+    val base = PngCodec.decodeGray(PngCodec.encodeGray(px, 32, 32)).get._3
+    val bumped = px.clone; bumped(500) = (bumped(500) + 1) % 256
+    val pert = PngCodec.decodeGray(PngCodec.encodeGray(bumped, 32, 32)).get._3
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(Multimodal.aHashBits(base, 32, 32), Multimodal.aHashBits(pert, 32, 32)) <= 2)
+    assert(ham(Multimodal.dHashBits(base, 32, 32), Multimodal.dHashBits(pert, 32, 32)) <= 2)
+    // RGB (color type 2): build by hand-splicing 3-channel scanlines
+    val w = 4; val h = 2
+    val rgb: Array[Int] = Array.tabulate(w * h * 3)(i => (i * 19 + 5) % 256)
+    val raw = new Array[Byte]((w * 3 + 1) * h)
+    for (y <- 0 until h; x <- 0 until w * 3)
+      raw(y * (w * 3 + 1) + 1 + x) = rgb(y * w * 3 + x).toByte
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val idatOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) idatOut.write(buf, 0, deflater.deflate(buf))
+    val idat = idatOut.toByteArray
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2 // RGB
+    def chunkBytes(tag: String, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = { o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+        o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt) }
+      w32(data.length.toLong); o.write(tag.getBytes("US-ASCII")); o.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      w32(crc.getValue); o.toByteArray
+    }
+    bb.write(chunkBytes("IHDR", ihdr)); bb.write(chunkBytes("IDAT", idat))
+    bb.write(chunkBytes("IEND", Array.empty[Byte]))
+    val Some((dw, dh, gray)) = PngCodec.decodeGray(bb.toByteArray)
+    assert((dw, dh) == ((w, h)))
+    val want = Array.tabulate(w * h) { p =>
+      (299 * rgb(p * 3) + 587 * rgb(p * 3 + 1) + 114 * rgb(p * 3 + 2)) / 1000
+    }
+    assert(gray.sameElements(want), "RGB→gray must be the documented integer luma")
+  }
 }
