@@ -284,6 +284,23 @@ object SparkEntry {
       graft.vector.IvfPqIndex.knnJoin(s, dir, emb.filter(col("vec_id") % 37 === 0),
         k = 10, nProbe = 8, refineFactor = rf)
     }),
+    // Budgeted (production) ANN configs, rows-only by design: the provably-
+    // exact registrations above are the correctness gate; these record the
+    // speed of the configs a user actually SERVES with, so the speed/recall
+    // trade is a measured number, not a claim. The recall floors for
+    // exactly these configs are spec-asserted: IvfPqSpec "default narrow
+    // probe" (nProbe=2, refineFactor=4 — candidates ⊆ brute-force, query
+    // found; knnJoin floor ≥ 0.5) and SqIndexSpec "budgeted config"
+    // (refine = 8·k, recall ≥ 0.9).
+    "vec_pq_search_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfpq", d)(p => graft.vector.IvfPqIndex.build(s, emb, p))
+      val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+      graft.vector.IvfPqIndex.search(s, dir, qv, k = 10, nProbe = 2, refineFactor = 4)
+    }),
+    "vec_sq_search_fast" -> ((s, d) =>
+      graft.vector.SqIndex.search(Tables.embeddings(s, d), k = 10, refine = 80)),
     // Vector-tier point-delete lifecycle (takedown/GDPR), oracle-bound: the
     // cached IVF layout gets a deterministic tombstone set (every 41st
     // vec_id — including the query vector itself, so the nearest hit at

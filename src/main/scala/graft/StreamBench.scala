@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput bench (r5 verdict #6): StreamingSpec proves the
+  * streaming tier CORRECT (stream ≡ batch everywhere); this records what it
+  * SUSTAINS. Three representative flows run over rate-limited sources for a
+  * fixed wall-clock window and report end-to-end rows/s from the queries'
+  * own progress metrics:
+  *
+  *  - `sessionize`  — the stateful (flatMapGroupsWithState) path: per-user
+  *    session state, event-time timeouts; throughput is state-update bound.
+  *  - `corpusIngest` — the heavy foreachBatch path: every micro-batch runs
+  *    the full three-tier LSH dedup gate against a resident on-disk index
+  *    and appends survivors; throughput is gate-join bound.
+  *  - `versionedCdc` — the transactional path: every micro-batch becomes
+  *    one atomic dirty-bucket commit on the versioned store; throughput is
+  *    commit/IO bound.
+  *
+  * Prints ONE JSON line: {"metric":"stream_rows_per_sec", ...,
+  * "flows":{name:{rows,sec,rows_per_sec,batches}}}. Not part of the driver
+  * BENCH contract — run manually; numbers land in SURVEY.md.
+  */
+object StreamBench {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sb-$tag").toString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Per flow: run for runSec of wall clock, then read rows + busy time
+    // (sum of batch durations — excludes idle waits on the rate limiter,
+    // so rows/busy-sec is sustained CAPACITY, not the source rate).
+    def rate(rowsPerSecond: Int): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond)
+        .option("numPartitions", 8).load()
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double, Int)]
+
+    // ---- 1. stateful sessionization ----------------------------------------
+    locally {
+      val events = rate(100000)
+        .select(col("value").as("event_id"), col("timestamp").as("ts"),
+          pmod(col("value"), lit(10000L)).as("user_id"),
+          lit("click").as("event_type"),
+          pmod(col("value"), lit(100L)).cast("double").as("value"),
+          lit("{}").as("props"))
+        .as[streaming.EventStream.Event]
+      val q = streaming.EventStream.sessionize(events)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("sess-ckpt"))
+        .outputMode("append").start()
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "sessionize" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
+    // ---- 2. LSH dedup-gated corpus ingest ----------------------------------
+    locally {
+      val indexPath = tmp("lsh-idx") + "/idx"
+      val verdictPath = tmp("lsh-verd") + "/v"
+      text.LshIndex.build(spark, Tables.documents(spark, sfDir), indexPath)
+      val docs = rate(2000)
+        .select((col("value") + 50000000L).as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(29)),
+            i => concat(lit("tok"), pmod(col("value") * 7 + i * 13, lit(997)))), " ")
+            .as("text"))
+      val q = streaming.EventStream.corpusIngest(docs, indexPath, verdictPath,
+        tmp("lsh-ckpt"))
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "corpusIngest" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
+    // ---- 3. versioned CDC commits ------------------------------------------
+    locally {
+      val storePath = tmp("vstore") + "/store"
+      sources.VersionedStore.init(spark,
+        Tables.documents(spark, sfDir), storePath, nBuckets = 64)
+      val changes = rate(5000)
+        .select(pmod(col("value"), lit(200000L)).as("doc_id"),
+          when(pmod(col("value"), lit(17L)) === 0, "D").otherwise("U").as("op"),
+          col("value").as("seq"),
+          concat(lit("updated "), col("value")).as("text"),
+          lit("en").as("lang"), lit("stream").as("source"),
+          length(concat(lit("updated "), col("value"))).cast("long").as("n_chars"))
+      val q = streaming.EventStream.versionedCdc(changes, storePath, tmp("cdc-ckpt"))
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "versionedCdc" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
+    val flows = results.map { case (k, (rows, sec, batches)) =>
+      val rps = if (sec > 0) rows / sec else 0.0
+      s""""$k":{"rows":$rows,"sec":${f"$sec%.1f"},"rows_per_sec":${f"$rps%.0f"},"batches":$batches}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_rows_per_sec","flows":$flows,"sf":"$sfDir","run_sec":$runSec,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
