@@ -695,6 +695,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Curation.tokenize(docs, Curation.buildVocab(docs, 16))
     }),
+    // Vocabulary-coverage / fertility audit per source: OOV share under the
+    // same 16-word frequency vocab as doc_tokenize (small enough that OOV
+    // genuinely exercises), chars-per-token fertility.
+    "doc_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.vocabCoverage(docs, Curation.buildVocab(docs, 16))
+    }),
     "doc_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(Tables.documents(s, d))),
     // End-of-pipeline assembly: language + quality + pack + embedding norm
     // in ONE plan (per-doc signals fuse into one scan; the embeddings join
@@ -730,6 +737,34 @@ object SparkEntry {
         else Seq(base)
       }
       Multimodal.phashDupGroups(media)
+    }),
+    // Hamming-radius perceptual NEAR pairs (probe construction, radius ≤2),
+    // oracle-bound on a deterministic SAMPLE (every 7th doc) so the DuckDB
+    // brute-force pair definition stays tractable: every 13th sampled doc
+    // gets a twin with ONE pixel bumped and a different PNG filter — close
+    // in hash space but byte- and (usually) hash-different. The oracle
+    // computes aHashes from the pixel definition and brute-forces all
+    // sampled pairs at Hamming ≤ 2; the operator must find exactly those
+    // via the probe join over real decoded PNGs.
+    "mm_phash_near" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PngCodec}
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 7 == 0)
+      val media = ids.flatMap { id =>
+        def px(src: Long, bump: Int): Array[Int] =
+          Array.tabulate(256) { p =>
+            ((src * 31 + (p % 16) * 7 + (p / 16) * 13 +
+              (if (p == 0) bump else 0)) % 256).toInt
+          }
+        val base = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px(id, 0), 16, 16))
+        if (id % 13 == 0)
+          Seq(base, Multimodal.MediaRow(id + 3000000L, "image",
+            PngCodec.encodeGray(px(id, 6), 16, 16, filterType = 1)))
+        else Seq(base)
+      }
+      Multimodal.phashNearPairs(media)
     }),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2446,6 +2481,23 @@ object SparkEntry {
         |  CAST(count(*) FILTER (tid = 16) AS BIGINT) AS n_unk,
         |  string_agg(tid, ' ' ORDER BY pos) AS token_str
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_oov_rate" ->
+      """WITH w AS (SELECT source, doc_id, strlen(text) AS n_chars,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |allw AS (SELECT unnest(ws) AS word FROM w),
+        |v AS (SELECT word, count(*) AS cnt FROM allw GROUP BY word ORDER BY cnt DESC, word LIMIT 16),
+        |e AS (SELECT source, doc_id, n_chars, unnest(ws) AS word FROM w),
+        |per AS (SELECT source, doc_id, MIN(n_chars) AS n_chars,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) FILTER (v.word IS NULL) AS BIGINT) AS n_oov
+        |  FROM e LEFT JOIN v USING (word) GROUP BY source, doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS oov_rate,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS chars_per_token
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "doc_quality_gate" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
@@ -2550,6 +2602,38 @@ object SparkEntry {
         |SELECT ahash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM bits GROUP BY ahash HAVING COUNT(*) > 1 ORDER BY ahash""".stripMargin,
+    // Brute-force Hamming ≤ 2 pairs over the sampled pixel-definition
+    // hashes — the probe join must reproduce this set exactly.
+    "mm_phash_near" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS bump FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, doc_id AS src, 6 AS bump
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 = 0),
+        |px AS (
+        |  SELECT i.doc_id, t.x, u.y,
+        |    (i.src * 31 + t.x * 7 + u.y * 13 +
+        |      CASE WHEN t.x = 0 AND u.y = 0 THEN i.bump ELSE 0 END) % 256 AS v
+        |  FROM imgs i, range(16) t(x), range(16) u(y)),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS cell
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |means AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, '' ORDER BY cy, cx) AS ahash
+        |  FROM cells c JOIN means USING (doc_id) GROUP BY c.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT doc_id_a, doc_id_b,
+        |    CAST(SUM(CASE WHEN substr(ha, r.i, 1) = substr(hb, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hamming
+        |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
+        |SELECT doc_id_a, doc_id_b, hamming FROM h
+        |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -295,6 +295,42 @@ object Multimodal {
       .filter(col("n_copies") > 1)
       .orderBy(col("ahash"))
 
+  /** Perceptual NEAR-duplicate pairs within Hamming radius ≤ 2 of the
+    * aHash — catches re-encodes that also shifted a few pixels (resample
+    * ringing, mild recompression), which exact-collision grouping misses.
+    * The Manku et al. (WWW'07) probe construction from the text SimHash
+    * tier, re-applied to image hashes: each side emits its hash plus all
+    * 64 one-bit flips; any pair within Hamming 2 shares ≥1 probe (0 diffs:
+    * self=self; 1: one side's flip lands on the other; 2: each flips one
+    * of the two differing bits), so candidacy is PROVABLY total within the
+    * radius and the exact Hamming verify only discards. One probe-keyed
+    * equi-join — 65 probe rows per image, never O(n²).
+    */
+  def phashNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      "the self+one-bit-flip probe family covers Hamming radius ≤ 2")
+    val hashes = imageHashes(media).toDF().select(col("doc_id"), col("ahash"))
+    val flips = (0 until 64).map { i =>
+      concat(substring(col("ahash"), 1, i),
+        when(substring(col("ahash"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("ahash"), i + 2, 63 - i))
+    }
+    val probed = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((col("ahash") +: flips): _*)).as("probe"))
+    val pairs = probed.as("a").join(probed.as("b"),
+        col("a.probe") === col("b.probe") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        col("a.ahash").as("ahash_a"), col("b.ahash").as("ahash_b"))
+      .distinct() // a close pair shares several probes
+    pairs
+      .withColumn("hamming", expr(
+        """aggregate(sequence(1, 64), 0, (acc, i) ->
+          |  acc + IF(substring(ahash_a, i, 1) = substring(ahash_b, i, 1), 0, 1))""".stripMargin))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   /** Content-addressed storage audit per modality: media blobs group by
     * content hash (the CAS/dedup-store model — a crawl re-delivers the
     * same image under many pages), yielding copy counts and the byte

@@ -304,6 +304,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source vocabulary-coverage / fertility audit — the data-card
+    * number a tokenizer decision needs: what share of each source's tokens
+    * a candidate vocabulary fails to cover (OOV → UNK mass, which directly
+    * degrades training), plus chars-per-token (the fertility proxy:
+    * sources with long rare words tokenize worse). Map-only per-doc
+    * counting against the literal vocab map (no join, the `tokenize`
+    * shape), then ONE aggregation whose key space is the source list.
+    */
+  def vocabCoverage(docs: DataFrame, vocab: Array[(String, Int)]): DataFrame = {
+    require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
+    val vocabMap = map(vocab.flatMap { case (w, _) => Seq(lit(w), lit(1)) }.toSeq: _*)
+    val toks = split(col("text"), " ")
+    docs.select(col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, w => element_at(vocabMap, w).isNull)).cast("long").as("n_oov"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_oov")).as("n_oov"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("source"))
+  }
+
   // ---- Training-example assembly -----------------------------------------
 
   /** The end-of-pipeline materialization: one row per doc carrying the

@@ -140,3 +140,94 @@ object LookupEmbedder {
     new LookupEmbedder(table, table.head._2.length)
   }
 }
+
+/** Token-pooled sentence embedding: mean of the TOKEN vectors found in a
+  * word→vector table, L2-normalized — fastText's `get_sentence_vector` /
+  * classic word2vec sentence-averaging, i.e. REAL inference arithmetic
+  * (not a per-text lookup), with the model weights being the word-vector
+  * table. Out-of-vocabulary tokens are skipped; a text with no known
+  * token embeds to the zero vector (callers that must fail instead can
+  * pre-filter on vocabulary coverage).
+  *
+  * Doubles accumulate the sum (the HashingEmbedder pattern) so the result
+  * is independent of float-add ordering; tokens pool in text order, which
+  * is well-defined and deterministic either way.
+  */
+case class PooledEmbed(child: Expression, table: Map[String, Array[Float]], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val floats = PooledEmbedder.embed(input.asInstanceOf[UTF8String].toString, table, dim)
+    new GenericArrayData(floats.map(f => f: Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pooled_embed"
+}
+
+/** Third `Embedder` implementation — per-row inference over broadcast
+  * model weights, the serving shape one step up from [[LookupEmbedder]]:
+  * the word-vector table (a word2vec/fastText/GloVe artifact, or a
+  * distilled token-embedding matrix) rides the serialized expression to
+  * executors exactly like the IVF centroid sidecar, and every row runs
+  * the pooling arithmetic in the JVM — no per-text precomputation, so
+  * UNSEEN text embeds fine as long as its tokens are in vocabulary. A
+  * transformer ONNX session would slot into the same two methods with the
+  * table replaced by session weights; the pooling tier is what's
+  * implementable AND verifiable in a dependency-free sandbox.
+  */
+class PooledEmbedder(table: Map[String, Array[Float]], override val dim: Int)
+    extends Embedder {
+  require(table.nonEmpty, "PooledEmbedder needs a non-empty word→vector table")
+  require(table.values.forall(_.length == dim),
+    s"every word vector must have dim=$dim")
+  override def embedCol(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PooledEmbed(org.apache.spark.sql.GraftSqlBridge.expression(text), table, dim))
+  override def embedText(text: String): Array[Float] =
+    PooledEmbedder.embed(text, table, dim)
+}
+
+object PooledEmbedder {
+  private[vector] def embed(text: String, table: Map[String, Array[Float]],
+      dim: Int): Array[Float] = {
+    val acc = new Array[Double](dim)
+    var nTok = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      var j = i
+      while (j < n && text.charAt(j) != ' ') j += 1
+      if (j > i) {
+        table.get(text.substring(i, j)) match {
+          case Some(v) =>
+            var d = 0
+            while (d < dim) { acc(d) += v(d); d += 1 }
+            nTok += 1
+          case None => // OOV token: skipped
+        }
+      }
+      i = j + 1
+    }
+    val out = new Array[Float](dim)
+    if (nTok == 0) return out
+    var ss = 0.0
+    var d = 0
+    while (d < dim) { val m = acc(d) / nTok; ss += m * m; d += 1 }
+    val norm = if (ss == 0.0) 1.0 else math.sqrt(ss)
+    d = 0
+    while (d < dim) { out(d) = (acc(d) / nTok / norm).toFloat; d += 1 }
+    out
+  }
+
+  /** Build from a (word, vector) DataFrame — the word2vec-artifact load
+    * path. Vocabulary is a bounded driver artifact (the centroid/codebook
+    * class); duplicate words keep one vector deterministically.
+    */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame,
+      wordCol: String = "word", embCol: String = "embedding"): PooledEmbedder = {
+    val rows = df.select(wordCol, embCol).dropDuplicates(wordCol)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    val table = rows.toMap
+    new PooledEmbedder(table, table.head._2.length)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.vector.{HashingEmbedder, IndexPipeline, LookupEmbedder, VectorIndex}
+import graft.vector.{HashingEmbedder, IndexPipeline, LookupEmbedder, PooledEmbedder, VectorIndex}
 
 class EmbedderSpec extends SparkSpec {
 
@@ -78,6 +78,45 @@ class EmbedderSpec extends SparkSpec {
 
     // Unknown text fails fast — never a silent fallback embedding.
     intercept[IllegalArgumentException](model.embedText("never seen before zz"))
+  }
+
+  test("pooled embedder: real inference arithmetic over broadcast word vectors") {
+    import spark.implicits._
+    // A tiny word2vec-style artifact with hand-checkable vectors.
+    val words = Seq(
+      ("spark", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("table", Seq(0.0f, 2.0f, 0.0f, 0.0f)),
+      ("query", Seq(0.0f, 0.0f, 3.0f, 0.0f)),
+      ("scan", Seq(0.0f, 0.0f, 0.0f, 4.0f))).toDF("word", "embedding")
+    val model = PooledEmbedder.fromDataFrame(words)
+    assert(model.dim == 4)
+
+    // mean of (spark, table) = (0.5, 1.0, 0, 0), L2-normalized
+    val got = model.embedText("spark table")
+    val n = math.sqrt(0.25 + 1.0)
+    assert(got.toSeq == Seq((0.5 / n).toFloat, (1.0 / n).toFloat, 0.0f, 0.0f))
+    // OOV tokens are skipped, not poisoned; token ORDER is irrelevant
+    assert(model.embedText("spark zzz table").toSeq == got.toSeq)
+    assert(model.embedText("table spark").toSeq == got.toSeq)
+    // all-OOV text embeds to the zero vector
+    assert(model.embedText("zzz yyy").forall(_ == 0.0f))
+    // executor path ≡ driver path (the Embedder contract)
+    val viaCol = Seq("spark table query").toDF("text")
+      .select(model.embedCol(col("text")).as("e")).head.getSeq[Float](0)
+    assert(viaCol == model.embedText("spark table query").toSeq)
+
+    // Unseen TEXT embeds fine from seen tokens — the capability the pure
+    // lookup table lacks; full index→search lifecycle runs through it.
+    val docs = Seq((1L, "spark table"), (2L, "query scan"), (3L, "spark query"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pooled").toString + "/idx"
+    IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"), embedder = model)
+    val hits = IndexPipeline.searchIndex(spark, dir, "table spark", k = 1,
+      asOf = java.sql.Date.valueOf("2024-03-02"), embedder = model).collect()
+    assert(hits.head.getAs[String]("data_json").contains("\"doc_id\":1"),
+      "order-permuted query must retrieve the bag-identical doc at rank 1")
+    assert(math.abs(hits.head.getAs[Double]("similarity_score") - 1.0) < 1e-5)
   }
 
   test("retention prunes stale ingest days out of search scope") {

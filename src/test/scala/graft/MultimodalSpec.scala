@@ -249,6 +249,37 @@ class MultimodalSpec extends SparkSpec {
       groups.head.getAs[Long]("max_doc_id") == 2L)
   }
 
+  test("Hamming-radius near pairs: probe join equals brute force; perturbed twin caught") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20 random 32×32 images + one perturbed twin of image 0 (a few pixels
+    // bumped — lands within Hamming ≤ 2 of the original's aHash but is NOT
+    // an exact hash collision in general)
+    val imgs = (0 until 20).map { id =>
+      id.toLong -> Array.fill(1024)(rnd.nextInt(256))
+    }
+    val twinPx = imgs.head._2.clone
+    // bump one 4×4 downsample cell's pixels just past its threshold margin
+    (0 until 8).foreach(i => twinPx(i) = (twinPx(i) + 6) % 256)
+    val media = (imgs.map { case (id, px) =>
+      Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px, 32, 32))
+    } :+ Multimodal.MediaRow(100L, "image", PngCodec.encodeGray(twinPx, 32, 32))).toDS()
+    val hashes = Multimodal.imageHashes(media).collect().map(h => h.doc_id -> h.ahash).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && ham(ha, hb) <= 2
+    } yield (ida, idb, ham(ha, hb))).toSet
+    val got = Multimodal.phashNearPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"probe join must equal the brute-force radius-2 definition")
+    val twinHam = ham(hashes(0L), hashes(100L))
+    assert(twinHam <= 2, s"fixture drift: twin at hamming $twinHam")
+    assert(got.exists(p => p._1 == 0L && p._2 == 100L),
+      "the perturbed twin must surface as a near pair")
+  }
+
   test("perceptual hash is robust to a one-pixel perturbation; RGB decode is integer-exact") {
     import graft.multimodal.{Multimodal, PngCodec}
     val px = Array.tabulate(1024)(p => (p * 7 + 3) % 256)
