@@ -509,6 +509,26 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // Markup stripping over harness-derived HTML wrapping (the
+    // doc_pii_redact fixture pattern): tags, entities, boilerplate div on
+    // every 3rd doc — the oracle replays wrap + strip in SQL, so the
+    // RE2-safe strip semantics bind cross-engine.
+    "doc_strip_markup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val wrapped = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><body><p id=\""), col("doc_id"), lit("\">"),
+        expr("replace(text, ' the ', ' &amp; the ')"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0, "<div>footer boilerplate</div>").otherwise(""),
+        lit("</body></html>")).as("text"))
+      Curation.stripMarkup(wrapped)
+    }),
+    // Group-aware split REPAIR — closes the leak doc_split_leakage
+    // measures: every near-dup cluster moves atomically to its min-id
+    // representative's hash-assigned split; singletons keep their own.
+    // DedupSpec asserts the repaired assignment leaks zero pairs.
+    "doc_split_repair" -> ((s, d) =>
+      Sampling.repairSplitLeakage(Tables.documents(s, d))),
     "doc_norm_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
@@ -1913,6 +1933,40 @@ object SparkEntry {
         |JOIN documents r ON r.doc_id = s.resident_doc_id
         |WHERE s.jaccard >= 0.3
         |ORDER BY s.batch_doc_id, s.resident_doc_id""".stripMargin,
+    "doc_strip_markup" ->
+      """WITH wrapped AS (SELECT doc_id,
+        |  '<html><body><p id="' || doc_id || '">' ||
+        |  replace(text, ' the ', ' &amp; the ') || '</p>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<div>footer boilerplate</div>' ELSE '' END ||
+        |  '</body></html>' AS text FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  regexp_replace(text, '<[^>]*>', ' ', 'g') AS t FROM wrapped),
+        |s2 AS (SELECT doc_id, n_tags,
+        |  replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+        |  FROM s1)
+        |SELECT doc_id, n_tags, trim(regexp_replace(t, '[ ]+', ' ', 'g')) AS text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "doc_split_repair" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |          UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5('graft|' || doc_id), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5('graft|' || doc_id), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT s.doc_id, s.split AS original_split,
+        |  COALESCE(rs.split, s.split) AS split,
+        |  COALESCE(cc.group_id, s.doc_id) AS group_id
+        |FROM sp s LEFT JOIN cc ON cc.doc_id = s.doc_id
+        |LEFT JOIN sp rs ON rs.doc_id = cc.group_id
+        |ORDER BY s.doc_id""".stripMargin,
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),

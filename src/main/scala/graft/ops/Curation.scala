@@ -304,6 +304,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Markup stripping — the extraction stage a crawl pipeline runs before
+    * any text analysis (the trafilatura/jusText class, reduced to its
+    * deterministic core): drop every `<...>` tag (replaced by a space so
+    * adjacent words never merge), unescape the five predefined HTML
+    * entities, collapse runs of spaces, trim. Returns (doc_id, n_tags,
+    * text) in ONE map-only projection — no shuffle, the `redactPii`
+    * shape.
+    *
+    * Cross-engine discipline (the PII-op precedent): every regex here is
+    * RE2-safe (`<[^>]*>`, `[ ]+` — no backrefs, no lookaround) so Spark's
+    * Java regex and DuckDB's RE2 agree byte-for-byte; entity unescaping
+    * is plain string replacement with `&amp;` LAST (unescaping it first
+    * would double-decode `&amp;lt;`).
+    */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val untagged = regexp_replace(col("text"), "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch))
+      }
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"),
+        trim(regexp_replace(unescaped, "[ ]+", " ")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source vocabulary-coverage / fertility audit — the data-card
     * number a tokenizer decision needs: what share of each source's tokens
     * a candidate vocabulary fails to cover (OOV → UNK mass, which directly

@@ -229,6 +229,42 @@ object Sampling {
       .orderBy(col("source"), col("epoch"), col("doc_id"))
   }
 
+  /** REPAIR the contamination `doc_split_leakage` only measures: a random
+    * (even a stable hash-based) split puts near-duplicate documents on
+    * both sides of the train/eval fence, so the eval set leaks into
+    * training. The standard fix is group-aware splitting: every near-dup
+    * CLUSTER moves atomically to one split — here, the split its min-id
+    * representative already has, which (a) touches only clustered docs
+    * (singletons keep their hash-assigned split, preserving stability
+    * under growth), and (b) is itself stable: the representative's own
+    * assignment never depends on the cluster's other members.
+    *
+    * Composes three proven ops: MinHash-LSH verified pairs → connected
+    * components (min-label = the representative id) → the hash-split rule
+    * applied to representatives. Scale shape: the dup-pair graph scales
+    * with the duplicate fraction, the CC rounds are O(log n), and the
+    * repair join is cluster-membership-sized — the full corpus is touched
+    * only by the original map-only split assignment.
+    */
+  def repairSplitLeakage(docs: DataFrame,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    val pairs = graft.ops.Dedup.minhashDupPairs(docs, jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // label = min doc_id of the component = the representative
+    val comps = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
+    val splits = assignSplits(docs.select(col("doc_id")), col("doc_id"))
+    val repaired = comps.join(
+      splits.select(col("doc_id").as("group_id"), col("split").as("rep_split")),
+      "group_id")
+    splits.join(repaired, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("split").as("original_split"),
+        coalesce(col("rep_split"), col("split")).as("split"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic-diversity sampling: cap the corpus per COARSE SEMANTIC
     * REGION instead of per source — the embedding-space twin of
     * `capPerGroup`, for "don't let one dense topic cluster dominate the

@@ -364,6 +364,25 @@ class CurationSpec extends SparkSpec {
       s"top-k selection must not globally sort:\n${plan.take(600)}")
   }
 
+  test("markup stripping: tags out, entities decoded once, whitespace collapsed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """<html><body class="main">hello <b>bold</b> world</body></html>"""),
+      (2L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+      // double-escaped: &amp;lt; is the TEXT "&lt;", never a real <
+      (3L, "literal &amp;lt;notatag&amp;gt; stays"),
+      (4L, "plain text no markup"),
+      (5L, "<div><p>nested</p><br/></div>")).toDF("doc_id", "text")
+    val got = Curation.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((6L, "hello bold world")))
+    assert(got(2L) == ((0L, "a & b <tag> \"q\" 's'")))
+    assert(got(3L) == ((0L, "literal &lt;notatag&gt; stays")),
+      "double-escaped entities must decode exactly once")
+    assert(got(4L) == ((0L, "plain text no markup")))
+    assert(got(5L) == ((5L, "nested")))
+  }
+
   test("curation pipeline: each stage's teeth bite — dup copies, contaminated, low-quality all absent") {
     val docs = Tables.documents(spark, sf)
     val reIngested = docs.filter(col("doc_id") % 10 === 0)

@@ -182,6 +182,31 @@ class DedupSpec extends SparkSpec {
     assert(mixed.toSet == expected, "mixture must be the maximal per-source prefix")
   }
 
+  test("split repair: zero straddling near-dup pairs remain; singletons untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val repaired = graft.ops.Sampling.repairSplitLeakage(docs).cache()
+    // the audit found real leakage pre-repair...
+    val pairs = Dedup.minhashDupPairs(docs).select(col("doc_a"), col("doc_b")).cache()
+    val pre = pairs
+      .join(repaired.select(col("doc_id").as("doc_a"), col("original_split").as("sa")), "doc_a")
+      .join(repaired.select(col("doc_id").as("doc_b"), col("original_split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(pre > 0, "fixture drift: the raw split must actually leak")
+    // ...and none survives the repair
+    val post = pairs
+      .join(repaired.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(repaired.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(post == 0, s"repair must close every leak, $post pairs still straddle")
+    // singletons (no near-dup edge) keep their hash-assigned split
+    val moved = repaired.filter(col("split") =!= col("original_split"))
+    assert(moved.count() > 0, "some clustered docs must actually move")
+    assert(moved.filter(col("group_id") === col("doc_id")).count() == 0,
+      "a representative (or singleton) never moves")
+    pairs.unpersist(); repaired.unpersist()
+  }
+
   test("mixture prefix sum is bucket-count invariant (distributed ≡ per-source window)") {
     // The packSequences precedent: the bucketed offsets must reproduce the
     // single-window cumsum exactly for ANY bucketing granularity.
