@@ -344,6 +344,24 @@ class IvfIndexSpec extends SparkSpec {
       .filter(col("vec_id") === 3L).count() === 1L)
   }
 
+  test("tombstone anti-join must not defeat partition pruning on the probed cells") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-tp").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    IvfIndex.build(spark, emb, dir)
+    IvfIndex.delete(spark, dir, Seq(3L, 4L).toDF("vec_id"))
+    val qv = emb.filter(col("vec_id") === 1L).select("embedding").head.getSeq[Float](0)
+    val plan = IvfIndex.search(spark, dir, qv, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // the probed-cell IN filter must still reach the vectors scan as a
+    // PartitionFilter (pushed through the left side of the anti-join), and
+    // the tiny tombstone table must arrive broadcast, not shuffled
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell pruning lost under tombstones:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone anti-join must broadcast:\n${plan.take(1500)}")
+  }
+
   test("dedupIngest: tombstoned residents stop matching but their ids stay burned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dig").toString + "/ivf"

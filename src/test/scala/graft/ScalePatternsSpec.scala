@@ -215,4 +215,60 @@ class ScalePatternsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"stages must stay user-keyed equi-joins:\n${plan.take(1000)}")
   }
+
+  test("AQE skew-join: a pathologically skewed key splits at runtime, result unchanged") {
+    // The built-in complement of the manual salting pattern: AQE's
+    // OptimizeSkewedJoin splits an oversized partition into parallel
+    // sub-reads at runtime. Thresholds lowered so the demo triggers at
+    // test scale; the mechanism (and the plan marker) is what 100 TB runs
+    // rely on for shuffle-join skew without hand salting.
+    import spark.implicits._
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // left: one key carries ~all rows; right: wide-ish payload per key
+      val left = spark.range(0, 60000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 50).select(col("id").as("k"),
+        concat(lit("p"), col("id")).as("payload"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution, so AQE finalizes the very
+      // plan we inspect (count() would wrap it in a fresh execution)
+      val n = joined.collect().length.toLong
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n${finalPlan.take(1500)}")
+      // correctness: every left row with k in [0,50) joins exactly once
+      val expected = left.filter(col("k") < 50).count()
+      assert(n == expected, s"skew-split join changed the result: $n vs $expected")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/fact"
+    // date-partitioned fact (the events/vector-index layout class)
+    spark.range(0, 20000).select(col("id"),
+        (col("id") % 20).as("day"), (col("id") % 7).as("metric"))
+      .write.partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(0, 20).select(col("id").as("day"),
+        when(col("id") < 2, "keep").otherwise("drop").as("tag"))
+    val joined = fact.join(dim.filter(col("tag") === "keep"), "day")
+    val n = joined.count()
+    assert(n == 2000, s"expected 2 of 20 day partitions to survive, got $n rows")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("dynamicpruningexpression"),
+      s"the fact scan must carry a dynamic pruning predicate:\n${plan.take(1500)}")
+  }
 }
