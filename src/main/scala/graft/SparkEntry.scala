@@ -363,6 +363,14 @@ object SparkEntry {
       val dir = cachedArtifact("lsh", d)(p => graft.text.LshIndex.build(s, docs, p))
       graft.text.LshIndex.dedupBatch(s, dir, batch)
     }),
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): per-doc
+    // sliding-window minima over k-gram md5s, pairs from one fingerprint-
+    // keyed join — the LOCAL-overlap detector between SimHash (global
+    // signature) and MinHash (whole-set similarity). minShared=3 keeps the
+    // candidate set discriminative on this shared-vocab generator (25
+    // pairs sf0.01 / 416 sf0.1).
+    "doc_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowDupPairs(Tables.documents(s, d), minShared = 3)),
     // Near-dup clustering: LSH pairs -> connected components (min-label
     // propagation to fixpoint) -> (doc, cluster, size). Oracle = recursive
     // min-id closure over the SAME md5-deterministic pair set.
@@ -1933,6 +1941,23 @@ object SparkEntry {
         |JOIN documents r ON r.doc_id = s.resident_doc_id
         |WHERE s.jaccard >= 0.3
         |ORDER BY s.batch_doc_id, s.resident_doc_id""".stripMargin,
+    // Same winnowing construction in DuckDB list functions: k-gram md5s,
+    // window minima, distinct per doc, shared-fp pair counts.
+    "doc_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(1, len(w) - 3 + 2),
+        |      i -> md5(array_to_string(w[i:i+2], ' '))) AS gh
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(gh) - 4 + 2),
+        |      j -> list_min(gh[j:j+3]))) AS fps
+        |  FROM g WHERE len(gh) >= 4),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "doc_strip_markup" ->
       """WITH wrapped AS (SELECT doc_id,
         |  '<html><body><p id="' || doc_id || '">' ||

@@ -182,6 +182,48 @@ class DedupSpec extends SparkSpec {
     assert(mixed.toSet == expected, "mixture must be the maximal per-source prefix")
   }
 
+  test("winnowing: the shared-substring guarantee holds; fingerprints match a reference") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // Single-node reference implementation of the published construction.
+    def refFps(text: String): Set[String] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val grams = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      if (grams.length < w) return Set.empty
+      grams.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(11)
+    def randWords(n: Int): String =
+      Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val sharedRun = randWords(k + w - 1) // the guarantee threshold length
+    val docs = Seq(
+      (1L, randWords(30) + " " + sharedRun + " " + randWords(30)),
+      (2L, randWords(25) + " " + sharedRun + " " + randWords(40)),
+      (3L, randWords(60)),
+      (4L, "a b"), // shorter than k: no fingerprints
+      (5L, "x y z")) // exactly k tokens but fewer than w grams
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    docs.collect().foreach { r =>
+      assert(got(r.getLong(0)) == refFps(r.getString(1)),
+        s"doc ${r.getLong(0)}: distributed fps must equal the reference construction")
+    }
+    // the published guarantee: a shared run of >= w+k-1 tokens forces a
+    // shared fingerprint
+    assert((got(1L) intersect got(2L)).nonEmpty,
+      "docs sharing a (w+k-1)-token run must share a fingerprint")
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+    // pair query surfaces the planted pair
+    val pairs = Dedup.winnowDupPairs(docs, k, w, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("split repair: zero straddling near-dup pairs remain; singletons untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
