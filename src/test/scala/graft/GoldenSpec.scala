@@ -100,4 +100,24 @@ class GoldenSpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)))
     check("vec_sq_search", vector.SqIndex.searchExact(Tables.embeddings(spark, sf)))
   }
+
+  test("round-6 operator heads match recorded goldens") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.{Multimodal, PngCodec}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    check("doc_winnow_pairs_head", ops.Dedup.winnowDupPairs(docs, minShared = 1).limit(20))
+    check("doc_split_repair_head", ops.Sampling.repairSplitLeakage(docs).limit(30))
+    check("doc_oov_rate",
+      ops.Curation.vocabCoverage(docs, ops.Curation.buildVocab(docs, 16)))
+    check("doc_strip_markup_head", ops.Curation.stripMarkup(
+      docs.select(col("doc_id"),
+        concat(lit("<p>"), col("text"), lit("</p><div>footer</div>")).as("text"))).limit(10))
+    val media = docs.limit(12).select(col("doc_id")).as[Long].map { id =>
+      val px = Array.tabulate(256)(p => ((id * 31 + p) % 256).toInt)
+      Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px, 16, 16))
+    }
+    check("mm_image_hashes", Multimodal.imageHashes(media).toDF()
+      .orderBy(col("doc_id")))
+  }
 }
