@@ -278,6 +278,32 @@ object EventStream {
       }
       .start()
 
+  /** The IMAGE twin of `corpusIngest`/`vectorCorpusIngest` — the third
+    * modality's ingest gate: each micro-batch of (doc_id, media_type,
+    * data) rows runs the perceptual-hash dedup gate against the resident
+    * `PhashIndex` (within-batch aHash tier, probe-joined resident
+    * Hamming-radius tier), survivors append their hash + probe rows, and
+    * verdicts land in the append-only log with batch attribution. Same
+    * delivery contract: at-least-once, replay fails loud on the id gate.
+    */
+  def mediaIngest(media: DataFrame, indexPath: String, verdictPath: String,
+      checkpoint: String,
+      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val typed = batch.as[graft.multimodal.Multimodal.MediaRow](
+            org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
+          graft.multimodal.PhashIndex.dedupIngest(batch.sparkSession, indexPath,
+              typed, maxHamming)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+          ()
+        }
+      }
+      .start()
+
   /** The retrieval-index twin of `corpusIngest`: each micro-batch of
     * (doc_id, text, source) docs appends its posting rows into the
     * persisted `text.InvertedIndex` layout — arriving docs are term-

@@ -406,6 +406,57 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, "streamed index must equal the sequential twin")
   }
 
+  test("streaming media ingest gates micro-batches on resident perceptual near-dups") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PngCodec}
+    val base = java.nio.file.Files.createTempDirectory("graft-smedia").toString
+    val streamIdx = base + "/stream-ph"
+    val twinIdx = base + "/twin-ph"
+    val verdictLog = base + "/verdicts"
+    val ckpt = base + "/ckpt"
+    def png(src: Long, bump: Int = 0, filter: Int = 0): Array[Byte] =
+      PngCodec.encodeGray(Array.tabulate(1024) { p =>
+        // murmur3-finalizer mix: effectively-random pixels per (src, p), so
+        // distinct sources get far-apart hashes (anything linear in p makes
+        // striped, near-colliding hashes)
+        var h = src * 1000003L + p
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        ((h & 0xFF).toInt + (if (p == 0) bump else 0)) & 0xFF
+      }, 32, 32, filterType = filter)
+    def img(id: Long, src: Long, bump: Int = 0, filter: Int = 0) =
+      Multimodal.MediaRow(id, "image", png(src, bump, filter))
+    val resident = (0L until 30L).map(i => img(i, i))
+    graft.multimodal.PhashIndex.build(spark, resident.toDS(), streamIdx)
+    graft.multimodal.PhashIndex.build(spark, resident.toDS(), twinIdx)
+    // batch 1: fresh + RE-ENCODED resident (same pixels, different filter)
+    //          + one-pixel-bumped resident (Hamming-close) + junk bytes
+    val b1 = (100L until 110L).map(i => img(i, i)) ++
+      Seq(img(500L, 3L, filter = 1), img(501L, 5L, bump = 6),
+        Multimodal.MediaRow(502L, "image", "not a png".getBytes))
+    // batch 2: fresh + a re-offer of a BATCH-1 survivor (mid-stream growth)
+    val b2 = (200L until 205L).map(i => img(i, i + 1000)) ++
+      Seq(img(600L, 105L, filter = 1))
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = EventStream.mediaIngest(
+      mem.toDF().toDF("doc_id", "media_type", "data"), streamIdx, verdictLog, ckpt)
+    mem.addData(b1.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    mem.addData(b2.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    q.stop()
+    val v1 = graft.multimodal.PhashIndex.dedupIngest(spark, twinIdx, b1.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val v2 = graft.multimodal.PhashIndex.dedupIngest(spark, twinIdx, b2.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == (v1 ++ v2).toMap, "streamed verdicts must equal the sequential gate")
+    assert(got(500L) == "near_dup", "re-encoded resident must die")
+    assert(got(501L) == "near_dup", "one-pixel-bumped resident must die within the radius")
+    assert(got(502L) == "undecodable", "junk bytes pass through flagged, never silently dropped")
+    assert(got(100L) == "ingested")
+    assert(got(600L) == "near_dup", "batch-2 re-offer of a batch-1 survivor must die mid-stream")
+  }
+
   test("streaming vector ingest gates micro-batches on resident cosine near-dups") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
