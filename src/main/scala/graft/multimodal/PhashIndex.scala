@@ -58,6 +58,58 @@ object PhashIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
   }
 
+  /** Logical point deletes — image takedowns are the modality's most
+    * common removal case. Same contract as the text/vector tiers: ids
+    * append to a tombstone log, the gate's RESIDENT matching anti-joins it
+    * (a deleted image stops vetoing new offers immediately), while the id
+    * gate still sees the tombstoned row — deleted ids stay BURNED until
+    * `compact` (delete → compact → append is the replacement path).
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).write.mode(SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log: rewrite both tables without the deleted docs
+    * via the fresh-sibling-directory + rename swap (the LshIndex/IvfIndex
+    * crash-safe pattern); `hashes` rewrites LAST so a mid-compaction crash
+    * keeps deleted ids burned in the id gate (conservative failure), and
+    * the log drops last of all.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (tombstones(spark, path).isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewrite(table: String): Unit = {
+      val fresh = new org.apache.hadoop.fs.Path(s"$path/$table._compact")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$table._old")
+      fs.delete(fresh, true); fs.delete(old, true)
+      dropTombstoned(spark, path, spark.read.parquet(live.toString))
+        .write.mode(SaveMode.ErrorIfExists).parquet(fresh.toString)
+      require(fs.rename(live, old), s"compact: cannot stage $table aside")
+      require(fs.rename(fresh, live), s"compact: cannot swap $table into place")
+      fs.delete(old, true)
+    }
+    rewrite("probes")
+    rewrite("hashes")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** The gate: returns (doc_id, verdict) for the whole batch; survivors
     * are appended and visible to subsequent calls. Single-writer per index
     * path (the sidecar-merging store contract).
@@ -92,7 +144,9 @@ object PhashIndex {
       .select(col("doc_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
     val candidates = bHashes.join(batchLosers.select("doc_id"), Seq("doc_id"), "left_anti")
-    val probes = spark.read.parquet(s"$path/probes")
+    // tombstoned residents stop vetoing offers; the id clash gate above
+    // still reads them raw (deleted ids stay burned until compact)
+    val probes = dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
     val nearDups = candidates
       .select(col("doc_id"), col("ahash"), explode(flipsOf(col("ahash"))).as("probe"))
       .join(probes.select(col("probe"), col("doc_id").as("r_doc_id")), "probe")

@@ -280,6 +280,43 @@ class MultimodalSpec extends SparkSpec {
       "the perturbed twin must surface as a near pair")
   }
 
+  test("phash index delete/compact: tombstoned residents stop vetoing, ids stay burned") {
+    import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
+    import spark.implicits._
+    def png(src: Long, filter: Int = 0): Array[Byte] =
+      PngCodec.encodeGray(Array.tabulate(1024) { p =>
+        var h = src * 1000003L + p
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        (h & 0xFF).toInt
+      }, 32, 32, filterType = filter)
+    def img(id: Long, src: Long, filter: Int = 0) =
+      Multimodal.MediaRow(id, "image", png(src, filter))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phdel").toString + "/ph"
+    PhashIndex.build(spark, (0L until 10L).map(i => img(i, i)).toDS(), dir)
+    // a re-encode of resident 4 dies...
+    val v0 = PhashIndex.dedupIngest(spark, dir, Seq(img(100L, 4L, filter = 1)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0(100L) == "near_dup")
+    // ...until resident 4 is deleted — then the same pixels ingest
+    PhashIndex.delete(spark, dir, Seq(4L).toDF("doc_id"))
+    val v1 = PhashIndex.dedupIngest(spark, dir, Seq(img(101L, 4L, filter = 1)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1(101L) == "ingested", s"tombstoned resident must not veto, got $v1")
+    // the deleted ID itself stays burned pre-compaction
+    val burned = intercept[IllegalArgumentException] {
+      PhashIndex.dedupIngest(spark, dir, Seq(img(4L, 4L)).toDS())
+    }
+    assert(burned.getMessage.contains("collide"))
+    // compact folds the log; the freed id is appendable again and the
+    // re-ingested pixels (doc 101) now veto as resident
+    PhashIndex.compact(spark, dir)
+    val v2 = PhashIndex.dedupIngest(spark, dir, Seq(img(4L, 90L)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(4L) == "ingested", s"compacted id must be reusable, got $v2")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
+
   test("perceptual hash is robust to a one-pixel perturbation; RGB decode is integer-exact") {
     import graft.multimodal.{Multimodal, PngCodec}
     val px = Array.tabulate(1024)(p => (p * 7 + 3) % 256)
