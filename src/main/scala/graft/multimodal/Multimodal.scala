@@ -304,7 +304,11 @@ object Multimodal {
     * self=self; 1: one side's flip lands on the other; 2: each flips one
     * of the two differing bits), so candidacy is PROVABLY total within the
     * radius and the exact Hamming verify only discards. One probe-keyed
-    * equi-join — 65 probe rows per image, never O(n²).
+    * equi-join — 65 probe rows per image; candidate volume is linear in
+    * the corpus EXCEPT within identical-hash groups, which pair
+    * quadratically in the group size (the same caveat as the text SimHash
+    * tier — a corpus of near-identical renders should exact-group first
+    * via `phashDupGroups` and near-pair only the group representatives).
     */
   def phashNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
