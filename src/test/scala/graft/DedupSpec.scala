@@ -222,6 +222,20 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.winnowDupPairs(docs, k, w, minShared = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+
+    // randomized sweep: 80 docs at every boundary length (0, 1, k−1, k,
+    // k+w−2, k+w−1, and larger) must ALL reproduce the reference
+    // construction exactly — one distributed job for the whole sweep
+    val lengths = Seq(0, 1, k - 1, k, k + w - 2, k + w - 1, 10, 37, 120)
+    val sweep = (0 until 80).map { i =>
+      (1000L + i, randWords(lengths(i % lengths.length)))
+    }.toDF("doc_id", "text")
+    val sweepGot = Dedup.winnowFingerprints(sweep, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    sweep.collect().foreach { r =>
+      assert(sweepGot(r.getLong(0)) == refFps(r.getString(1)),
+        s"sweep doc ${r.getLong(0)} (len ${r.getString(1).split(" ").count(_.nonEmpty)})")
+    }
   }
 
   test("split repair: zero straddling near-dup pairs remain; singletons untouched") {
