@@ -1942,7 +1942,8 @@ object SparkEntry {
         |WHERE s.jaccard >= 0.3
         |ORDER BY s.batch_doc_id, s.resident_doc_id""".stripMargin,
     // Same winnowing construction in DuckDB list functions: k-gram md5s,
-    // window minima, distinct per doc, shared-fp pair counts.
+    // window minima, distinct per doc, df-capped (MOSS boilerplate drop,
+    // maxDf = 1000 mirroring the Spark default), shared-fp pair counts.
     "doc_winnow_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,
@@ -1953,7 +1954,9 @@ object SparkEntry {
         |    list_distinct(list_transform(range(1, len(gh) - 4 + 2),
         |      j -> list_min(gh[j:j+3]))) AS fps
         |  FROM g WHERE len(gh) >= 4),
-        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 1000),
+        |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN rare USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -2561,7 +2564,7 @@ object SparkEntry {
         |  string_agg(tid, ' ' ORDER BY pos) AS token_str
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_oov_rate" ->
-      """WITH w AS (SELECT source, doc_id, strlen(text) AS n_chars,
+      """WITH w AS (SELECT source, doc_id, length(text) AS n_chars,
         |    string_split(text, ' ') AS ws FROM documents),
         |allw AS (SELECT unnest(ws) AS word FROM w),
         |v AS (SELECT word, count(*) AS cnt FROM allw GROUP BY word ORDER BY cnt DESC, word LIMIT 16),

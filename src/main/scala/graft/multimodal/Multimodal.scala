@@ -295,6 +295,20 @@ object Multimodal {
       .filter(col("n_copies") > 1)
       .orderBy(col("ahash"))
 
+  /** One row per DISTINCT aHash with its sorted member ids — the
+    * identical-hash collapse that makes the near-pair probe join safe on
+    * real crawls: flat/black renders form enormous byte-identical-pixel
+    * groups, and joining the raw per-image table pairs those quadratically
+    * on a single shuffle key (65 probes per image compounding it). After
+    * the collapse the probe join's input is one row per distinct hash;
+    * identical-hash pairs are reconstructed from the group's own id list,
+    * never through the join.
+    */
+  def phashHashGroups(media: Dataset[MediaRow]): DataFrame =
+    imageHashes(media).toDF()
+      .groupBy(col("ahash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+
   /** Perceptual NEAR-duplicate pairs within Hamming radius ≤ 2 of the
     * aHash — catches re-encodes that also shifted a few pixels (resample
     * ringing, mild recompression), which exact-collision grouping misses.
@@ -303,31 +317,48 @@ object Multimodal {
     * 64 one-bit flips; any pair within Hamming 2 shares ≥1 probe (0 diffs:
     * self=self; 1: one side's flip lands on the other; 2: each flips one
     * of the two differing bits), so candidacy is PROVABLY total within the
-    * radius and the exact Hamming verify only discards. One probe-keyed
-    * equi-join — 65 probe rows per image; candidate volume is linear in
-    * the corpus EXCEPT within identical-hash groups, which pair
-    * quadratically in the group size (the same caveat as the text SimHash
-    * tier — a corpus of near-identical renders should exact-group first
-    * via `phashDupGroups` and near-pair only the group representatives).
+    * radius and the exact Hamming verify only discards.
+    *
+    * Scale shape: the join runs over `phashHashGroups` — ONE row per
+    * distinct hash — so identical-hash groups (a crawl's flat images)
+    * cost one probe fan-out regardless of group size. Hamming-0 pairs
+    * expand row-locally from each group's own sorted id list; cross-hash
+    * pairs expand from the two matched groups' lists AFTER the Hamming
+    * verify. The expansions are output-volume work (the pair list itself
+    * is quadratic in group size — by definition of the query), but no
+    * quadratic volume ever crosses the probe join's shuffle.
     */
   def phashNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       "the self+one-bit-flip probe family covers Hamming radius ≤ 2")
-    // decode+hash once; the tiny (doc_id, ahash) table feeds both join sides
-    val hashes = imageHashes(media).toDF().select(col("doc_id"), col("ahash"))
-      .localCheckpoint(true)
+    // decode+hash once; one tiny (ahash, ids) row per distinct hash feeds
+    // the within-group expansion and both probe-join sides
+    val groups = phashHashGroups(media).localCheckpoint(true)
+
+    // Hamming 0: pairs within one identical-hash group, expanded from the
+    // sorted id list (i < j gives doc_id_a < doc_id_b for free).
+    val within = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"),
+        lit(0).as("hamming"))
+
     val flips = (0 until 64).map { i =>
       concat(substring(col("ahash"), 1, i),
         when(substring(col("ahash"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
         substring(col("ahash"), i + 2, 63 - i))
     }
-    val probed = hashes.select(col("doc_id"), col("ahash"),
+    // probes carry only the hash (not the id list): the 65× fan-out stays
+    // 8-byte-class rows; ids re-join after the verify, one row per group
+    val probed = groups.select(col("ahash"),
       explode(array((col("ahash") +: flips): _*)).as("probe"))
-    val pairs = probed.as("a").join(probed.as("b"),
-        col("a.probe") === col("b.probe") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        col("a.ahash").as("ahash_a"), col("b.ahash").as("ahash_b"))
-      .distinct() // a close pair shares several probes
+    val hashPairs = probed.as("a").join(probed.as("b"),
+        col("a.probe") === col("b.probe") && col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("ahash_a"), col("b.ahash").as("ahash_b"))
+      .distinct() // a close hash pair shares several probes
     // Hamming distance as codegen'd integer ops, not a per-character HOF
     // loop (higher-order functions evaluate interpreted — measured 40×
     // slower here): each 64-char bit string parses as two 32-bit halves,
@@ -339,10 +370,17 @@ object Multimodal {
       (bit_count(half(col("ahash_a"), 1).bitwiseXOR(half(col("ahash_b"), 1))) +
         bit_count(half(col("ahash_a"), 33).bitwiseXOR(half(col("ahash_b"), 33))))
         .cast("int")
-    pairs
+    val cross = hashPairs
       .withColumn("hamming", hamming)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+      .filter(col("hamming") <= maxHamming) // distinct hashes: hamming >= 1
+      .join(groups.select(col("ahash").as("ahash_a"), col("ids").as("ids_a")), "ahash_a")
+      .join(groups.select(col("ahash").as("ahash_b"), col("ids").as("ids_b")), "ahash_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("doc_id_a"),
+        greatest(col("x"), col("y")).as("doc_id_b"), col("hamming"))
+
+    within.unionByName(cross)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 

@@ -124,6 +124,16 @@ object PhashIndex {
       s"no phash index at $path — build(...) it before dedupIngest")
     val residentHashes = spark.read.parquet(s"$path/hashes")
     val batchDf = batch.toDF().localCheckpoint(true)
+    // One row per doc_id, enforced (the VersionedStore.upsert contract): an
+    // at-least-once source duplicating a record INSIDE one micro-batch would
+    // have both copies evade the batch_dup tier (keep_id equals doc_id for
+    // both) and append the id twice into hashes/probes — permanently
+    // duplicating the key in the id-gate authority table. Fail fast instead.
+    val dupId = batchDf.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"ingest batch carries duplicate doc_id ${dupId.headOption.map(_.get(0)).orNull}" +
+        " — collapse to one row per key before dedupIngest")
     val clash = batchDf.select(col("doc_id"))
       .join(residentHashes.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .limit(5).collect()

@@ -296,17 +296,48 @@ object Dedup {
     docs.select(col("doc_id"), fps.as("fps"))
   }
 
+  /** Exploded (doc_id, fp) fingerprint table with ultra-common
+    * fingerprints dropped: a fingerprint whose document frequency exceeds
+    * `maxDf` is boilerplate ("terms of service…") shared by an unbounded
+    * corpus fraction, and keeping it makes the fp-keyed candidate join
+    * quadratic on that one key. MOSS-style systems drop high-df
+    * fingerprints for exactly this reason. The df count is a groupBy
+    * aggregate (map-side partial combine — the hot fp never concentrates
+    * its raw rows in one task), and the join back onto the exploded table
+    * builds against the one-row-per-kept-fp side, so every surviving fp
+    * group is ≤ maxDf docs by construction.
+    */
+  private def winnowFpCapped(docs: DataFrame, k: Int, w: Int, maxDf: Int): DataFrame = {
+    val fp = Par.seed(winnowFingerprints(docs, k, w), col("doc_id"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are distinct per doc (array_distinct in selection), so the plain
+    // row count per fp IS its document frequency.
+    val rareFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    fp.join(rareFp, "fp")
+  }
+
   /** Candidate overlap pairs from shared winnowing fingerprints: docs
     * sharing ≥ `minShared` fingerprints, with the share count. By the
     * winnowing guarantee this catches every pair sharing a ≥ w+k−1-token
     * run (plus whatever shorter grams happen to be window-minima on both
     * sides — candidates, not verdicts; the exact-verify tier above it is
     * `prefixJaccardPairs`/`spanDupFractions`).
+    *
+    * Recall bound under the `maxDf` cap: a shared run contributes a pair
+    * only through its shared window-minima, so a pair is LOST only when
+    * EVERY fingerprint the two docs share has document frequency > maxDf —
+    * i.e. the overlap is made entirely of corpus-wide boilerplate, the
+    * precise content a dedup pipeline wants to ignore. Any pair sharing
+    * ≥ minShared fingerprints of df ≤ maxDf is still emitted, and the
+    * candidate join's per-key group size is capped at maxDf, so candidate
+    * volume is ≤ Σ_fp min(df, maxDf)² ≤ maxDf · |exploded fps| — linear in
+    * corpus size for fixed maxDf.
     */
   def winnowDupPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-      minShared: Int = 2): DataFrame = {
-    val fp = Par.seed(winnowFingerprints(docs, k, w), col("doc_id"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    val fp = winnowFpCapped(docs, k, w, maxDf)
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -238,6 +238,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing df cap: boilerplate fp dropped, rare-run pairs survive, candidate volume linear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 3; val w = 4
+    // Per-doc DISJOINT filler vocabularies: the only cross-doc grams are the
+    // planted runs, so every shared fingerprint is attributable by design.
+    def filler(d: Int, n: Int): String = Seq.tabulate(n)(j => s"d${d}x$j").mkString(" ")
+    val boiler = Seq.tabulate(k + w - 1 + 6)(i => s"b$i").mkString(" ") // ultra-common run
+    val nBoiler = 60
+    val boilerDocs = (0 until nBoiler).map(i => (i.toLong, filler(i, 20) + " " + boiler + " " + filler(1000 + i, 20)))
+    val rareRun = Seq.tabulate(k + w - 1)(i => s"r$i").mkString(" ") // guarantee-threshold run in exactly 2 docs
+    val rarePair = Seq(
+      (900L, filler(900, 15) + " " + rareRun + " " + filler(1900, 15)),
+      (901L, filler(901, 18) + " " + rareRun + " " + filler(1901, 12)))
+    val docs = (boilerDocs ++ rarePair).toDF("doc_id", "text")
+
+    // The fp shared by ALL 60 boiler docs (the run's interior window minimum)
+    // must be capped out at maxDf = 10; the rare-run pair must survive.
+    val capped = Dedup.winnowDupPairs(docs, k, w, minShared = 1, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((900L, 901L)), "pair sharing a rare (w+k-1)-token run must survive the cap")
+
+    // A cap below any shared fp's df kills every pair — proves the cap binds.
+    assert(Dedup.winnowDupPairs(docs, k, w, minShared = 1, maxDf = 1).count() == 0L)
+
+    // Candidate-volume accounting straight from the fingerprint table:
+    // uncapped volume includes the hot fp's C(60,2) = 1770 quadratic blowup;
+    // capped volume obeys the documented Σ C(min(df,cap),2) linear bound.
+    val dfTable = Dedup.winnowFingerprints(docs, k, w)
+      .select(explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .collect().map(_.getAs[Long]("df"))
+    def volume(dfs: Seq[Long]): Long = dfs.map(d => d * (d - 1) / 2).sum
+    val uncappedVol = volume(dfTable.toSeq)
+    val cappedVol = volume(dfTable.toSeq.filter(_ <= 10))
+    assert(dfTable.contains(nBoiler.toLong), "fixture must actually plant a df=60 hot fingerprint")
+    assert(uncappedVol >= 1770L, "uncapped join volume is quadratic in the hot group")
+    assert(cappedVol <= 10L * dfTable.count(_ <= 10), "capped volume respects the linear bound")
+    assert(cappedVol * 3 < uncappedVol, "the cap removes the quadratic mass")
+  }
+
   test("split repair: zero straddling near-dup pairs remain; singletons untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

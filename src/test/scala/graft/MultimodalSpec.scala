@@ -280,6 +280,67 @@ class MultimodalSpec extends SparkSpec {
       "the perturbed twin must surface as a near pair")
   }
 
+  test("identical-hash collapse: 1k byte-identical renders are ONE probe-join row; pair output exact") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val basePx = Array.fill(1024)(rnd.nextInt(256))
+    val base = PngCodec.encodeGray(basePx, 32, 32)
+    def ham0(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // a near twin at a GUARANTEED hamming 1..2: brighten cell (0,0)'s 16
+    // pixels by increasing amounts until the hash (computed locally with the
+    // same pure function the operator uses) lands in the radius — no fixture
+    // drift possible
+    val baseHash = Multimodal.aHashBits(basePx, 32, 32)
+    def cellPx(c: Int): Seq[Int] = {
+      val cy = c / 8; val cx = c % 8
+      for (y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4) yield y * 32 + x
+    }
+    val twinPx = (for (c <- (0 until 64).iterator; m <- (1 to 200).iterator) yield {
+      val p = basePx.clone
+      cellPx(c).foreach(i => p(i) = math.min(255, p(i) + m))
+      p
+    }).find { p => val h = ham0(Multimodal.aHashBits(p, 32, 32), baseHash); h >= 1 && h <= 2 }
+      .getOrElse(fail("no single-cell brightening lands at hamming 1..2"))
+    val twin = PngCodec.encodeGray(twinPx, 32, 32)
+    val far = PngCodec.encodeGray(basePx.map(v => 255 - v), 32, 32)
+    val n = 1000
+    val media = ((0 until n).map(i => Multimodal.MediaRow(i.toLong, "image", base))
+      :+ Multimodal.MediaRow(2000L, "image", twin)
+      :+ Multimodal.MediaRow(3000L, "image", far)).toDS()
+
+    // the collapse the probe join consumes: one row per DISTINCT hash,
+    // the flat-image group is a single row carrying its 1000 ids
+    val groups = Multimodal.phashHashGroups(media).collect()
+    val hashes = Multimodal.imageHashes(media).collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(groups.length == hashes.values.toSet.size,
+      "probe-join input must be one row per distinct hash")
+    val bigGroup = groups.find(_.getSeq[Long](1).length == n)
+    assert(bigGroup.isDefined, "the 1000 identical renders must collapse into one group")
+    assert(bigGroup.get.getSeq[Long](1) == (0L until n.toLong), "ids sorted within the group")
+
+    // exact expected pair count from the hash table arithmetic: C(g,2) per
+    // group + size products for cross-hash pairs within the radius
+    def ham(a: String, b: String) = ham0(a, b)
+    val groupSizes = hashes.values.groupBy(identity).map { case (h, v) => h -> v.size.toLong }
+    val withinCount = groupSizes.values.map(g => g * (g - 1) / 2).sum
+    val hs = groupSizes.keys.toSeq.sorted
+    val crossCount = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      if ham(hs(i), hs(j)) <= 2
+    } yield groupSizes(hs(i)) * groupSizes(hs(j))).sum
+    val twinHam = ham(hashes(0L), hashes(2000L))
+    assert(twinHam >= 1 && twinHam <= 2, s"fixture drift: twin at hamming $twinHam")
+    val pairs = Multimodal.phashNearPairs(media)
+    assert(pairs.count() == withinCount + crossCount)
+    // spot checks: an identical pair at hamming 0; the twin pair at its true distance
+    val spot = pairs.filter(col("doc_id_a").isin(0L, 998L) && col("doc_id_b").isin(999L, 2000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(spot((998L, 999L)) == 0)
+    assert(spot((0L, 2000L)) == twinHam)
+  }
+
   test("phash index delete/compact: tombstoned residents stop vetoing, ids stay burned") {
     import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
     import spark.implicits._
@@ -315,6 +376,28 @@ class MultimodalSpec extends SparkSpec {
     assert(v2(4L) == "ingested", s"compacted id must be reusable, got $v2")
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
+
+  test("phash ingest fails fast on a within-batch duplicate doc_id") {
+    import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
+    import spark.implicits._
+    def png(src: Long): Array[Byte] =
+      PngCodec.encodeGray(Array.tabulate(256)(p => ((src * 37 + p * 13) % 256).toInt), 16, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phdup").toString + "/ph"
+    PhashIndex.build(spark, Seq(Multimodal.MediaRow(1L, "image", png(1))).toDS(), dir)
+    // an at-least-once source duplicating one record inside a micro-batch:
+    // both copies would evade the batch_dup tier and burn the id twice
+    val err = intercept[IllegalArgumentException] {
+      PhashIndex.dedupIngest(spark, dir,
+        Seq(Multimodal.MediaRow(7L, "image", png(2)),
+          Multimodal.MediaRow(7L, "image", png(2))).toDS())
+    }
+    assert(err.getMessage.contains("duplicate doc_id"))
+    // and the guard fired BEFORE any append: the id is still ingestable once
+    val ok = PhashIndex.dedupIngest(spark, dir,
+      Seq(Multimodal.MediaRow(7L, "image", png(2))).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok(7L) == "ingested")
   }
 
   test("perceptual hash is robust to a one-pixel perturbation; RGB decode is integer-exact") {
