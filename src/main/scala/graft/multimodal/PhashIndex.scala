@@ -65,9 +65,15 @@ object PhashIndex {
     * gate still sees the tombstoned row — deleted ids stay BURNED until
     * `compact` (delete → compact → append is the replacement path).
     */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+  /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]). */
+  private def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.CompactSwap.recover(spark, path, Seq("probes", "hashes"))
+
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    recover(spark, path)
     ids.select(col("doc_id")).write.mode(SaveMode.Append)
       .parquet(s"$path/tombstones")
+  }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -91,23 +97,19 @@ object PhashIndex {
     * the log drops last of all.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rewrite(table: String): Unit = {
-      val fresh = new org.apache.hadoop.fs.Path(s"$path/$table._compact")
-      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$table._old")
-      fs.delete(fresh, true); fs.delete(old, true)
-      dropTombstoned(spark, path, spark.read.parquet(live.toString))
-        .write.mode(SaveMode.ErrorIfExists).parquet(fresh.toString)
-      require(fs.rename(live, old), s"compact: cannot stage $table aside")
-      require(fs.rename(fresh, live), s"compact: cannot swap $table into place")
-      fs.delete(old, true)
-    }
+    def rewrite(table: String): Unit =
+      graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
+          .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+      }
     rewrite("probes")
     rewrite("hashes")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** The gate: returns (doc_id, verdict) for the whole batch; survivors
@@ -118,6 +120,7 @@ object PhashIndex {
       batch: Dataset[Multimodal.MediaRow], maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       "the persisted probe family covers Hamming radius ≤ 2")
+    recover(spark, path)
     val hashesPath = new org.apache.hadoop.fs.Path(s"$path/hashes")
     val fs = hashesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hashesPath),

@@ -70,6 +70,7 @@ object InvertedIndex {
     * doc with length-only presence — never double-counted postings.
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    recover(spark, path)
     val nBuckets = meta(spark, path)
     val resident = spark.read.parquet(s"$path/doclens").select(col("doc_id"))
     val clash = batch.select(col("doc_id")).join(resident, Seq("doc_id"), "left_semi").count()
@@ -95,9 +96,15 @@ object InvertedIndex {
     * `compact`, after which re-offering it is the document-REPLACEMENT
     * path: delete → compact → append.
     */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    recover(spark, path)
     ids.select(col("doc_id")).write.mode(SaveMode.Append)
       .parquet(s"$path/tombstones")
+  }
+
+  /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]). */
+  private def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.CompactSwap.recover(spark, path, Seq("postings", "doclens"))
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -125,14 +132,22 @@ object InvertedIndex {
     * the whole-table form keeps this surface small.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    val postings = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/postings")).localCheckpoint(true)
-    val doclens = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/doclens")).localCheckpoint(true)
-    postings.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$path/postings")
-    doclens.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    // fresh-sibling swap (CompactSwap), not Overwrite-in-place: the old
+    // form's localCheckpoint barrier survives Spark-level failures but
+    // loses the table outright if the application dies between the
+    // delete and the rewrite landing. doclens rewrites LAST (it is the
+    // append id-gate table): a mid-compaction crash keeps deleted ids
+    // burned — conservative failure, like the LshIndex/PhashIndex order.
+    graft.sources.CompactSwap.rewrite(spark, path, "postings") { fresh =>
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/postings"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(fresh)
+    }
+    graft.sources.CompactSwap.rewrite(spark, path, "doclens") { fresh =>
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/doclens"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+    }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
@@ -169,6 +184,7 @@ object InvertedIndex {
   def search(spark: SparkSession, path: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    recover(spark, path)
     val distinctTerms = terms.distinct
     prunedPostings(spark, path, distinctTerms)
       .groupBy(col("doc_id"), col("source"))
@@ -192,6 +208,7 @@ object InvertedIndex {
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    recover(spark, path)
     val tfNames = terms.indices.map(i => s"_tf$i")
     // doclens feeds n_docs/avgdl — tombstoned docs must leave the stats
     // too, or served BM25 would drift from the scan over the live corpus
@@ -228,6 +245,7 @@ object InvertedIndex {
     */
   def docFreq(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    recover(spark, path)
     prunedPostings(spark, path, terms.distinct)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))

@@ -42,8 +42,15 @@ object LshIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
   }
 
+  private val allTables = Seq("shingles", "sizes", "bands", "hashes")
+
+  /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]). */
+  private def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.CompactSwap.recover(spark, path, allTables)
+
   /** Append a batch's derived rows into the index (no resident rewrite). */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    recover(spark, path)
     // hashes are written FIRST because they are the table the
     // id-disjointness gate checks: a crash anywhere in this append leaves
     // the batch's ids visible in hashes, so a replayed batch trips the
@@ -70,9 +77,11 @@ object LshIndex {
     * until `compact` — delete → compact → append is the document-
     * replacement path, exactly as on the inverted-index side.
     */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    recover(spark, path)
     ids.select(col("doc_id")).write.mode(SaveMode.Append)
       .parquet(s"$path/tombstones")
+  }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -108,28 +117,23 @@ object LshIndex {
     * leftovers are swept on the next compaction.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rewrite(table: String, partitioned: Boolean): Unit = {
-      val fresh = new org.apache.hadoop.fs.Path(s"$path/$table._compact")
-      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$table._old")
-      fs.delete(fresh, true); fs.delete(old, true) // dead-writer leftovers
-      val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-      val w = kept.write.mode(SaveMode.ErrorIfExists)
-      if (partitioned) w.partitionBy("band_id").parquet(fresh.toString)
-      else w.parquet(fresh.toString)
-      require(fs.rename(live, old), s"compact: cannot stage $table aside")
-      require(fs.rename(fresh, live), s"compact: cannot swap $table into place")
-      fs.delete(old, true)
-    }
+    def rewrite(table: String, partitioned: Boolean): Unit =
+      graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
+        val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
+        val w = kept.write.mode(SaveMode.ErrorIfExists)
+        if (partitioned) w.partitionBy("band_id").parquet(fresh)
+        else w.parquet(fresh)
+      }
     rewrite("shingles", partitioned = false)
     rewrite("sizes", partitioned = false)
     rewrite("bands", partitioned = true)
     rewrite("hashes", partitioned = false)
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    ()
   }
 
   /** Fail fast when a batch reuses resident doc_ids. The candidate join
@@ -163,6 +167,7 @@ object LshIndex {
     */
   def dedupBatch(spark: SparkSession, path: String, batch: DataFrame,
       jaccardThreshold: Double = 0.3): DataFrame = {
+    recover(spark, path)
     requireDisjointIds(spark, path, batch)
     val bSh = Dedup.shingles(batch).localCheckpoint(true)
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
@@ -213,6 +218,7 @@ object LshIndex {
     */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
       jaccardThreshold: Double = 0.3): DataFrame = {
+    recover(spark, path)
     requireDisjointIds(spark, path, batch)
     // Within-batch exact tier: one hash-groupBy; losers never hit the index.
     val batchLosers = batch

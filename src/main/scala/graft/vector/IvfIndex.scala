@@ -114,6 +114,7 @@ object IvfIndex {
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String,
       ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
+    recover(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("c_embedding"))
     val dated = (
@@ -177,9 +178,17 @@ object IvfIndex {
     * bounded by deletes-since-compaction; the anti-join broadcasts.
     * Shared by [[IvfPqIndex]], whose layout is identical.
     */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    recover(spark, path)
     ids.select(col("vec_id")).write.mode(SaveMode.Append)
       .parquet(s"$path/tombstones")
+  }
+
+  /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]).
+    * Shared by [[IvfPqIndex]], whose layout is identical.
+    */
+  private[vector] def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.CompactSwap.recover(spark, path, Seq("vectors"))
 
   private[vector] def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -211,19 +220,17 @@ object IvfIndex {
     * triangle-inequality bound (the appendBatch crash-ordering contract).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val fresh = new org.apache.hadoop.fs.Path(s"$path/vectors._compact")
-    val old = new org.apache.hadoop.fs.Path(s"$path/vectors._old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(fresh, true); fs.delete(old, true) // dead-writer leftovers
-    dropTombstoned(spark, path, spark.read.parquet(live.toString))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
-      .parquet(fresh.toString)
-    require(fs.rename(live, old), s"compact: cannot stage vectors aside at $path")
-    require(fs.rename(fresh, live), s"compact: cannot swap vectors into place at $path")
-    fs.delete(old, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    graft.sources.CompactSwap.rewrite(spark, path, "vectors") { fresh =>
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
+        .parquet(fresh)
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Retention: physically drop `ingest_date=` directories older than the
@@ -235,6 +242,7 @@ object IvfIndex {
     */
   def retain(spark: SparkSession, path: String, asOf: java.sql.Date,
       maxDays: Int = VectorIndex.RetentionDays): Seq[String] = {
+    recover(spark, path)
     import org.apache.hadoop.fs.Path
     val cutoff = asOf.toLocalDate.minusDays(maxDays)
     val root = new Path(s"$path/vectors")
@@ -288,6 +296,7 @@ object IvfIndex {
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, nProbe: Int = 4, asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    recover(spark, path)
     val probeCells = probeCellsExpr(spark, path, nProbe)
     val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
       explode(probeCells).as("cell"))
@@ -321,6 +330,7 @@ object IvfIndex {
   def rangeSearch(spark: SparkSession, path: String, query: Seq[Float],
       radius: Double, asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    recover(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -358,6 +368,7 @@ object IvfIndex {
   def search(spark: SparkSession, path: String, query: Seq[Float],
       k: Int = 10, nProbe: Int = 2, asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    recover(spark, path)
     val q = lit(query.toArray)
     val probed = spark.read.parquet(s"$path/centroids")
       .withColumn("qd2", l2Sq(col("c_embedding"), q))
@@ -397,6 +408,7 @@ object IvfIndex {
   def dedupIngest(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.95, nProbe: Int = 4,
       ingestDate: java.sql.Date = DefaultIngestDate): DataFrame = {
+    recover(spark, path)
     val vecPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
     val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(vecPath),

@@ -108,6 +108,7 @@ object IvfPqIndex {
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String,
       ingestDate: java.sql.Date = IvfIndex.DefaultIngestDate): Unit = {
+    IvfIndex.recover(spark, path)
     val books = PqIndex.readBooks(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
@@ -142,6 +143,7 @@ object IvfPqIndex {
       k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
       asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    IvfIndex.recover(spark, path)
     val books = PqIndex.readBooks(spark, path)
     val m = books.length
     val ksub = books(0).length
@@ -217,6 +219,7 @@ object IvfPqIndex {
       k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
       asOf: java.sql.Date = null,
       maxDays: Int = VectorIndex.RetentionDays): DataFrame = {
+    IvfIndex.recover(spark, path)
     import graft.functions.TopKAggregator
     val books = PqIndex.readBooks(spark, path)
     val m = books.length
@@ -283,6 +286,7 @@ object IvfPqIndex {
     * spec's read-schema assert (the plan must not read `embedding`).
     */
   def adcScan(spark: SparkSession, path: String, query: Seq[Float], cid: Long): DataFrame = {
+    IvfIndex.recover(spark, path)
     val books = PqIndex.readBooks(spark, path)
     val m = books.length
     val ksub = books(0).length
