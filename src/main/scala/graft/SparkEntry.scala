@@ -800,6 +800,24 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0)
       graft.vector.VectorIndex.search(graft.vector.VectorIndex.fromEmbeddings(emb), qv)
     }),
+    // The FLAT daily index (the reference-parity serving store) with point
+    // deletes, same artifact pattern as vec_delete_search on the IVF side:
+    // the persisted layout gets every 41st vec_id tombstoned at build time;
+    // serving (retention window + kNN) must then equal brute force over the
+    // retained corpus MINUS the deleted ids — the takedown/GDPR contract.
+    "vec_flat_delete_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("flatdel", d) { p =>
+        graft.vector.VectorIndex.append(graft.vector.VectorIndex.fromEmbeddings(emb), p)
+        graft.vector.VectorIndex.delete(s, p,
+          emb.filter(col("vec_id") % 41 === 0).select("vec_id"))
+      }
+      val qv = emb.filter(col("vec_id") === 3L).select("embedding").head.getSeq[Float](0)
+      val asOf = graft.vector.VectorIndex.maxIngestDate(s, dir).get
+      graft.vector.VectorIndex.search(
+        graft.vector.VectorIndex.loadRecent(s, dir, asOf), qv)
+    }),
   )
 
   // ---- CRM tool-equivalents (the reference's 9-tool surface, SURVEY §3) ----
@@ -1852,6 +1870,18 @@ object SparkEntry {
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  1.0 - d2/2.0 AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // Flat-index deletes: the retained window is vec_id % 10 >= 3 (dates
+    // 2024-01-01 + vec_id % 10, anchored at the max present day, 7-day
+    // window), minus the vec_id % 41 == 0 tombstones.
+    "vec_flat_delete_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 3),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3 AND e.vec_id % 41 <> 0)
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
         |  1.0 - d2/2.0 AS similarity_score,
         |  'embedding' AS data_type,

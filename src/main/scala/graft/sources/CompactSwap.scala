@@ -48,6 +48,46 @@ object CompactSwap {
     }
   }
 
+  /** The swap for tables living INSIDE a partition-discovered layout (a
+    * date-partitioned store's `ingest_date=…` directories): staging
+    * siblings are DOT-PREFIXED (`.{table}._compact` / `.{table}._old`)
+    * because Spark's file index skips hidden names, while an un-hidden
+    * `ingest_date=X._old` would itself parse as a partition directory and
+    * corrupt discovery for every concurrent reader.
+    */
+  def rewriteHidden(spark: SparkSession, base: String, table: String)(write: String => Unit): Unit = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = new Path(s"$base/.$table._compact")
+    val live = new Path(s"$base/$table")
+    val old = new Path(s"$base/.$table._old")
+    fs.delete(fresh, true); fs.delete(old, true) // dead-writer leftovers
+    write(fresh.toString)
+    require(fs.rename(live, old), s"compact: cannot stage $table aside at $base")
+    require(fs.rename(fresh, live), s"compact: cannot swap $table into place at $base")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** `recover` for `rewriteHidden` layouts, where table names are dynamic:
+    * restore EVERY `.{table}._old` sibling whose live directory vanished.
+    * One directory listing of `base`.
+    */
+  def recoverAllHidden(spark: SparkSession, base: String): Unit = {
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) return
+    fs.listStatus(basePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith("._old"))
+      .foreach { st =>
+        val live = new Path(basePath,
+          st.getPath.getName.stripPrefix(".").stripSuffix("._old"))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"swap recovery: cannot restore ${live.getName} at $base")
+      }
+  }
+
   /** The swap itself: `write` receives the fresh sibling's path and must
     * fully materialize the compacted table there (ErrorIfExists mode —
     * leftovers are swept first).

@@ -46,7 +46,8 @@ object IndexPipeline {
     val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
     val idx = anchor match {
       case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
-      case None => spark.read.parquet(indexPath) // empty/legacy layout: nothing to prune
+      case None => // empty/legacy layout: nothing to prune; deletes still honored
+        VectorIndex.dropTombstoned(spark, indexPath, spark.read.parquet(indexPath))
     }
     VectorIndex.search(idx, qv, k)
   }
@@ -68,7 +69,8 @@ object IndexPipeline {
     val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
     val idx = anchor match {
       case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
-      case None => spark.read.parquet(indexPath)
+      case None =>
+        VectorIndex.dropTombstoned(spark, indexPath, spark.read.parquet(indexPath))
     }
     val q = queries.select(col("query_id"),
       embedder.embedCol(col("query_text")).as("q_emb"))

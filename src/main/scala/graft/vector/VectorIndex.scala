@@ -32,17 +32,90 @@ object VectorIndex {
   def append(batch: DataFrame, indexPath: String): Unit =
     batch.write.mode(SaveMode.Append).partitionBy("ingest_date").parquet(indexPath)
 
+  /** The tombstone log lives as a SIBLING of the index root: anything
+    * inside the root would enter partition discovery (the layout's
+    * directories are the partition values themselves).
+    */
+  private def tombstonePath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "._tombstones"
+
+  /** Point deletes — the takedown/GDPR path the reference lacks entirely
+    * (its only removal is whole-day retention, `faiss_manager.py:151-172`).
+    * Same Lucene-style contract as the IVF/LSH/inverted/phash tiers: ids
+    * append to a log, every serve path anti-joins it (bounded by
+    * deletes-since-compaction, broadcast), `compact` folds it into the
+    * layout. Deleting a vec_id removes EVERY copy (a record re-ingested on
+    * several days dies everywhere — the semantics a takedown wants).
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
+    ids.select(col("vec_id")).write.mode(SaveMode.Append)
+      .parquet(tombstonePath(indexPath))
+  }
+
+  private[vector] def tombstones(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select(col("vec_id")).distinct())
+    else None
+  }
+
+  private[vector] def dropTombstoned(spark: SparkSession, indexPath: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, indexPath) match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log into the layout — rewriting ONLY the dirty
+    * ingest-day directories (found by one column-pruned scan of
+    * (vec_id, ingest_date)), each through the hidden-sibling crash-safe
+    * swap; the log drops last. At 100 TB a handful of days rewrite, the
+    * rest of the layout is untouched.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
+    val ts = tombstones(spark, indexPath) match {
+      case Some(t) => t.localCheckpoint(true)
+      case None => return
+    }
+    val dirtyDays = spark.read.parquet(indexPath)
+      .select(col("vec_id"), col("ingest_date"))
+      .join(broadcast(ts), "vec_id")
+      .select(date_format(col("ingest_date"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0))
+    dirtyDays.foreach { day =>
+      graft.sources.CompactSwap.rewriteHidden(spark, indexPath, s"ingest_date=$day") { fresh =>
+        // reading the day directory directly drops the (directory-encoded)
+        // partition column; the rewrite lands under the same dir name, so
+        // discovery re-derives it
+        spark.read.parquet(s"$indexPath/ingest_date=$day")
+          .join(broadcast(ts), Seq("vec_id"), "left_anti")
+          .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   /** S11 load-side: only the `maxDays` daily partitions in `(asOf−maxDays,
     * asOf]`, as a pruning predicate (reference reloads recent files,
     * `faiss_manager.py:91-99`). The upper bound makes `asOf` a real
     * time-travel anchor: re-anchoring into the past excludes later-ingested
-    * partitions too, not just expired ones.
+    * partitions too, not just expired ones. Tombstoned ids anti-join out
+    * AFTER the pruning filter, so the scan keeps its PartitionFilters.
     */
   def loadRecent(spark: SparkSession, indexPath: String, asOf: java.sql.Date,
-      maxDays: Int = RetentionDays): DataFrame =
-    spark.read.parquet(indexPath)
-      .filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
-        col("ingest_date") <= lit(asOf))
+      maxDays: Int = RetentionDays): DataFrame = {
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
+    dropTombstoned(spark, indexPath,
+      spark.read.parquet(indexPath)
+        .filter(col("ingest_date") > date_sub(lit(asOf), maxDays) &&
+          col("ingest_date") <= lit(asOf)))
+  }
 
   /** Newest ingest day present in the index layout. Directory-listing only
     * (partition names, no data read) — the same metadata-cost contract as
@@ -50,6 +123,7 @@ object VectorIndex {
     */
   def maxIngestDate(spark: SparkSession, indexPath: String): Option[java.sql.Date] = {
     import org.apache.hadoop.fs.Path
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None

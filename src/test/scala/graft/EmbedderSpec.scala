@@ -119,6 +119,54 @@ class EmbedderSpec extends SparkSpec {
     assert(math.abs(hits.head.getAs[Double]("similarity_score") - 1.0) < 1e-5)
   }
 
+  test("flat index point deletes: serve drops tombstoned ids; compact rewrites only dirty days, ≡ fresh build") {
+    import org.apache.hadoop.fs.Path
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-flatdel").toString + "/idx"
+    VectorIndex.append(VectorIndex.fromEmbeddings(emb), dir)
+    val asOf = VectorIndex.maxIngestDate(spark, dir).get
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding").head.getSeq[Float](0)
+    def topJsons(path: String): Seq[String] =
+      VectorIndex.search(VectorIndex.loadRecent(spark, path, asOf), qv, k = 10)
+        .collect().map(_.getAs[String]("data_json")).toSeq
+    val baseline = topJsons(dir)
+    def idOf(j: String): Long =
+      """"vec_id":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    // takedown: the two nearest hits die
+    val victims = baseline.take(2).map(idOf)
+    VectorIndex.delete(spark, dir, emb.filter(col("vec_id").isin(victims: _*)).select("vec_id"))
+    // pre-compaction serve: victims gone, survivors in baseline order
+    val pre = topJsons(dir)
+    assert(!pre.map(idOf).exists(victims.contains))
+    assert(pre.take(8) == baseline.drop(2), "survivors keep their relative order")
+    // batch serve honors the tombstones too
+    val batchIds = graft.vector.IndexPipeline.searchIndexBatch(spark, dir,
+      spark.sql("SELECT 1 AS query_id, 'probe text' AS query_text"), k = 50).collect()
+      .map(r => idOf(r.getAs[String]("data_json")))
+    assert(!batchIds.exists(victims.contains))
+    // compact rewrites ONLY the victims' ingest-day dirs
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dayDirs: Map[String, Long] = fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("ingest_date="))
+      .map(st => st.getPath.getName -> fs.listStatus(st.getPath).map(_.getModificationTime).max)
+      .toMap
+    val before = dayDirs
+    val dirtyDays = victims.map(v => f"ingest_date=2024-01-${1 + v % 10}%02d").toSet
+    VectorIndex.compact(spark, dir)
+    assert(!fs.exists(new Path(dir.stripSuffix("/") + "._tombstones")))
+    val after = dayDirs
+    assert(after.keySet == before.keySet, "no day directory may vanish")
+    before.keys.foreach { d =>
+      if (dirtyDays(d)) assert(after(d) != before(d), s"dirty $d must rewrite")
+      else assert(after(d) == before(d), s"clean $d must not rewrite")
+    }
+    // compacted layout ≡ a fresh build without the victims
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-flatdel2").toString + "/idx"
+    VectorIndex.append(VectorIndex.fromEmbeddings(
+      emb.filter(!col("vec_id").isin(victims: _*))), dir2)
+    assert(topJsons(dir) == topJsons(dir2))
+  }
+
   test("retention prunes stale ingest days out of search scope") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe2").toString + "/idx"
     val docs = Tables.documents(spark, sf).limit(50)
