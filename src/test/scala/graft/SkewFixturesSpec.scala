@@ -1,0 +1,163 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Adversarial-skew fixtures: the 100-TB arguments (df caps, identical-hash
+  * collapse, hot-cell salting, banded candidate generation) get executable
+  * teeth. Each test plants the pathological shape its operator claims to
+  * survive — a dominant boilerplate source, a flat-image crawl, one hot IVF
+  * cell, one hot LSH band — and asserts the claimed bound from REAL Spark
+  * task metrics (shuffle read/write record counts), not from reasoning.
+  */
+class SkewFixturesSpec extends SparkSpec {
+
+  private case class ShuffleStats(maxTaskRead: Long, totalWrite: Long)
+
+  /** Run `action` and report (max per-task shuffle-read records, total
+    * shuffle-write records) across every task it schedules. Listener
+    * delivery is async: poll until the bus has been quiet for a beat.
+    */
+  private def shuffleStats(action: => Unit): ShuffleStats = {
+    val maxRead = new AtomicLong(0L)
+    val totWrite = new AtomicLong(0L)
+    val lastEvent = new AtomicLong(System.nanoTime())
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        lastEvent.set(System.nanoTime())
+        val m = t.taskMetrics
+        if (m != null) {
+          maxRead.getAndUpdate(l => math.max(l, m.shuffleReadMetrics.recordsRead))
+          totWrite.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() - lastEvent.get() < 700L * 1000 * 1000 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    ShuffleStats(maxRead.get(), totWrite.get())
+  }
+
+  test("winnow df cap: a 90%-dominant boilerplate source cannot go quadratic through the shuffle") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    def filler(d: Int, n: Int): String = Seq.tabulate(n)(j => s"d${d}x$j").mkString(" ")
+    val boiler = Seq.tabulate(k + w - 1 + 6)(i => s"b$i").mkString(" ")
+    // one dominant source carries 90% of the corpus, every doc stamped with
+    // the same boilerplate run (the crawl-footer shape)
+    val docs = ((0 until 450).map(i =>
+      (i.toLong, "common-crawl", filler(i, 20) + " " + boiler + " " + filler(9000 + i, 20))) ++
+      (450 until 500).map(i => (i.toLong, s"curated-$i", filler(i, 40))))
+      .toDF("doc_id", "source", "text")
+    val capped = shuffleStats {
+      assert(Dedup.winnowDupPairs(docs, k, w, minShared = 1, maxDf = 10).count() == 0L)
+    }
+    val uncapped = shuffleStats {
+      // cap lifted: the hot fingerprint's C(450,2) ≈ 101k pairs all cross
+      // the pair-aggregation shuffle
+      assert(Dedup.winnowDupPairs(docs, k, w, minShared = 1, maxDf = 1000000).count() >= 101025L)
+    }
+    assert(uncapped.totalWrite >= 100000L,
+      s"fixture must actually produce the quadratic shuffle (got ${uncapped.totalWrite})")
+    assert(capped.totalWrite <= 60000L,
+      s"capped shuffle volume must stay linear in the corpus (got ${capped.totalWrite})")
+    assert(capped.totalWrite * 2 < uncapped.totalWrite)
+  }
+
+  test("phash collapse: a crawl of 1k byte-identical renders keeps shuffle volume ~ output size") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val basePx = Array.fill(1024)(rnd.nextInt(256))
+    val base = PngCodec.encodeGray(basePx, 32, 32)
+    val far = PngCodec.encodeGray(basePx.map(v => 255 - v), 32, 32)
+    val n = 1000
+    val media = ((0 until n).map(i => Multimodal.MediaRow(i.toLong, "image", base))
+      :+ Multimodal.MediaRow(3000L, "image", far)).toDS()
+    val nPairs = n.toLong * (n - 1) / 2 // the query's own answer: all true dups
+    var got = 0L
+    val stats = shuffleStats { got = Multimodal.phashNearPairs(media).count() }
+    assert(got == nPairs)
+    // The answer itself is ~500k pairs; the bound says nothing BEYOND the
+    // answer (plus the 65-probe fan-out of the DISTINCT hashes — 2 here)
+    // crosses a shuffle. The pre-collapse shape shipped every identical
+    // pair through the probe join under ~65 shared probes each (tens of
+    // millions of rows); that regression would blow this bound 40×.
+    assert(stats.totalWrite <= nPairs + 200000L,
+      s"shuffle volume must stay ~ output size (got ${stats.totalWrite} for $nPairs pairs)")
+  }
+
+  test("knnJoinSalted: one hot IVF cell is salted into bounded tasks; unsalted proves the hazard") {
+    import spark.implicits._
+    // centroids (vec_id < 8) at distinct one-hot corners; vectors 8..2047
+    // ALL cluster around centroid 0 — the pathological hot cell
+    def corner(c: Int): Array[Float] = Array.tabulate(4)(d => if (d == c % 4) (10f + c / 4 * 5f) else 0f)
+    val corpus = ((0 until 8).map(i => (i.toLong, corner(i))) ++
+      (8 until 2048).map { i =>
+        (i.toLong, Array(10f + (i % 17) * 0.01f, (i % 13) * 0.01f, (i % 11) * 0.01f, 0f))
+      }).toDF("vec_id", "embedding")
+    val queries = (0 until 40).map { i =>
+      (10000L + i, Array(10f + (i % 7) * 0.013f, (i % 5) * 0.017f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    // at 100 TB neither join side broadcasts — force the shuffle-join shape
+    // the salting is designed for (at test scale the query side would
+    // broadcast and hide the hot key entirely)
+    def run(maxCellRows: Long) = {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+      val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // KB-scale test data: AQE would coalesce every partition into one
+      // task and blind the per-task metric; at 100 TB the partitions are
+      // target-size and coalescing is exactly what we want
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        var rows: Array[org.apache.spark.sql.Row] = null
+        val st = shuffleStats {
+          rows = Similarity.knnJoinSalted(queries, corpus, k = 5, nCells = 8,
+            nProbe = 2, maxCellRows = maxCellRows).collect()
+        }
+        (st, rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+    val (salted, saltedRows) = run(100L) // hot cell (~2040 rows) → ~21 salts
+    val (unsalted, unsaltedRows) = run(Long.MaxValue) // salt factor 1 everywhere
+    assert(saltedRows == unsaltedRows, "salting must not change the result")
+    assert(unsalted.maxTaskRead >= 2000L,
+      s"unsalted hot cell concentrates in one task (got ${unsalted.maxTaskRead})")
+    assert(salted.maxTaskRead <= 1500L,
+      s"salted per-task input must stay bounded by ~maxCellRows·groups (got ${salted.maxTaskRead})")
+    assert(salted.maxTaskRead * 4 <= unsalted.maxTaskRead * 3)
+  }
+
+  test("minhash hot band: join INPUT per task stays linear; the quadratic part is the answer itself") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def randWords(n: Int): String = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val hotText = randWords(30)
+    // one hot band bucket: 200 byte-identical docs (all 4 bands collide);
+    // 100 unique docs alongside
+    val docs = ((0 until 200).map(i => (i.toLong, hotText)) ++
+      (200 until 300).map(i => (i.toLong, randWords(30)))).toDF("doc_id", "text")
+    var pairs: Long = 0
+    val stats = shuffleStats { pairs = Dedup.minhashDupPairs(docs).count() }
+    // every identical pair IS a true duplicate — the quadratic rows are the
+    // query's own answer, not wasted candidates
+    assert(pairs == 200L * 199 / 2)
+    // the bound with teeth: no task's shuffle INPUT approaches pairs ×
+    // shingles (~½M) or docs² — candidate generation reads band rows
+    // (linear) and the verify tier reads candidate×shingle rows partitioned
+    // across tasks, never concentrated on one key
+    assert(stats.maxTaskRead <= 4 * pairs,
+      s"per-task shuffle input must stay ~linear in the bucket (got ${stats.maxTaskRead})")
+  }
+}
