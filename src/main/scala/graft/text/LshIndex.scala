@@ -20,6 +20,9 @@ import graft.ops.Dedup
   *                   portable here.
   *   path/shingles — (doc_id, shingle): the exact-Jaccard verify side.
   *   path/sizes    — (doc_id, n_sh): shingle-set sizes for the union term.
+  *   path/winnow   — (doc_id, fp): winnowing fingerprints (MOSS tier) for
+  *                   the optional local-overlap gate — boilerplate/partial
+  *                   plagiarism that whole-doc Jaccard stays blind to.
   *   path/hashes   — (doc_id, text_hash): the exact-duplicate arm.
   *
   * Query cost for a batch of b docs against a resident corpus of N: the
@@ -38,11 +41,14 @@ object LshIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sizes")
     Dedup.bandKeys(Dedup.minhashWide(sh))
       .write.mode(SaveMode.Overwrite).partitionBy("band_id").parquet(s"$path/bands")
+    Dedup.winnowFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/winnow")
     docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
   }
 
-  private val allTables = Seq("shingles", "sizes", "bands", "hashes")
+  private val allTables = Seq("shingles", "sizes", "bands", "winnow", "hashes")
 
   /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]). */
   private def recover(spark: SparkSession, path: String): Unit =
@@ -65,6 +71,9 @@ object LshIndex {
     sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .write.mode(SaveMode.Append).parquet(s"$path/sizes")
+    Dedup.winnowFingerprints(batch)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .write.mode(SaveMode.Append).parquet(s"$path/winnow")
     Dedup.bandKeys(Dedup.minhashWide(sh))
       .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
   }
@@ -129,6 +138,11 @@ object LshIndex {
     rewrite("shingles", partitioned = false)
     rewrite("sizes", partitioned = false)
     rewrite("bands", partitioned = true)
+    // legacy layouts predate the winnow table; nothing to fold there
+    if (new org.apache.hadoop.fs.Path(s"$path/winnow")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/winnow")))
+      rewrite("winnow", partitioned = false)
     rewrite("hashes", partitioned = false)
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -217,7 +231,8 @@ object LshIndex {
     * source is known to self-plagiarize.
     */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
-      jaccardThreshold: Double = 0.3): DataFrame = {
+      jaccardThreshold: Double = 0.3, winnowMinShared: Int = 0,
+      winnowMaxDf: Int = 1000): DataFrame = {
     recover(spark, path)
     requireDisjointIds(spark, path, batch)
     // Within-batch exact tier: one hash-groupBy; losers never hit the index.
@@ -244,9 +259,38 @@ object LshIndex {
       .select(col("batch_doc_id").as("doc_id"), lit("near_dup").as("verdict"))
       .distinct()
       .localCheckpoint(true)
+    // Optional fourth tier (winnowMinShared > 0): local-overlap detection
+    // via shared winnowing fingerprints — a doc splicing a long run out of
+    // a resident doc into fresh filler sails under the whole-doc Jaccard
+    // threshold, but by the winnowing guarantee any shared run of
+    // ≥ w+k−1 tokens forces shared fingerprints. Resident fps with
+    // df > winnowMaxDf drop first (the MOSS boilerplate cap — same bound
+    // as `Dedup.winnowDupPairs`), so one corpus-wide footer cannot make
+    // the probe join quadratic. The df aggregation scans the resident fp
+    // table once per batch — the same cost class as the shingle-verify
+    // tier, and map-side combined.
+    val overlapDups = if (winnowMinShared <= 0) {
+      batch.select(col("doc_id"), lit("overlap_dup").as("verdict")).limit(0)
+    } else {
+      val rest2 = rest.join(nearDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val bFp = Dedup.winnowFingerprints(rest2)
+        .select(col("doc_id").as("b_doc_id"), explode(col("fps")).as("fp"))
+      val rFp = dropTombstoned(spark, path, spark.read.parquet(s"$path/winnow"))
+      val rare = rFp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= winnowMaxDf).select(col("fp"))
+      bFp.join(rFp.join(rare, "fp").select(col("fp"), col("doc_id").as("r_doc_id")), "fp")
+        .groupBy(col("b_doc_id"), col("r_doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= winnowMinShared)
+        .select(col("b_doc_id").as("doc_id"), lit("overlap_dup").as("verdict"))
+        .distinct()
+        .localCheckpoint(true)
+    }
     val verdicts = batchLosers.unionByName(exactDups).unionByName(nearDups)
+      .unionByName(overlapDups)
     val keep = candidates.join(
-      exactDups.select(col("doc_id")).unionByName(nearDups.select(col("doc_id"))),
+      exactDups.select(col("doc_id")).unionByName(nearDups.select(col("doc_id")))
+        .unionByName(overlapDups.select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
     appendBatch(spark, keep, path)
     batch.select(col("doc_id"))

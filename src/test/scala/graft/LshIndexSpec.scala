@@ -176,4 +176,61 @@ class LshIndexSpec extends SparkSpec {
         r.getAs[Double]("jaccard"))).toSet
     assert(a == b, s"compacted (${a.size}) vs fresh (${b.size}) diverged")
   }
+
+  test("winnow tier: a spliced run below whole-doc Jaccard is caught only with the tier on") {
+    import spark.implicits._
+    // Disjoint per-doc vocabularies — every shared gram is the planted run.
+    def words(tag: String, n: Int): Seq[String] = Seq.tabulate(n)(j => s"$tag$j")
+    val resident = (0 until 20).map(i => (i.toLong, words(s"r${i}w", 60).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshw").toString + "/lsh"
+    LshIndex.build(spark, resident, dir)
+    // splice 30 tokens of resident doc 5 into 90 fresh tokens: shingle
+    // Jaccard ≈ 28/148 ≈ 0.19 — under the 0.3 near-dup threshold
+    val run = words("r5w", 60).slice(10, 40)
+    val spliced = (words("f1x", 45) ++ run ++ words("f2x", 45)).mkString(" ")
+    val freshDoc = words("f3x", 80).mkString(" ")
+    val batch = Seq((1001L, spliced), (1002L, freshDoc)).toDF("doc_id", "text")
+    // sanity: the splice really is sub-threshold for the LSH tier
+    val j = graft.ops.Dedup.blockedJaccardPairs(
+      resident.withColumn("source", lit("s"))
+        .unionByName(batch.withColumn("source", lit("s"))), threshold = 0.0)
+      .filter(col("doc_a") === 5L && col("doc_b") === 1001L)
+      .head.getAs[Double]("jaccard")
+    assert(j < 0.3, s"fixture drift: splice jaccard $j must stay under the near-dup threshold")
+    // tier ON: the splice is an overlap_dup and is NOT appended
+    val on = LshIndex.ingestBatch(spark, dir, batch, winnowMinShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on == Map(1001L -> "overlap_dup", 1002L -> "ingested"), s"got $on")
+    // tier OFF (the default — the stream twin's path): the same splice
+    // sails through under a new id
+    val off = LshIndex.ingestBatch(spark, dir, Seq((1003L, spliced)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off == Map(1003L -> "ingested"), s"got $off")
+    // incremental property: doc 1003's fps were appended, so a LATER batch
+    // splicing from 1003's fresh filler is caught against the INGESTED doc
+    val splice2 = (words("g1x", 45) ++ words("f1x", 45).slice(5, 35) ++ words("g2x", 45))
+      .mkString(" ")
+    val on2 = LshIndex.ingestBatch(spark, dir,
+      Seq((1004L, splice2)).toDF("doc_id", "text"), winnowMinShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on2 == Map(1004L -> "overlap_dup"), s"got $on2")
+    // boilerplate cap: with winnowMaxDf = 0 every resident fp is "too
+    // common" and the tier goes silent — the df bound really gates it
+    // (fresh filler: an exact copy of 1003 would die in the exact tier)
+    val capped = LshIndex.ingestBatch(spark, dir,
+      Seq((1005L, (words("k1x", 45) ++ run ++ words("k2x", 45)).mkString(" ")))
+        .toDF("doc_id", "text"),
+      winnowMinShared = 2, winnowMaxDf = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(capped == Map(1005L -> "ingested"), s"got $capped")
+    // tombstones: delete resident 5 AND the two ingested splice copies
+    // (1003/1005 carry the same run) — the run's fps stop vetoing entirely
+    LshIndex.delete(spark, dir, Seq(5L, 1003L, 1005L).toDF("doc_id"))
+    val afterDel = LshIndex.ingestBatch(spark, dir,
+      Seq((1006L, (words("h1x", 45) ++ run ++ words("h2x", 45)).mkString(" ")))
+        .toDF("doc_id", "text"), winnowMinShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterDel == Map(1006L -> "ingested"), s"got $afterDel")
+  }
 }
