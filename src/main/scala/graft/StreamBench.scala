@@ -18,9 +18,17 @@ import org.apache.spark.sql.functions._
   *    one atomic dirty-bucket commit on the versioned store; throughput is
   *    commit/IO bound.
   *
+  * The sessionize flow also runs under the RocksDB state store (the
+  * at-scale provider) with two extra numbers: the state footprint (state
+  * rows + bytes from StateOperatorProgress on the last micro-batch) and
+  * the checkpoint-recovery time — stop the query, restart from the same
+  * checkpoint against the still-running source, and clock start() to the
+  * first completed micro-batch (state reload + source catch-up).
+  *
   * Prints ONE JSON line: {"metric":"stream_rows_per_sec", ...,
-  * "flows":{name:{rows,sec,rows_per_sec,batches}}}. Not part of the driver
-  * BENCH contract — run manually; numbers land in SURVEY.md.
+  * "flows":{name:{rows,sec,rows_per_sec,batches[,state_rows,state_bytes,
+  * recovery_ms]}}}. Not part of the driver BENCH contract — run manually;
+  * numbers land in SURVEY.md.
   */
 object StreamBench {
 
@@ -50,17 +58,29 @@ object StreamBench {
         .option("numPartitions", 8).load()
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double, Int)]
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // ---- 1. stateful sessionization ----------------------------------------
-    locally {
-      val events = rate(100000)
+    def sessionEvents(): org.apache.spark.sql.Dataset[streaming.EventStream.Event] =
+      rate(100000)
         .select(col("value").as("event_id"), col("timestamp").as("ts"),
           pmod(col("value"), lit(10000L)).as("user_id"),
           lit("click").as("event_type"),
           pmod(col("value"), lit(100L)).cast("double").as("value"),
           lit("{}").as("props"))
         .as[streaming.EventStream.Event]
-      val q = streaming.EventStream.sessionize(events)
+
+    // last micro-batch's state-store footprint across the query's
+    // stateful operators
+    def stateFootprint(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) =
+      q.recentProgress.reverseIterator
+        .map(_.stateOperators)
+        .find(_.nonEmpty)
+        .map(ops => (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+        .getOrElse((0L, 0L))
+
+    // ---- 1. stateful sessionization ----------------------------------------
+    locally {
+      val q = streaming.EventStream.sessionize(sessionEvents())
         .writeStream.format("noop")
         .option("checkpointLocation", tmp("sess-ckpt"))
         .outputMode("append").start()
@@ -68,8 +88,47 @@ object StreamBench {
       val rows = q.recentProgress.map(_.numInputRows).sum
       val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
       val n = q.recentProgress.length
+      val (stRows, stBytes) = stateFootprint(q)
       q.stop(); q.awaitTermination()
       results += "sessionize" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+      extras += "sessionize" -> s""","state_rows":$stRows,"state_bytes":$stBytes"""
+    }
+
+    // ---- 1b. sessionize under RocksDB: state footprint + checkpoint recovery
+    locally {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ckpt = tmp("sessrocks-ckpt")
+        def startQ() = streaming.EventStream.sessionize(sessionEvents())
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        val q = startQ()
+        Thread.sleep(runSec * 1000L)
+        val rows = q.recentProgress.map(_.numInputRows).sum
+        val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+        val n = q.recentProgress.length
+        val (stRows, stBytes) = stateFootprint(q)
+        q.stop(); q.awaitTermination()
+        // recovery: restart from the same checkpoint; the clock covers
+        // state-store reload + the catch-up batch over what the source
+        // produced while the query was down
+        val t0 = System.nanoTime()
+        val q2 = startQ()
+        val deadline = t0 + 180L * 1000 * 1000 * 1000
+        while (q2.recentProgress.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val recoveryMs = (System.nanoTime() - t0) / 1000000L
+        q2.stop(); q2.awaitTermination()
+        results += "sessionizeRocks" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+        extras += "sessionizeRocks" ->
+          s""","state_rows":$stRows,"state_bytes":$stBytes,"recovery_ms":$recoveryMs"""
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
 
     // ---- 2. LSH dedup-gated corpus ingest ----------------------------------
@@ -115,7 +174,8 @@ object StreamBench {
 
     val flows = results.map { case (k, (rows, sec, batches)) =>
       val rps = if (sec > 0) rows / sec else 0.0
-      s""""$k":{"rows":$rows,"sec":${f"$sec%.1f"},"rows_per_sec":${f"$rps%.0f"},"batches":$batches}"""
+      val extra = extras.getOrElse(k, "")
+      s""""$k":{"rows":$rows,"sec":${f"$sec%.1f"},"rows_per_sec":${f"$rps%.0f"},"batches":$batches$extra}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_rows_per_sec","flows":$flows,"sf":"$sfDir","run_sec":$runSec,"cpus":$cpus}""")
     spark.stop()
