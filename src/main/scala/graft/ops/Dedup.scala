@@ -185,10 +185,11 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash HAMMING RADIUS (the Manku/Jain/Sarma
-    * WWW'07 construction, radius 2): every doc probes with its own
-    * signature plus its 16 one-bit flips; a candidate pair is any two docs
-    * sharing a probe key (one equi-join on the probe — never an all-pairs
-    * signature compare); exact Hamming distance verifies each candidate.
+    * WWW'07 construction, radius 2): every DISTINCT signature probes with
+    * itself plus its 16 one-bit flips; a candidate pair is any two
+    * signatures sharing a probe key (one equi-join on the probe — never an
+    * all-pairs compare); exact Hamming distance verifies each candidate,
+    * and doc pairs expand from the matched signatures' member lists.
     * Recall within radius 2 is GUARANTEED, not data-dependent: for
     * hamming(a,b) ≤ 2, flipping one differing bit on each side (or fewer)
     * yields an equal intermediate signature, so the pair must share a
@@ -198,26 +199,50 @@ object Dedup {
     */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 2, "probe construction covers radius <= 2; widen flips for more")
-    val sig = simhashSigs(docs).localCheckpoint(true)
+    // Identical-signature collapse (the phashNearPairs move): a 16-bit
+    // signature space has 65,536 values, so at corpus scale identical-sig
+    // groups are GUARANTEED, and probe-joining the raw per-doc table pairs
+    // each group quadratically on one shuffle key with a 17× probe fan-out
+    // on top. After the collapse the probe join's input is one row per
+    // DISTINCT signature (≤ 65,536 rows however large the corpus);
+    // identical-sig pairs expand row-locally from each group's own sorted
+    // id list, and cross-sig pairs expand from the two matched groups'
+    // lists AFTER the Hamming verify. The expansions are output-volume
+    // work; nothing quadratic crosses the probe join's shuffle.
+    val groups = simhashSigs(docs)
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(true)
+    val within = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), lit(0L).as("hamming"))
     val flips = (0 until 16).map { i =>
       concat(substring(col("simhash"), 1, i),
         when(substring(col("simhash"), i + 1, 1) === "0", "1").otherwise("0"),
         substring(col("simhash"), i + 2, 16 - i - 1))
     }
-    val probes = sig.select(col("doc_id"),
+    val probes = groups.select(col("simhash"),
       explode(array((col("simhash") +: flips): _*)).as("probe"))
-    val cand = probes.as("a").join(probes.as("b"),
-        col("a.probe") === col("b.probe") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sigPairs = probes.as("a").join(probes.as("b"),
+        col("a.probe") === col("b.probe") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+    val cross = sigPairs
       .withColumn("hamming",
         expr("size(filter(sequence(1, 16), i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1)))")
           .cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(col("hamming") <= maxHamming) // distinct sigs: hamming >= 1
+      .join(groups.select(col("simhash").as("sig_a"), col("ids").as("ids_a")), "sig_a")
+      .join(groups.select(col("simhash").as("sig_b"), col("ids").as("ids_b")), "sig_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

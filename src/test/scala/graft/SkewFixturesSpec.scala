@@ -139,6 +139,27 @@ class SkewFixturesSpec extends SparkSpec {
     assert(salted.maxTaskRead * 4 <= unsalted.maxTaskRead * 3)
   }
 
+  test("simhash collapse: 1k identical docs probe-join as one signature row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def randWords(n: Int): String = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val hotText = randWords(30)
+    val n = 1000
+    val docs = ((0 until n).map(i => (i.toLong, hotText))
+      :+ (5000L, randWords(30))).toDF("doc_id", "text")
+    val nPairs = n.toLong * (n - 1) / 2
+    var got = 0L
+    val stats = shuffleStats { got = Dedup.simhashDupPairs(docs).count() }
+    // identical docs all pair at hamming 0 (+ whatever the random doc's
+    // signature happens to land within radius 2 of — count ≥ the group)
+    assert(got >= nPairs)
+    // pre-collapse, every identical pair crossed the probe join under ~17
+    // shared probes each (~8.5M rows); post-collapse the volume is the
+    // answer itself plus the distinct-signature probe fan-out
+    assert(stats.totalWrite <= got + 200000L,
+      s"shuffle volume must stay ~ output size (got ${stats.totalWrite} for $got pairs)")
+  }
+
   test("minhash hot band: join INPUT per task stays linear; the quadratic part is the answer itself") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
