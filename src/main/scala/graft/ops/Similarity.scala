@@ -349,12 +349,41 @@ object Similarity {
     // The 32 hyperplane dot products per vector are the heavy map stage —
     // seed parallelism on the raw vector stream (no-op on real layouts).
     val emb = Par.seed(embeddings, col("vec_id"))
-    val buckets = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+    // Identical-embedding collapse (the simhash/phash move, float edition):
+    // a crawl's duplicated documents carry byte-identical vectors, which
+    // share EVERY band — the band join would pair each such group
+    // quadratically on its hottest bucket key. Banding runs over one
+    // representative per distinct embedding instead; identical-vector
+    // pairs expand from each group's own sorted id list, cross-group
+    // pairs from the matched representatives. All expanded pairs then ride
+    // the ORIGINAL scoring join, so every cos is the same float expression
+    // over the same arrays as before — output bit-identical.
+    val groups = emb.groupBy(col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(col("embedding"), col("ids"), element_at(col("ids"), 1).as("rep"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    val buckets = reps.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    val repCand = buckets.as("x").join(buckets.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
+      .select(col("x.vec_id").as("rep_a"), col("y.vec_id").as("rep_b"))
+      .distinct() // close rep pairs share several bands; score once
+    val crossPairs = repCand
+      .join(groups.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("vec_id_a"),
+        greatest(col("x"), col("y")).as("vec_id_b"))
+    val withinPairs = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+    val cand = crossPairs.unionByName(withinPairs)
     val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand

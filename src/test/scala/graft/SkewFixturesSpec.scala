@@ -160,6 +160,28 @@ class SkewFixturesSpec extends SparkSpec {
       s"shuffle volume must stay ~ output size (got ${stats.totalWrite} for $got pairs)")
   }
 
+  test("rplsh collapse: 1k byte-identical vectors band-join as one representative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val hot = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val n = 1000
+    // 1k identical vectors (a crawl's duplicated docs) + 50 spread ones
+    val emb = ((0 until n).map(i => (i.toLong, hot)) ++
+      (0 until 50).map(i => (5000L + i, Array.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val nPairs = n.toLong * (n - 1) / 2
+    var got = 0L
+    val stats = shuffleStats {
+      got = graft.ops.Similarity.rpLshDupPairs(emb, threshold = 0.9).count()
+    }
+    assert(got >= nPairs, "every identical pair is a true cos=1 dup")
+    // pre-collapse, the identical group shared every band bucket: 16 bands
+    // × C(1000,2) ≈ 8M candidate rows through the band join; post-collapse
+    // the volume is the answer plus the distinct-vector banding fan-out
+    assert(stats.totalWrite <= got + 200000L,
+      s"shuffle volume must stay ~ output size (got ${stats.totalWrite} for $got pairs)")
+  }
+
   test("minhash hot band: join INPUT per task stays linear; the quadratic part is the answer itself") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
