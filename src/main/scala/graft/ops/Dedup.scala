@@ -84,11 +84,31 @@ object Dedup {
   /** MinHash+LSH near-dup detection, verified: band-bucket join produces
     * candidates, exact shingle-set Jaccard confirms. Output: confirmed
     * pairs with band support and Jaccard.
+    *
+    * Identical-text collapse (the simhash/phash/rplsh move): byte-identical
+    * texts — the most common crawl duplicate — share every band key, so
+    * the band join would pair each such group quadratically on its hottest
+    * bucket AND re-verify each pair over full shingle sets. The whole
+    * LSH + verify pipeline runs over ONE representative per distinct text;
+    * identical-text pairs expand row-locally with the exact values the
+    * per-member pipeline computes (all bands shared, jaccard 1.0 — n/n in
+    * IEEE), and cross-text pairs expand from matched representatives,
+    * whose md5-deterministic signatures/shingles are identical to every
+    * member's — output bit-for-bit unchanged.
     */
   def minhashDupPairs(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val groups = Par.seed(docs, col("doc_id"))
+      .filter(size(split(col("text"), " ")) >= 3) // shingles()'s own short-doc guard
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids"), element_at(col("ids"), 1).as("rep"))
+      .localCheckpoint(true)
+    val repDocs = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     // Materialized once: feeds the signature aggregation, doc sizes, and
     // both sides of the verify join (pruning defeats exchange reuse).
-    val sh = shingles(docs).localCheckpoint(true)
+    val sh = shingles(repDocs).localCheckpoint(true)
     val bands = bandKeys(minhashWide(sh)).localCheckpoint(true)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
@@ -101,13 +121,31 @@ object Dedup {
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_shared_bands"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("ids").as("ids_a")), "doc_a")
+      .join(groups.select(col("rep").as("doc_b"), col("ids").as("ids_b")), "doc_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"),
+        col("n_shared_bands"), col("jaccard"))
+      .select(col("x"), explode(col("ids_b")).as("y"),
+        col("n_shared_bands"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("doc_a"), greatest(col("x"), col("y")).as("doc_b"),
+        col("n_shared_bands"), col("jaccard"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        lit(nBands.toLong).as("n_shared_bands"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= jaccardThreshold)
+    cross.unionByName(within)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -196,10 +196,12 @@ class SkewFixturesSpec extends SparkSpec {
     // every identical pair IS a true duplicate — the quadratic rows are the
     // query's own answer, not wasted candidates
     assert(pairs == 200L * 199 / 2)
-    // the bound with teeth: no task's shuffle INPUT approaches pairs ×
-    // shingles (~½M) or docs² — candidate generation reads band rows
-    // (linear) and the verify tier reads candidate×shingle rows partitioned
-    // across tasks, never concentrated on one key
+    // identical-text collapse: the 200 copies ride the LSH + verify
+    // pipeline as ONE representative, so shuffle volume stays ~ answer
+    // size (pre-collapse the verify tier alone shuffled candidate ×
+    // shingle ≈ ½M rows), and no task's input approaches docs²
+    assert(stats.totalWrite <= pairs + 100000L,
+      s"shuffle volume must stay ~ output size (got ${stats.totalWrite} for $pairs pairs)")
     assert(stats.maxTaskRead <= 4 * pairs,
       s"per-task shuffle input must stay ~linear in the bucket (got ${stats.maxTaskRead})")
   }
