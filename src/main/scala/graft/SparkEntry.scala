@@ -712,6 +712,15 @@ object SparkEntry {
       Curation.contaminatedDocsBloom(
         docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
     }),
+    // Span-surgery removal form (GPT-3 appendix C): cut the matched
+    // window + margin out of contaminated docs, keep clean pieces
+    // >= minPiece tokens. Same harness benchmark split as doc_decontam.
+    "doc_decontam_spans" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Curation.decontaminateSpans(
+        docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0))
+    }),
     "doc_repetition" -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
     // Span-level duplication vs the WHOLE corpus (RefinedWeb-style): the
     // share of each doc's 4-gram occurrences also present in another doc.
@@ -2550,6 +2559,33 @@ object SparkEntry {
         |SELECT e.doc_id, CAST(COUNT(DISTINCT e.ng) AS BIGINT) AS n_shared
         |FROM e JOIN b USING (ng) WHERE e.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Span surgery in classic gaps-and-islands SQL: matched 4-gram
+    // positions expand by the +/-2 margin into dirty token positions,
+    // clean tokens island on pos - row_number, pieces >= 5 tokens kept.
+    "doc_decontam_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |corpus AS (SELECT doc_id, ws FROM w WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws)-2),
+        |        i -> array_to_string(ws[i:i+3], ' '))) AS ng
+        |  FROM w WHERE doc_id % 97 = 0),
+        |g AS (SELECT doc_id, i AS gpos, array_to_string(ws[i:i+3], ' ') AS ng
+        |  FROM corpus, unnest(range(1, len(ws)-2)) AS t(i)),
+        |dirty AS (SELECT DISTINCT g.doc_id, p
+        |  FROM g JOIN bg USING (ng), unnest(range(g.gpos - 2, g.gpos + 6)) AS u(p)),
+        |toks AS (SELECT doc_id, i AS pos, ws[i] AS tok
+        |  FROM corpus, unnest(range(1, len(ws)+1)) AS t(i)),
+        |clean AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN dirty h ON t.doc_id = h.doc_id AND t.pos = h.p WHERE h.p IS NULL),
+        |isl AS (SELECT doc_id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM clean),
+        |pieces AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS n_piece_tokens,
+        |    CAST(MIN(pos) AS BIGINT) AS start_pos,
+        |    string_agg(tok, ' ' ORDER BY pos) AS piece_text
+        |  FROM isl GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS BIGINT) AS piece_idx,
+        |  start_pos, n_piece_tokens, piece_text
+        |FROM pieces ORDER BY doc_id, piece_idx""".stripMargin,
     // The bloom guard must not change the answer: identical oracle.
     "doc_decontam_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

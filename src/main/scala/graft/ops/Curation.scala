@@ -89,6 +89,60 @@ object Curation {
     corpus.join(contaminatedDocs(corpus, benchmark, n).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Span-surgery decontamination — the GPT-3 appendix-C method: instead
+    * of dropping every document that shares an n-gram with the benchmark
+    * (whole-doc removal throws away a long document for one leaked
+    * sentence), cut the matched window PLUS a `margin`-token buffer on
+    * each side out of the document and keep the clean pieces, dropping
+    * pieces shorter than `minPiece` tokens (fragments too short to train
+    * on). Output: one row per kept piece — (doc_id, piece_idx, start_pos,
+    * n_piece_tokens, piece_text), piece_idx numbered among KEPT pieces in
+    * document order. A document with no contamination comes back as its
+    * single piece 1; a saturated document vanishes.
+    *
+    * Scale shape: benchmark grams broadcast (the `contaminatedDocs`
+    * contract); the corpus explodes once into (doc_id, pos, token) — one
+    * doc_id-keyed shuffle, the `spanDupFractions` cost class — dirty
+    * positions come only from matched grams (hit-bounded), and the
+    * pieces are classic gaps-and-islands: pos − row_number() per doc, one
+    * per-doc window, never a global one.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, n: Int = 4,
+      margin: Int = 2, minPiece: Int = 5): DataFrame = {
+    require(margin >= 0 && minPiece >= 1, "margin >= 0 and minPiece >= 1")
+    val benchNgrams = benchmark
+      .select(explode(ngrams(col("text"), n)).as("ng")).distinct()
+    val toks = Par.seed(corpus, col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val grams = corpus
+      .select(col("doc_id"), posexplode(ngrams(col("text"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("gpos"), col("col").as("ng"))
+    // every token position covered by a matched gram's [−margin, +margin]
+    // halo; out-of-range positions anti-join as no-ops
+    val dirty = grams.join(broadcast(benchNgrams), "ng")
+      .select(col("doc_id"),
+        explode(sequence(col("gpos") - margin, col("gpos") + (n - 1) + margin)).as("pos"))
+      .distinct()
+    val clean = toks.join(dirty, Seq("doc_id", "pos"), "left_anti")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pieces = clean
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_piece_tokens"),
+        min(col("pos")).cast("long").as("start_pos"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("piece_text"))
+      .filter(col("n_piece_tokens") >= minPiece)
+    pieces
+      .withColumn("piece_idx",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))).cast("long"))
+      .select(col("doc_id"), col("piece_idx"), col("start_pos"),
+        col("n_piece_tokens"), col("piece_text"))
+      .orderBy(col("doc_id"), col("piece_idx"))
+  }
+
   /** Bloom-guarded contamination report — output ≡ `contaminatedDocs`
     * (same rows, same counts), different 100-TB shape for the regime where
     * the benchmark suite is too large to broadcast as ROWS (hundreds of

@@ -48,6 +48,30 @@ class CurationSpec extends SparkSpec {
     assert(clean.sameElements(Array(3L, 4L, 5L)))
   }
 
+  test("span-surgery decontamination: matched window + margin cut out, clean pieces kept") {
+    def toks(tag: String, n: Int, from: Int = 0): String =
+      (from until from + n).map(i => s"$tag$i").mkString(" ")
+    val bench = docsDF((100L, "b0 b1 b2 b3"))
+    val corpus = docsDF(
+      // 18 clean + the 4-gram at pos 19 + 18 clean: dirty [17, 24],
+      // pieces 1..16 (16 toks) and 25..40 (16 toks)
+      (1L, toks("p", 18) + " b0 b1 b2 b3 " + toks("q", 18)),
+      // fully clean: one piece, the whole doc
+      (2L, toks("c", 9)),
+      // one token either side of the match: saturated, vanishes
+      (3L, "x0 b0 b1 b2 b3 x1"),
+      // clean runs of 4 < minPiece on both sides: vanishes too
+      (4L, toks("y", 4) + " b0 b1 b2 b3 " + toks("z", 4)))
+    val got = Curation.decontaminateSpans(corpus, bench, n = 4, margin = 2, minPiece = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(got((1L, 1L)) == ((1L, 16L, (0 until 16).map(i => s"p$i").mkString(" "))))
+    assert(got((1L, 2L)) == ((25L, 16L, (2 until 18).map(i => s"q$i").mkString(" "))))
+    assert(got((2L, 1L)) == ((1L, 9L, toks("c", 9))))
+  }
+
   test("bloom-guarded decontamination: identical report, bloom guard in the plan") {
     val bench = docsDF(
       100L -> "alpha beta gamma delta epsilon",
