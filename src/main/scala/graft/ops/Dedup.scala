@@ -98,14 +98,17 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
     val nBands = NumHashes / BandRows
+    // the group row carries ONE copy of the text (identical within the
+    // group by construction), so the representative corpus needs no join
+    // back to `docs` — one corpus pass builds the whole collapse
     val groups = Par.seed(docs, col("doc_id"))
       .filter(size(split(col("text"), " ")) >= 3) // shingles()'s own short-doc guard
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(col("ids"), element_at(col("ids"), 1).as("rep"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        first(col("text")).as("text"))
+      .select(col("ids"), element_at(col("ids"), 1).as("rep"), col("text"))
       .localCheckpoint(true)
-    val repDocs = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repDocs = groups.select(col("rep").as("doc_id"), col("text"))
     // Materialized once: feeds the signature aggregation, doc sizes, and
     // both sides of the verify join (pruning defeats exchange reuse).
     val sh = shingles(repDocs).localCheckpoint(true)

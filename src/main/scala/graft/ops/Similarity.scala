@@ -342,10 +342,6 @@ object Similarity {
     val bits = planes.map(p =>
       when(dot(col("embedding"), typedLit(p)) >= 0, lit("1")).otherwise(lit("0")))
     val nBands = nBits / bandBits
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat((0 until bandBits).map(i => bits(b * bandBits + i)): _*).as("band_key"))
-    }
     // The 32 hyperplane dot products per vector are the heavy map stage —
     // seed parallelism on the raw vector stream (no-op on real layouts).
     val emb = Par.seed(embeddings, col("vec_id"))
@@ -362,37 +358,61 @@ object Similarity {
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(col("embedding"), col("ids"), element_at(col("ids"), 1).as("rep"))
       .localCheckpoint(true)
+    // band + score over REPRESENTATIVES only, then expand with the scored
+    // cos — bit-identical to scoring every member pair, because a member's
+    // array IS its rep's array and cos is a pure function of the two
+    // arrays (na*nb for a self pair is sqrt(d)*sqrt(d), replicated below)
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
-    val buckets = reps.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+    // the 32 sign bits evaluate ONCE per rep in a codegen'd projection;
+    // band keys are then substrings of the signature — identical keys to
+    // concat-of-bits, but the heavy dot expressions stay out of the
+    // Generate, whose generator argument evaluates interpreted
+    val buckets = reps.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
+      .select(col("vec_id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_id"),
+          substring(col("sig"), b * bandBits + 1, bandBits).as("band_key"))
+      }: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
+    // NO distinct here: a distinct would shuffle the full multi-band
+    // candidate stream; the normed sides broadcast, so scoring + the
+    // threshold filter run map-side over the candidates and only the
+    // tiny survivor set ever reaches an exchange (the final distinct) —
+    // the shape that made the pre-collapse operator fast
     val repCand = buckets.as("x").join(buckets.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("rep_a"), col("y.vec_id").as("rep_b"))
-      .distinct() // close rep pairs share several bands; score once
-    val crossPairs = repCand
+    val normed = reps.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // checkpoint the tiny survivor set: the scoring stage then compiles to
+    // the same shape as the pre-collapse operator, and the expansion joins
+    // below form their own small plan instead of one mega codegen stage
+    val repPairs = repCand
+      .join(normed.select(col("vec_id").as("rep_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "rep_a")
+      .join(normed.select(col("vec_id").as("rep_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "rep_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("rep_a"), col("rep_b"), col("cos"))
+      .localCheckpoint(true)
+    val cross = repPairs
       .join(groups.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
       .join(groups.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
-      .select(explode(col("ids_a")).as("x"), col("ids_b"))
-      .select(col("x"), explode(col("ids_b")).as("y"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("cos"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("cos"))
       .select(least(col("x"), col("y")).as("vec_id_a"),
-        greatest(col("x"), col("y")).as("vec_id_b"))
-    val withinPairs = groups.filter(size(col("ids")) > 1)
+        greatest(col("x"), col("y")).as("vec_id_b"), col("cos"))
+    val d2self = dot(col("embedding"), col("embedding"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .withColumn("cos", d2self / (sqrt(d2self) * sqrt(d2self)))
+      .filter(col("cos") >= threshold)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
-    val cand = crossPairs.unionByName(withinPairs)
-    val normed = emb.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    cand
-      .join(normed.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
-        col("nrm").as("na")), "vec_id_a")
-      .join(normed.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "vec_id_b")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
+        .as("p"), col("cos"))
+      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"), col("cos"))
+    cross.unionByName(within)
       .select(col("vec_id_a"), col("vec_id_b"), col("cos").as("cos_sim"))
       .distinct()
       .orderBy(col("vec_id_a"), col("vec_id_b"))
