@@ -81,6 +81,35 @@ object Dedup {
       .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
   }
 
+  /** The LSH + exact-verify pair pipeline over a corpus as-given —
+    * (doc_a, doc_b, n_shared_bands, jaccard), unordered. Shared by both
+    * `minhashDupPairs` paths (direct, and over collapse representatives).
+    */
+  private def rawPairs(corpus: DataFrame, jaccardThreshold: Double): DataFrame = {
+    // Materialized once: feeds the signature aggregation, doc sizes, and
+    // both sides of the verify join (pruning defeats exchange reuse).
+    val sh = shingles(corpus).localCheckpoint(true)
+    val bands = bandKeys(minhashWide(sh)).localCheckpoint(true)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
+  }
+
   /** MinHash+LSH near-dup detection, verified: band-bucket join produces
     * candidates, exact shingle-set Jaccard confirms. Output: confirmed
     * pairs with band support and Jaccard.
@@ -108,29 +137,17 @@ object Dedup {
         first(col("text")).as("text"))
       .select(col("ids"), element_at(col("ids"), 1).as("rep"), col("text"))
       .localCheckpoint(true)
+    // ADAPTIVE: the groups table is already materialized, so one cheap
+    // emptiness check routes a duplicate-free corpus (every group a
+    // singleton — the benchmark fixtures, and any pre-exact-deduped
+    // production corpus) through the ORIGINAL plan over `docs`, paying
+    // zero expansion overhead; the collapse path runs only when identical
+    // texts actually exist.
+    val hasDups = !groups.filter(size(col("ids")) > 1).isEmpty
+    if (!hasDups)
+      return rawPairs(docs, jaccardThreshold).orderBy(col("doc_a"), col("doc_b"))
     val repDocs = groups.select(col("rep").as("doc_id"), col("text"))
-    // Materialized once: feeds the signature aggregation, doc sizes, and
-    // both sides of the verify join (pruning defeats exchange reuse).
-    val sh = shingles(repDocs).localCheckpoint(true)
-    val bands = bandKeys(minhashWide(sh)).localCheckpoint(true)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_shared_bands"))
-      .agg(count(lit(1)).as("n_inter"))
-    val repPairs = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
+    val repPairs = rawPairs(repDocs, jaccardThreshold)
     val cross = repPairs
       .join(groups.select(col("rep").as("doc_a"), col("ids").as("ids_a")), "doc_a")
       .join(groups.select(col("rep").as("doc_b"), col("ids").as("ids_b")), "doc_b")

@@ -358,43 +358,55 @@ object Similarity {
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(col("embedding"), col("ids"), element_at(col("ids"), 1).as("rep"))
       .localCheckpoint(true)
+    // band + score a (vec_id, embedding) side: the 32 sign bits evaluate
+    // ONCE per row in a codegen'd projection; band keys are substrings of
+    // the signature — identical keys to concat-of-bits, but the heavy dot
+    // expressions stay out of the Generate, whose generator argument
+    // evaluates interpreted. NO distinct before scoring: the normed sides
+    // broadcast, so scoring + the threshold filter run map-side over the
+    // multi-band candidate stream and only the tiny survivor set ever
+    // reaches an exchange.
+    def scoredPairs(side: DataFrame): DataFrame = {
+      val buckets = side.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
+        .select(col("vec_id"), explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_id"),
+            substring(col("sig"), b * bandBits + 1, bandBits).as("band_key"))
+        }: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      val normed = side.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      cand
+        .join(normed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "id_a")
+        .join(normed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "id_b")
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
+    // ADAPTIVE: groups is already materialized; when every group is a
+    // singleton (duplicate-free corpus — the benchmark fixtures, or any
+    // pre-exact-deduped production layout) the original single-pass plan
+    // over the full table runs with zero expansion overhead.
+    val hasDups = !groups.filter(size(col("ids")) > 1).isEmpty
+    if (!hasDups)
+      return scoredPairs(emb)
+        .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"),
+          col("cos").as("cos_sim"))
+        .distinct()
+        .orderBy(col("vec_id_a"), col("vec_id_b"))
     // band + score over REPRESENTATIVES only, then expand with the scored
     // cos — bit-identical to scoring every member pair, because a member's
     // array IS its rep's array and cos is a pure function of the two
-    // arrays (na*nb for a self pair is sqrt(d)*sqrt(d), replicated below)
+    // arrays (na*nb for a self pair is sqrt(d)*sqrt(d), replicated below).
+    // The survivor checkpoint keeps the expansions their own small stage.
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
-    // the 32 sign bits evaluate ONCE per rep in a codegen'd projection;
-    // band keys are then substrings of the signature — identical keys to
-    // concat-of-bits, but the heavy dot expressions stay out of the
-    // Generate, whose generator argument evaluates interpreted
-    val buckets = reps.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
-      .select(col("vec_id"), explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band_id"),
-          substring(col("sig"), b * bandBits + 1, bandBits).as("band_key"))
-      }: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
-    // NO distinct here: a distinct would shuffle the full multi-band
-    // candidate stream; the normed sides broadcast, so scoring + the
-    // threshold filter run map-side over the candidates and only the
-    // tiny survivor set ever reaches an exchange (the final distinct) —
-    // the shape that made the pre-collapse operator fast
-    val repCand = buckets.as("x").join(buckets.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("rep_a"), col("y.vec_id").as("rep_b"))
-    val normed = reps.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    // checkpoint the tiny survivor set: the scoring stage then compiles to
-    // the same shape as the pre-collapse operator, and the expansion joins
-    // below form their own small plan instead of one mega codegen stage
-    val repPairs = repCand
-      .join(normed.select(col("vec_id").as("rep_a"), col("embedding").as("ea"),
-        col("nrm").as("na")), "rep_a")
-      .join(normed.select(col("vec_id").as("rep_b"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "rep_b")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("rep_a"), col("rep_b"), col("cos"))
+    val repPairs = scoredPairs(reps)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("cos"))
       .localCheckpoint(true)
     val cross = repPairs
       .join(groups.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
