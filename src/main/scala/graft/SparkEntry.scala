@@ -193,6 +193,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.knnJoin(emb.filter(col("vec_id") % 37 === 0), emb)
     }),
+    // Hard-negative mining (contrastive-training data prep): per vector,
+    // the 5 nearest DIFFERENT-label neighbors via the same IVF-cell blocked
+    // join as vec_knn_join; oracle mirrors the blocked plan (recall-
+    // independent hash), SimilaritySpec holds probe-all ≡ brute force.
+    "vec_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // Leave-one-out kNN label audit (embedding-quality probe): per-label
+    // majority-vote accuracy over each vector's 5 nearest others, blocked
+    // like vec_knn_join; integer vote with deterministic argmax tie-break.
+    "vec_label_audit" -> ((s, d) =>
+      Similarity.knnLabelAudit(Tables.embeddings(s, d))),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
@@ -740,6 +751,24 @@ object SparkEntry {
       Curation.vocabCoverage(docs, Curation.buildVocab(docs, 16))
     }),
     "doc_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // Gopher hand-rule bundle (published thresholds, integer-exact rule
+    // comparisons); stop-word list = this generator's function words so
+    // the stop rule genuinely splits the corpus.
+    "doc_gopher_gate" -> ((s, d) =>
+      TextAnalysis.gopherGate(Tables.documents(s, d),
+        stopwords = Seq("the", "a", "table", "value"))),
+    // CCNet-style pruned-bigram LM fit (stupid backoff, fixed-point ppm):
+    // trained on the en slice, scores every doc. vocab 24 / bigram cap 300
+    // both BIND against this generator's ~31-word vocabulary, so the
+    // deterministic prune order genuinely exercises. The transcendental
+    // ppl column is spec-pinned (`NgramLmSpec`) and dropped here — the
+    // oracle hashes the integer surface (the BM25/tfidf precedent).
+    "doc_lm_score" -> ((s, d) =>
+      graft.text.NgramLm.lmScore(Tables.documents(s, d)).drop("ppl")),
+    // CCNet head/middle/tail cut at 30%/70% per language on the integer
+    // fit, deterministic tie-break — the keep-the-head curation gate.
+    "doc_lm_buckets" -> ((s, d) =>
+      graft.text.NgramLm.perplexityBuckets(Tables.documents(s, d))),
     // End-of-pipeline assembly: language + quality + pack + embedding norm
     // in ONE plan (per-doc signals fuse into one scan; the embeddings join
     // is the only corpus-corpus shuffle).
@@ -1780,6 +1809,64 @@ object SparkEntry {
         |      FROM d)
         |SELECT q_vec_id, CAST(rk AS BIGINT) AS rank, c_vec_id, d2 AS dist_sq
         |FROM r WHERE rk <= 10 ORDER BY q_vec_id, rk""".stripMargin,
+    // The blocked plan replayed with the different-label predicate between
+    // candidate generation and the per-query top-k (rank over d2, id).
+    "vec_hard_negatives" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |corp AS (SELECT vec_id AS c_vec_id, label AS c_label, e AS ce, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |qprobe AS (SELECT vec_id AS q_vec_id, label AS q_label, e AS qe, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
+        |    FROM emb, cent) WHERE prn <= 4),
+        |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, c.c_label,
+        |        ${l2sqSql("q.qe", "c.ce")} AS d2
+        |      FROM qprobe q JOIN corp c USING (cell)
+        |      WHERE q.q_label <> c.c_label),
+        |r AS (SELECT q_vec_id, q_label, c_vec_id, c_label, d2,
+        |        row_number() OVER (PARTITION BY q_vec_id ORDER BY d2, c_vec_id) AS rk
+        |      FROM d)
+        |SELECT q_vec_id, q_label, CAST(rk AS BIGINT) AS rank, c_vec_id,
+        |  c_label AS neg_label, d2 AS dist_sq
+        |FROM r WHERE rk <= 5 ORDER BY q_vec_id, rk""".stripMargin,
+    // Blocked-plan replay + the integer majority vote (count desc, label
+    // asc argmax); the accuracy division is the single trailing double.
+    "vec_label_audit" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |corp AS (SELECT vec_id AS c_vec_id, e AS ce, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |qprobe AS (SELECT vec_id AS q_vec_id, label AS q_label, e AS qe, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
+        |    FROM emb, cent) WHERE prn <= 4),
+        |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, ${l2sqSql("q.qe", "c.ce")} AS d2
+        |      FROM qprobe q JOIN corp c USING (cell)
+        |      WHERE q.q_vec_id <> c.c_vec_id),
+        |r AS (SELECT q_vec_id, q_label, c_vec_id,
+        |        row_number() OVER (PARTITION BY q_vec_id ORDER BY d2, c_vec_id) AS rk
+        |      FROM d),
+        |lab AS (SELECT t.q_vec_id, t.q_label, e.label AS n_label
+        |        FROM r t JOIN emb e ON e.vec_id = t.c_vec_id WHERE t.rk <= 5),
+        |v AS (SELECT q_vec_id, q_label, n_label, count(*) AS votes
+        |      FROM lab GROUP BY q_vec_id, q_label, n_label),
+        |p AS (SELECT q_vec_id, q_label, n_label AS pred_label,
+        |        row_number() OVER (PARTITION BY q_vec_id ORDER BY votes DESC, n_label) AS rn
+        |      FROM v)
+        |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN q_label = pred_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN q_label = pred_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS acc
+        |FROM p WHERE rn = 1 GROUP BY q_label ORDER BY label""".stripMargin,
     "vec_ivf_search" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
@@ -2662,6 +2749,101 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY d.source ORDER BY s.quality, s.doc_id) AS pr
         |  FROM s JOIN documents d USING (doc_id))
         |SELECT doc_id, source, quality, pr FROM j WHERE pr >= 0.1 ORDER BY doc_id""".stripMargin,
+    // Integer-exact rule replay: every Gopher rule is a cross-multiplied
+    // integer comparison, so the gate hashes with no float anywhere.
+    "doc_gopher_gate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_word_chars,
+        |  CAST(len(list_filter(ws, w -> w = '#' OR w = '...')) AS BIGINT) AS n_sym,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(ws, 'table') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(ws, 'value') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        | FROM t)
+        |SELECT doc_id, source, n_words, sum_word_chars, n_sym, n_alpha, n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+        |  (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words) AS r_wordlen,
+        |  (10 * n_sym <= n_words) AS r_symbol,
+        |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)
+        |    AND (10 * n_sym <= n_words) AND (5 * n_alpha >= 4 * n_words)
+        |    AND (n_stop >= 2)) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Full training replay: the pruned model (top-24 unigrams / top-300
+    // vocab-interior bigrams, count-desc key-asc — the same total order the
+    // Scala side collects) is rebuilt in SQL, then stupid-backoff scoring
+    // reruns in fixed point (`//` = Spark `div` on non-negative longs).
+    "doc_lm_score" ->
+      """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws FROM w WHERE lang = 'en'),
+        |u AS (SELECT unnest(ws) AS wd FROM tr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY wd ORDER BY c DESC, wd LIMIT 24),
+        |bp AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pr FROM tr),
+        |big AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM bp
+        |        WHERE string_split(pr, ' ')[1] IN (SELECT wd FROM uni)
+        |          AND string_split(pr, ' ')[2] IN (SELECT wd FROM uni)
+        |        GROUP BY pr ORDER BY c DESC, pr LIMIT 300),
+        |pe AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM w),
+        |px AS (SELECT doc_id, p.a AS a, p.b AS b FROM pe),
+        |sc AS (SELECT px.doc_id,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN (1000000 * bg.c) // ua.c
+        |         ELSE (400000 * COALESCE(ub.c, 0)) // (SELECT n FROM tot) END AS ppm,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM px LEFT JOIN big bg ON bg.pr = px.a || ' ' || px.b
+        |          LEFT JOIN uni ua ON ua.wd = px.a
+        |          LEFT JOIN uni ub ON ub.wd = px.b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |    CAST(sum(hit) AS BIGINT) AS n_hits, CAST(sum(ppm) AS BIGINT) AS sum_ppm
+        |  FROM sc GROUP BY doc_id)
+        |SELECT w.doc_id, w.lang, w.source, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(a.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+        |  CAST(COALESCE(a.sum_ppm, 0) // greatest(COALESCE(a.n_scored, 0), 1) AS BIGINT) AS fit_ppm
+        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same scoring replay, then the CCNet 30/70 cut per language on the
+    // integer fit with doc_id tie-break (unique order -> percent_rank is
+    // the same (rank-1)/(n-1) double both engines).
+    "doc_lm_buckets" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws FROM w WHERE lang = 'en'),
+        |u AS (SELECT unnest(ws) AS wd FROM tr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY wd ORDER BY c DESC, wd LIMIT 24),
+        |bp AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pr FROM tr),
+        |big AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM bp
+        |        WHERE string_split(pr, ' ')[1] IN (SELECT wd FROM uni)
+        |          AND string_split(pr, ' ')[2] IN (SELECT wd FROM uni)
+        |        GROUP BY pr ORDER BY c DESC, pr LIMIT 300),
+        |pe AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM w),
+        |px AS (SELECT doc_id, p.a AS a, p.b AS b FROM pe),
+        |sc AS (SELECT px.doc_id,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN (1000000 * bg.c) // ua.c
+        |         ELSE (400000 * COALESCE(ub.c, 0)) // (SELECT n FROM tot) END AS ppm
+        |  FROM px LEFT JOIN big bg ON bg.pr = px.a || ' ' || px.b
+        |          LEFT JOIN uni ua ON ua.wd = px.a
+        |          LEFT JOIN uni ub ON ub.wd = px.b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, CAST(sum(ppm) AS BIGINT) AS sum_ppm
+        |  FROM sc GROUP BY doc_id),
+        |fin AS (SELECT w.doc_id, w.lang,
+        |    CAST(COALESCE(a.sum_ppm, 0) // greatest(COALESCE(a.n_scored, 0), 1) AS BIGINT) AS fit_ppm
+        |  FROM w LEFT JOIN agg a USING (doc_id)),
+        |bk AS (SELECT lang, fit_ppm,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY fit_ppm DESC, doc_id) AS pr FROM fin),
+        |lab AS (SELECT lang,
+        |    CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket,
+        |    fit_ppm FROM bk)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fit_ppm) AS BIGINT) AS sum_fit_ppm,
+        |  CAST(min(fit_ppm) AS BIGINT) AS min_fit_ppm,
+        |  CAST(max(fit_ppm) AS BIGINT) AS max_fit_ppm
+        |FROM lab GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "doc_assemble" ->
       s"""WITH lng AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,

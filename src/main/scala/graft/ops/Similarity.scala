@@ -209,6 +209,124 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCLR data-prep
+    * op): for every vector, the k nearest corpus vectors carrying a
+    * DIFFERENT label — semantically close but known-not-matching, the
+    * examples a contrastive loss learns most from. Same IVF-cell blocked
+    * shape as `knnJoinSalted` (self-join of the corpus on (cell, salt) —
+    * the ONLY shuffle; never a crossJoin; hot cells split so no task sees
+    * more than ~maxCellRows corpus rows), with the label-inequality
+    * predicate applied on the joined candidates BEFORE the bounded top-k,
+    * so same-label candidates never occupy top-k slots. Self-pairs are
+    * excluded for free (a vector shares its own label). The neighbor's
+    * label is re-joined by id after the top-k (an equi-join keyed on
+    * vec_id — k·n result rows against the corpus id/label projection; AQE
+    * broadcasts the small side at low SF, and at 100 TB both sides are
+    * id-bucketed). Recall contract is
+    * `knnJoin`'s: exact iff each vector's true top-k different-label
+    * neighbors live in its nProbe probed cells — `SimilaritySpec` asserts
+    * probe-all ≡ brute force; the registered oracle mirrors the blocked
+    * plan itself, so the hash check is recall-independent.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val assigned = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    // Hot-cell salting, the knnJoinSalted pattern verbatim: a label-skewed
+    // corpus (one dominant class = one dense region) concentrates in few
+    // cells; salting bounds every join task at ~maxCellRows corpus rows
+    // with an identical candidate set. Per-cell salt counts are an
+    // nCells-entry driver map.
+    val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
+      .collect().map { r =>
+        r.getLong(0) -> math.max(1L, (r.getLong(1) + maxCellRows - 1) / maxCellRows).toInt
+      }.toMap
+    val saltMap = map(saltOf.toSeq.flatMap { case (cell, s) =>
+      Seq(lit(cell), lit(s)) }: _*)
+    val c = assigned.withColumn("salt",
+      pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
+    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+      .withColumn("salt", explode(sequence(lit(0L),
+        element_at(saltMap, col("cell")).cast("long") - 1L)))
+    val labels = embeddings.select(col("vec_id").as("c_vec_id"),
+      col("label").as("neg_label"))
+    q.join(c, Seq("cell", "salt"))
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"), col("q_label"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), col("q_label"), posexplode(col("top")))
+      .select(col("q_vec_id"), col("q_label"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("c_vec_id"), (-col("col.value")).as("dist_sq"))
+      .join(labels, "c_vec_id")
+      .select(col("q_vec_id"), col("q_label"), col("rank"),
+        col("c_vec_id"), col("neg_label"), col("dist_sq"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
+  /** Leave-one-out kNN label audit — the standard embedding-quality probe
+    * run before shipping an embedding table: predict every vector's label
+    * by majority vote of its k nearest OTHER vectors, report per-label
+    * accuracy. High accuracy = the geometry respects the labels; a label
+    * whose accuracy craters is the one whose embeddings are entangled.
+    * Candidate generation is the `knnJoin` IVF-cell blocked self-join
+    * (recall contract identical — `SimilaritySpec` asserts probe-all ≡
+    * brute force; the registered oracle mirrors the blocked plan, so the
+    * hash is recall-independent); self-pairs are filtered before the
+    * bounded top-k. The vote is integer end to end: neighbor-label counts
+    * argmax with (count desc, label asc) tie-break — deterministic — and
+    * the only double is the final per-label accuracy division. Shuffle
+    * ladder after the one candidate join: id-keyed top-k, id-keyed label
+    * join, (id,label)-keyed vote count, label-keyed roll-up — every key
+    * bounded by corpus ids or the label alphabet.
+    */
+  def knnLabelAudit(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val c = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      element_at(sortedCells, 1).cast("long").as("cell"))
+    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+    val labels = embeddings.select(col("vec_id").as("c_vec_id"),
+      col("label").as("n_label"))
+    val topk = q.join(c, "cell")
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_vec_id"), col("q_label"))
+      .agg(graft.functions.TopKAggregator.topK(k, -col("d2"), col("c_vec_id")).as("top"))
+      .select(col("q_vec_id"), col("q_label"), explode(col("top")).as("nb"))
+      .select(col("q_vec_id"), col("q_label"), col("nb.id").as("c_vec_id"))
+      .join(labels, "c_vec_id")
+    val voted = topk
+      .groupBy(col("q_vec_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_vec_id"))
+        .orderBy(col("votes").desc, col("n_label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_vec_id"), col("q_label"), col("n_label").as("pred_label"))
+    voted
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("q_label") === col("pred_label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n_vecs").cast("double"))
+      .orderBy(col("label"))
+  }
+
   /** Skew-safe batch kNN join: `knnJoin` with HOT-CELL SALTING. IVF cells
     * are rarely balanced — a dense embedding region concentrates a large
     * fraction of the corpus in one cell, and in the plain cell-keyed join

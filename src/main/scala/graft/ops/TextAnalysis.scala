@@ -152,6 +152,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher rule-set quality gate (Rae et al. 2021, appendix A1.1): the
+    * published hand-rule bundle web pipelines run BEFORE any trained
+    * scorer — word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, and stop-word presence. The line-based
+    * rules (bullet/ellipsis line fractions) are omitted: this corpus has no
+    * line structure (the operators are parameterized where the corpus
+    * shape matters — `stopwords` defaults to Gopher's own list; registered
+    * queries pass this generator's function words so the rule genuinely
+    * splits). Every rule is an INTEGER comparison (mean bounds as
+    * cross-multiplied products — `3·n ≤ Σlen ≤ 10·n`, ratio caps as
+    * `10·n_sym ≤ n` / `5·n_alpha ≥ 4·n`), so the whole gate is
+    * cross-engine hash-exact with no float anywhere. Map-only: one
+    * projection folding each row's own token array, no shuffle.
+    */
+  def gopherGate(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(stopwords.nonEmpty, "need a stop-word list")
+    val ws = split(col("text"), " ")
+    val nStop = stopwords.map(sw =>
+      when(array_contains(ws, sw), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_words"),
+        expr("aggregate(transform(split(text, ' '), w -> length(w)), 0L, (a, x) -> a + x)")
+          .as("sum_word_chars"),
+        size(filter(ws, w => w === "#" || w === "...")).cast("long").as("n_sym"),
+        size(filter(ws, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        nStop.as("n_stop"))
+      .withColumn("r_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wordlen",
+        lit(3L) * col("n_words") <= col("sum_word_chars") &&
+          col("sum_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("r_symbol", lit(10L) * col("n_sym") <= col("n_words"))
+      .withColumn("r_alpha", lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2L)
+      .withColumn("pass",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct word set (word-set
     * normalization — robust to reordering/repetition). `n_same` counts
     * fingerprint collisions, i.e. docs built from the same vocabulary set.

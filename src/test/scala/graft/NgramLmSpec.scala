@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.NgramLm
+
+/** CCNet-style pruned-bigram LM: hand-computed model counts under binding
+  * caps, exact fixed-point stupid-backoff scores, the transcendental ppl
+  * pinned against the closed-form over the same ppm integers (the
+  * spec-level coverage the oracle deliberately omits — BM25 precedent),
+  * degenerate docs, the no-shuffle scoring plan, and bucket sanity.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  private def trainDf() = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b a b c", "en", "s0"),
+      (2L, "b a b b", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("train prunes deterministically at both caps (count desc, key asc)") {
+    val m = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    // unigrams: b:5, a:3 survive the cap; c:1 pruned
+    assert(m.unigrams.toSeq == Seq(("b", 5L), ("a", 3L)))
+    assert(m.totalTokens == 9L)
+    // vocab-interior bigrams: "a b":3, "b a":2 kept; "b b":1 cut by the
+    // cap, "b c" cut by the vocab filter before the cap
+    assert(m.bigrams.toSeq == Seq(("a b", 3L), ("b a", 2L)))
+  }
+
+  test("stupid-backoff ppm scores are exactly the hand computation") {
+    import spark.implicits._
+    val m = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    val docs = Seq((10L, "a b c a q b b", "zz", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = NgramLm.scoreDocs(docs, m).collect()(0)
+    // pairs: (a,b) hit 1000000*3 div 3 = 1000000
+    //        (b,c) backoff c pruned -> 0
+    //        (c,a) backoff 400000*3 div 9 = 133333
+    //        (a,q) backoff q oov -> 0
+    //        (q,b) backoff 400000*5 div 9 = 222222
+    //        (b,b) pruned bigram -> backoff on b = 222222
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_scored") == 6L)
+    assert(r.getAs[Long]("n_hits") == 1L)
+    assert(r.getAs[Long]("sum_ppm") == 1577777L)
+    assert(r.getAs[Long]("fit_ppm") == 1577777L / 6L)
+  }
+
+  test("ppl equals the closed form over the same ppm integers") {
+    import spark.implicits._
+    val m = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    val docs = Seq((10L, "a b c a q b b", "zz", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = NgramLm.scoreDocs(docs, m).collect()(0).getAs[Double]("ppl")
+    val ppms = Seq(1000000L, 0L, 133333L, 0L, 222222L, 222222L)
+    val want = math.exp(-ppms.map(p => math.log(math.max(p, 1L) / 1e6)).sum / 6.0)
+    assert(math.abs(got - want) / want < 1e-12)
+    // a better-fitting doc must score lower perplexity
+    val pair = Seq((1L, "a b a b", "zz", "s1"), (2L, "q r s t", "zz", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m2 = NgramLm.scoreDocs(pair, m).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(m2(1L) < m2(2L))
+  }
+
+  test("degenerate docs: single token and empty text score zero, ppl NaN") {
+    import spark.implicits._
+    val m = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    val docs = Seq((1L, "a", "zz", "s1"), (2L, "", "zz", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    NgramLm.scoreDocs(docs, m).collect().foreach { r =>
+      assert(r.getAs[Long]("n_scored") == 0L)
+      assert(r.getAs[Long]("sum_ppm") == 0L)
+      assert(r.getAs[Long]("fit_ppm") == 0L)
+      assert(r.getAs[Double]("ppl").isNaN)
+    }
+  }
+
+  test("scoring is map-only: the only Exchange is the presentation sort") {
+    val docs = Tables.documents(spark, sf)
+    val m = NgramLm.train(docs.filter(col("lang") === "en"))
+    val plan = NgramLm.scoreDocs(docs, m).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring must not shuffle by key — the model rides as literal maps:\n$plan")
+  }
+
+  test("buckets: per-lang doc counts conserved, head fits at least tail fits") {
+    val docs = Tables.documents(spark, sf)
+    val b = NgramLm.perplexityBuckets(docs).collect()
+    val perLang = b.groupBy(_.getAs[String]("lang"))
+    val total = b.map(_.getAs[Long]("n_docs")).sum
+    assert(total == docs.count())
+    perLang.foreach { case (_, rows) =>
+      val byB = rows.map(r => r.getAs[String]("bucket") -> r).toMap
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.getAs[Long]("min_fit_ppm") >= t.getAs[Long]("max_fit_ppm"),
+          "head bucket must dominate tail on the fit ordering")
+    }
+  }
+}

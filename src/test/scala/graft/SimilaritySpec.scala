@@ -54,6 +54,98 @@ class SimilaritySpec extends SparkSpec {
       s"expected bounded native top-k:\n$plan")
   }
 
+  test("hard negatives: probe-all equals brute force, never a same-label neighbor") {
+    import graft.functions.VectorFunctions.l2Sq
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))
+    val brute = emb.select(col("vec_id").as("q_vec_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .crossJoin(emb.select(col("vec_id").as("c_vec_id"), col("label").as("c_label"),
+        col("embedding").as("ce")))
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("d2", l2Sq(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec_id"), col("rank"), col("c_vec_id"), col("d2"))
+      .orderBy(col("q_vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val probeAll = Similarity.hardNegatives(emb, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("c_vec_id"),
+        r.getAs[Double]("dist_sq"))).toSeq
+    assert(probeAll == brute,
+      "probe-all hard negatives must equal the brute-force different-label top-k")
+
+    // Default probes: full rank range per query, the label invariant holds
+    // (no self-pairs either — a vector shares its own label), and the
+    // re-joined neighbor label really is the neighbor's.
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val mined = Similarity.hardNegatives(emb).collect()
+    mined.foreach { r =>
+      val q = r.getAs[Long]("q_vec_id"); val c = r.getAs[Long]("c_vec_id")
+      assert(q != c, "self-pair leaked")
+      assert(r.getAs[Int]("q_label") == labels(q))
+      assert(r.getAs[Int]("neg_label") == labels(c))
+      assert(labels(q) != labels(c), s"same-label neighbor leaked for query $q")
+    }
+    assert(mined.groupBy(_.getAs[Long]("q_vec_id"))
+      .forall(_._2.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L)))
+  }
+
+  test("hard negatives: salting is invariant on a hot-cell label-skewed corpus") {
+    import spark.implicits._
+    // centroids at one-hot corners; vectors 8..511 ALL cluster near
+    // centroid 0 and 90% carry label 0 — the dense dominant-class region
+    // that makes one IVF cell hot in a real contrastive corpus.
+    def corner(c: Int): Array[Float] = Array.tabulate(4)(d => if (d == c % 4) (10f + c / 4 * 5f) else 0f)
+    val emb = ((0 until 8).map(i => (i.toLong, corner(i), i % 3)) ++
+      (8 until 512).map { i =>
+        (i.toLong, Array(10f + (i % 17) * 0.01f, (i % 13) * 0.01f, (i % 11) * 0.01f, 0f),
+          if (i % 10 == 0) 1 else 0)
+      }).toDF("vec_id", "embedding", "label")
+    def rows(maxCellRows: Long) =
+      Similarity.hardNegatives(emb, k = 5, nProbe = 2, maxCellRows = maxCellRows)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("rank"),
+          r.getAs[Long]("c_vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+    val salted = rows(50L) // hot cell ~504 rows → ~11 salts
+    val unsalted = rows(Long.MaxValue)
+    assert(salted == unsalted, "hot-cell salting must not change mined negatives")
+    assert(salted.nonEmpty)
+  }
+
+  test("kNN label audit: probe-all equals the brute-force leave-one-out majority vote") {
+    import graft.functions.VectorFunctions.l2Sq
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))
+    val bruteTop = emb.select(col("vec_id").as("q_vec_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .crossJoin(emb.select(col("vec_id").as("c_vec_id"), col("label").as("c_label"),
+        col("embedding").as("ce")))
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .withColumn("d2", l2Sq(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec_id"), col("q_label"), col("c_label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val want = bruteTop.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((_, qLabel), nbs) =>
+        val pred = nbs.groupBy(_._3).toSeq
+          .maxBy { case (lbl, vs) => (vs.size, -lbl) }._1
+        (qLabel, pred)
+      }
+      .groupBy(_._1).view.mapValues(ps => (ps.size.toLong, ps.count(p => p._1 == p._2).toLong))
+      .toMap
+    val got = Similarity.knnLabelAudit(emb, k = 5, nProbe = 8).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_correct"))).toMap
+    assert(got == want, s"audit mismatch: got $got want $want")
+    // accuracy column is the plain division of the two integer columns
+    Similarity.knnLabelAudit(emb, k = 5, nProbe = 8).collect().foreach { r =>
+      assert(r.getAs[Double]("acc") ==
+        r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_vecs").toDouble)
+    }
+  }
+
   test("native codegen dot/l2sq are bitwise-equal to the HOF formulation") {
     import graft.functions.VectorFunctions._
     val emb = Tables.embeddings(spark, sf)
