@@ -204,6 +204,12 @@ object SparkEntry {
     // like vec_knn_join; integer vote with deterministic argmax tie-break.
     "vec_label_audit" -> ((s, d) =>
       Similarity.knnLabelAudit(Tables.embeddings(s, d))),
+    // One exact distributed Lloyd step (fixed-point microunit sums — all
+    // long arithmetic through the shuffle, cross-engine exact; the double
+    // division happens once at output). Seeds = vec_id < 8, argmin
+    // assignment with cid tie-break, (cell, dim) roll-up.
+    "vec_kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(Tables.embeddings(s, d))),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
@@ -1867,6 +1873,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN q_label = pred_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS acc
         |FROM p WHERE rn = 1 GROUP BY q_label ORDER BY label""".stripMargin,
+    // Assignment replay + floor(x*1e6) quantization: multiply is one
+    // correctly-rounded IEEE op and floor is exact, so the summed
+    // microunits are bit-identical longs in both engines.
+    "vec_kmeans_step" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, e, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |px AS (SELECT cell, unnest(list_transform(range(1, len(e)+1),
+        |         i -> {'d': i, 'v': e[i]})) AS p FROM asn),
+        |q AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(p.d AS INT) AS dim,
+        |        CAST(floor(p.v * 1000000.0) AS BIGINT) AS v_micro FROM px)
+        |SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+        |  CAST(sum(v_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+        |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     "vec_ivf_search" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),

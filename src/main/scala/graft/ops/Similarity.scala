@@ -272,6 +272,45 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** One exact distributed Lloyd (k-means) step — the building block of
+    * corpus organization at training-data scale (cluster-balanced
+    * sampling, SemDeDup's clustering stage, IVF retraining): assign every
+    * vector to its nearest seed centroid (seeds = `vec_id < k`, the
+    * `ivfSearch` convention; argmin with cid tie-break — deterministic),
+    * then emit each cluster's per-dimension member count and coordinate
+    * sum. Cross-engine exactness: coordinates are quantized to fixed-point
+    * MICROUNITS via `floor(x·1e6)` — multiply is one correctly-rounded
+    * IEEE op and floor is exact, so the quantized values are
+    * bit-identical in any engine and the sums are plain long arithmetic
+    * (no decimal rounding mode in sight, no float sum order anywhere).
+    * The updated centroid coordinate is the single trailing double
+    * division `sum_micro / (1e6·n)`; quantization error is ≤ 0.5e-6 per
+    * coordinate — irrelevant to clustering geometry, and the production
+    * float path (`IvfIndex.train`) remains the serving trainer. Shape:
+    * assignment is map-only against literal centroids; the ONLY shuffle
+    * is the (cell, dim) roll-up — keyspace k·d, bounded, map-side
+    * combined. Iterating = re-calling with the returned centroids.
+    */
+  def kmeansStep(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    embeddings
+      .select(element_at(sortedCells, 1).cast("long").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("v_micro"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("v_micro")).as("sum_micro"))
+      .withColumn("mean",
+        col("sum_micro").cast("double") / (col("n_members").cast("double") * 1000000.0))
+      .orderBy(col("cell"), col("dim"))
+  }
+
   /** Leave-one-out kNN label audit — the standard embedding-quality probe
     * run before shipping an embedding table: predict every vector's label
     * by majority vote of its k nearest OTHER vectors, report per-label

@@ -91,7 +91,14 @@ object NgramLm {
     * backoff perplexity exp(−Σ ln(max(ppm,1)/1e6)/n_scored) over the same
     * integers — spec-pinned double, dropped from the oracled query).
     */
-  def scoreDocs(docs: DataFrame, model: LmModel): DataFrame = {
+  def scoreDocs(docs: DataFrame, model: LmModel): DataFrame =
+    scoredUnsorted(docs, model).orderBy(col("doc_id"))
+
+  /** The scoring projection without the presentation sort — consumers that
+    * re-shuffle anyway (the bucket window) start from this so the corpus
+    * is sorted once, not twice.
+    */
+  private def scoredUnsorted(docs: DataFrame, model: LmModel): DataFrame = {
     val uniMap = map(model.unigrams.flatMap { case (w, c) =>
       Seq(lit(w), lit(c)) }.toSeq: _*)
     // The sentinel key has no space, so it can never equal a "prev w" pair
@@ -128,7 +135,7 @@ object NgramLm {
         when(col("n_scored") === 0L, lit(Double.NaN))
           .otherwise(exp(-col("_lnsum") / col("n_scored").cast("double"))))
       .drop("_lnsum")
-    scored.orderBy(col("doc_id"))
+    scored
   }
 
   /** Train-then-score in one call — the registered-query form. The training
@@ -151,7 +158,8 @@ object NgramLm {
     */
   def perplexityBuckets(docs: DataFrame, trainLang: String = "en",
       vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame = {
-    val scored = lmScore(docs, trainLang, vocabSize, maxBigrams)
+    val scored = scoredUnsorted(docs,
+      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("fit_ppm").desc, col("doc_id"))

@@ -146,6 +146,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans step: hand-exact microunit sums, tie to lower cid, members conserved") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f), 0), // seed cell 0
+      (1L, Array(10f, 10f), 0), // seed cell 1
+      (2L, Array(1f, 2f), 0), // -> cell 0
+      (3L, Array(9f, 9.5f), 0), // -> cell 1
+      (4L, Array(0.5f, -0.25f), 0), // -> cell 0 (exact binary fractions)
+      (5L, Array(5f, 5f), 0) // equidistant -> cid tie-break -> cell 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansStep(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("n_members"),
+        r.getAs[Long]("sum_micro"), r.getAs[Double]("mean"))).toSeq
+    val want = Seq(
+      (0L, 1, 4L, 6500000L, 6500000.0 / 4e6),
+      (0L, 2, 4L, 6750000L, 6750000.0 / 4e6),
+      (1L, 1, 2L, 19000000L, 19000000.0 / 2e6),
+      (1L, 2, 2L, 19500000L, 19500000.0 / 2e6))
+    assert(got == want, s"got $got")
+
+    // real corpus: every vector lands in exactly one cell per dimension
+    val corpus = Tables.embeddings(spark, sf)
+    val step = Similarity.kmeansStep(corpus).collect()
+    val n = corpus.count()
+    step.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n_members")).sum == n,
+        "per-dimension member counts must partition the corpus")
+    }
+  }
+
   test("native codegen dot/l2sq are bitwise-equal to the HOF formulation") {
     import graft.functions.VectorFunctions._
     val emb = Tables.embeddings(spark, sf)
