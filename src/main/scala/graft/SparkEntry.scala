@@ -210,6 +210,12 @@ object SparkEntry {
     // assignment with cid tie-break, (cell, dim) roll-up.
     "vec_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.embeddings(s, d))),
+    // Cluster-balanced sample: cap lowest-hash-draw members per seed cell
+    // via the bounded native top-k aggregate (no per-cell window sort);
+    // the oracle uses the row_number window form — same rows by the
+    // numeric-order ≡ hex-lex-order argument.
+    "vec_cluster_sample" -> ((s, d) =>
+      Similarity.clusterSample(Tables.embeddings(s, d))),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
@@ -775,6 +781,10 @@ object SparkEntry {
     // fit, deterministic tie-break — the keep-the-head curation gate.
     "doc_lm_buckets" -> ((s, d) =>
       graft.text.NgramLm.perplexityBuckets(Tables.documents(s, d))),
+    // Per-source LM quality audit (the CCNet per-domain perplexity table):
+    // exact integer roll-up of the per-doc fit signals by source.
+    "doc_lm_source_audit" -> ((s, d) =>
+      graft.text.NgramLm.lmSourceAudit(Tables.documents(s, d))),
     // End-of-pipeline assembly: language + quality + pack + embedding norm
     // in ONE plan (per-doc signals fuse into one scan; the embeddings join
     // is the only corpus-corpus shuffle).
@@ -1892,6 +1902,25 @@ object SparkEntry {
         |  CAST(sum(v_micro) AS BIGINT) AS sum_micro,
         |  CAST(sum(v_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
         |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+    // Same assignment replay; the per-cell cap is the declarative
+    // row_number window over (draw, vec_id) — the Spark side's bounded
+    // top-k aggregate selects the identical rows (8-hex md5 numeric order
+    // = lex order; ties fall to vec_id asc in both forms).
+    "vec_cluster_sample" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT emb.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |d AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+        |        substr(md5('graft|' || CAST(vec_id AS VARCHAR)), 1, 8) AS draw FROM asn),
+        |r AS (SELECT cell, vec_id, draw,
+        |        CAST(row_number() OVER (PARTITION BY cell ORDER BY draw, vec_id) AS BIGINT) AS rank
+        |      FROM d)
+        |SELECT cell, rank, vec_id, draw FROM r WHERE rank <= 64
+        |ORDER BY cell, rank""".stripMargin,
     "vec_ivf_search" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
@@ -2832,6 +2861,44 @@ object SparkEntry {
         |  CAST(COALESCE(a.sum_ppm, 0) AS BIGINT) AS sum_ppm,
         |  CAST(COALESCE(a.sum_ppm, 0) // greatest(COALESCE(a.n_scored, 0), 1) AS BIGINT) AS fit_ppm
         |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same scoring replay, rolled up by source — all-integer surface
+    // (counts, long ppm sums, floor-division means), so the whole per-
+    // domain quality table hashes cross-engine.
+    "doc_lm_source_audit" ->
+      """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws FROM w WHERE lang = 'en'),
+        |u AS (SELECT unnest(ws) AS wd FROM tr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY wd ORDER BY c DESC, wd LIMIT 24),
+        |bp AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pr FROM tr),
+        |big AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM bp
+        |        WHERE string_split(pr, ' ')[1] IN (SELECT wd FROM uni)
+        |          AND string_split(pr, ' ')[2] IN (SELECT wd FROM uni)
+        |        GROUP BY pr ORDER BY c DESC, pr LIMIT 300),
+        |pe AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM w),
+        |px AS (SELECT doc_id, p.a AS a, p.b AS b FROM pe),
+        |sc AS (SELECT px.doc_id,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN (1000000 * bg.c) // ua.c
+        |         ELSE (400000 * COALESCE(ub.c, 0)) // (SELECT n FROM tot) END AS ppm,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM px LEFT JOIN big bg ON bg.pr = px.a || ' ' || px.b
+        |          LEFT JOIN uni ua ON ua.wd = px.a
+        |          LEFT JOIN uni ub ON ub.wd = px.b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |    CAST(sum(hit) AS BIGINT) AS n_hits, CAST(sum(ppm) AS BIGINT) AS sum_ppm
+        |  FROM sc GROUP BY doc_id),
+        |per AS (SELECT w.doc_id, w.source, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        |    COALESCE(a.n_scored, 0) AS n_scored, COALESCE(a.n_hits, 0) AS n_hits,
+        |    COALESCE(a.sum_ppm, 0) AS sum_ppm
+        |  FROM w LEFT JOIN agg a USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_scored) AS BIGINT) AS n_scored,
+        |  CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        |  CAST(sum(sum_ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(sum(sum_ppm) // greatest(sum(n_scored), 1) AS BIGINT) AS fit_ppm,
+        |  CAST((1000 * sum(n_hits)) // greatest(sum(n_scored), 1) AS BIGINT) AS hits_per_1000
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // Same scoring replay, then the CCNet 30/70 cut per language on the
     // integer fit with doc_id tie-break (unique order -> percent_rank is
     // the same (rank-1)/(n-1) double both engines).

@@ -291,16 +291,9 @@ object Similarity {
     * is the (cell, dim) roll-up — keyspace k·d, bounded, map-side
     * combined. Iterating = re-calling with the returned centroids.
     */
-  def kmeansStep(embeddings: DataFrame, k: Int = 8): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    embeddings
-      .select(element_at(sortedCells, 1).cast("long").as("cell"),
+  def kmeansStep(embeddings: DataFrame, k: Int = 8): DataFrame =
+    assignSeedCells(embeddings, k)
+      .select(col("cell"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
         floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("v_micro"))
@@ -309,6 +302,51 @@ object Similarity {
       .withColumn("mean",
         col("sum_micro").cast("double") / (col("n_members").cast("double") * 1000000.0))
       .orderBy(col("cell"), col("dim"))
+
+  /** Deterministic nearest-seed cell assignment (seeds = `vec_id < k`, the
+    * `ivfSearch` convention): adds a `cell` column holding the argmin
+    * centroid id, ties to the LOWER cid via the (distance, cid) struct
+    * sort. MAP-ONLY — the k centroids ride as literal structs (a bounded
+    * driver artifact, the vocab/centroid pattern), so assignment is a
+    * projection over one scan with no join and no shuffle.
+    */
+  def assignSeedCells(embeddings: DataFrame, k: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
+  }
+
+  /** Cluster-balanced sampling — the corpus-coverage selection step
+    * (SemDeDup/DoReMi-style pipelines sample per embedding cluster so a
+    * dominant dense region cannot crowd the sample): assign every vector
+    * to its nearest seed cell, then keep the `cap` lowest hash-draw
+    * members of each cell. The draw is `Sampling.hashDraw` (md5 of the
+    * stable id) — reproducible, stable under corpus growth, and
+    * engine-portable, the exact properties `hashSample` documents.
+    * Scale shape: assignment is map-only; the per-cell selection rides the
+    * bounded native top-k aggregate (≤2·cap rows buffered per cell on any
+    * executor, ≤cap rows per (partition, cell) into the shuffle — a
+    * billion-vector hot cell never sorts in one task, unlike the
+    * row_number window form the oracle uses). The 8-hex draw is < 2^32,
+    * exact in the aggregator's Double; numeric order equals the hex
+    * string's lexicographic order, and draw ties fall to vec_id asc in
+    * both forms.
+    */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, cap: Int = 64): DataFrame = {
+    val drawNum = conv(Sampling.hashDraw(col("vec_id")), 16, 10).cast("double")
+    assignSeedCells(embeddings, k)
+      .groupBy(col("cell"))
+      .agg(graft.functions.TopKAggregator.topK(cap, -drawNum, col("vec_id")).as("top"))
+      .select(col("cell"), posexplode(col("top")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"))
+      .withColumn("draw", Sampling.hashDraw(col("vec_id")))
+      .orderBy(col("cell"), col("rank"))
   }
 
   /** Leave-one-out kNN label audit — the standard embedding-quality probe

@@ -148,6 +148,31 @@ object NgramLm {
     scoreDocs(docs,
       train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
 
+  /** Per-source LM quality audit — the per-domain perplexity table every
+    * CCNet-style curation run reports (quality drift by source: a crawl
+    * slice whose model fit craters relative to its siblings is the one to
+    * re-filter or down-weight in the mixture). Trains the same pruned
+    * bigram LM, scores every document, and rolls the EXACT integer
+    * per-doc signals up by source: doc/token/pair/hit counts, the long
+    * ppm sum, the integer mean fit, and bigram hits per 1000 scored pairs
+    * (integer `div` — no float anywhere, so the whole row hashes
+    * cross-engine). Scale shape: map-only scoring + one source-keyed
+    * aggregation (bounded key space, map-side combined).
+    */
+  def lmSourceAudit(docs: DataFrame, trainLang: String = "en",
+      vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame =
+    scoredUnsorted(docs,
+      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_scored")).as("n_scored"),
+        sum(col("n_hits")).as("n_hits"),
+        sum(col("sum_ppm")).as("sum_ppm"))
+      .withColumn("fit_ppm", expr("sum_ppm div greatest(n_scored, 1L)"))
+      .withColumn("hits_per_1000", expr("(1000L * n_hits) div greatest(n_scored, 1L)"))
+      .orderBy(col("source"))
+
   /** CCNet head/middle/tail bucketing: within each language, rank documents
     * by model fit (fit_ppm desc — best fit first, doc_id tie-break: a total
     * order, so percent_rank is deterministic) and cut at 30% / 70%. Returns

@@ -99,4 +99,24 @@ class NgramLmSpec extends SparkSpec {
           "head bucket must dominate tail on the fit ordering")
     }
   }
+
+  test("source audit == manual roll-up of per-doc scores; docs conserved") {
+    val docs = Tables.documents(spark, sf)
+    val audit = NgramLm.lmSourceAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+
+    // independent composition: score per doc, then group in plain Scala
+    val perDoc = NgramLm.lmScore(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_scored"), r.getAs[Long]("n_hits"), r.getAs[Long]("sum_ppm")))
+    val want = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val (nt, ns, nh, sp) = (rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum, rows.map(_._5).sum)
+      (src, rows.size.toLong, nt, ns, nh, sp,
+        sp / math.max(ns, 1L), (1000L * nh) / math.max(ns, 1L))
+    }
+    assert(audit == want, s"audit rows must equal the manual roll-up")
+    assert(audit.map(_._2).sum == docs.count(), "every doc in exactly one source row")
+  }
 }

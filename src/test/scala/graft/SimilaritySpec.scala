@@ -176,6 +176,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cluster sample: bounded top-k agg == row_number window replay, caps hold") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.embeddings(spark, sf)
+    val cap = 5
+    val got = Similarity.clusterSample(corpus, k = 8, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    // independent formulation: full per-cell sort via a window
+    val w = Window.partitionBy(col("cell")).orderBy(col("draw"), col("vec_id"))
+    val want = Similarity.assignSeedCells(corpus, 8)
+      .withColumn("draw", graft.ops.Sampling.hashDraw(col("vec_id")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+      .select(col("cell"), col("rank"), col("vec_id"), col("draw"))
+      .orderBy(col("cell"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want, "bounded-agg selection must equal the window form")
+
+    val perCell = got.groupBy(_._1)
+    perCell.foreach { case (_, rows) =>
+      assert(rows.size <= cap)
+      assert(rows.map(_._2).sorted == (1L to rows.size.toLong), "ranks contiguous from 1")
+    }
+    // a cell with more members than the cap is actually capped
+    val cellSizes = Similarity.assignSeedCells(corpus, 8)
+      .groupBy(col("cell")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cellSizes.exists(_._2 > cap), "fixture must exercise the cap")
+    cellSizes.filter(_._2 > cap).keys.foreach { c =>
+      assert(perCell(c).size == cap, s"over-full cell $c must hold exactly cap rows")
+    }
+  }
+
   test("native codegen dot/l2sq are bitwise-equal to the HOF formulation") {
     import graft.functions.VectorFunctions._
     val emb = Tables.embeddings(spark, sf)
