@@ -769,22 +769,44 @@ object SparkEntry {
     "doc_gopher_gate" -> ((s, d) =>
       TextAnalysis.gopherGate(Tables.documents(s, d),
         stopwords = Seq("the", "a", "table", "value"))),
-    // CCNet-style pruned-bigram LM fit (stupid backoff, fixed-point ppm):
-    // trained on the en slice, scores every doc. vocab 24 / bigram cap 300
-    // both BIND against this generator's ~31-word vocabulary, so the
-    // deterministic prune order genuinely exercises. The transcendental
-    // ppl column is spec-pinned (`NgramLmSpec`) and dropped here — the
-    // oracle hashes the integer surface (the BM25/tfidf precedent).
-    "doc_lm_score" -> ((s, d) =>
-      graft.text.NgramLm.lmScore(Tables.documents(s, d)).drop("ppl")),
+    // CCNet-style pruned-bigram LM (stupid backoff, fixed-point ppm),
+    // build/serve split (the vec_pq_build precedent): doc_lm_build times a
+    // FRESH train + persist per call and returns the model table itself
+    // (kind/key/cnt, a total order — the oracle replays the prune in SQL);
+    // the three serving queries below read ONLY the persisted artifact.
+    // vocab 24 / bigram cap 300 both BIND against this generator's ~31-word
+    // vocabulary, so the deterministic prune order genuinely exercises.
+    "doc_lm_build" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-nglm").toString + "/idx"
+      graft.text.NgramLm.buildAt(s, Tables.documents(s, d), dir)
+      artifactCache.putIfAbsent(s"ngramlm|$d", dir)
+      s.read.parquet(s"$dir/model").orderBy(col("kind"), col("key"))
+    }),
+    // Serve-from-artifact scoring — no retraining in the query. The
+    // transcendental ppl column is spec-pinned (`NgramLmSpec`) and dropped
+    // here — the oracle hashes the integer surface (the BM25/tfidf
+    // precedent). The oracle replays train+score in SQL; content of the
+    // persisted model is thereby verified end-to-end.
+    "doc_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = cachedArtifact("ngramlm", d)(p => graft.text.NgramLm.buildAt(s, docs, p))
+      graft.text.NgramLm.scoreDocsFrom(s, docs, dir).drop("ppl")
+    }),
     // CCNet head/middle/tail cut at 30%/70% per language on the integer
     // fit, deterministic tie-break — the keep-the-head curation gate.
-    "doc_lm_buckets" -> ((s, d) =>
-      graft.text.NgramLm.perplexityBuckets(Tables.documents(s, d))),
+    "doc_lm_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = cachedArtifact("ngramlm", d)(p => graft.text.NgramLm.buildAt(s, docs, p))
+      graft.text.NgramLm.perplexityBucketsFrom(s, docs, dir)
+    }),
     // Per-source LM quality audit (the CCNet per-domain perplexity table):
     // exact integer roll-up of the per-doc fit signals by source.
-    "doc_lm_source_audit" -> ((s, d) =>
-      graft.text.NgramLm.lmSourceAudit(Tables.documents(s, d))),
+    "doc_lm_source_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = cachedArtifact("ngramlm", d)(p => graft.text.NgramLm.buildAt(s, docs, p))
+      graft.text.NgramLm.lmSourceAuditFrom(s, docs, dir)
+    }),
     // End-of-pipeline assembly: language + quality + pack + embedding norm
     // in ONE plan (per-doc signals fuse into one scan; the embeddings join
     // is the only corpus-corpus shuffle).
@@ -2828,10 +2850,29 @@ object SparkEntry {
         |    AND (10 * n_sym <= n_words) AND (5 * n_alpha >= 4 * n_words)
         |    AND (n_stop >= 2)) AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
-    // Full training replay: the pruned model (top-24 unigrams / top-300
+    // Training replay alone: the pruned model (top-24 unigrams / top-300
     // vocab-interior bigrams, count-desc key-asc — the same total order the
-    // Scala side collects) is rebuilt in SQL, then stupid-backoff scoring
-    // reruns in fixed point (`//` = Spark `div` on non-negative longs).
+    // Scala side collects and persists) rebuilt in SQL, emitted as the same
+    // (kind, key, cnt) table the build query returns.
+    "doc_lm_build" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE lang = 'en'),
+        |u AS (SELECT unnest(ws) AS wd FROM w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY wd ORDER BY c DESC, wd LIMIT 24),
+        |bp AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pr FROM w),
+        |big AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM bp
+        |        WHERE string_split(pr, ' ')[1] IN (SELECT wd FROM uni)
+        |          AND string_split(pr, ' ')[2] IN (SELECT wd FROM uni)
+        |        GROUP BY pr ORDER BY c DESC, pr LIMIT 300)
+        |SELECT kind, key, cnt FROM (
+        |  SELECT 'uni' AS kind, wd AS key, c AS cnt FROM uni
+        |  UNION ALL SELECT 'big' AS kind, pr AS key, c AS cnt FROM big
+        |  UNION ALL SELECT 'total' AS kind, '' AS key, (SELECT n FROM tot) AS cnt)
+        |ORDER BY kind, key""".stripMargin,
+    // Full training replay + stupid-backoff scoring rerun in fixed point
+    // (`//` = Spark `div` on non-negative longs). The Spark side serves
+    // from the persisted model, so a corrupt artifact would hash-mismatch
+    // here — the end-to-end content check on the build.
     "doc_lm_score" ->
       """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
         |tr AS (SELECT ws FROM w WHERE lang = 'en'),

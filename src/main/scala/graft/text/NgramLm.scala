@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
   * and is pinned by `NgramLmSpec` hand fixtures instead — exactly how
   * `bm25Search` is covered by integer-exact `tfidfSearch`.
   *
-  * Scale shape: the MODEL is bounded by construction — top-`vocabSize`
-  * unigrams and top-`maxBigrams` vocab-interior bigrams (count-desc,
-  * key-asc: a total order, so pruning is deterministic at the cap boundary),
-  * the KenLM-pruning analog. Training is two token-stream aggregations
-  * (unigram keyspace = distinct words, bigram keyspace capped by the vocab
-  * semi-join); the collected model is a driver artifact like
-  * `Curation.buildVocab`. SCORING is map-only: the model rides as two literal
-  * maps (the `tokenize` pattern; at a production vocab size the same plan
-  * holds with the maps as broadcast joins) and each row folds its own token
-  * array — no explode, no join, no shuffle, full codegen.
+  * Scale shape — train once, serve many, two scoring plans:
+  *   - The MODEL is bounded by construction — top-`vocabSize` unigrams and
+  *     top-`maxBigrams` vocab-interior bigrams (count-desc, key-asc: a total
+  *     order, so pruning is deterministic at the cap boundary), the
+  *     KenLM-pruning analog. Training is two token-stream aggregations; the
+  *     artifact persists as a parquet table (`save`/`buildAt`) so serving
+  *     never retrains (the `vec_pq_build` build/serve split).
+  *   - SCORING is map-only either way: each row folds its own token array —
+  *     no explode, no per-token join, no shuffle. Models at or under
+  *     [[LiteralMapMaxEntries]] entries ride the plan as literal maps (full
+  *     codegen, zero exchanges). Larger models — a production CCNet LM
+  *     carries 1e5–1e7 entries, far past JVM codegen limits (64 KB method
+  *     bodies, constant-pool pressure) for literal maps — ship as DATA
+  *     instead: a one-row DataFrame holding the two maps, attached via a
+  *     broadcast nested-loop join (1-row build side, no shuffle), with the
+  *     IDENTICAL fold expression downstream. Because only the map columns'
+  *     provenance changes, the two forms are bitwise-equal by construction
+  *     (`NgramLmSpec` asserts it on an over-threshold model, ppl doubles
+  *     included).
   */
 object NgramLm {
 
@@ -40,6 +49,15 @@ object NgramLm {
 
   /** Stupid-backoff alpha = 0.4 (Brants et al. 2007), pre-scaled. */
   val AlphaPpm = 400000L
+
+  /** Largest model (unigram + bigram entries) shipped as in-plan literal
+    * maps. Above this the maps ride a one-row broadcast join instead:
+    * literal `CreateMap` emits two expressions per entry, and past a few
+    * thousand entries codegen hits JVM method-size / constant-pool walls.
+    * 2048 keeps the toy/oracle models (24 + 300) comfortably literal while
+    * routing anything production-shaped to the data path.
+    */
+  val LiteralMapMaxEntries = 2048
 
   /** Pruned bigram LM: unigram counts, vocab-interior bigram counts keyed
     * "w1 w2", and the total training token count. All exact longs.
@@ -79,6 +97,48 @@ object NgramLm {
     LmModel(uni, big, total)
   }
 
+  // ---------------------------------------------------------------- persist
+
+  /** Persist a trained model at `$path/model` as one parquet table
+    * (kind ∈ {uni, big, total}, key, cnt) — the LM analog of the repo's
+    * other build-once artifacts. Written fresh (builds target a new
+    * directory, the `IvfPqIndex.build` contract), so no swap dance needed.
+    */
+  def save(spark: SparkSession, model: LmModel, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.unigrams.toSeq.map { case (w, c) => ("uni", w, c) } ++
+      model.bigrams.toSeq.map { case (p, c) => ("big", p, c) } :+
+      (("total", "", model.totalTokens))
+    rows.toDF("kind", "key", "cnt").write.mode("overwrite")
+      .parquet(s"$path/model")
+  }
+
+  /** Train on the `trainLang` slice of `docs` and persist at `path` — the
+    * registered `doc_lm_build` body.
+    */
+  def buildAt(spark: SparkSession, docs: DataFrame, path: String,
+      trainLang: String = "en", vocabSize: Int = 24,
+      maxBigrams: Int = 300): Unit =
+    save(spark, train(docs.filter(col("lang") === trainLang), vocabSize,
+      maxBigrams), path)
+
+  /** Load a persisted model back into a driver-side [[LmModel]] (entry
+    * order restored to the train() total order). Only sensible for models
+    * small enough to collect — the serve entry points below pick the
+    * DataFrame-backed path for anything larger without materializing.
+    */
+  def load(spark: SparkSession, path: String): LmModel = {
+    val t = spark.read.parquet(s"$path/model")
+    def part(kind: String) = t.filter(col("kind") === kind)
+      .orderBy(col("cnt").desc, col("key"))
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("cnt")))
+    val total = t.filter(col("kind") === "total").head.getAs[Long]("cnt")
+    LmModel(part("uni"), part("big"), total)
+  }
+
+  // ---------------------------------------------------------------- scoring
+
   /** Score every document against a trained model, MAP-ONLY. Per adjacent
     * token pair (prev, w):
     *   - bigram hit (pair and prev both in model):
@@ -94,22 +154,102 @@ object NgramLm {
   def scoreDocs(docs: DataFrame, model: LmModel): DataFrame =
     scoredUnsorted(docs, model).orderBy(col("doc_id"))
 
+  /** Serve-from-artifact scoring: read the persisted model at `path` and
+    * score without retraining. Small models collect into the literal-map
+    * plan (identical to [[scoreDocs]] over [[load]]); models past
+    * [[LiteralMapMaxEntries]] stay distributed — the two map columns are
+    * aggregated straight from the model table and broadcast, nothing
+    * model-sized ever lands on the driver.
+    */
+  def scoreDocsFrom(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame =
+    scoredUnsortedFrom(spark, docs, path).orderBy(col("doc_id"))
+
   /** The scoring projection without the presentation sort — consumers that
     * re-shuffle anyway (the bucket window) start from this so the corpus
-    * is sorted once, not twice.
+    * is sorted once, not twice. Dispatches literal-map vs broadcast-join
+    * map provenance on model size; the fold itself is shared
+    * ([[scoreProjection]]), so both forms are bitwise-identical.
     */
-  private def scoredUnsorted(docs: DataFrame, model: LmModel): DataFrame = {
-    val uniMap = map(model.unigrams.flatMap { case (w, c) =>
-      Seq(lit(w), lit(c)) }.toSeq: _*)
-    // The sentinel key has no space, so it can never equal a "prev w" pair
-    // — a typed stand-in for the empty map when the model kept no bigrams.
-    val bigMap =
-      if (model.bigrams.isEmpty) map(lit(""), lit(0L))
-      else map(model.bigrams.flatMap { case (p, c) =>
-        Seq(lit(p), lit(c)) }.toSeq: _*)
-    val scored = docs
-      .withColumn("m_uni", uniMap)
-      .withColumn("m_big", bigMap)
+  private def scoredUnsorted(docs: DataFrame, model: LmModel): DataFrame =
+    scoreProjection(withModelMaps(docs, model), model.totalTokens)
+
+  private def scoredUnsortedFrom(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame = {
+    val t = spark.read.parquet(s"$path/model")
+    // Two driver scalars (entry count + total), the bounded-artifact rule.
+    val meta = t.agg(
+      sum(when(col("kind") =!= "total", 1L).otherwise(0L)).as("entries"),
+      max(when(col("kind") === "total", col("cnt"))).as("total")).head
+    val entries = meta.getLong(0)
+    val total = meta.getLong(1)
+    if (entries <= LiteralMapMaxEntries)
+      scoredUnsorted(docs, load(spark, path))
+    else
+      scoreProjection(joinModelMaps(docs,
+        t.filter(col("kind") === "uni").select(col("key"), col("cnt")),
+        t.filter(col("kind") === "big").select(col("key"), col("cnt"))), total)
+  }
+
+  /** Spec plumbing: score with a PINNED map provenance (literal vs
+    * broadcast), so `NgramLmSpec` can run one model through both forms and
+    * assert bitwise equality. Production entry points dispatch on size.
+    */
+  private[graft] def scoreDocsForm(docs: DataFrame, model: LmModel,
+      broadcastForm: Boolean): DataFrame =
+    scoreProjection(withModelMaps(docs, model,
+      forceLiteral = !broadcastForm, forceBroadcast = broadcastForm),
+      model.totalTokens).orderBy(col("doc_id"))
+
+  /** Attach `m_uni` / `m_big` map columns from a driver-side model:
+    * literal maps at toy size, the broadcast data path past the threshold.
+    */
+  private def withModelMaps(docs: DataFrame, model: LmModel,
+      forceLiteral: Boolean = false,
+      forceBroadcast: Boolean = false): DataFrame = {
+    val n = model.unigrams.length + model.bigrams.length
+    if (forceLiteral || (!forceBroadcast && n <= LiteralMapMaxEntries)) {
+      val uniMap = map(model.unigrams.flatMap { case (w, c) =>
+        Seq(lit(w), lit(c)) }.toSeq: _*)
+      // The sentinel key has no space, so it can never equal a "prev w"
+      // pair — a typed stand-in for the empty map when no bigrams survive.
+      val bigMap =
+        if (model.bigrams.isEmpty) map(lit(""), lit(0L))
+        else map(model.bigrams.flatMap { case (p, c) =>
+          Seq(lit(p), lit(c)) }.toSeq: _*)
+      docs.withColumn("m_uni", uniMap).withColumn("m_big", bigMap)
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      joinModelMaps(docs,
+        model.unigrams.toSeq.toDF("key", "cnt"),
+        model.bigrams.toSeq.toDF("key", "cnt"))
+    }
+  }
+
+  /** The data path: fold each model table into ONE map value and attach it
+    * to every doc row via a one-row broadcast nested-loop join. No shuffle
+    * (broadcast build side), no per-token join (the fold still indexes the
+    * map row-locally), and the model is data, not code — no codegen limits.
+    * An empty bigram table folds to an empty map, whose lookups are null —
+    * the same semantics as the literal sentinel.
+    */
+  private def joinModelMaps(docs: DataFrame, uniDf: DataFrame,
+      bigDf: DataFrame): DataFrame = {
+    def asMapRow(df: DataFrame, name: String) =
+      df.agg(map_from_entries(
+        collect_list(struct(col("key"), col("cnt")))).as(name))
+    docs.crossJoin(broadcast(
+      asMapRow(uniDf, "m_uni").crossJoin(asMapRow(bigDf, "m_big"))))
+  }
+
+  /** The shared fold: consumes `m_uni`/`m_big` however they arrived. Both
+    * scoring forms run exactly this expression tree, which is what makes
+    * literal ≡ broadcast bitwise (ppl doubles included — same fold order).
+    */
+  private def scoreProjection(withMaps: DataFrame,
+      totalTokens: Long): DataFrame =
+    withMaps
       .withColumn("pair_ppm", expr(
         s"""zip_with(
            |  slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
@@ -119,7 +259,7 @@ object NgramLm {
            |    'ppm', CASE
            |      WHEN m_big[concat(a, ' ', b)] IS NOT NULL AND m_uni[a] IS NOT NULL
            |        THEN (${ScalePpm}L * m_big[concat(a, ' ', b)]) div m_uni[a]
-           |      ELSE (${AlphaPpm}L * coalesce(m_uni[b], 0L)) div ${model.totalTokens}L
+           |      ELSE (${AlphaPpm}L * coalesce(m_uni[b], 0L)) div ${totalTokens}L
            |    END))""".stripMargin))
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -135,34 +275,42 @@ object NgramLm {
         when(col("n_scored") === 0L, lit(Double.NaN))
           .otherwise(exp(-col("_lnsum") / col("n_scored").cast("double"))))
       .drop("_lnsum")
-    scored
-  }
 
-  /** Train-then-score in one call — the registered-query form. The training
-    * slice is the docs matching `trainLang` (CCNet trains its reference LM
-    * on the target language's clean corpus; here the generator's `lang`
-    * column is that label).
+  /** Train-then-score in one call — the self-contained form (the registered
+    * query serves from the cached artifact via [[scoreDocsFrom]]). The
+    * training slice is the docs matching `trainLang` (CCNet trains its
+    * reference LM on the target language's clean corpus; here the
+    * generator's `lang` column is that label).
     */
   def lmScore(docs: DataFrame, trainLang: String = "en",
       vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame =
     scoreDocs(docs,
       train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
 
+  // ---------------------------------------------------------------- rollups
+
   /** Per-source LM quality audit — the per-domain perplexity table every
     * CCNet-style curation run reports (quality drift by source: a crawl
     * slice whose model fit craters relative to its siblings is the one to
-    * re-filter or down-weight in the mixture). Trains the same pruned
-    * bigram LM, scores every document, and rolls the EXACT integer
-    * per-doc signals up by source: doc/token/pair/hit counts, the long
-    * ppm sum, the integer mean fit, and bigram hits per 1000 scored pairs
-    * (integer `div` — no float anywhere, so the whole row hashes
-    * cross-engine). Scale shape: map-only scoring + one source-keyed
-    * aggregation (bounded key space, map-side combined).
+    * re-filter or down-weight in the mixture). Scores every document and
+    * rolls the EXACT integer per-doc signals up by source: doc/token/pair/
+    * hit counts, the long ppm sum, the integer mean fit, and bigram hits
+    * per 1000 scored pairs (integer `div` — no float anywhere, so the whole
+    * row hashes cross-engine). Scale shape: map-only scoring + one
+    * source-keyed aggregation (bounded key space, map-side combined).
     */
   def lmSourceAudit(docs: DataFrame, trainLang: String = "en",
       vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame =
-    scoredUnsorted(docs,
-      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
+    sourceRollup(scoredUnsorted(docs,
+      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams)))
+
+  /** [[lmSourceAudit]] served from a persisted model — no retraining. */
+  def lmSourceAuditFrom(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame =
+    sourceRollup(scoredUnsortedFrom(spark, docs, path))
+
+  private def sourceRollup(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -182,9 +330,16 @@ object NgramLm {
     * distribution shape as any per-lang percentile gate.
     */
   def perplexityBuckets(docs: DataFrame, trainLang: String = "en",
-      vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame = {
-    val scored = scoredUnsorted(docs,
-      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams))
+      vocabSize: Int = 24, maxBigrams: Int = 300): DataFrame =
+    bucketRollup(scoredUnsorted(docs,
+      train(docs.filter(col("lang") === trainLang), vocabSize, maxBigrams)))
+
+  /** [[perplexityBuckets]] served from a persisted model — no retraining. */
+  def perplexityBucketsFrom(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame =
+    bucketRollup(scoredUnsortedFrom(spark, docs, path))
+
+  private def bucketRollup(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("fit_ppm").desc, col("doc_id"))

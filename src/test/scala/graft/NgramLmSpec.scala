@@ -86,6 +86,87 @@ class NgramLmSpec extends SparkSpec {
       s"scoring must not shuffle by key — the model rides as literal maps:\n$plan")
   }
 
+  // ---- production-shape scoring: broadcast data path + persisted artifact
+
+  /** Toy model + 50k synthetic bigrams — comfortably past
+    * LiteralMapMaxEntries, the CCNet-class regime where literal maps are
+    * the wrong plan. One synthetic bigram ("b q") has an in-vocab context
+    * so the HIT path exercises through the big model too.
+    */
+  private def overThresholdModel(): NgramLm.LmModel = {
+    val base = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    val syn = Array(("b q", 7L)) ++
+      (0 until 50000).map(i => (f"zza$i%05d zzb$i%05d", (i % 97 + 1).toLong))
+    base.copy(bigrams = base.bigrams ++ syn)
+  }
+
+  private def probeDocs() = {
+    import spark.implicits._
+    Seq(
+      (10L, "a b c a q b b", "zz", "s1"),
+      (11L, "zza00017 zzb00017 a b", "zz", "s1"),
+      (12L, "x b q a", "zz", "s2"),
+      (13L, "", "zz", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** Bitwise row image: longs as-is, ppl by raw IEEE bits (NaN included). */
+  private def bitImage(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_scored"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("sum_ppm"), r.getAs[Long]("fit_ppm"),
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("ppl")))
+    }.toSeq
+
+  test("broadcast form ≡ literal form bitwise on an over-threshold model") {
+    val m = overThresholdModel()
+    assert(m.unigrams.length + m.bigrams.length > NgramLm.LiteralMapMaxEntries)
+    val docs = probeDocs()
+    val viaLiteral = bitImage(NgramLm.scoreDocsForm(docs, m, broadcastForm = false))
+    val viaBroadcast = bitImage(NgramLm.scoreDocsForm(docs, m, broadcastForm = true))
+    assert(viaLiteral == viaBroadcast,
+      "the two map provenances must produce identical rows, ppl bits included")
+    // the in-vocab synthetic bigram really hits through the big model:
+    // doc 12 pair (b,q) -> 1000000*7 div 5
+    val d12 = viaBroadcast.find(_._1 == 12L).get
+    assert(d12._6 == 1L && d12._7 >= 1000000L * 7L / 5L)
+  }
+
+  test("over-threshold plan: one-row broadcast join, still no shuffle") {
+    val m = overThresholdModel()
+    val plan = NgramLm.scoreDocsForm(probeDocs(), m, broadcastForm = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"big models must ride a broadcast join, not literal maps:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the data path must not introduce a shuffle:\n$plan")
+  }
+
+  test("save/load roundtrip; serve-from-artifact ≡ train-and-score bitwise") {
+    val m = NgramLm.train(trainDf(), vocabSize = 2, maxBigrams = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nglm-spec").toString + "/idx"
+    NgramLm.save(spark, m, dir)
+    val m2 = NgramLm.load(spark, dir)
+    assert(m2.unigrams.toSeq == m.unigrams.toSeq)
+    assert(m2.bigrams.toSeq == m.bigrams.toSeq)
+    assert(m2.totalTokens == m.totalTokens)
+    val docs = probeDocs()
+    assert(bitImage(NgramLm.scoreDocsFrom(spark, docs, dir)) ==
+      bitImage(NgramLm.scoreDocs(docs, m)))
+  }
+
+  test("serve path keeps an over-threshold persisted model distributed") {
+    val m = overThresholdModel()
+    val dir = java.nio.file.Files.createTempDirectory("graft-nglm-big").toString + "/idx"
+    NgramLm.save(spark, m, dir)
+    val served = NgramLm.scoreDocsFrom(spark, probeDocs(), dir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"a big persisted model must never collect to literal maps:\n$plan")
+    assert(bitImage(served) == bitImage(NgramLm.scoreDocsForm(probeDocs(), m, broadcastForm = true)))
+  }
+
   test("buckets: per-lang doc counts conserved, head fits at least tail fits") {
     val docs = Tables.documents(spark, sf)
     val b = NgramLm.perplexityBuckets(docs).collect()
