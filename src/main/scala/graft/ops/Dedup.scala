@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default shingle width. The identical-text collapse in
+    * [[minhashDupPairs]] keys its short-doc guard off this same constant:
+    * a doc under `ShingleN` tokens produces no shingles, so `rawPairs`
+    * can never emit it, and the collapse pre-filter must drop exactly the
+    * same docs for the two plans to stay bit-for-bit equal.
+    */
+  val ShingleN = 3
+
   /** Distinct word n-gram shingles per doc (texts are single-space
     * tokenized; `split(' ')` is exact here). Seeds parallelism on the doc
     * stream first: every consumer (minhash signatures, band keys, the
@@ -23,7 +31,7 @@ object Dedup {
     * of this explode, and several checkpoint it — a single-split source
     * would otherwise serialize all of that into one task.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
     Par.seed(docs, col("doc_id")).select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -124,6 +132,15 @@ object Dedup {
     * IEEE), and cross-text pairs expand from matched representatives,
     * whose md5-deterministic signatures/shingles are identical to every
     * member's — output bit-for-bit unchanged.
+    *
+    * NOT a lazy transformation: the adaptive route requires knowing whether
+    * identical texts exist, so THIS CALL runs Spark jobs (the group-table
+    * localCheckpoint + one emptiness probe) at plan-construction time —
+    * same contract as the other checkpoint-backed pair generators
+    * (`rpLshDupPairs`, `simhashDupPairs`). Callers that only want to
+    * COMPOSE a plan without executing anything should reach for
+    * `rawPairs`-shaped building blocks (`shingles`/`minhashWide`/
+    * `bandKeys`), not this operator.
     */
   def minhashDupPairs(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
     val nBands = NumHashes / BandRows
@@ -131,7 +148,7 @@ object Dedup {
     // group by construction), so the representative corpus needs no join
     // back to `docs` — one corpus pass builds the whole collapse
     val groups = Par.seed(docs, col("doc_id"))
-      .filter(size(split(col("text"), " ")) >= 3) // shingles()'s own short-doc guard
+      .filter(size(split(col("text"), " ")) >= ShingleN) // shingles()'s own short-doc guard
       .groupBy(md5(col("text")).as("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
         first(col("text")).as("text"))
@@ -417,6 +434,13 @@ object Dedup {
     * candidate join's per-key group size is capped at maxDf, so candidate
     * volume is ≤ Σ_fp min(df, maxDf)² ≤ maxDf · |exploded fps| — linear in
     * corpus size for fixed maxDf.
+    *
+    * BEHAVIORAL NOTE: `maxDf` defaults ON (1000), a change from the
+    * original uncapped operator — pairs whose shared fingerprints are ALL
+    * high-df (boilerplate-only overlap) are dropped BY DEFAULT, because the
+    * uncapped form is quadratic on one corpus-wide footer and unusable at
+    * scale. Callers who truly want boilerplate-only pairs must pass
+    * `maxDf = Int.MaxValue` explicitly and accept the blow-up.
     */
   def winnowDupPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {

@@ -527,6 +527,12 @@ object Similarity {
     * against a million-pair fixture, vs ~3e-5 at the 8-band setting, which
     * a fixture/SF change could plausibly trip. Re-check this bound if the
     * registered threshold or band params ever change.
+    *
+    * NOT a lazy transformation: like `Dedup.minhashDupPairs`, the
+    * identical-embedding collapse is adaptive, so this call runs Spark
+    * jobs at plan-construction time (the dim probe, the group-table
+    * localCheckpoint, and one emptiness check). Compose from the banding
+    * primitives directly if a pure plan is required.
     */
   def rpLshDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
       nBits: Int = 32, bandBits: Int = 2, seed: Long = 7L): DataFrame = {

@@ -268,14 +268,25 @@ object LshIndex {
     // as `Dedup.winnowDupPairs`), so one corpus-wide footer cannot make
     // the probe join quadratic. The df aggregation scans the resident fp
     // table once per batch — the same cost class as the shingle-verify
-    // tier, and map-side combined.
+    // tier, and map-side combined. Legacy layouts predate the winnow
+    // table (`compact` tolerates that too): residents written before it
+    // simply have no fingerprints, so the tier degrades to an empty
+    // resident side rather than throwing — from this batch on,
+    // `appendBatch` populates the table, and a full-coverage guarantee
+    // needs one `build` rerun (documented here rather than enforced,
+    // because the other three tiers remain fully live either way).
     val overlapDups = if (winnowMinShared <= 0) {
       batch.select(col("doc_id"), lit("overlap_dup").as("verdict")).limit(0)
     } else {
       val rest2 = rest.join(nearDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
       val bFp = Dedup.winnowFingerprints(rest2)
         .select(col("doc_id").as("b_doc_id"), explode(col("fps")).as("fp"))
-      val rFp = dropTombstoned(spark, path, spark.read.parquet(s"$path/winnow"))
+      val winnowP = new org.apache.hadoop.fs.Path(s"$path/winnow")
+      val resident =
+        if (winnowP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(winnowP))
+          spark.read.parquet(s"$path/winnow")
+        else spark.range(0).select(col("id").as("doc_id"), lit("").as("fp"))
+      val rFp = dropTombstoned(spark, path, resident)
       val rare = rFp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= winnowMaxDf).select(col("fp"))
       bFp.join(rFp.join(rare, "fp").select(col("fp"), col("doc_id").as("r_doc_id")), "fp")

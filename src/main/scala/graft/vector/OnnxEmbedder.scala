@@ -114,28 +114,55 @@ object OnnxEmbedder {
   def whitespaceIdTokenizer(text: String): Array[Long] =
     text.split(' ').filter(_.nonEmpty).map(t => ((t.hashCode % 30000) + 30000L) % 30000L)
 
+  /** One live session per model path per JVM: an OrtSession owns native
+    * memory and a loaded graph, so creating one per embedText call would
+    * leak native allocations and pay model-load latency per row. Cached
+    * sessions live for the JVM (the standard serving posture);
+    * `closeSessions` exists for an orderly executor shutdown hook.
+    */
+  private val sessionCache = new scala.collection.concurrent.TrieMap[String, Object]
+
+  private def sessionFor(modelPath: String): Object =
+    sessionCache.getOrElseUpdate(modelPath, {
+      val envCls = Class.forName(RuntimeClass)
+      val env = envCls.getMethod("getEnvironment").invoke(null)
+      envCls.getMethod("createSession", classOf[String]).invoke(env, modelPath)
+    })
+
+  /** Close and drop every cached session (deployment shutdown hook). */
+  def closeSessions(): Unit =
+    sessionCache.keys.foreach { k =>
+      sessionCache.remove(k).foreach(s => s.getClass.getMethod("close").invoke(s))
+    }
+
   /** The reflective inference call — compiles with no runtime present;
     * only reachable when `availability` is Right, i.e. never in this
-    * sandbox. Mirrors the SentenceTransformer recipe: run the session on
-    * (input_ids, attention_mask), mean-pool the last hidden state over
-    * the sequence axis, L2-normalize.
+    * sandbox. Mirrors the SentenceTransformer recipe: run the cached
+    * session on (input_ids, attention_mask), mean-pool the last hidden
+    * state over the sequence axis, L2-normalize. Every native allocation
+    * this call creates (the two input tensors and the run result — all
+    * AutoCloseable in the real runtime) is closed in `finally`; only the
+    * cached session outlives the call.
     */
   private[vector] def runReflective(modelPath: String, dim: Int,
       ids: Array[Long]): Array[Float] = {
     val envCls = Class.forName(RuntimeClass)
     val env = envCls.getMethod("getEnvironment").invoke(null)
-    val session = envCls
-      .getMethod("createSession", classOf[String])
-      .invoke(env, modelPath)
+    val session = sessionFor(modelPath)
+    def closeQuietly(o: Object): Unit =
+      if (o != null) try o.getClass.getMethod("close").invoke(o) catch { case _: Exception => () }
+    val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+    val create = tensorCls.getMethod("createTensor", envCls, classOf[Object])
+    var inputIds: Object = null
+    var mask: Object = null
+    var result: Object = null
     try {
-      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
-      val create = tensorCls.getMethod("createTensor", envCls, classOf[Object])
-      val inputIds = create.invoke(null, env, Array(ids))
-      val mask = create.invoke(null, env, Array(ids.map(_ => 1L)))
+      inputIds = create.invoke(null, env, Array(ids))
+      mask = create.invoke(null, env, Array(ids.map(_ => 1L)))
       val inputs = new java.util.HashMap[String, Object]()
       inputs.put("input_ids", inputIds)
       inputs.put("attention_mask", mask)
-      val result = session.getClass
+      result = session.getClass
         .getMethod("run", classOf[java.util.Map[String, Object]])
         .invoke(session, inputs)
       // last_hidden_state: [1][seq][dim] — mean-pool over seq, L2-normalize
@@ -155,6 +182,10 @@ object OnnxEmbedder {
       d = 0
       while (d < dim) { out(d) = (acc(d) / n / norm).toFloat; d += 1 }
       out
-    } finally session.getClass.getMethod("close").invoke(session)
+    } finally {
+      closeQuietly(result)
+      closeQuietly(inputIds)
+      closeQuietly(mask)
+    }
   }
 }
