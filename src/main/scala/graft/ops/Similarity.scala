@@ -292,7 +292,15 @@ object Similarity {
     * combined. Iterating = re-calling with the returned centroids.
     */
   def kmeansStep(embeddings: DataFrame, k: Int = 8): DataFrame =
-    assignSeedCells(embeddings, k)
+    cellMicroSums(assignSeedCells(embeddings, k)).orderBy(col("cell"), col("dim"))
+
+  /** The exact (cell, dim) roll-up shared by [[kmeansStep]] (seed
+    * assignment, the oracle-bound form) and [[kmeansTrain]] (arbitrary
+    * round-t centroids). Unsorted — callers that iterate don't pay the
+    * presentation sort.
+    */
+  private def cellMicroSums(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
@@ -301,7 +309,74 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum(col("v_micro")).as("sum_micro"))
       .withColumn("mean",
         col("sum_micro").cast("double") / (col("n_members").cast("double") * 1000000.0))
-      .orderBy(col("cell"), col("dim"))
+
+  /** Nearest-cell assignment against EXPLICIT centroids (cells indexed by
+    * array position): the literal-struct argmin of [[assignSeedCells]],
+    * just decoupled from the seed convention so a training loop can feed
+    * round-t centroids back in. Map-only, (distance, cid) tie-break.
+    */
+  def assignCells(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val centStructs = cents.zipWithIndex.map { case (v, cid) =>
+      struct(l2Sq(col("embedding"), typedLit(v.toSeq)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
+  }
+
+  /** Per-round convergence record from [[kmeansTrain]]: squared centroid
+    * movement (max over cells and summed) plus how many cells went empty
+    * (empty cells keep their previous centroid — the `kmeansCentroids`
+    * convention).
+    */
+  final case class KmeansRound(round: Int, maxMoveSq: Double,
+      totalMoveSq: Double, nEmptyCells: Int)
+
+  /** Full Lloyd training loop over [[kmeansStep]]'s exact arithmetic — the
+    * driver-loop operator (`Bpe.trainWithStats` precedent): per round,
+    * assign against the current centroids (map-only), roll up fixed-point
+    * microunit sums (ONE bounded k·d-key shuffle, map-side combined),
+    * collect the k·d summary to the driver (a bounded artifact, like
+    * centroids everywhere else in this repo), update centroids, and record
+    * the movement metric. Deterministic end to end: quantized sums are
+    * exact longs, the mean is one double division, the stored coordinate
+    * one float rounding — so the whole trajectory is bitwise-reproducible
+    * and `SimilaritySpec` pins it against a single-node Lloyd reference.
+    *
+    * Seeds are the k lowest-vec_id vectors (equals the `vec_id < k` seed
+    * convention on dense-id corpora, and well-defined on sparse ids).
+    * Returns (final centroids indexed by cell id, per-round movement).
+    */
+  def kmeansTrain(embeddings: DataFrame, k: Int = 8, rounds: Int = 3)
+      : (Array[Array[Float]], Seq[KmeansRound]) = {
+    var cents: Array[Array[Float]] = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "kmeansTrain: empty corpus")
+    val emb = embeddings.localCheckpoint(true) // scanned once per round
+    val stats = scala.collection.mutable.ArrayBuffer.empty[KmeansRound]
+    for (round <- 1 to rounds) {
+      val agg = cellMicroSums(assignCells(emb, cents)).collect()
+      val next = cents.map(_.clone())
+      agg.foreach { r =>
+        val cell = r.getAs[Long]("cell").toInt
+        val dim = r.getAs[Int]("dim") - 1
+        next(cell)(dim) = r.getAs[Double]("mean").toFloat
+      }
+      val nonEmpty = agg.map(_.getAs[Long]("cell")).toSet
+      var maxMove = 0.0; var totalMove = 0.0
+      cents.indices.foreach { c =>
+        var m = 0.0; var i = 0
+        while (i < cents(c).length) {
+          val d = next(c)(i).toDouble - cents(c)(i).toDouble
+          m += d * d; i += 1
+        }
+        maxMove = math.max(maxMove, m); totalMove += m
+      }
+      stats += KmeansRound(round, maxMove, totalMove, cents.length - nonEmpty.size)
+      cents = next
+    }
+    (cents, stats.toSeq)
+  }
 
   /** Deterministic nearest-seed cell assignment (seeds = `vec_id < k`, the
     * `ivfSearch` convention): adds a `cell` column holding the argmin

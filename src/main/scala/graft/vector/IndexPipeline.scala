@@ -29,8 +29,19 @@ object IndexPipeline {
   }
 
   /** The search tool (§3.1): embed the query text driver-side with the SAME
-    * embedder, prune the index to the retention window, brute-force kNN
-    * with FAISS-parity output.
+    * embedder, prune the index to the retention window, and run kNN with
+    * FAISS-parity output through the configured access path:
+    *
+    *   spark.graft.serve.index = flat | ivf | ivfpq   (default flat)
+    *   spark.graft.serve.nProbe, spark.graft.serve.refineFactor
+    *
+    * `flat` is the reference-parity brute scan of the retained window
+    * (`faiss_manager.py:143` only ever instantiates IndexFlatL2). `ivf` /
+    * `ivfpq` serve from the [[ServeIndex]] sidecar — probe-pruned sealed
+    * days + the brute hot day — and FALL BACK to the flat scan whenever the
+    * sidecar can't answer this request correctly (absent, mid-rebuild,
+    * wrong kind, or an `asOf` before its watermark): the config can only
+    * trade speed, never correctness.
     *
     * Retention is ALWAYS applied — the reference's search never scans more
     * than the retained day-indexes (`faiss_manager.py:91-99,270-272`).
@@ -43,14 +54,30 @@ object IndexPipeline {
       k: Int = 10, asOf: java.sql.Date = null,
       embedder: Embedder = new HashingEmbedder()): DataFrame = {
     val qv = embedder.embedText(queryText).toSeq
-    val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
-    val idx = anchor match {
-      case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
-      case None => // empty/legacy layout: nothing to prune; deletes still honored
-        VectorIndex.dropTombstoned(spark, indexPath, spark.read.parquet(indexPath))
+    val mode = spark.conf.get("spark.graft.serve.index", "flat")
+    val served =
+      if (mode == "flat") None
+      else ServeIndex.search(spark, indexPath, mode, qv, k,
+        nProbe = spark.conf.get("spark.graft.serve.nProbe", "2").toInt,
+        refineFactor = spark.conf.get("spark.graft.serve.refineFactor", "4").toInt,
+        asOf = asOf)
+    served.getOrElse {
+      val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
+      val idx = anchor match {
+        case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
+        case None => // empty/legacy layout: nothing to prune; deletes still honored
+          VectorIndex.dropTombstoned(spark, indexPath, spark.read.parquet(indexPath))
+      }
+      VectorIndex.search(idx, qv, k)
     }
-    VectorIndex.search(idx, qv, k)
   }
+
+  /** Rebuild the ANN serving sidecar for `searchIndex`'s ivf/ivfpq modes —
+    * the periodic re-index job. See [[ServeIndex.build]].
+    */
+  def buildServeIndex(spark: SparkSession, indexPath: String, kind: String,
+      nCells: Int = 8, asOf: java.sql.Date = null): Unit =
+    ServeIndex.build(spark, indexPath, kind, nCells = nCells, asOf = asOf)
 
   /** Batch search: top-k hits for EVERY query text at once — N queries is
     * one distributed job, not N driver round-trips. Queries embed as a

@@ -22,7 +22,7 @@ object IvfIndex {
     * crossJoin and no per-vector window shuffle. Tie-break (distance, cid)
     * is identical to the windowed form it replaces. Adds a `cid` column.
     */
-  private def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  private[vector] def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -41,9 +41,14 @@ object IvfIndex {
     * balanced cells — and recall@k — over naive seeds (`IvfIndexSpec`
     * measures it vs brute force).
     */
-  def kmeansCentroids(embeddings: DataFrame, nCells: Int = 8, iters: Int = 3): DataFrame = {
-    var centroids = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int = 8, iters: Int = 3,
+      seeds: Option[DataFrame] = None): DataFrame = {
+    // Default seeding assumes dense vec_ids from 0 (the embeddings-table
+    // contract); corpora with sparse/colliding ids (e.g. the flat serving
+    // index's monotonically_increasing_id rows) pass explicit `seeds`
+    // (cid, c_embedding) instead — see ServeIndex.build.
+    var centroids = seeds.getOrElse(embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding")))
     for (_ <- 0 until iters) {
       val means = assign(embeddings, centroids)
         .select(col("cid"), posexplode(col("embedding")))
@@ -185,10 +190,71 @@ object IvfIndex {
   }
 
   /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]).
-    * Shared by [[IvfPqIndex]], whose layout is identical.
+    * Shared by [[IvfPqIndex]], whose layout is identical. Two levels: the
+    * whole ROOT first (a [[retrain]] that died between its two renames —
+    * the staged-aside old index is authoritative), then the `vectors`
+    * table (a `compact` that died likewise).
     */
-  private[vector] def recover(spark: SparkSession, path: String): Unit =
+  private[vector] def recover(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    Option(p.getParent).foreach(parent =>
+      graft.sources.CompactSwap.recover(spark, parent.toString, Seq(p.getName)))
     graft.sources.CompactSwap.recover(spark, path, Seq("vectors"))
+  }
+
+  /** Retrain the index in place: fresh centroids from the CURRENT resident
+    * corpus (tombstones excluded) via the exact distributed Lloyd loop
+    * (`Similarity.kmeansTrain` — fixed-point sums, bitwise-reproducible
+    * trajectory), full reassignment, and an ATOMIC whole-root swap.
+    *
+    * Why the root and not table-at-a-time: centroids, radii and the
+    * cell-partitioned vectors are one consistent generation — a crash
+    * between a vectors swap and a centroids swap would leave probes
+    * ranking round-t+1 cells against round-t directories (budgeted recall
+    * silently wrong) and, worse, radii that no longer cover their cells
+    * (rangeSearch's triangle-inequality bound breaks EXACTNESS, not just
+    * speed). `CompactSwap.rewrite` on the index root makes the new
+    * generation appear in one rename; `recover` (called at every public
+    * entry) restores the staged-aside old root if the writer died between
+    * its two renames. The optimizer rules' sidecar caches key on the
+    * directory listing fingerprint, so a retrain invalidates them
+    * automatically (`IvfProbePruning.loadSidecar`).
+    *
+    * Retrain is also a compact: deletes fold into the rewrite and the
+    * tombstone log does not carry into the new generation. PQ layouts
+    * rebuild via `IvfPqIndex.build` instead — their codes must re-encode
+    * against the new residuals, which IS the build. Single-writer, like
+    * every sidecar-merging mutation on this store.
+    *
+    * Returns the per-round movement metrics (the convergence record a
+    * scheduled re-index job logs).
+    */
+  def retrain(spark: SparkSession, path: String, nCells: Int = 8,
+      rounds: Int = 3): Seq[graft.ops.Similarity.KmeansRound] = {
+    recover(spark, path)
+    val resident = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("ingest_date"))
+      .localCheckpoint(true) // consumed by training rounds AND the rewrite
+    val (cents, stats) = graft.ops.Similarity.kmeansTrain(resident, nCells, rounds)
+    import spark.implicits._
+    val centroidsDf = cents.zipWithIndex
+      .map { case (v, cid) => (cid.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "c_embedding")
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.sources.CompactSwap.rewrite(spark, root.getParent.toString, root.getName) { fresh =>
+      centroidsDf.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$fresh/centroids")
+      val assigned = assign(resident, centroidsDf).localCheckpoint(true)
+      cellRadii(assigned, centroidsDf)
+        .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$fresh/radii")
+      assigned
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("cid").as("cell"), col("ingest_date"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
+        .parquet(s"$fresh/vectors")
+    }
+    stats
+  }
 
   private[vector] def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")

@@ -1,0 +1,235 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** ANN acceleration sidecar for the flat serving index — the piece that
+  * lets `GraftApi.searchData` stop brute-forcing the retained window once
+  * that window is big. The flat `VectorIndex` layout stays the source of
+  * truth (appends, tombstones, retention, payload); `build` reorganizes its
+  * CURRENT retained window into an IVF or IVF-PQ layout at
+  * `<indexPath>._serve`, and `search` serves the reference's query contract
+  * from it:
+  *
+  *  - SEALED days (ingest_date < the sidecar's watermark) are probe-pruned:
+  *    only `nProbe` cell directories are read — and on the `ivfpq` kind the
+  *    candidate stage reads the codes column only (ADC), touching float
+  *    embeddings just for the `k·refineFactor` re-rank leaders.
+  *  - The HOT day (ingest_date ≥ watermark — the day still taking appends)
+  *    is brute-forced straight from the flat layout, so rows ingested
+  *    after the sidecar build are always visible. Sealed + hot partition
+  *    the retained window exactly (no overlap, no gap), the
+  *    Lucene/FAISS "indexed segments + live tail" serving shape.
+  *  - Flat-index TOMBSTONES anti-join BOTH arms before any top-k, so a
+  *    delete issued after the sidecar build still hides the vector and
+  *    never consumes a candidate slot (the vec_delete_search contract).
+  *  - RETENTION is the same `(asOf − RetentionDays, asOf]` predicate on
+  *    both arms — the sidecar layout nests `ingest_date` under `cell`, so
+  *    probe pruning composes with date pruning at the directory level.
+  *
+  * Exactness: with probe-all (`nProbe ≥ nCells`) and a refine budget
+  * covering the window, sealed ∪ hot is precisely the row set
+  * `VectorIndex.search` scans, under the same distance expression and
+  * (d2, vec_id) order — output is bit-for-bit the flat search's
+  * (`GraftApiSpec` asserts it). Budgeted configs trade recall for read
+  * volume exactly like `IvfPqIndex`'s fast configs, whose floors are
+  * spec-pinned.
+  *
+  * Freshness contract: `build` is a point-in-time reorganization (rerun it
+  * on a schedule — the standard ANN posture; `faiss_manager.py` rebuilds
+  * per-day files similarly). Appends are expected to land on the CURRENT
+  * max ingest day; backfilling a day older than the watermark requires a
+  * sidecar rebuild (the hot-day arm only covers `ingest_date ≥ watermark`).
+  * `search` refuses anchors before the watermark (time travel into days the
+  * sidecar's window never covered) by returning None — the facade falls
+  * back to the flat scan, trading speed, never correctness.
+  */
+object ServeIndex {
+
+  /** Hidden sibling of the index root — same placement rule as the
+    * tombstone log (anything inside the root would enter partition
+    * discovery).
+    */
+  def sidecarPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "._serve"
+
+  private def fs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
+
+  /** (kind, watermark) of the live sidecar, if one is fully built. */
+  def meta(spark: SparkSession, indexPath: String): Option[(String, java.sql.Date)] = {
+    val mp = s"${sidecarPath(indexPath)}/meta"
+    if (!exists(spark, mp)) None
+    else {
+      val r = spark.read.parquet(mp).head
+      Some((r.getAs[String]("kind"), r.getAs[java.sql.Date]("watermark")))
+    }
+  }
+
+  /** Rebuild the sidecar from the flat index's current retained window.
+    * k-means cells (explicitly seeded — flat vec_ids are
+    * monotonically_increasing_id values, sparse and reusable across
+    * appends, so the embeddings-table dense-id seeding doesn't apply),
+    * optional residual PQ codes, one `partitionBy(cell, ingest_date)`
+    * write carrying the payload columns (the FAISS posture: metadata
+    * travels with the index, `faiss_manager.py:26-27`).
+    *
+    * The build lands in a staging sibling and swaps in with
+    * delete-then-rename: a crash mid-build leaves the old sidecar live; a
+    * crash between delete and rename leaves NO sidecar — and a missing
+    * sidecar only ever downgrades the facade to the flat scan.
+    */
+  def build(spark: SparkSession, indexPath: String, kind: String,
+      nCells: Int = 8, kmeansIters: Int = 3, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 3, asOf: java.sql.Date = null): Unit = {
+    require(kind == "ivf" || kind == "ivfpq", s"unknown serve index kind: $kind")
+    val anchor = Option(asOf)
+      .orElse(VectorIndex.maxIngestDate(spark, indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no ingest days at $indexPath — nothing to index"))
+    val rows = VectorIndex.loadRecent(spark, indexPath, anchor)
+      .localCheckpoint(true) // consumed by seeding, k-means, assign, write
+    val seedRows = rows.orderBy(col("vec_id"), col("ingest_date")).limit(nCells)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(seedRows.nonEmpty, s"retained window at $indexPath is empty")
+    import spark.implicits._
+    val seeds = seedRows.zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("cid", "c_embedding")
+    val centroids = IvfIndex
+      .kmeansCentroids(rows, seedRows.length, kmeansIters, seeds = Some(seeds))
+      .localCheckpoint(true)
+    val assigned = IvfIndex.assign(rows, centroids).withColumnRenamed("cid", "cell")
+    val staging = sidecarPath(indexPath) + ".build"
+    val stagingFs = fs(spark, staging)
+    stagingFs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    val vectors =
+      if (kind == "ivf") assigned
+      else {
+        // residual PQ: codes encode v − centroid(cell(v)), the IvfPqIndex
+        // construction, trained on this window's residuals
+        val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val centMap = map(cents.flatMap { case (cid, v) =>
+          Seq(lit(cid), typedLit(v)) }.toSeq: _*)
+        val withRes = assigned.withColumn("pq_embedding",
+          zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
+          .localCheckpoint(true) // PQ training reruns the scan per round
+        val books = PqIndex.train(
+          withRes.select(col("vec_id"), col("pq_embedding").as("embedding")),
+          m, ksub, pqIters)
+        books.zipWithIndex.flatMap { case (cs, s) =>
+          cs.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+        }.toSeq.toDF("sub_id", "code", "c_sub")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
+        withRes.withColumn("codes", PqIndex.codesExpr(books, col("pq_embedding")))
+          .drop("pq_embedding")
+      }
+    vectors.write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
+      .parquet(s"$staging/vectors")
+    Seq((kind, anchor)).toDF("kind", "watermark")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    val live = new org.apache.hadoop.fs.Path(sidecarPath(indexPath))
+    val hfs = fs(spark, sidecarPath(indexPath))
+    hfs.delete(live, true)
+    hfs.rename(new org.apache.hadoop.fs.Path(staging), live)
+    ()
+  }
+
+  /** Serve one query through the sidecar, or None when the sidecar cannot
+    * answer this request correctly (missing/mid-swap, kind mismatch, or an
+    * `asOf` anchored before the watermark) — the caller falls back to the
+    * flat scan. Output schema and ordering are exactly
+    * `VectorIndex.search`'s.
+    */
+  def search(spark: SparkSession, indexPath: String, kind: String,
+      query: Seq[Float], k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
+      asOf: java.sql.Date = null): Option[DataFrame] = {
+    val sc = sidecarPath(indexPath)
+    val m = meta(spark, indexPath) match {
+      case Some((`kind`, wm)) => wm
+      case _ => return None
+    }
+    val anchor = Option(asOf)
+      .orElse(VectorIndex.maxIngestDate(spark, indexPath))
+      .getOrElse(return None)
+    if (anchor.before(m)) return None
+    val windowLo = date_sub(lit(anchor), VectorIndex.RetentionDays)
+    // probe: driver math over the tiny centroid sidecar (IvfIndex.search)
+    val q = query.toArray
+    val cents = spark.read.parquet(s"$sc/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def l2(a: Seq[Float]): Double = a.zip(query).map { case (x, y) =>
+      (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val probed = cents.map { case (cid, c) => (l2(c), cid) }.sorted
+      .take(math.max(1, nProbe)).map(_._2)
+    // sealed arm: probed cells × retained sealed days, tombstones dropped
+    // BEFORE any top-k so a post-build delete never holds a candidate slot
+    val sealedAll = VectorIndex.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$sc/vectors")
+        .filter(col("cell").isin(probed: _*))
+        .filter(col("ingest_date") > windowLo && col("ingest_date") < lit(m)))
+    val sealedCand =
+      if (kind == "ivf")
+        sealedAll.withColumn("d2", l2Sq(col("embedding"), lit(q)))
+          .select(col("vec_id"), col("d2"), col("data_type"), col("data_json"))
+      else {
+        // ADC per probed cell (query-residual LUT, codes column only),
+        // bounded leaders re-ranked exactly — the IvfPqIndex.search plan
+        // over the payload-carrying layout
+        val books = PqIndex.readBooks(spark, sc)
+        val mSub = books.length
+        val ksub = books(0).length
+        val dsub = books(0)(0).length
+        val perCell = probed.toSeq.map { cid =>
+          val centroid = cents.find(_._1 == cid).get._2
+          val qRes = query.zip(centroid).map { case (x, c) => x - c }
+          val lutFlat: Seq[Double] = (0 until mSub * ksub).map { i =>
+            val s = i / ksub; val j = i % ksub
+            (0 until dsub).map { p =>
+              val d = qRes(s * dsub + p).toDouble - books(s)(j)(p).toDouble
+              d * d
+            }.sum
+          }
+          val lut = typedLit(lutFlat)
+          val approx = aggregate(
+            expr(s"zip_with(sequence(0, ${mSub - 1}), codes, (s, c) -> s * $ksub + c)"),
+            lit(0.0), (acc, i) => acc + element_at(lut, i + 1))
+          sealedAll.filter(col("cell") === cid)
+            .select(col("vec_id"), approx.as("adc_d2"))
+        }
+        val leaders = perCell.reduce(_ unionByName _)
+          .orderBy(col("adc_d2"), col("vec_id"))
+          .limit(k * math.max(1, refineFactor))
+          .select(col("vec_id"))
+        sealedAll.join(broadcast(leaders), "vec_id", "left_semi")
+          .withColumn("d2", l2Sq(col("embedding"), lit(q)))
+          .select(col("vec_id"), col("d2"), col("data_type"), col("data_json"))
+      }
+    // hot arm: the watermark day (and anything newer within the window)
+    // straight from the flat source of truth — appends since the build
+    // are here, brute-forced
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
+    val hot = VectorIndex.dropTombstoned(spark, indexPath,
+      spark.read.parquet(indexPath)
+        .filter(col("ingest_date") >= lit(m) && col("ingest_date") <= lit(anchor) &&
+          col("ingest_date") > windowLo))
+      .withColumn("d2", l2Sq(col("embedding"), lit(q)))
+      .select(col("vec_id"), col("d2"), col("data_type"), col("data_json"))
+    Some(sealedCand.unionByName(hot)
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .select(col("rank"), faissSimilarity(col("d2")).as("similarity_score"),
+        col("data_type"), col("data_json")))
+  }
+}

@@ -104,6 +104,120 @@ class GraftApiSpec extends SparkSpec {
     assert(page.results.head.similarity_score > 0.99)
   }
 
+  // ---- config-switched ANN serving path (spark.graft.serve.index) ----
+
+  /** Bitwise image of a search page: rank, raw IEEE bits of the score,
+    * payload columns.
+    */
+  private def hitBits(p: GraftApi.Page[GraftApi.SearchHit]) =
+    p.results.map(h => (h.rank, java.lang.Double.doubleToRawLongBits(h.similarity_score),
+      h.data_type, h.data_json))
+
+  private def withServeConf[A](mode: String, nProbe: Int, refine: Int)(body: => A): A = {
+    spark.conf.set("spark.graft.serve.index", mode)
+    spark.conf.set("spark.graft.serve.nProbe", nProbe.toString)
+    spark.conf.set("spark.graft.serve.refineFactor", refine.toString)
+    try body finally {
+      spark.conf.set("spark.graft.serve.index", "flat")
+      spark.conf.unset("spark.graft.serve.nProbe")
+      spark.conf.unset("spark.graft.serve.refineFactor")
+    }
+  }
+
+  test("serve.index=ivf probe-all ≡ flat bitwise; hot-day appends and late deletes honored") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-serve").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.buildServeIndex(spark, dir, "ivf", nCells = 8)
+    // appended AFTER the sidecar build, on a newer day: the hot arm must see it
+    graft.vector.IndexPipeline.indexRecords(docs.limit(5), "text", "late", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    val probe = docs.select("text").head.getString(0)
+    val flat = GraftApi.searchData(spark, dir, probe, 5)
+    val served = withServeConf("ivf", nProbe = 8, refine = 1) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(hitBits(served) == hitBits(flat),
+      "probe-all IVF over sealed days + brute hot day must equal the flat scan bit-for-bit")
+    assert(served.results.exists(_.data_type == "late"),
+      "a row appended after the sidecar build must be served from the hot arm")
+    // a delete issued AFTER the build hides the vector on both paths
+    import spark.implicits._
+    val qEmb = new graft.vector.HashingEmbedder().embedText(probe)
+    val top = spark.read.parquet(dir)
+      .withColumn("d2", l2Sq(col("embedding"), lit(qEmb)))
+      .orderBy(col("d2"), col("vec_id")).select("vec_id").head.getLong(0)
+    graft.vector.VectorIndex.delete(spark, dir, Seq(top).toDF("vec_id"))
+    val flat2 = GraftApi.searchData(spark, dir, probe, 5)
+    val served2 = withServeConf("ivf", nProbe = 8, refine = 1) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(hitBits(served2) == hitBits(flat2))
+    assert(hitBits(served2) != hitBits(flat), "the deleted top hit must vanish")
+  }
+
+  test("serve.index=ivfpq probe-all + window-covering refine ≡ flat bitwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-pq").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(10), "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    graft.vector.ServeIndex.build(spark, dir, "ivfpq", nCells = 8)
+    val probe = docs.select("text").head.getString(0)
+    val flat = GraftApi.searchData(spark, dir, probe, 5)
+    // probe all 8 cells, refine budget 5·20 = 100 ≥ the 60-row window:
+    // the provably-exact configuration (IvfPqSpec's vec_pq_search pattern)
+    val served = withServeConf("ivfpq", nProbe = 8, refine = 20) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(hitBits(served) == hitBits(flat))
+    // the budgeted config (narrow probe, small refine — the production
+    // trade whose floors IvfPqSpec pins) still finds the exact-match hit
+    val fast = withServeConf("ivfpq", nProbe = 2, refine = 4) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(fast.results.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(fast.results.head.similarity_score > 0.99,
+      "the identical-text vector sits in the nearest probed cell — recall@1 holds")
+    val flatSet = flat.results.map(_.data_json).toSet
+    assert(fast.results.count(h => flatSet.contains(h.data_json)) >= 1,
+      "budgeted recall floor: the fast config overlaps the exact top-k")
+  }
+
+  test("serve path falls back to flat: no sidecar, kind mismatch, pre-watermark asOf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-fb").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(30)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(8), "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    val probe = docs.select("text").head.getString(0)
+    val flat = GraftApi.searchData(spark, dir, probe, 5)
+    // 1: ivf requested, no sidecar built yet
+    val noSidecar = withServeConf("ivf", 8, 1)(GraftApi.searchData(spark, dir, probe, 5))
+    assert(hitBits(noSidecar) == hitBits(flat))
+    // 2: sidecar is ivf, config asks ivfpq
+    graft.vector.ServeIndex.build(spark, dir, "ivf", nCells = 4)
+    val mismatch = withServeConf("ivfpq", 8, 20)(GraftApi.searchData(spark, dir, probe, 5))
+    assert(hitBits(mismatch) == hitBits(flat))
+    // 3: asOf anchored BEFORE the watermark — time travel the sidecar's
+    // window never covered; must serve (correctly) from the flat layout
+    val past = java.sql.Date.valueOf("2024-03-01")
+    val flatPast = GraftApi.searchData(spark, dir, probe, 5, asOf = past)
+    val servedPast = withServeConf("ivf", 8, 1)(
+      GraftApi.searchData(spark, dir, probe, 5, asOf = past))
+    assert(hitBits(servedPast) == hitBits(flatPast))
+    assert(hitBits(flatPast) != hitBits(flat),
+      "the two anchors must actually see different windows for this test to bite")
+    // matched kind + current anchor serves through the sidecar and agrees
+    val servedNow = withServeConf("ivf", 8, 1)(GraftApi.searchData(spark, dir, probe, 5))
+    assert(hitBits(servedNow) == hitBits(flat))
+  }
+
   test("batch search answers every query in one job, matching per-query searchData") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api-batch").toString + "/idx"
     graft.vector.IndexPipeline.indexRecords(

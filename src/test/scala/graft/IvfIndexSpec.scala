@@ -362,6 +362,54 @@ class IvfIndexSpec extends SparkSpec {
       s"tombstone anti-join must broadcast:\n${plan.take(1500)}")
   }
 
+  test("retrain: one consistent generation — deletes folded, exactness preserved, caches invalidated") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf).cache()
+    IvfIndex.build(spark, emb, dir, nCells = 4, kmeansIters = 0)
+    IvfIndex.delete(spark, dir, emb.filter(col("vec_id") % 17 === 0).select("vec_id"))
+    val stats = IvfIndex.retrain(spark, dir, nCells = 8, rounds = 3)
+    // convergence record: one row per round, movement non-increasing overall
+    assert(stats.map(_.round) == Seq(1, 2, 3))
+    assert(stats.last.totalMoveSq <= stats.head.totalMoveSq)
+    // retrain is also a compact: the tombstone log did not carry over...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    // ...and the deleted rows are physically gone from the new generation
+    val resident = spark.read.parquet(s"$dir/vectors")
+    assert(resident.filter(col("vec_id") % 17 === 0).count() == 0)
+    // the new generation has the requested cell count and matching radii
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    assert(spark.read.parquet(s"$dir/radii").count() <= 8)
+    // exactness through the new generation: probe-all search == brute force
+    // over the surviving corpus (the vec_delete_search contract)
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding").head.getSeq[Float](0)
+    val got = IvfIndex.search(spark, dir, qv, k = 10, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+    val want = emb.filter(col("vec_id") % 17 =!= 0)
+      .withColumn("d2", l2Sq(col("embedding"), lit(qv.toArray)))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select("vec_id", "d2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "probe-all over the retrained layout must equal brute force")
+    // rangeSearch's triangle-inequality bound is valid against the NEW radii
+    val r = math.sqrt(want(4)._2) + 1e-9
+    val ranged = IvfIndex.rangeSearch(spark, dir, qv, r).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ranged == want.take(5).map(_._1).toSet)
+    // crash recovery at the ROOT level: a retrain that died between its two
+    // renames leaves only <root>._old; any public entry must restore it
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val staged = new org.apache.hadoop.fs.Path(dir + "._old")
+    require(fs.rename(root, staged))
+    val recovered = IvfIndex.search(spark, dir, qv, k = 10, nProbe = 8).collect()
+      .map(r2 => (r2.getAs[Long]("vec_id"), r2.getAs[Double]("dist_sq"))).toSeq
+    assert(recovered == want, "open-time recovery must restore the staged-aside root")
+    assert(fs.exists(root) && !fs.exists(staged))
+  }
+
   test("dedupIngest: tombstoned residents stop matching but their ids stay burned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dig").toString + "/ivf"

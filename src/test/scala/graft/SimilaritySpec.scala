@@ -176,6 +176,60 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansTrain == single-node Lloyd reference, bitwise, every round") {
+    val corpus = Tables.embeddings(spark, sf).limit(200)
+    val k = 6
+    val rounds = 4
+    val (got, gotStats) = Similarity.kmeansTrain(corpus, k, rounds)
+
+    // independent single-node Lloyd over the same quantization contract:
+    // double-fold l2, (d, cid) tie-break, floor(x*1e6) long sums, one
+    // double division, one float rounding
+    val rows = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    var cents = rows.take(k).map(_._2.clone())
+    val refStats = scala.collection.mutable.ArrayBuffer.empty[Similarity.KmeansRound]
+    for (round <- 1 to rounds) {
+      val dim = cents(0).length
+      val cnt = Array.fill(k)(0L)
+      val sums = Array.fill(k, dim)(0L)
+      rows.foreach { case (_, v) =>
+        val cell = cents.indices.minBy(c => (l2sq(v, cents(c)), c))
+        cnt(cell) += 1
+        var i = 0
+        while (i < dim) { sums(cell)(i) += math.floor(v(i).toDouble * 1000000.0).toLong; i += 1 }
+      }
+      val next = cents.map(_.clone())
+      var empty = 0
+      (0 until k).foreach { c =>
+        if (cnt(c) == 0) empty += 1
+        else (0 until dim).foreach { i =>
+          next(c)(i) = (sums(c)(i).toDouble / (cnt(c).toDouble * 1000000.0)).toFloat
+        }
+      }
+      var maxMove = 0.0; var totalMove = 0.0
+      (0 until k).foreach { c =>
+        val m = l2sq(next(c), cents(c)); maxMove = math.max(maxMove, m); totalMove += m
+      }
+      refStats += Similarity.KmeansRound(round, maxMove, totalMove, empty)
+      cents = next
+    }
+    assert(got.length == cents.length)
+    got.zip(cents).zipWithIndex.foreach { case ((g, w), c) =>
+      assert(g.map(java.lang.Float.floatToRawIntBits).toSeq ==
+        w.map(java.lang.Float.floatToRawIntBits).toSeq,
+        s"cell $c centroid must match the reference bit-for-bit")
+    }
+    assert(gotStats == refStats.toSeq, "per-round movement metrics must match exactly")
+    // a Lloyd trajectory's total movement shrinks as it converges
+    assert(gotStats.last.totalMoveSq <= gotStats.head.totalMoveSq)
+  }
+
   test("cluster sample: bounded top-k agg == row_number window replay, caps hold") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Tables.embeddings(spark, sf)
