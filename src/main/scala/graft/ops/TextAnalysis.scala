@@ -168,6 +168,17 @@ object TextAnalysis {
     */
   def gopherGate(docs: DataFrame,
       stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    gopherSignals(docs, stopwords, minWords, maxWords).orderBy(col("doc_id"))
+
+  /** [[gopherGate]] without the presentation sort — the form a STREAM can
+    * run (sorting is illegal on an unaggregated stream, and a stateless
+    * gate doesn't need it): one projection folding each row's own token
+    * array, usable verbatim as the micro-batch twin
+    * (`EventStream.gopherGateStream`).
+    */
+  def gopherSignals(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     require(stopwords.nonEmpty, "need a stop-word list")
     val ws = split(col("text"), " ")
@@ -191,7 +202,6 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
-      .orderBy(col("doc_id"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct word set (word-set

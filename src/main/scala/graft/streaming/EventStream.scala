@@ -171,6 +171,29 @@ object EventStream {
       graft.ops.Curation.ngrams(col("text"), n), typedLit(benchNgrams)))
   }
 
+  /** Streaming Gopher gate: the hand-rule quality bundle is a stateless
+    * integer projection, so the batch operator's unsorted form runs on a
+    * document stream verbatim — an ingest pipeline can drop
+    * failing-quality docs inside their own micro-batch, zero state, no
+    * watermark. Identical expression trees to `gopherGate`, so stream
+    * verdicts equal batch verdicts bit-for-bit (`StreamingSpec`).
+    */
+  def gopherGateStream(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    graft.ops.TextAnalysis.gopherSignals(docs, stopwords, minWords, maxWords)
+
+  /** Streaming CCNet LM scoring: score a document stream against a model
+    * persisted by `NgramLm.buildAt` (trained OFFLINE on the static
+    * reference slice — the CCNet posture). The model attaches as literal
+    * maps (toy size) or a static one-row broadcast (production size);
+    * either way the scoring fold is row-local — stateless, no watermark,
+    * and stream scores equal batch scores bit-for-bit (`StreamingSpec`).
+    */
+  def lmScoreStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      modelPath: String): DataFrame =
+    graft.text.NgramLm.scoreDocsStreamFrom(spark, docs, modelPath)
+
   /** Streaming ANN ingest: micro-batches are cell-assigned against the
     * index's centroid sidecar and appended into the `partitionBy(cell)`
     * layout (`IvfIndex.appendBatch`) — a streamed corpus lands directly in

@@ -165,6 +165,21 @@ object NgramLm {
       path: String): DataFrame =
     scoredUnsortedFrom(spark, docs, path).orderBy(col("doc_id"))
 
+  /** Streaming twins: LM scoring is a stateless projection against a
+    * STATIC model (literal maps, or a broadcast one-row join whose build
+    * side is static — both legal on an unaggregated stream), so the
+    * unsorted scoring forms apply to a document stream unchanged. Train on
+    * a static reference slice (CCNet trains offline), persist, score the
+    * stream.
+    */
+  def scoreDocsStream(docs: DataFrame, model: LmModel): DataFrame =
+    scoredUnsorted(docs, model)
+
+  /** [[scoreDocsStream]] serving the persisted artifact at `path`. */
+  def scoreDocsStreamFrom(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame =
+    scoredUnsortedFrom(spark, docs, path)
+
   /** The scoring projection without the presentation sort — consumers that
     * re-shuffle anyway (the bucket window) start from this so the corpus
     * is sorted once, not twice. Dispatches literal-map vs broadcast-join

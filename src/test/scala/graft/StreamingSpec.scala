@@ -176,6 +176,84 @@ class StreamingSpec extends SparkSpec {
     assert(batch.sameElements(survivors))
   }
 
+  test("streaming quality gates: Gopher rules and LM scores equal batch bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // rows exercising each rule: one clean passing doc, one too short,
+    // one symbol-heavy, one with the LM's vocabulary
+    val fill = (1 to 60).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"the quick fox and the lazy dog $fill", "en", "s0"),
+      (2L, "too short", "en", "s0"),
+      (3L, s"the # ... # ... # ... and $fill # ... #", "en", "s1"),
+      (4L, "a b a b c the and", "en", "s1"))
+    val mem = MemoryStream[(Long, String, String, String)]
+    mem.addData(rows: _*)
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source")
+
+    val g = EventStream.gopherGateStream(docs)
+      .writeStream.format("memory").queryName("gopher_stream").outputMode("append").start()
+    // LM model trained offline on a static slice, persisted, stream-served
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-stream").toString + "/idx"
+    graft.text.NgramLm.buildAt(spark,
+      rows.toDF("doc_id", "text", "lang", "source"), dir, vocabSize = 4, maxBigrams = 8)
+    val l = EventStream.lmScoreStream(spark, docs, dir)
+      .writeStream.format("memory").queryName("lm_stream").outputMode("append").start()
+    g.processAllAvailable(); l.processAllAvailable()
+    g.stop(); l.stop()
+
+    val batchDocs = rows.toDF("doc_id", "text", "lang", "source")
+    def img(r: org.apache.spark.sql.Row, cols: Seq[String]) = cols.map(c => r.getAs[Any](c))
+    val gCols = Seq("doc_id", "n_words", "sum_word_chars", "n_sym", "n_alpha", "n_stop",
+      "r_wordcount", "r_wordlen", "r_symbol", "r_alpha", "r_stop", "pass")
+    val gGot = spark.table("gopher_stream").collect()
+      .map(img(_, gCols)).sortBy(_.head.asInstanceOf[Long].toString)
+    val gWant = graft.ops.TextAnalysis.gopherGate(batchDocs).collect()
+      .map(img(_, gCols)).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(gGot.toSeq == gWant.toSeq, "stream gate must equal the batch gate row-for-row")
+    assert(gGot.map(_.last).count(_ == true) == 1,
+      "only doc 1 passes — 2/4 fail word count, 3 fails the symbol rule")
+
+    val lCols = Seq("doc_id", "n_tokens", "n_scored", "n_hits", "sum_ppm", "fit_ppm")
+    val lGot = spark.table("lm_stream").collect()
+      .map(img(_, lCols)).sortBy(_.head.asInstanceOf[Long].toString)
+    val lWant = graft.text.NgramLm.scoreDocsFrom(spark, batchDocs, dir).collect()
+      .map(img(_, lCols)).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(lGot.toSeq == lWant.toSeq, "stream LM scores must equal batch scores")
+    assert(lGot.exists(r => r(3).asInstanceOf[Long] > 0L), "some bigram hits must occur")
+  }
+
+  test("streaming LM scoring serves an over-threshold model via the static broadcast") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = graft.text.NgramLm.train(
+      Seq((1L, "a b a b c", "en", "s0"), (2L, "b a b b", "en", "s0"))
+        .toDF("doc_id", "text", "lang", "source"), vocabSize = 2, maxBigrams = 2)
+    val syn = (0 until 3000).map(i => (f"zq$i%04d zr$i%04d", (i % 31 + 1).toLong)).toArray
+    val big = base.copy(bigrams = base.bigrams ++ syn)
+    assert(big.unigrams.length + big.bigrams.length > graft.text.NgramLm.LiteralMapMaxEntries)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-stream-big").toString + "/idx"
+    graft.text.NgramLm.save(spark, big, dir)
+    val mem = MemoryStream[(Long, String, String, String)]
+    mem.addData((10L, "a b c a q b b", "zz", "s1"), (11L, "b a b", "zz", "s1"))
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = EventStream.lmScoreStream(spark, docs, dir)
+      .writeStream.format("memory").queryName("lm_stream_big").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_stream_big").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("sum_ppm")))
+      .sortBy(_._1)
+    // the doc-10 hand computation from NgramLmSpec holds through the
+    // stream + broadcast path too
+    assert(got.head == ((10L, 1L, 1577777L)))
+    val want = graft.text.NgramLm.scoreDocsFrom(spark,
+      Seq((10L, "a b c a q b b", "zz", "s1"), (11L, "b a b", "zz", "s1"))
+        .toDF("doc_id", "text", "lang", "source"), dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"), r.getAs[Long]("sum_ppm")))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("SQL registration exposes the native vector functions to spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
