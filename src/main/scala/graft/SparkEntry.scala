@@ -828,17 +828,32 @@ object SparkEntry {
     // binding the whole decode+downsample+hash path cross-engine.
     "mm_phash_dedup" -> ((s, d) => {
       import s.implicits._
-      import graft.multimodal.{Multimodal, PngCodec}
+      import graft.multimodal.{JpegCodec, Multimodal, PngCodec}
       val ids = Tables.documents(s, d)
         .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
       val media = ids.flatMap { id =>
         def px(src: Long): Array[Int] =
           Array.tabulate(256)(p => ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt)
+        // per-8×8-flat EVEN pixels: the provably-exact JPEG class (DC-only
+        // blocks, 16 | 8·(v−128)), so the oracle can replay decoded pixels
+        def blocky(src: Long): Array[Int] = Array.tabulate(256) { p =>
+          (((src * 31 + (p % 16 / 8) * 7 + (p / 16 / 8) * 13) % 128) * 2).toInt
+        }
         val base = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px(id), 16, 16))
-        if (id % 9 == 0)
-          Seq(base, Multimodal.MediaRow(id + 2000000L, "image",
+        val pngTwin =
+          if (id % 9 == 0) Seq(Multimodal.MediaRow(id + 2000000L, "image",
             PngCodec.encodeGray(px(id), 16, 16, filterType = 1, level = 9)))
-        else Seq(base)
+          else Seq.empty
+        // cross-FORMAT twins: identical pixels once as PNG, once as real
+        // baseline JPEG — byte-unrelated containers, one perceptual group
+        val crossFormat =
+          if (id % 21 == 0)
+            Seq(Multimodal.MediaRow(id + 6000000L, "image",
+                PngCodec.encodeGray(blocky(id), 16, 16)),
+              Multimodal.MediaRow(id + 7000000L, "image",
+                JpegCodec.encodeGray(blocky(id), 16, 16)))
+          else Seq.empty
+        base +: (pngTwin ++ crossFormat)
       }
       Multimodal.phashDupGroups(media)
     }),
@@ -852,7 +867,7 @@ object SparkEntry {
     // via the probe join over real decoded PNGs.
     "mm_phash_near" -> ((s, d) => {
       import s.implicits._
-      import graft.multimodal.{Multimodal, PngCodec}
+      import graft.multimodal.{JpegCodec, Multimodal, PngCodec}
       val ids = Tables.documents(s, d)
         .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
         .filter((id: Long) => id % 7 == 0)
@@ -862,13 +877,64 @@ object SparkEntry {
             ((src * 31 + (p % 16) * 7 + (p / 16) * 13 +
               (if (p == 0) bump else 0)) % 256).toInt
           }
+        // the provably-exact JPEG pixel class (see mm_phash_dedup)
+        def blocky(src: Long): Array[Int] = Array.tabulate(256) { p =>
+          (((src * 31 + (p % 16 / 8) * 7 + (p / 16 / 8) * 13) % 128) * 2).toInt
+        }
         val base = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px(id, 0), 16, 16))
-        if (id % 13 == 0)
-          Seq(base, Multimodal.MediaRow(id + 3000000L, "image",
+        val bumped =
+          if (id % 13 == 0) Seq(Multimodal.MediaRow(id + 3000000L, "image",
             PngCodec.encodeGray(px(id, 6), 16, 16, filterType = 1)))
-        else Seq(base)
+          else Seq.empty
+        // cross-format Hamming-0 pair: identical pixels as PNG and as JPEG
+        val crossFormat =
+          if (id % 77 == 0)
+            Seq(Multimodal.MediaRow(id + 6000000L, "image",
+                PngCodec.encodeGray(blocky(id), 16, 16)),
+              Multimodal.MediaRow(id + 7000000L, "image",
+                JpegCodec.encodeGray(blocky(id), 16, 16)))
+          else Seq.empty
+        base +: (bumped ++ crossFormat)
       }
       Multimodal.phashNearPairs(media)
+    }),
+    // Perceptual AUDIO near-dup (Haitsma–Kalker sign hash over lag-comb
+    // band energies, integer-exact): every 11th doc renders to a REAL
+    // PCM16 WAV from a deterministic sample definition; every 33rd gets a
+    // re-encoded twin (stereo-duplicated channels + an extra LIST chunk —
+    // byte-different container, identical signal → Hamming 0), every 44th
+    // a one-sample-bumped near twin. The oracle recomputes fingerprints
+    // from the sample definition and brute-forces Hamming ≤ 2; the
+    // operator must find exactly those pairs via the probe join over real
+    // decoded containers.
+    "mm_audio_near" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, WavCodec}
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 11 == 0)
+      val media = ids.flatMap { id =>
+        // the near twin dips TWO adjacent samples: a uniform one-sample
+        // shift cancels in the lag-comb differences (hamming 0), the
+        // pairwise dip flips a couple of frame-8 sign bits
+        def samples(bumpAt: Int): Array[Int] = Array.tabulate(576) { i =>
+          val dip = if (bumpAt >= 0 && (i == bumpAt || i == bumpAt + 1)) 1L else 0L
+          (((id * 37L + i.toLong * 11L - dip) % 4096L) - 2048L).toInt
+        }
+        val base = Multimodal.MediaRow(id, "audio",
+          WavCodec.encodePcm16(samples(-1), 8000, 1))
+        val reEnc =
+          if (id % 33 == 0) Seq(Multimodal.MediaRow(id + 4000000L, "audio",
+            WavCodec.encodePcm16(samples(-1).flatMap(v => Array(v, v)), 8000, 2,
+              extraChunk = true)))
+          else Seq.empty
+        val bumped =
+          if (id % 44 == 0) Seq(Multimodal.MediaRow(id + 5000000L, "audio",
+            WavCodec.encodePcm16(samples(570), 8000, 1)))
+          else Seq.empty
+        base +: (reEnc ++ bumped)
+      }
+      Multimodal.audioNearPairs(media)
     }),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -893,6 +959,23 @@ object SparkEntry {
       val asOf = graft.vector.VectorIndex.maxIngestDate(s, dir).get
       graft.vector.VectorIndex.search(
         graft.vector.VectorIndex.loadRecent(s, dir, asOf), qv)
+    }),
+    // The ANN serving sidecar over the flat daily index, probe-all (the
+    // provably-exact configuration): sealed days answer via the IVF cell
+    // layout, the hot watermark day brute-forces from the flat source of
+    // truth, and the union must equal brute force over the whole retained
+    // window — the same oracle shape as vec_index_search. The budgeted
+    // configs and the fallback ladder are GraftApiSpec-pinned.
+    "vec_serve_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("flatserve", d) { p =>
+        graft.vector.VectorIndex.append(graft.vector.VectorIndex.fromEmbeddings(emb), p)
+        graft.vector.ServeIndex.build(s, p, "ivf", nCells = 8)
+      }
+      val qv = emb.filter(col("vec_id") === 5L).select("embedding").head.getSeq[Float](0)
+      graft.vector.ServeIndex.search(s, dir, "ivf", qv, k = 10, nProbe = 8)
+        .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
     }),
   )
 
@@ -2059,6 +2142,18 @@ object SparkEntry {
         |  'embedding' AS data_type,
         |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // Serve-sidecar probe-all = brute force over the retained window
+    // (vec_id % 10 >= 3, the fromEmbeddings date spread) — recall-
+    // independent because every cell is probed and the hot day is scanned.
+    "vec_serve_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 5),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  1.0 - d2/2.0 AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
     "doc_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -3046,13 +3141,24 @@ object SparkEntry {
     // Recompute the aHash from the pixel DEFINITION (the PNG bytes are a
     // JVM-side encoding detail): 16×16 pixels → 8×8 cells of 4 (floor-avg)
     // → mean threshold → 64-char bit string, all integer arithmetic.
+    // The % 21 cross-format twins (same pixels as PNG and as baseline
+    // JPEG) use the per-8×8-flat even-valued pixel class whose JPEG
+    // decode provably equals the definition, so one pixel CTE covers all
+    // three container encodings.
     "mm_phash_dedup" ->
       """WITH imgs AS (
-        |  SELECT doc_id, doc_id AS src FROM documents
+        |  SELECT doc_id, doc_id AS src, 0 AS blocky FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 9 = 0),
+        |  SELECT doc_id + 2000000, doc_id, 0 FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, doc_id, 1 FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, doc_id, 1 FROM documents WHERE doc_id % 21 = 0),
         |px AS (
-        |  SELECT i.doc_id, t.x, u.y, (i.src * 31 + t.x * 7 + u.y * 13) % 256 AS v
+        |  SELECT i.doc_id, t.x, u.y,
+        |    CASE WHEN i.blocky = 1
+        |      THEN ((i.src * 31 + (t.x // 8) * 7 + (u.y // 8) * 13) % 128) * 2
+        |      ELSE (i.src * 31 + t.x * 7 + u.y * 13) % 256 END AS v
         |  FROM imgs i, range(16) t(x), range(16) u(y)),
         |cells AS (
         |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS cell
@@ -3069,14 +3175,20 @@ object SparkEntry {
     // hashes — the probe join must reproduce this set exactly.
     "mm_phash_near" ->
       """WITH imgs AS (
-        |  SELECT doc_id, doc_id AS src, 0 AS bump FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id, doc_id AS src, 0 AS bump, 0 AS blocky FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id, doc_id AS src, 6 AS bump
-        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 = 0),
+        |  SELECT doc_id + 3000000 AS doc_id, doc_id AS src, 6 AS bump, 0 AS blocky
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, doc_id, 0, 1 FROM documents WHERE doc_id % 77 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, doc_id, 0, 1 FROM documents WHERE doc_id % 77 = 0),
         |px AS (
         |  SELECT i.doc_id, t.x, u.y,
-        |    (i.src * 31 + t.x * 7 + u.y * 13 +
-        |      CASE WHEN t.x = 0 AND u.y = 0 THEN i.bump ELSE 0 END) % 256 AS v
+        |    CASE WHEN i.blocky = 1
+        |      THEN ((i.src * 31 + (t.x // 8) * 7 + (u.y // 8) * 13) % 128) * 2
+        |      ELSE (i.src * 31 + t.x * 7 + u.y * 13 +
+        |        CASE WHEN t.x = 0 AND u.y = 0 THEN i.bump ELSE 0 END) % 256 END AS v
         |  FROM imgs i, range(16) t(x), range(16) u(y)),
         |cells AS (
         |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS cell
@@ -3089,6 +3201,51 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         |    a.ahash AS ha, b.ahash AS hb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT doc_id_a, doc_id_b,
+        |    CAST(SUM(CASE WHEN substr(ha, r.i, 1) = substr(hb, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hamming
+        |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
+        |SELECT doc_id_a, doc_id_b, hamming FROM h
+        |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Brute-force Hamming ≤ 2 over fingerprints recomputed from the PCM
+    // sample DEFINITION (the container bytes are invisible to SQL — which
+    // is the point: Spark must decode byte-different containers to the
+    // same signal). Frame f = (i*9)//576; E(f,b) = Σ|s[i]−s[i−b]|;
+    // bit(f,b) = (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) > 0.
+    "mm_audio_near" ->
+      """WITH aud AS (
+        |  SELECT doc_id, doc_id AS src, -1 AS bump_at FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, doc_id, -1 FROM documents WHERE doc_id % 33 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id, 570 FROM documents WHERE doc_id % 44 = 0),
+        |sm AS (
+        |  SELECT a.doc_id, r.i AS i,
+        |    ((a.src * 37 + r.i * 11 -
+        |      CASE WHEN a.bump_at >= 0 AND r.i IN (a.bump_at, a.bump_at + 1)
+        |        THEN 1 ELSE 0 END) % 4096) - 2048 AS s
+        |  FROM aud a, range(576) r(i)),
+        |e AS (
+        |  SELECT c.doc_id, (c.i * 9) // 576 AS f, lb.b AS b,
+        |    CAST(SUM(ABS(c.s - p.s)) AS BIGINT) AS en
+        |  FROM sm c
+        |  JOIN range(1, 10) lb(b) ON c.i >= lb.b
+        |  JOIN sm p ON p.doc_id = c.doc_id AND p.i = c.i - lb.b
+        |  GROUP BY c.doc_id, (c.i * 9) // 576, lb.b),
+        |bits AS (
+        |  SELECT e1.doc_id,
+        |    string_agg(CASE WHEN (e1.en - e2.en) - (e3.en - e4.en) > 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY e1.f, e1.b) AS h
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f AND e2.b = e1.b + 1
+        |  JOIN e e3 ON e3.doc_id = e1.doc_id AND e3.f = e1.f - 1 AND e3.b = e1.b
+        |  JOIN e e4 ON e4.doc_id = e1.doc_id AND e4.f = e1.f - 1 AND e4.b = e1.b + 1
+        |  WHERE e1.f >= 1 AND e1.b <= 8
+        |  GROUP BY e1.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.h AS ha, b.h AS hb
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id),
         |h AS (
         |  SELECT doc_id_a, doc_id_b,

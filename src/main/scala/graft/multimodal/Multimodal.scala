@@ -272,9 +272,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         if (r.media_type == "image")
-          PngCodec.decodeGray(r.data).map { case (w, h, px) =>
-            ImageHash(r.doc_id, aHashBits(px, w, h), dHashBits(px, w, h))
-          }
+          PngCodec.decodeGray(r.data)
+            .orElse(JpegCodec.decodeGray(r.data)) // mixed crawls: PNG or JPEG
+            .map { case (w, h, px) =>
+              ImageHash(r.doc_id, aHashBits(px, w, h), dHashBits(px, w, h))
+            }
         else None
       }
     }
@@ -328,12 +330,26 @@ object Multimodal {
     * is quadratic in group size — by definition of the query), but no
     * quadratic volume ever crosses the probe join's shuffle.
     */
-  def phashNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame = {
+  def phashNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame =
+    nearPairs64(imageHashes(media).toDF()
+      .select(col("doc_id"), col("ahash").as("h")), maxHamming)
+
+  /** The Manku probe construction over ANY (doc_id, 64-char bit string)
+    * table — shared by the image ([[phashNearPairs]]) and audio
+    * ([[audioNearPairs]]) perceptual tiers. Collapses to one row per
+    * DISTINCT hash before the join (the identical-hash groups a real crawl
+    * produces never pair quadratically across the shuffle); Hamming-0
+    * pairs expand row-locally from each group's own sorted id list.
+    */
+  private[multimodal] def nearPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       "the self+one-bit-flip probe family covers Hamming radius ≤ 2")
-    // decode+hash once; one tiny (ahash, ids) row per distinct hash feeds
-    // the within-group expansion and both probe-join sides
-    val groups = phashHashGroups(media).localCheckpoint(true)
+    // hash once; one tiny (h, ids) row per distinct hash feeds the
+    // within-group expansion and both probe-join sides
+    val groups = hashed
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(true)
 
     // Hamming 0: pairs within one identical-hash group, expanded from the
     // sorted id list (i < j gives doc_id_a < doc_id_b for free).
@@ -347,17 +363,17 @@ object Multimodal {
         lit(0).as("hamming"))
 
     val flips = (0 until 64).map { i =>
-      concat(substring(col("ahash"), 1, i),
-        when(substring(col("ahash"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring(col("ahash"), i + 2, 63 - i))
+      concat(substring(col("h"), 1, i),
+        when(substring(col("h"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("h"), i + 2, 63 - i))
     }
     // probes carry only the hash (not the id list): the 65× fan-out stays
     // 8-byte-class rows; ids re-join after the verify, one row per group
-    val probed = groups.select(col("ahash"),
-      explode(array((col("ahash") +: flips): _*)).as("probe"))
+    val probed = groups.select(col("h"),
+      explode(array((col("h") +: flips): _*)).as("probe"))
     val hashPairs = probed.as("a").join(probed.as("b"),
-        col("a.probe") === col("b.probe") && col("a.ahash") < col("b.ahash"))
-      .select(col("a.ahash").as("ahash_a"), col("b.ahash").as("ahash_b"))
+        col("a.probe") === col("b.probe") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
       .distinct() // a close hash pair shares several probes
     // Hamming distance as codegen'd integer ops, not a per-character HOF
     // loop (higher-order functions evaluate interpreted — measured 40×
@@ -367,14 +383,14 @@ object Multimodal {
     def half(c: org.apache.spark.sql.Column, off: Int) =
       conv(substring(c, off, 32), 2, 10).cast("long")
     val hamming =
-      (bit_count(half(col("ahash_a"), 1).bitwiseXOR(half(col("ahash_b"), 1))) +
-        bit_count(half(col("ahash_a"), 33).bitwiseXOR(half(col("ahash_b"), 33))))
+      (bit_count(half(col("h_a"), 1).bitwiseXOR(half(col("h_b"), 1))) +
+        bit_count(half(col("h_a"), 33).bitwiseXOR(half(col("h_b"), 33))))
         .cast("int")
     val cross = hashPairs
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming) // distinct hashes: hamming >= 1
-      .join(groups.select(col("ahash").as("ahash_a"), col("ids").as("ids_a")), "ahash_a")
-      .join(groups.select(col("ahash").as("ahash_b"), col("ids").as("ids_b")), "ahash_b")
+      .join(groups.select(col("h").as("h_a"), col("ids").as("ids_a")), "h_a")
+      .join(groups.select(col("h").as("h_b"), col("ids").as("ids_b")), "h_b")
       .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
       .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
       .select(least(col("x"), col("y")).as("doc_id_a"),
@@ -383,6 +399,80 @@ object Multimodal {
     within.unionByName(cross)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
+
+  // ---- perceptual audio near-dup -------------------------------------------
+
+  /** Audio fingerprint over decoded mono PCM, as a 64-char '0'/'1' string —
+    * the Haitsma–Kalker construction (ISMIR'02: sign of the time-frequency
+    * difference of band energies) with integer lag-comb filters standing in
+    * for FFT bands (no DSP library here, and exactness wants integers):
+    *
+    *   grid: 9 time frames (floor boundaries, the aHash convention) ×
+    *         lag bands b = 1..9;
+    *   E(f,b) = Σ_{i∈frame f, i≥b} |s[i] − s[i−b]| — a lag-b comb
+    *            high-pass energy, long arithmetic;
+    *   bit(f,b) for f=1..8, b=1..8:
+    *     (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) > 0, ordered by (f,b).
+    *
+    * Every step is integer, so the SQL oracle reproduces the identical
+    * string from the sample definition while Spark computes it from real
+    * container bytes. Robust to exactly what a crawl re-encode changes
+    * (container layout, channel duplication — the decode normalizes both)
+    * and sensitive to the signal itself.
+    */
+  def audioHashBits(samples: Array[Int]): String = {
+    val frames = 9; val bands = 9
+    val n = samples.length
+    val e = Array.ofDim[Long](frames, bands + 1) // e(f)(b), b in 1..9
+    var i = 0
+    while (i < n) {
+      val f = ((i.toLong * frames) / n).toInt
+      var b = 1
+      while (b <= bands) {
+        if (i >= b) e(f)(b) += math.abs(samples(i).toLong - samples(i - b).toLong)
+        b += 1
+      }
+      i += 1
+    }
+    val sb = new StringBuilder(64)
+    for (f <- 1 until frames; b <- 1 until bands) {
+      val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+      sb.append(if (d > 0) '1' else '0')
+    }
+    sb.toString
+  }
+
+  case class AudioHash(doc_id: Long, hash: String, sample_rate: Int,
+      channels: Int, n_samples: Int)
+
+  /** Perceptual fingerprints for every decodable PCM16 WAV payload —
+    * map-only decode+hash per partition, bytes never leave the executor
+    * (the imageHashes contract on the audio modality). Undecodable or
+    * empty audio drops out; the header-metadata path still audits it.
+    */
+  def audioHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type == "audio")
+          WavCodec.decodePcm16(r.data).collect {
+            case (rate, ch, mono) if mono.nonEmpty =>
+              AudioHash(r.doc_id, audioHashBits(mono), rate, ch, mono.length)
+          }
+        else None
+      }
+    }
+  }
+
+  /** Perceptual audio NEAR-duplicate pairs at Hamming ≤ `maxHamming` —
+    * the re-encode/re-master detector: byte-different containers of the
+    * same signal collide at Hamming 0, slightly perturbed signals land
+    * within the radius. Same probe family, same collapse, same verify as
+    * the image tier ([[nearPairs64]]).
+    */
+  def audioNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame =
+    nearPairs64(audioHashes(media).toDF()
+      .select(col("doc_id"), col("hash").as("h")), maxHamming)
 
   /** Content-addressed storage audit per modality: media blobs group by
     * content hash (the CAS/dedup-store model — a crawl re-delivers the

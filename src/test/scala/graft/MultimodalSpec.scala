@@ -442,4 +442,158 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(gray.sameElements(want), "RGB→gray must be the documented integer luma")
   }
+
+  // ---- JPEG codec ----------------------------------------------------------
+
+  /** Per-8×8-flat pixels with EVEN values: the class of images whose DCT
+    * roundtrip is provably exact in any conformant baseline codec (DC-only
+    * blocks, DC = 8·(v−128) divisible by q₀₀ = 16) — what the registered
+    * mixed-corpus oracles rely on.
+    */
+  private def blockyPx(src: Long, w: Int = 16, h: Int = 16): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      (((src * 31 + bx * 7 + by * 13) % 128) * 2).toInt
+    }
+
+  test("JPEG codec: flat-block roundtrip bitwise; arbitrary images decode deterministically") {
+    import graft.multimodal.JpegCodec
+    // exact class: per-block-flat, even values
+    for (src <- Seq(0L, 5L, 77L, 1234L)) {
+      val px = blockyPx(src)
+      val Some((w, h, got)) = JpegCodec.decodeGray(JpegCodec.encodeGray(px, 16, 16))
+      assert((w, h) == ((16, 16)))
+      assert(got.sameElements(px), s"flat even blocks must roundtrip exactly (src=$src)")
+    }
+    // DC-only hand case: a uniform 24×24 image (3×3 blocks, DC diffs = 0)
+    val flat = Array.fill(24 * 24)(200)
+    val Some((_, _, f)) = JpegCodec.decodeGray(JpegCodec.encodeGray(flat, 24, 24))
+    assert(f.forall(_ == 200))
+    // arbitrary (non-flat) content: lossy but deterministic and close
+    val grad = Array.tabulate(32 * 16)(p => (p % 32 * 7 + p / 32 * 11) % 256)
+    val enc = JpegCodec.encodeGray(grad, 32, 16)
+    val Some((_, _, d1)) = JpegCodec.decodeGray(enc)
+    val Some((_, _, d2)) = JpegCodec.decodeGray(enc)
+    assert(d1.sameElements(d2), "decode must be deterministic")
+    // the mod-256 sawtooth has hard wrap edges — the worst case for the
+    // coarse high-frequency quants (up to 121), so bound the MEAN error
+    // (a broken IDCT/dequant is off by ~100 everywhere, not ~6)
+    val errs = grad.zip(d1).map { case (a, b) => math.abs(a - b) }
+    assert(errs.sum.toDouble / errs.length <= 16.0,
+      s"mean baseline quantization error out of range: ${errs.sum.toDouble / errs.length}")
+    // odd dimensions exercise edge-replicated partial blocks
+    val odd = Array.tabulate(13 * 9)(p => (p * 17) % 256)
+    val Some((ow, oh, od)) = JpegCodec.decodeGray(JpegCodec.encodeGray(odd, 13, 9))
+    assert((ow, oh) == ((13, 9)) && od.length == 13 * 9)
+  }
+
+  test("JPEG codec: garbage and truncation never throw; headers reject non-baseline") {
+    import graft.multimodal.JpegCodec
+    assert(JpegCodec.decodeGray("not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decodeGray(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+    val whole = JpegCodec.encodeGray(blockyPx(9L), 16, 16)
+    // header truncation → None; scan truncation → prefix with mid-gray tail
+    assert(JpegCodec.decodeGray(whole.take(20)).isEmpty)
+    val cut = JpegCodec.decodeGray(whole.take(whole.length - 3))
+    assert(cut.nonEmpty, "mid-scan truncation must yield the decoded prefix, not a throw")
+    // a progressive SOF2 marker is rejected, not misparsed
+    val prog = whole.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(JpegCodec.decodeGray(prog).isEmpty)
+  }
+
+  test("mixed corpus: the same pixels as PNG and JPEG collide on aHash through imageHashes") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, Multimodal, PngCodec}
+    val rows = (1L to 20L).flatMap { src =>
+      val px = blockyPx(src)
+      Seq(Multimodal.MediaRow(src, "image", PngCodec.encodeGray(px, 16, 16)),
+        Multimodal.MediaRow(src + 1000L, "image", JpegCodec.encodeGray(px, 16, 16)))
+    }
+    val hashes = Multimodal.imageHashes(spark.createDataset(rows)).collect()
+      .map(h => h.doc_id -> (h.ahash, h.dhash)).toMap
+    assert(hashes.size == 40, "every payload of both formats must decode")
+    (1L to 20L).foreach { src =>
+      assert(hashes(src) == hashes(src + 1000L),
+        s"PNG and JPEG encodings of the same pixels must hash identically (src=$src)")
+    }
+  }
+
+  // ---- perceptual audio tier -----------------------------------------------
+
+  // The near twin dips TWO adjacent samples by 1: a uniform single-sample
+  // shift cancels in the lag-comb differences (ΔE identical across bands),
+  // while the pairwise dip changes ΔE(8,b) differentially in b — flipping
+  // a couple of frame-8 sign bits, the Hamming-1..2 planted pair.
+  private def pcm(src: Long, bumpAt: Int = -1): Array[Int] = Array.tabulate(576) { i =>
+    val dip = if (bumpAt >= 0 && (i == bumpAt || i == bumpAt + 1)) 1L else 0L
+    (((src * 37L + i.toLong * 11L - dip) % 4096L) - 2048L).toInt
+  }
+
+  test("WAV codec: PCM16 roundtrip exact; stereo duplicate downmixes to the identical mono") {
+    import graft.multimodal.WavCodec
+    val s = pcm(5L)
+    val Some((rate, ch, mono)) = WavCodec.decodePcm16(WavCodec.encodePcm16(s, 8000, 1))
+    assert(rate == 8000 && ch == 1 && mono.sameElements(s))
+    // stereo duplicate + junk chunk: byte-different container, same signal
+    val st = WavCodec.encodePcm16(s.flatMap(v => Array(v, v)), 8000, 2, extraChunk = true)
+    assert(!st.sameElements(WavCodec.encodePcm16(s, 8000, 1)))
+    val Some((r2, c2, m2)) = WavCodec.decodePcm16(st)
+    assert(r2 == 8000 && c2 == 2 && m2.sameElements(s),
+      "channel-duplicated stereo must decode to the identical mono samples")
+    // asymmetric stereo with odd sums exercises the floor-division downmix
+    val lr = Array(100, 101, -5, -6) // frames (100,101), (-5,-6)
+    val Some((_, _, mixed)) = WavCodec.decodePcm16(WavCodec.encodePcm16(lr, 8000, 2))
+    assert(mixed.toSeq == Seq(100, -6), "downmix must floor-divide (floorDiv, not truncate)")
+    // truncation safety: cut mid-data → prefix decodes; garbage → None
+    val whole = WavCodec.encodePcm16(s, 8000, 1)
+    val Some((_, _, cut)) = WavCodec.decodePcm16(whole.take(whole.length - 7))
+    assert(cut.length < s.length && cut.sameElements(s.take(cut.length)))
+    assert(WavCodec.decodePcm16("not audio at all".getBytes).isEmpty)
+    assert(WavCodec.decodePcm16(whole.take(20)).isEmpty)
+  }
+
+  test("audio near pairs: probe join equals brute force; re-encode at Hamming 0; bump within radius") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WavCodec}
+    val srcs = (1L to 40L).map(_ * 11L)
+    val rows = srcs.flatMap { id =>
+      val base = Multimodal.MediaRow(id, "audio", WavCodec.encodePcm16(pcm(id), 8000, 1))
+      val reEnc =
+        if (id % 33 == 0) Seq(Multimodal.MediaRow(id + 4000000L, "audio",
+          WavCodec.encodePcm16(pcm(id).flatMap(v => Array(v, v)), 8000, 2, extraChunk = true)))
+        else Seq.empty
+      val bumped =
+        if (id % 44 == 0) Seq(Multimodal.MediaRow(id + 5000000L, "audio",
+          WavCodec.encodePcm16(pcm(id, bumpAt = 570), 8000, 1)))
+        else Seq.empty
+      base +: (reEnc ++ bumped)
+    } :+ Multimodal.MediaRow(999L, "video", Array[Byte](1, 2, 3)) // non-audio drops out
+    val media = spark.createDataset(rows)
+    val got = Multimodal.audioNearPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    // brute-force the definition over driver-side hashes
+    val hashes = rows.collect {
+      case m if m.media_type == "audio" =>
+        val Some((_, _, mono)) = WavCodec.decodePcm16(m.data)
+        (m.doc_id, Multimodal.audioHashBits(mono))
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 2
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    assert(got == want, s"probe join must equal brute force:\n got=$got\nwant=$want")
+    // every re-encoded twin collides at Hamming 0
+    srcs.filter(_ % 33 == 0).foreach { id =>
+      assert(got.contains((id, id + 4000000L, 0)), s"re-encode twin of $id must be Hamming 0")
+    }
+    // the planted one-sample bump stays within the probe radius
+    val bumpPairs = got.filter { case (a, b, _) => b == a + 5000000L }
+    assert(bumpPairs.nonEmpty, "at least one bumped twin must land within Hamming ≤ 2")
+    assert(bumpPairs.exists(_._3 >= 1),
+      "some bumped signal must flip bits yet stay within the probe radius")
+  }
 }
