@@ -210,6 +210,18 @@ object SparkEntry {
     // assignment with cid tie-break, (cell, dim) roll-up.
     "vec_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.embeddings(s, d))),
+    // TWO exact Lloyd rounds through the training loop: round 1 updates
+    // the centroids (quantized mean → one float rounding per coordinate,
+    // empty cells keep their seed), round 2's (cell, dim) roll-up is the
+    // output — so the oracle replays a genuine multi-round trajectory,
+    // float-rounded centroids and all, in SQL. Pin for kmeansTrain /
+    // IvfIndex.retrain beyond the spec-level bitwise Lloyd reference.
+    "vec_kmeans_train2" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (cents, _) = Similarity.kmeansTrain(emb, k = 8, rounds = 1)
+      Similarity.kmeansStepWith(emb, cents)
+    }),
     // Cluster-balanced sample: cap lowest-hash-draw members per seed cell
     // via the bounded native top-k aggregate (no per-cell window sort);
     // the oracle uses the row_number window form — same rows by the
@@ -975,6 +987,23 @@ object SparkEntry {
       }
       val qv = emb.filter(col("vec_id") === 5L).select("embedding").head.getSeq[Float](0)
       graft.vector.ServeIndex.search(s, dir, "ivf", qv, k = 10, nProbe = 8)
+        .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
+    }),
+    // The IVF-PQ serve sidecar in the provably-exact configuration
+    // (probe all cells, refine budget covering the sealed window): ADC
+    // candidates from the codes column, exact re-rank, hot-day brute arm —
+    // must equal brute force over the retained window, same oracle shape.
+    "vec_serve_pq_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("flatservepq", d) { p =>
+        graft.vector.VectorIndex.append(graft.vector.VectorIndex.fromEmbeddings(emb), p)
+        graft.vector.ServeIndex.build(s, p, "ivfpq", nCells = 8)
+      }
+      val qv = emb.filter(col("vec_id") === 7L).select("embedding").head.getSeq[Float](0)
+      val rf = ((emb.count() + 9) / 10).toInt
+      graft.vector.ServeIndex.search(s, dir, "ivfpq", qv, k = 10, nProbe = 8,
+          refineFactor = rf)
         .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
     }),
   )
@@ -2007,6 +2036,46 @@ object SparkEntry {
         |  CAST(sum(v_micro) AS BIGINT) AS sum_micro,
         |  CAST(sum(v_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
         |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+    // Two-round Lloyd replay: round-1 assignment + quantized means, the
+    // float rounding via CAST(.. AS REAL) (IEEE round-to-nearest — equals
+    // Scala .toFloat), empty cells carried from the seed (the LEFT JOIN
+    // COALESCE), then round-2 assignment against the updated centroids
+    // and the same microunit roll-up as vec_kmeans_step.
+    "vec_kmeans_train2" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent0 AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |asn1 AS (SELECT vec_id, e, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cent0.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent0.ce")}, cent0.cid) AS arn
+        |    FROM emb, cent0) WHERE arn = 1),
+        |px1 AS (SELECT cell, unnest(list_transform(range(1, len(e)+1),
+        |         i -> {'d': i, 'v': e[i]})) AS p FROM asn1),
+        |m1 AS (SELECT cell, p.d AS dim,
+        |        CAST(sum(CAST(floor(p.v * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+        |        CAST(count(*) AS BIGINT) AS n
+        |       FROM px1 GROUP BY cell, p.d),
+        |cent1 AS (
+        |  SELECT c0.cid, list(CAST(CAST(
+        |      COALESCE(CAST(m.sm AS DOUBLE) / (CAST(m.n AS DOUBLE) * 1000000.0),
+        |        c0.ce[d.i]) AS REAL) AS DOUBLE) ORDER BY d.i) AS ce
+        |  FROM cent0 c0
+        |  CROSS JOIN (SELECT DISTINCT dim AS i FROM m1) d
+        |  LEFT JOIN m1 m ON m.cell = c0.cid AND m.dim = d.i
+        |  GROUP BY c0.cid),
+        |asn2 AS (SELECT vec_id, e, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cent1.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent1.ce")}, cent1.cid) AS arn
+        |    FROM emb, cent1) WHERE arn = 1),
+        |px2 AS (SELECT cell, unnest(list_transform(range(1, len(e)+1),
+        |         i -> {'d': i, 'v': e[i]})) AS p FROM asn2),
+        |q AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(p.d AS INT) AS dim,
+        |        CAST(floor(p.v * 1000000.0) AS BIGINT) AS v_micro FROM px2)
+        |SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+        |  CAST(sum(v_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+        |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     // Same assignment replay; the per-cell cap is the declarative
     // row_number window over (draw, vec_id) — the Spark side's bounded
     // top-k aggregate selects the identical rows (8-hex md5 numeric order
@@ -2147,6 +2216,18 @@ object SparkEntry {
     // independent because every cell is probed and the hot day is scanned.
     "vec_serve_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 5),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  1.0 - d2/2.0 AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // PQ serve path, probe-all + window-covering refine ≡ brute force —
+    // recall-independent like vec_pq_search: the ADC stage only SELECTS
+    // candidates, the output distances are the exact float re-rank.
+    "vec_serve_pq_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,

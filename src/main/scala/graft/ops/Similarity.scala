@@ -323,6 +323,14 @@ object Similarity {
     embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
   }
 
+  /** One exact Lloyd step against EXPLICIT centroids, presentation-sorted —
+    * [[kmeansStep]] generalized past the seed convention; the registered
+    * `vec_kmeans_train2` runs this against round-1 trained centroids so the
+    * oracle replays a full two-round trajectory in SQL.
+    */
+  def kmeansStepWith(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    cellMicroSums(assignCells(embeddings, cents)).orderBy(col("cell"), col("dim"))
+
   /** Per-round convergence record from [[kmeansTrain]]: squared centroid
     * movement (max over cells and summed) plus how many cells went empty
     * (empty cells keep their previous centroid — the `kmeansCentroids`
@@ -602,6 +610,20 @@ object Similarity {
     * against a million-pair fixture, vs ~3e-5 at the 8-band setting, which
     * a fixture/SF change could plausibly trip. Re-check this bound if the
     * registered threshold or band params ever change.
+    *
+    * SCALE LIMIT (measured, `tools.ScaleProbe`): exact recall is bought
+    * with candidate volume. A random pair agrees on a 2-bit band with
+    * probability 1/4, so it shares ~nBands/4 = 4 bands in expectation —
+    * on an isotropic corpus the candidate set approaches ALL PAIRS, and
+    * the verify stage is CPU-quadratic (41× wall at 10× rows in the
+    * probe; wider bands at θ = 0.9 cannot fix this — sign-LSH needs
+    * ~50 tables for 99% recall at 16-bit bands). This operator is the
+    * exact-recall tier, correct at any size and economical only when the
+    * corpus is clustered; the AT-SCALE cosine near-dup path is
+    * [[cosineDupPairsBlocked]] / [[semanticDedup]] (IVF-cell blocking
+    * with corpus-sized nCells — 1.5× wall at 10× rows in the same probe,
+    * identical pair output), the registered `vec_dup_pairs` /
+    * `vec_semantic_dedup` plans.
     *
     * NOT a lazy transformation: like `Dedup.minhashDupPairs`, the
     * identical-embedding collapse is adaptive, so this call runs Spark

@@ -1,0 +1,165 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Similarity}
+
+/** 10× scale probe for the candidate-pair tier — the wall-clock complement
+  * to `SkewFixturesSpec`'s per-task bounds. Each probed operator runs over
+  * the sf corpus as-is and over a deterministic ~10× amplification of it,
+  * recording wall time, max per-task shuffle-read records, and total
+  * shuffle-write records from real task metrics. Sub-quadratic scaling
+  * shows as ≤ ~12× time at 10× rows; a quadratic candidate stage shows as
+  * ~100×. Results land in SURVEY.md's scale-probe table each round.
+  *
+  * Amplification is growth, not duplication — replica r ≠ 0:
+  *  - documents: every 3rd token gets a replica tag, so every 3-shingle
+  *    and every winnow k-gram dies across replicas (cross-replica Jaccard
+  *    ≈ 0, no shared fingerprints), while WITHIN a replica the corpus's
+  *    own dup structure is preserved exactly → pair output grows ~10×,
+  *    like a crawl that grew 10× with the same dup rate.
+  *  - embeddings: dimensions rotate by r — within-replica geometry is
+  *    IDENTICAL (rotation preserves every inner product), cross-replica
+  *    cosines scatter → same effect.
+  *  - media: 10× ids render 10× distinct images through the registered
+  *    mm_phash_near fixture definition.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [reps]
+  */
+object ScaleProbe {
+
+  private case class Meas(wallSec: Double, maxTaskRead: Long, totalWrite: Long, rows: Long)
+
+  private def measure(spark: SparkSession)(action: => Long): Meas = {
+    val maxRead = new AtomicLong(0L)
+    val totWrite = new AtomicLong(0L)
+    val lastEvent = new AtomicLong(System.nanoTime())
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        lastEvent.set(System.nanoTime())
+        val m = t.taskMetrics
+        if (m != null) {
+          maxRead.getAndUpdate(l => math.max(l, m.shuffleReadMetrics.recordsRead))
+          totWrite.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val rows = action
+      val wall = (System.nanoTime() - t0) / 1e9
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() - lastEvent.get() < 700L * 1000 * 1000 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      Meas(wall, maxRead.get(), totWrite.get(), rows)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def amplifyDocs(docs: DataFrame, reps: Int): DataFrame =
+    (0 until reps).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        array_join(expr(
+          s"transform(split(text, ' '), (w, i) -> CASE WHEN i % 3 = 0 THEN concat(w, '_q$r') ELSE w END)"),
+          " ").as("text"))
+    }.reduce(_ unionByName _)
+
+  private def amplifyEmb(emb: DataFrame, reps: Int, dim: Int): DataFrame =
+    (0 until reps).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"), col("label"),
+        concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r)).as("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** The registered mm_phash_near fixture over an arbitrary id set. */
+  private def phashMedia(spark: SparkSession, ids: DataFrame) = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PngCodec}
+    ids.select(col("doc_id")).as[Long].filter((id: Long) => id % 7 == 0).flatMap { id =>
+      def px(src: Long, bump: Int): Array[Int] =
+        Array.tabulate(256) { p =>
+          ((src * 31 + (p % 16) * 7 + (p / 16) * 13 +
+            (if (p == 0) bump else 0)) % 256).toInt
+        }
+      val base = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(px(id, 0), 16, 16))
+      if (id % 13 == 0)
+        Seq(base, Multimodal.MediaRow(id + 3000000L, "image",
+          PngCodec.encodeGray(px(id, 6), 16, 16, filterType = 1)))
+      else Seq(base)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .appName("graft-scale-probe")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.log.level", "WARN")
+      .getOrCreate()
+    import spark.implicits._
+
+    val docs1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val docsN = amplifyDocs(docs1, reps).localCheckpoint(true)
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+    val emb1 = embBase.localCheckpoint(true)
+    val embN = amplifyEmb(emb1, reps, dim).localCheckpoint(true)
+    def planted(e: DataFrame) = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000000L).as("vec_id"),
+          transform(col("embedding"), x => x + x).as("embedding")))
+    val media1 = phashMedia(spark, docs1).cache(); media1.count()
+    val mediaN = phashMedia(spark, docsN).cache(); mediaN.count()
+
+    val probes: Seq[(String, () => Long, () => Long)] = Seq(
+      ("doc_minhash_pairs",
+        () => Dedup.minhashDupPairs(docs1).count(),
+        () => Dedup.minhashDupPairs(docsN).count()),
+      ("doc_winnow_pairs",
+        () => Dedup.winnowDupPairs(docs1, minShared = 3).count(),
+        () => Dedup.winnowDupPairs(docsN, minShared = 3).count()),
+      ("mm_phash_near",
+        () => graft.multimodal.Multimodal.phashNearPairs(media1).count(),
+        () => graft.multimodal.Multimodal.phashNearPairs(mediaN).count()),
+      ("vec_rplsh_pairs",
+        () => Similarity.rpLshDupPairs(planted(emb1), 0.9).count(),
+        () => Similarity.rpLshDupPairs(planted(embN), 0.9).count()),
+      // the at-scale cosine near-dup twin (IVF-cell blocked, cell count
+      // sized to the corpus as a real deployment would): candidate volume
+      // bounded by cell occupancy instead of sign-band collisions — the
+      // path a 100-TB run takes (see rpLshDupPairs docs)
+      ("vec_dup_pairs_blocked",
+        () => Similarity.cosineDupPairsBlocked(planted(emb1), 0.95, nCells = 64, nProbe = 4).count(),
+        () => Similarity.cosineDupPairsBlocked(planted(embN), 0.95, nCells = 64, nProbe = 4).count()),
+      ("vec_hard_negatives",
+        () => Similarity.hardNegatives(emb1).count(),
+        () => Similarity.hardNegatives(embN).count()))
+
+    println(s"# scale probe: $sfDir vs ${reps}x (docs ${docs1.count()} -> ${docsN.count()}, " +
+      s"vecs ${emb1.count()} -> ${embN.count()})")
+    println("| op | t_1x (s) | t_Nx (s) | time ratio | rows_1x | rows_Nx | " +
+      "maxTaskRead_1x | maxTaskRead_Nx | shufWrite_1x | shufWrite_Nx |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
+    probes.foreach { case (name, one, n) =>
+      val m1 = measure(spark)(one())
+      val mN = measure(spark)(n())
+      println(f"| $name | ${m1.wallSec}%.1f | ${mN.wallSec}%.1f | " +
+        f"${mN.wallSec / m1.wallSec}%.1fx | ${m1.rows} | ${mN.rows} | " +
+        f"${m1.maxTaskRead} | ${mN.maxTaskRead} | ${m1.totalWrite} | ${mN.totalWrite} |")
+    }
+    spark.stop()
+  }
+}
