@@ -93,14 +93,26 @@ object IndexPipeline {
       k: Int = 10, asOf: java.sql.Date = null,
       embedder: Embedder = new HashingEmbedder()): DataFrame = {
     import graft.functions.VectorFunctions._
+    val qEmbedded = queries.select(col("query_id"),
+      embedder.embedCol(col("query_text")).as("q_emb"))
+    // same access-path config as searchIndex — the sidecar answers the
+    // batch through one cell equi-join (ADC codes-only on the pq kind)
+    // plus the brute hot arm, or the flat scan serves as always
+    val mode = spark.conf.get("spark.graft.serve.index", "flat")
+    val served =
+      if (mode == "flat") None
+      else ServeIndex.searchBatch(spark, indexPath, mode, qEmbedded, k,
+        nProbe = spark.conf.get("spark.graft.serve.nProbe", "2").toInt,
+        refineFactor = spark.conf.get("spark.graft.serve.refineFactor", "4").toInt,
+        asOf = asOf)
+    if (served.isDefined) return served.get
     val anchor = Option(asOf).orElse(VectorIndex.maxIngestDate(spark, indexPath))
     val idx = anchor match {
       case Some(d) => VectorIndex.loadRecent(spark, indexPath, d)
       case None =>
         VectorIndex.dropTombstoned(spark, indexPath, spark.read.parquet(indexPath))
     }
-    val q = queries.select(col("query_id"),
-      embedder.embedCol(col("query_text")).as("q_emb"))
+    val q = qEmbedded
     val corpus = idx.select(col("vec_id"), col("embedding"), col("data_type"),
       col("data_json"))
     q.crossJoin(corpus)

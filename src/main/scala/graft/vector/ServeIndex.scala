@@ -232,4 +232,118 @@ object ServeIndex {
       .select(col("rank"), faissSimilarity(col("d2")).as("similarity_score"),
         col("data_type"), col("data_json")))
   }
+
+  /** Batch serve: top-k for EVERY query row through the sidecar, or None
+    * under the same fallback conditions as [[search]]. The per-query
+    * driver work of the single-query path moves INTO the plan (the
+    * `IvfIndex.knnJoin` construction): queries multi-probe-assign against
+    * the literal centroids map-only; the sealed arm is ONE equi-join on
+    * the layout's cell column (each corpus row lives in exactly one cell,
+    * so no per-pair duplication); on the `ivfpq` kind the join reads the
+    * codes column only, scored through a per-(query, cell) residual LUT,
+    * with the bounded leaders exactly re-ranked. The hot arm stays the
+    * brute cross join over the watermark day. Union feeds the same
+    * bounded top-k aggregate + payload join as the flat
+    * `IndexPipeline.searchIndexBatch`, so probe-all output is identical
+    * to the flat batch scan.
+    */
+  def searchBatch(spark: SparkSession, indexPath: String, kind: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 2, refineFactor: Int = 4,
+      asOf: java.sql.Date = null): Option[DataFrame] = {
+    import graft.functions.TopKAggregator
+    val sc = sidecarPath(indexPath)
+    val m = meta(spark, indexPath) match {
+      case Some((`kind`, wm)) => wm
+      case _ => return None
+    }
+    val anchor = Option(asOf)
+      .orElse(VectorIndex.maxIngestDate(spark, indexPath))
+      .getOrElse(return None)
+    if (anchor.before(m)) return None
+    val windowLo = date_sub(lit(anchor), VectorIndex.RetentionDays)
+    val cents = spark.read.parquet(s"$sc/centroids")
+      .select(col("cid").cast("long"), col("c_embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("q_emb"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
+      x => x.getField("cid")), 1, math.max(1, nProbe))
+    val q = queries.select(col("query_id"), col("q_emb"))
+    val qSide = q.withColumn("cell", explode(probeCells))
+    val sealedAll = VectorIndex.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$sc/vectors")
+        .filter(col("ingest_date") > windowLo && col("ingest_date") < lit(m)))
+    val sealedCand =
+      if (kind == "ivf")
+        qSide.join(sealedAll.select(col("vec_id"), col("embedding"),
+            col("data_type"), col("data_json"), col("cell")), "cell")
+          .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
+          .select(col("query_id"), col("vec_id"), col("d2"),
+            col("data_type"), col("data_json"))
+      else {
+        // per-(query, cell) residual LUT in-plan; candidates scored over
+        // the codes column only (the IvfPqIndex.knnJoin construction)
+        val books = PqIndex.readBooks(spark, sc)
+        val mSub = books.length
+        val ksub = books(0).length
+        val dsub = books(0)(0).length
+        val centMap = map(cents.flatMap { case (cid, v) =>
+          Seq(lit(cid), typedLit(v)) }.toSeq: _*)
+        val flatBooks = typedLit(books.flatten.flatten.map(_.toDouble).toSeq)
+        val lutExpr = transform(sequence(lit(0), lit(mSub * ksub - 1)), i => {
+          val s = (i / lit(ksub)).cast("int")
+          aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, p) => {
+            val qv = element_at(col("q_res"), s * dsub + p + 1).cast("double")
+            val bv = element_at(flatBooks, i * dsub + p + 1)
+            acc + (qv - bv) * (qv - bv)
+          })
+        })
+        val qLut = qSide
+          .withColumn("q_res",
+            zip_with(col("q_emb"), element_at(centMap, col("cell")), (a, b) => a - b))
+          .withColumn("lut", lutExpr)
+          .select(col("query_id"), col("cell"), col("lut"))
+        val adc = aggregate(
+          expr(s"zip_with(sequence(0, ${mSub - 1}), codes, (s, c) -> s * $ksub + c)"),
+          lit(0.0), (acc, i) => acc + element_at(col("lut"), i + 1))
+        val leaders = qLut
+          .join(sealedAll.select(col("vec_id"), col("codes"), col("cell")), "cell")
+          .withColumn("adc_d2", adc)
+          .groupBy(col("query_id"))
+          .agg(TopKAggregator.topK(k * math.max(1, refineFactor),
+            -col("adc_d2"), col("vec_id")).as("top"))
+          .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+        leaders
+          .join(sealedAll.select(col("vec_id"), col("embedding"),
+            col("data_type"), col("data_json")), "vec_id")
+          .join(q, "query_id")
+          .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
+          .select(col("query_id"), col("vec_id"), col("d2"),
+            col("data_type"), col("data_json"))
+      }
+    graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
+    val hot = q.crossJoin(
+        VectorIndex.dropTombstoned(spark, indexPath,
+          spark.read.parquet(indexPath)
+            .filter(col("ingest_date") >= lit(m) && col("ingest_date") <= lit(anchor) &&
+              col("ingest_date") > windowLo))
+          .select(col("vec_id"), col("embedding"), col("data_type"), col("data_json")))
+      .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("d2"),
+        col("data_type"), col("data_json"))
+    val union = sealedCand.unionByName(hot).localCheckpoint(true)
+    Some(union
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k, -col("d2"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.value")).as("d2"))
+      .join(union.select(col("vec_id"), col("data_type"), col("data_json"))
+        .dropDuplicates("vec_id"), "vec_id")
+      .select(col("query_id"), col("rank"),
+        faissSimilarity(col("d2")).as("similarity_score"),
+        col("data_type"), col("data_json"))
+      .orderBy(col("query_id"), col("rank")))
+  }
 }

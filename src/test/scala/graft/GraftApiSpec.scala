@@ -218,6 +218,34 @@ class GraftApiSpec extends SparkSpec {
     assert(hitBits(servedNow) == hitBits(flat))
   }
 
+  test("batch serve: ivf and ivfpq probe-all ≡ the flat batch scan bitwise; fallback intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-bserve").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(10), "text", "late", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    val texts = docs.limit(3).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def bits(p: GraftApi.Page[GraftApi.BatchSearchHit]) =
+      p.results.map(h => (h.query_id, h.rank,
+        java.lang.Double.doubleToRawLongBits(h.similarity_score), h.data_type, h.data_json))
+    val flat = GraftApi.searchDataBatch(spark, dir, texts, 5)
+    // no sidecar yet: the batch path must fall back to the flat scan
+    val noSidecar = withServeConf("ivf", 8, 1)(GraftApi.searchDataBatch(spark, dir, texts, 5))
+    assert(bits(noSidecar) == bits(flat))
+    graft.vector.ServeIndex.build(spark, dir, "ivf", nCells = 8)
+    val servedIvf = withServeConf("ivf", 8, 1)(GraftApi.searchDataBatch(spark, dir, texts, 5))
+    assert(bits(servedIvf) == bits(flat),
+      "probe-all IVF batch (sealed cell-join + brute hot arm) must equal the flat batch " +
+        "bitwise — which also proves the post-build hot-day rows entered the candidate set")
+    assert(servedIvf.results.groupBy(_.query_id).values.forall(_.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L)))
+    graft.vector.ServeIndex.build(spark, dir, "ivfpq", nCells = 8)
+    val servedPq = withServeConf("ivfpq", 8, 20)(GraftApi.searchDataBatch(spark, dir, texts, 5))
+    assert(bits(servedPq) == bits(flat),
+      "probe-all + window-covering refine IVF-PQ batch must equal the flat batch bitwise")
+  }
+
   test("batch search answers every query in one job, matching per-query searchData") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api-batch").toString + "/idx"
     graft.vector.IndexPipeline.indexRecords(
