@@ -1,0 +1,209 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted 64-bit-perceptual-hash ingest gate, factored out of the
+  * image tier so every modality with a 64-char sign/bit fingerprint
+  * (images: aHash, audio: the Haitsma–Kalker lag-comb hash) shares ONE
+  * battle-tested engine — layout, crash ordering, tombstone lifecycle,
+  * probe family and tier structure are modality-independent; only the
+  * hash derivation differs, and the thin wrappers ([[PhashIndex]],
+  * [[AudioHashIndex]]) own that.
+  *
+  * Layout:
+  *   path/hashes — one row per resident: (doc_id, <hashCol>, extras…) —
+  *     the id gate's authority, written FIRST on append so an
+  *     at-least-once replay trips the disjointness gate instead of
+  *     double-appending derived rows (the LshIndex crash-ordering
+  *     contract).
+  *   path/probes — (probe, doc_id): each resident's hash plus its 64
+  *     one-bit flips — the Manku radius-2 probe family, PERSISTED so an
+  *     arriving batch only expands its own side.
+  *
+  * Gate tiers per batch: id disjointness (fail fast), within-batch
+  * identical hash keeps min-id (`batch_dup`), probe-join + exact Hamming
+  * against residents (`near_dup`), survivors append (`ingested`);
+  * payloads the wrapper's decoder could not judge pass through as
+  * `undecodable`. Single-writer per index path.
+  */
+private[multimodal] object Hash64Index {
+
+  def flipsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val flips = (0 until 64).map { i =>
+      concat(substring(c, 1, i),
+        when(substring(c, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(c, i + 2, 63 - i))
+    }
+    array((c +: flips): _*)
+  }
+
+  def hamming(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def half(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 32), 2, 10).cast("long")
+    (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+      bit_count(half(a, 33).bitwiseXOR(half(b, 33)))).cast("int")
+  }
+
+  /** Create the index from the initial corpus's hash table (one row per
+    * decodable doc: doc_id, `hashCol`, any extra columns to persist).
+    */
+  def build(spark: SparkSession, hashes: DataFrame, hashCol: String,
+      path: String): Unit = {
+    val h = hashes.localCheckpoint(true)
+    h.write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
+  }
+
+  private def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.CompactSwap.recover(spark, path, Seq("probes", "hashes"))
+
+  /** Logical point deletes (takedowns): ids append to a tombstone log;
+    * resident matching anti-joins it immediately, while the id gate still
+    * sees the tombstoned row — deleted ids stay BURNED until [[compact]]
+    * (delete → compact → append is the replacement path).
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    recover(spark, path)
+    ids.select(col("doc_id")).write.mode(SaveMode.Append)
+      .parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold the tombstone log: both tables rewrite through the crash-safe
+    * fresh-sibling swap; `hashes` LAST so a mid-compaction crash keeps
+    * deleted ids burned in the id gate (conservative failure), the log
+    * drops last of all.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
+    if (tombstones(spark, path).isEmpty) return
+    def rewrite(table: String): Unit =
+      graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
+          .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+      }
+    rewrite("probes")
+    rewrite("hashes")
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** The gate. `batchIds` is every offered doc_id (one row per id);
+    * `batchHashes` the wrapper-decoded hash table over the same batch
+    * (ids absent here verdict as `undecodable`). Returns
+    * (doc_id, verdict); survivors are appended and visible to the NEXT
+    * call.
+    */
+  def dedupIngest(spark: SparkSession, path: String, batchIds: DataFrame,
+      batchHashes: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      "the persisted probe family covers Hamming radius ≤ 2")
+    recover(spark, path)
+    val hashesPath = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = hashesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hashesPath),
+      s"no hash index at $path — build(...) it before dedupIngest")
+    val residentHashes = spark.read.parquet(s"$path/hashes")
+    val ids = batchIds.select(col("doc_id")).localCheckpoint(true)
+    // One row per doc_id, enforced (the VersionedStore.upsert contract):
+    // duplicated ids inside one batch would evade the batch_dup tier and
+    // burn the id twice into the authority table. Fail fast.
+    val dupId = ids.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"ingest batch carries duplicate doc_id ${dupId.headOption.map(_.get(0)).orNull}" +
+        " — collapse to one row per key before dedupIngest")
+    val clash = ids
+      .join(residentHashes.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(5).collect()
+    require(clash.isEmpty,
+      s"batch doc_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
+        "ingest requires batch ids disjoint from the resident corpus")
+    val bHashes = batchHashes.localCheckpoint(true)
+    val undecodable = ids
+      .join(bHashes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("undecodable").as("verdict"))
+    val batchLosers = bHashes
+      .groupBy(col(hashCol))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("batch_dup").as("verdict"))
+      .localCheckpoint(true)
+    val candidates = bHashes.join(batchLosers.select("doc_id"), Seq("doc_id"), "left_anti")
+    // tombstoned residents stop vetoing offers; the id clash gate above
+    // still reads them raw (deleted ids stay burned until compact)
+    val probes = dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
+    val nearDups = candidates
+      .select(col("doc_id"), col(hashCol), explode(flipsOf(col(hashCol))).as("probe"))
+      .join(probes.select(col("probe"), col("doc_id").as("r_doc_id")), "probe")
+      .join(residentHashes.select(col("doc_id").as("r_doc_id"),
+        col(hashCol).as("r_hash")), "r_doc_id")
+      .filter(hamming(col(hashCol), col("r_hash")) <= maxHamming)
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit("near_dup").as("verdict"))
+      .localCheckpoint(true)
+    val keep = candidates.join(nearDups.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // two consumers below; appends must not re-derive
+    keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/probes")
+    ids
+      .join(undecodable.unionByName(batchLosers).unionByName(nearDups),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+}
+
+/** Persisted perceptual ingest gate for the AUDIO modality — the fourth
+  * member of the ingest-gate family (text: `LshIndex.ingestBatch`,
+  * vectors: `IvfIndex.dedupIngest`, images: [[PhashIndex]]): a crawl
+  * keeps re-delivering the same recording re-mastered (new container
+  * layout, channel duplication), byte-different but signal-identical —
+  * the [[Multimodal.audioHashBits]] fingerprint collides at Hamming 0 for
+  * those and within the radius for lightly perturbed signals. All
+  * mechanics ride [[Hash64Index]].
+  */
+object AudioHashIndex {
+
+  private def hashTable(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.audioHashes(media).toDF()
+      .select(col("doc_id"), col("hash"), col("sample_rate"), col("channels"),
+        col("n_samples"))
+
+  def build(spark: SparkSession, media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      path: String): Unit =
+    Hash64Index.build(spark, hashTable(media), "hash", path)
+
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Hash64Index.delete(spark, path, ids)
+
+  def compact(spark: SparkSession, path: String): Unit =
+    Hash64Index.compact(spark, path)
+
+  def dedupIngest(spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2): DataFrame =
+    Hash64Index.dedupIngest(spark, path, batch.toDF().select(col("doc_id")),
+      hashTable(batch), "hash", maxHamming)
+}

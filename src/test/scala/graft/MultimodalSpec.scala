@@ -596,4 +596,60 @@ class MultimodalSpec extends SparkSpec {
     assert(bumpPairs.exists(_._3 >= 1),
       "some bumped signal must flip bits yet stay within the probe radius")
   }
+
+  /** Noise-like signals — phase-shifted SAWTOOTHS share lag-comb band
+    * signatures (the mm_audio_near fixture exploits that), so the gate
+    * test needs signals whose fingerprints genuinely differ per src.
+    */
+  private def noisyPcm(src: Long): Array[Int] = Array.tabulate(576) { i =>
+    val h = (src * 2654435761L + i.toLong * 40503L) ^ (i.toLong * i * 97L)
+    (((h % 4096L) + 4096L) % 4096L - 2048L).toInt
+  }
+
+  test("audio ingest gate: re-masters rejected, fresh audio admitted, lifecycle intact") {
+    import spark.implicits._
+    import graft.multimodal.{AudioHashIndex, Multimodal, WavCodec}
+    val dir = java.nio.file.Files.createTempDirectory("graft-audidx").toString + "/idx"
+    val resident = spark.createDataset((1L to 30L).map { i =>
+      Multimodal.MediaRow(i, "audio", WavCodec.encodePcm16(noisyPcm(i * 11L), 8000, 1))
+    })
+    AudioHashIndex.build(spark, resident, dir)
+    val offers = spark.createDataset(Seq(
+      // a re-master of resident 5: stereo duplicate + extra chunk → near_dup at Hamming 0
+      Multimodal.MediaRow(101L, "audio",
+        WavCodec.encodePcm16(noisyPcm(5L * 11L).flatMap(v => Array(v, v)), 8000, 2, extraChunk = true)),
+      // within-batch identical pair: min-id survives, the other is batch_dup
+      Multimodal.MediaRow(102L, "audio", WavCodec.encodePcm16(noisyPcm(999L), 8000, 1)),
+      Multimodal.MediaRow(103L, "audio", WavCodec.encodePcm16(noisyPcm(999L), 8000, 1)),
+      // fresh signal → ingested
+      Multimodal.MediaRow(104L, "audio", WavCodec.encodePcm16(noisyPcm(77777L), 8000, 1)),
+      // not decodable audio → passes through labeled, never dropped
+      Multimodal.MediaRow(105L, "audio", "not a wav".getBytes)))
+    val verdicts = AudioHashIndex.dedupIngest(spark, dir, offers)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(101L) == "near_dup", s"re-master must be caught: $verdicts")
+    assert(verdicts(102L) == "ingested" && verdicts(103L) == "batch_dup")
+    assert(verdicts(104L) == "ingested")
+    assert(verdicts(105L) == "undecodable")
+    // survivors are resident for the NEXT batch: a re-offer of 102's signal dies
+    val reOffer = spark.createDataset(Seq(
+      Multimodal.MediaRow(201L, "audio", WavCodec.encodePcm16(noisyPcm(999L), 8000, 1))))
+    val v2 = AudioHashIndex.dedupIngest(spark, dir, reOffer)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(201L) == "near_dup")
+    // delete → stops vetoing; compact folds; id stays burned pre-compact
+    AudioHashIndex.delete(spark, dir, Seq(102L).toDF("doc_id"))
+    val v3 = AudioHashIndex.dedupIngest(spark, dir, spark.createDataset(Seq(
+        Multimodal.MediaRow(202L, "audio", WavCodec.encodePcm16(noisyPcm(999L), 8000, 1)))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v3(202L) == "ingested", "a tombstoned resident must not veto new offers")
+    val burned = intercept[IllegalArgumentException] {
+      AudioHashIndex.dedupIngest(spark, dir, spark.createDataset(Seq(
+        Multimodal.MediaRow(102L, "audio", WavCodec.encodePcm16(noisyPcm(1L), 8000, 1)))))
+    }
+    assert(burned.getMessage.contains("collide"))
+    AudioHashIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/hashes")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 102L).count() == 0)
+  }
 }

@@ -535,6 +535,54 @@ class StreamingSpec extends SparkSpec {
     assert(got(600L) == "near_dup", "batch-2 re-offer of a batch-1 survivor must die mid-stream")
   }
 
+  test("streaming audio ingest gates micro-batches through the shared hash engine") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WavCodec}
+    val base = java.nio.file.Files.createTempDirectory("graft-saud").toString
+    val streamIdx = base + "/stream-aud"
+    val twinIdx = base + "/twin-aud"
+    val verdictLog = base + "/verdicts"
+    val ckpt = base + "/ckpt"
+    // noise-like signals so distinct sources fingerprint far apart (the
+    // MultimodalSpec gate-fixture rationale)
+    def sig(src: Long): Array[Int] = Array.tabulate(576) { i =>
+      val h = (src * 2654435761L + i.toLong * 40503L) ^ (i.toLong * i * 97L)
+      (((h % 4096L) + 4096L) % 4096L - 2048L).toInt
+    }
+    def wav(id: Long, src: Long, stereo: Boolean = false) =
+      Multimodal.MediaRow(id, "audio",
+        if (stereo) WavCodec.encodePcm16(sig(src).flatMap(v => Array(v, v)), 8000, 2,
+          extraChunk = true)
+        else WavCodec.encodePcm16(sig(src), 8000, 1))
+    val resident = (0L until 20L).map(i => wav(i, i))
+    graft.multimodal.AudioHashIndex.build(spark, resident.toDS(), streamIdx)
+    graft.multimodal.AudioHashIndex.build(spark, resident.toDS(), twinIdx)
+    // batch 1: fresh + a re-MASTERED resident (stereo + extra chunk) + junk
+    val b1 = (100L until 105L).map(i => wav(i, i + 500)) ++
+      Seq(wav(300L, 7L, stereo = true),
+        Multimodal.MediaRow(301L, "audio", "not audio".getBytes))
+    // batch 2: a re-offer of a batch-1 survivor (mid-stream growth)
+    val b2 = Seq(wav(400L, 900L), wav(401L, 103L + 500L))
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = EventStream.audioIngest(
+      mem.toDF().toDF("doc_id", "media_type", "data"), streamIdx, verdictLog, ckpt)
+    mem.addData(b1.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    mem.addData(b2.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    q.stop()
+    val v1 = graft.multimodal.AudioHashIndex.dedupIngest(spark, twinIdx, b1.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val v2 = graft.multimodal.AudioHashIndex.dedupIngest(spark, twinIdx, b2.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == (v1 ++ v2).toMap, "streamed verdicts must equal the sequential gate")
+    assert(got(300L) == "near_dup", "the re-mastered resident must die at Hamming 0")
+    assert(got(301L) == "undecodable")
+    assert(got(100L) == "ingested")
+    assert(got(401L) == "near_dup", "batch-2 re-offer of a batch-1 survivor must die mid-stream")
+  }
+
   test("streaming vector ingest gates micro-batches on resident cosine near-dups") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
