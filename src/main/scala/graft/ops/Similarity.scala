@@ -354,15 +354,16 @@ object Similarity {
     * convention on dense-id corpora, and well-defined on sparse ids).
     * Returns (final centroids indexed by cell id, per-round movement).
     */
-  def kmeansTrain(embeddings: DataFrame, k: Int = 8, rounds: Int = 3)
-      : (Array[Array[Float]], Seq[KmeansRound]) = {
+  def kmeansTrain(embeddings: DataFrame, k: Int = 8, rounds: Int = 3,
+      tolerance: Double = 0.0): (Array[Array[Float]], Seq[KmeansRound]) = {
     var cents: Array[Array[Float]] = embeddings.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     require(cents.nonEmpty, "kmeansTrain: empty corpus")
     val emb = embeddings.localCheckpoint(true) // scanned once per round
     val stats = scala.collection.mutable.ArrayBuffer.empty[KmeansRound]
-    for (round <- 1 to rounds) {
+    var converged = false
+    for (round <- 1 to rounds if !converged) {
       val agg = cellMicroSums(assignCells(emb, cents)).collect()
       val next = cents.map(_.clone())
       agg.foreach { r =>
@@ -382,6 +383,12 @@ object Similarity {
       }
       stats += KmeansRound(round, maxMove, totalMove, cents.length - nonEmpty.size)
       cents = next
+      // convergence early-stop (a scheduled re-index job's budget guard):
+      // once no centroid moved √tolerance or more, further rounds are
+      // fixpoint no-ops. STRICT comparison so the 0.0 default can never
+      // fire — fixed-round callers (the oracle-bound trajectory and the
+      // bitwise reference spec) keep their exact round count.
+      if (maxMove < tolerance) converged = true
     }
     (cents, stats.toSeq)
   }

@@ -354,7 +354,10 @@ object NgramLm {
       path: String): DataFrame =
     bucketRollup(scoredUnsortedFrom(spark, docs, path))
 
-  private def bucketRollup(scored: DataFrame): DataFrame = {
+  /** Per-doc head/middle/tail labels (the 30/70 cut of
+    * [[perplexityBuckets]] before its roll-up).
+    */
+  private def bucketed(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("fit_ppm").desc, col("doc_id"))
@@ -364,11 +367,28 @@ object NgramLm {
         when(col("pr") <= 0.3, lit("head"))
           .when(col("pr") <= 0.7, lit("middle"))
           .otherwise(lit("tail")))
+  }
+
+  private def bucketRollup(scored: DataFrame): DataFrame =
+    bucketed(scored)
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("fit_ppm")).as("sum_fit_ppm"),
         min(col("fit_ppm")).as("min_fit_ppm"),
         max(col("fit_ppm")).as("max_fit_ppm"))
       .orderBy(col("lang"), col("bucket"))
-  }
+
+  /** The CCNet SELECTION itself — "keep the head (and optionally the
+    * middle), drop the tail": per-doc bucket labels from the persisted
+    * model's fit, filtered to `keep`. The composed gate a curation
+    * pipeline actually applies after the audit queries above; one window
+    * by lang, no other shuffle beyond scoring.
+    */
+  def lmGateFrom(spark: SparkSession, docs: DataFrame, path: String,
+      keep: Seq[String] = Seq("head", "middle")): DataFrame =
+    bucketed(scoredUnsortedFrom(spark, docs, path))
+      .filter(col("bucket").isInCollection(keep))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("fit_ppm"), col("bucket"))
+      .orderBy(col("doc_id"))
 }

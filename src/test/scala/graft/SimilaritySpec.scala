@@ -228,6 +228,12 @@ class SimilaritySpec extends SparkSpec {
     assert(gotStats == refStats.toSeq, "per-round movement metrics must match exactly")
     // a Lloyd trajectory's total movement shrinks as it converges
     assert(gotStats.last.totalMoveSq <= gotStats.head.totalMoveSq)
+    // convergence early-stop: a tolerance above round-2's movement halts
+    // the loop there; the rounds actually run are a PREFIX of the full
+    // trajectory (same arithmetic, just fewer rounds)
+    val (_, stopped) = Similarity.kmeansTrain(corpus, k, rounds,
+      tolerance = gotStats(1).maxMoveSq + 1e-9)
+    assert(stopped.length < rounds && stopped == gotStats.take(stopped.length))
   }
 
   test("cluster sample: bounded top-k agg == row_number window replay, caps hold") {
