@@ -398,6 +398,39 @@ object SparkEntry {
       val dir = cachedArtifact("lsh", d)(p => graft.text.LshIndex.build(s, docs, p))
       graft.text.LshIndex.dedupBatch(s, dir, batch)
     }),
+    // The FULL ingest gate, verdicts oracle-bound end to end (the build/
+    // query twins above pin the pair reports; this pins the four-tier
+    // DECISION itself): a crafted batch carries within-batch duplicate
+    // twins, verbatim re-offers, suffix near-dups, resident-run SPLICES
+    // (the winnow tier's prey) and fresh docs. Own artifact (one ingest
+    // per JVM — Verify and Bench each call a query once), winnow tier on.
+    // Every tier is md5-deterministic, so DuckDB replays the whole
+    // decision procedure and the verdict column hashes cross-engine.
+    "doc_incr_dedup_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val dir = cachedArtifact("lshing", d)(p => graft.text.LshIndex.build(s, docs, p))
+      val exact = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 40 === 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val splice = docs.filter(col("doc_id") % 40 === 20)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("""concat(array_join(slice(split(text, ' '), 6, 20), ' '),
+            | ' q', doc_id, 'a q', doc_id, 'b q', doc_id, 'c q', doc_id,
+            | 'd q', doc_id, 'e q', doc_id, 'f q', doc_id, 'g q', doc_id, 'h')"""
+            .stripMargin.replaceAll("\n", "")).as("text"))
+      val fresh = docs.filter(col("doc_id") % 40 === 30)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("concat('u', doc_id, 'a u', doc_id, 'b u', doc_id, 'c u', " +
+            "doc_id, 'd u', doc_id, 'e u', doc_id, 'f')").as("text"))
+      val twin = docs.filter(col("doc_id") % 80 === 0)
+        .select((col("doc_id") + 3500000L).as("doc_id"), col("text"))
+      val batch = exact.unionByName(near).unionByName(splice)
+        .unionByName(fresh).unionByName(twin)
+      graft.text.LshIndex.ingestBatch(s, dir, batch, winnowMinShared = 3)
+    }),
     // Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): per-doc
     // sliding-window minima over k-gram md5s, pairs from one fingerprint-
     // keyed join — the LOCAL-overlap detector between SimHash (global
@@ -2327,6 +2360,82 @@ object SparkEntry {
         |JOIN documents r ON r.doc_id = s.resident_doc_id
         |WHERE s.jaccard >= 0.3
         |ORDER BY s.batch_doc_id, s.resident_doc_id""".stripMargin,
+    // The four-tier ingest DECISION replayed: within-batch md5 groups
+    // (min-id keeps), resident exact md5s, the LSH band + shingle-Jaccard
+    // verify (the doc_incr_dedup_query construction over the remaining
+    // candidates), then the winnow overlap tier (k=3/w=4 fingerprints,
+    // resident df ≤ 1000, ≥ 3 shared) — coalesced exactly as the gate
+    // coalesces.
+    "doc_incr_dedup_ingest" ->
+      """WITH res AS (SELECT doc_id, text FROM documents),
+        |b0 AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' zz yy xx' FROM documents WHERE doc_id % 40 = 10
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    array_to_string(string_split(text, ' ')[6:25], ' ') ||
+        |    ' q' || doc_id || 'a q' || doc_id || 'b q' || doc_id || 'c q' || doc_id ||
+        |    'd q' || doc_id || 'e q' || doc_id || 'f q' || doc_id || 'g q' || doc_id || 'h'
+        |  FROM documents WHERE doc_id % 40 = 20
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    'u' || doc_id || 'a u' || doc_id || 'b u' || doc_id || 'c u' || doc_id ||
+        |    'd u' || doc_id || 'e u' || doc_id || 'f'
+        |  FROM documents WHERE doc_id % 40 = 30
+        |  UNION ALL
+        |  SELECT doc_id + 3500000, text FROM documents WHERE doc_id % 80 = 0),
+        |bl AS (SELECT b.doc_id FROM b0 b
+        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM b0 GROUP BY 1) g
+        |  ON md5(b.text) = g.h AND b.doc_id <> g.keep_id),
+        |c1 AS (SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc_id FROM bl)),
+        |ex AS (SELECT doc_id FROM c1 WHERE md5(text) IN (SELECT md5(text) FROM res)),
+        |c2 AS (SELECT * FROM c1 WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+        |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM res WHERE len(string_split(text, ' ')) >= 3),
+        |rsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM rw)),
+        |rmh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
+        |  FROM rsh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |rbands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key FROM rmh GROUP BY doc_id, h // 3),
+        |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM c2 WHERE len(string_split(text, ' ')) >= 3),
+        |bsh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM bw)),
+        |bmh AS (SELECT doc_id, h, min(substr(md5((h // 4) || '|' || shingle), (h % 4) * 8 + 1, 8)) AS mh
+        |  FROM bsh CROSS JOIN range(0, 12) t(h) GROUP BY doc_id, h),
+        |bbands AS (SELECT doc_id, h // 3 AS band_id, md5(string_agg(mh, '|' ORDER BY h)) AS band_key FROM bmh GROUP BY doc_id, h // 3),
+        |cand AS (SELECT b.doc_id AS bid, r.doc_id AS rid
+        |  FROM bbands b JOIN rbands r ON b.band_id = r.band_id AND b.band_key = r.band_key AND b.doc_id <> r.doc_id
+        |  GROUP BY 1, 2),
+        |rsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+        |bsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM bsh GROUP BY doc_id),
+        |inter AS (SELECT c.bid, c.rid, COUNT(*) AS n_inter
+        |  FROM cand c JOIN bsh sa ON sa.doc_id = c.bid
+        |  JOIN rsh sb ON sb.doc_id = c.rid AND sa.shingle = sb.shingle
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT i.bid AS doc_id FROM inter i
+        |  JOIN bsizes na ON na.doc_id = i.bid JOIN rsizes nb ON nb.doc_id = i.rid
+        |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.3),
+        |c3 AS (SELECT * FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        |rt AS (SELECT doc_id, string_split(text, ' ') AS w FROM res),
+        |rg AS (SELECT doc_id, list_transform(range(1, len(w)-3+2), i -> md5(array_to_string(w[i:i+2], ' '))) AS gh FROM rt WHERE len(w) >= 3),
+        |rf AS (SELECT doc_id, list_distinct(list_transform(range(1, len(gh)-4+2), j -> list_min(gh[j:j+3]))) AS fps FROM rg WHERE len(gh) >= 4),
+        |re0 AS (SELECT doc_id, unnest(fps) AS fp FROM rf),
+        |rare AS (SELECT fp FROM re0 GROUP BY fp HAVING COUNT(*) <= 1000),
+        |ref AS (SELECT re0.doc_id, re0.fp FROM re0 JOIN rare USING (fp)),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS w FROM c3),
+        |bg AS (SELECT doc_id, list_transform(range(1, len(w)-3+2), i -> md5(array_to_string(w[i:i+2], ' '))) AS gh FROM bt WHERE len(w) >= 3),
+        |bf AS (SELECT doc_id, list_distinct(list_transform(range(1, len(gh)-4+2), j -> list_min(gh[j:j+3]))) AS fps FROM bg WHERE len(gh) >= 4),
+        |be0 AS (SELECT doc_id, unnest(fps) AS fp FROM bf),
+        |ovp AS (SELECT b.doc_id AS bid, r.doc_id AS rid, COUNT(*) AS ns
+        |  FROM be0 b JOIN ref r ON b.fp = r.fp GROUP BY 1, 2),
+        |ov AS (SELECT DISTINCT bid AS doc_id FROM ovp WHERE ns >= 3)
+        |SELECT b0.doc_id,
+        |  CASE WHEN b0.doc_id IN (SELECT doc_id FROM bl) THEN 'batch_dup'
+        |       WHEN b0.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+        |       WHEN b0.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+        |       WHEN b0.doc_id IN (SELECT doc_id FROM ov) THEN 'overlap_dup'
+        |       ELSE 'ingested' END AS verdict
+        |FROM b0 ORDER BY doc_id""".stripMargin,
     // Same winnowing construction in DuckDB list functions: k-gram md5s,
     // window minima, distinct per doc, df-capped (MOSS boilerplate drop,
     // maxDf = 1000 mirroring the Spark default), shared-fp pair counts.

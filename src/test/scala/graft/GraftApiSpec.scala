@@ -188,6 +188,37 @@ class GraftApiSpec extends SparkSpec {
       "budgeted recall floor: the fast config overlaps the exact top-k")
   }
 
+  test("serve sidecar sealed scan is partition-pruned to the probed cells on disk") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-prune").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(60)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(10), "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    graft.vector.ServeIndex.build(spark, dir, "ivf", nCells = 8)
+    val probe = docs.select("text").head.getString(0)
+    val qv = new graft.vector.HashingEmbedder().embedText(probe).toSeq
+    // budgeted config: nProbe=2 of 8 cells — the sealed arm's scan must
+    // read ONLY those two cell directories (the layout nests ingest_date
+    // under cell, so probe pruning composes with the date window)
+    val served = graft.vector.ServeIndex.search(spark, dir, "ivf", qv, k = 5, nProbe = 2).get
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"sealed scan must carry cell partition filters:\n${plan.take(2000)}")
+    // and the cell filter really prunes: the sidecar scan under the same
+    // predicate touches only the probed cells' rows
+    val cents = spark.read.parquet(s"${graft.vector.ServeIndex.sidecarPath(dir)}/centroids")
+      .collect().map(r => (r.getAs[Long]("cid"), r.getSeq[Float](1)))
+    def l2(a: Seq[Float]) = a.zip(qv).map { case (x, y) =>
+      (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val probed = cents.map { case (cid, c) => (l2(c), cid) }.sorted.take(2).map(_._2).toSet
+    val cellsRead = spark.read.parquet(s"${graft.vector.ServeIndex.sidecarPath(dir)}/vectors")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cellsRead.subsetOf(probed))
+  }
+
   test("serve path falls back to flat: no sidecar, kind mismatch, pre-watermark asOf") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api-fb").toString + "/idx"
     val docs = Tables.documents(spark, sf).limit(30)
