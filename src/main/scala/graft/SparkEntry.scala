@@ -989,6 +989,45 @@ object SparkEntry {
       }
       Multimodal.audioNearPairs(media)
     }),
+    // Perceptual VIDEO near-dup (Haitsma–Kalker sign hash over the
+    // spatio-temporal block-luminance grid, integer-exact): every 17th doc
+    // renders to a REAL uncompressed-DIB AVI (12×12 × 18 frames) from a
+    // deterministic pixel definition; every 51st gets a re-containered
+    // twin (8-bit palettized, top-down rows, junk chunk — byte-different
+    // container, identical frames → Hamming 0), every 68th a twin with one
+    // spatial cell of the last time segment perturbed. The oracle
+    // recomputes fingerprints from the pixel definition and brute-forces
+    // Hamming ≤ 2; the operator must find exactly those pairs via the
+    // probe join over real decoded containers.
+    "mm_video_near" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{AviCodec, Multimodal}
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 17 == 0)
+      val media = ids.flatMap { id =>
+        def frames(bump: Int): Array[Array[Int]] = Array.tabulate(18) { f =>
+          Array.tabulate(144) { p =>
+            val x = p % 12; val y = p / 12
+            val b = if (bump != 0 && f >= 16 && x >= 4 && x < 8 && y >= 4 && y < 8) bump else 0
+            ((id * 31L + f.toLong * f * 7L + x * 5L + y * 3L + b) % 256L).toInt
+          }
+        }
+        val base = Multimodal.MediaRow(id, "video",
+          AviCodec.encodeGray(frames(0), 12, 12))
+        val reEnc =
+          if (id % 51 == 0) Seq(Multimodal.MediaRow(id + 8000000L, "video",
+            AviCodec.encodeGray(frames(0), 12, 12, bits = 8, topDown = true,
+              extraChunk = true)))
+          else Seq.empty
+        val bumped =
+          if (id % 68 == 0) Seq(Multimodal.MediaRow(id + 9000000L, "video",
+            AviCodec.encodeGray(frames(101), 12, 12)))
+          else Seq.empty
+        base +: (reEnc ++ bumped)
+      }
+      Multimodal.videoNearPairs(media)
+    }),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -3472,6 +3511,50 @@ object SparkEntry {
         |  JOIN e e3 ON e3.doc_id = e1.doc_id AND e3.f = e1.f - 1 AND e3.b = e1.b
         |  JOIN e e4 ON e4.doc_id = e1.doc_id AND e4.f = e1.f - 1 AND e4.b = e1.b + 1
         |  WHERE e1.f >= 1 AND e1.b <= 8
+        |  GROUP BY e1.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.h AS ha, b.h AS hb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT doc_id_a, doc_id_b,
+        |    CAST(SUM(CASE WHEN substr(ha, r.i, 1) = substr(hb, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hamming
+        |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
+        |SELECT doc_id_a, doc_id_b, hamming FROM h
+        |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Brute-force Hamming ≤ 2 over video fingerprints recomputed from the
+    // frame-pixel DEFINITION (container bytes invisible to SQL — Spark must
+    // decode byte-different AVIs to the same frames). t = (f*9)//18 time
+    // segments × c = (y*3)//12*3 + (x*3)//12 spatial cells; E(t,c) = Σ px;
+    // bit(t,c) = (E(t,c)−E(t,c+1)) − (E(t−1,c)−E(t−1,c+1)) > 0.
+    "mm_video_near" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS bump FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, doc_id, 0 FROM documents WHERE doc_id % 51 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, doc_id, 101 FROM documents WHERE doc_id % 68 = 0),
+        |px AS (
+        |  SELECT v.doc_id, fr.f, t.x, u.y,
+        |    (v.src * 31 + fr.f * fr.f * 7 + t.x * 5 + u.y * 3 +
+        |      CASE WHEN v.bump != 0 AND fr.f >= 16
+        |          AND t.x BETWEEN 4 AND 7 AND u.y BETWEEN 4 AND 7
+        |        THEN v.bump ELSE 0 END) % 256 AS val
+        |  FROM vids v, range(18) fr(f), range(12) t(x), range(12) u(y)),
+        |e AS (
+        |  SELECT doc_id, (f * 9) // 18 AS t,
+        |    ((y * 3) // 12) * 3 + ((x * 3) // 12) AS c,
+        |    CAST(SUM(val) AS BIGINT) AS en
+        |  FROM px GROUP BY doc_id, (f * 9) // 18, ((y * 3) // 12) * 3 + ((x * 3) // 12)),
+        |bits AS (
+        |  SELECT e1.doc_id,
+        |    string_agg(CASE WHEN (e1.en - e2.en) - (e3.en - e4.en) > 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY e1.t, e1.c) AS h
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.t = e1.t AND e2.c = e1.c + 1
+        |  JOIN e e3 ON e3.doc_id = e1.doc_id AND e3.t = e1.t - 1 AND e3.c = e1.c
+        |  JOIN e e4 ON e4.doc_id = e1.doc_id AND e4.t = e1.t - 1 AND e4.c = e1.c + 1
+        |  WHERE e1.t >= 1 AND e1.c <= 7
         |  GROUP BY e1.doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.h AS ha, b.h AS hb

@@ -207,3 +207,36 @@ object AudioHashIndex {
     Hash64Index.dedupIngest(spark, path, batch.toDF().select(col("doc_id")),
       hashTable(batch), "hash", maxHamming)
 }
+
+/** Persisted perceptual ingest gate for the VIDEO modality — the fifth
+  * member of the ingest-gate family: a crawl re-delivers the same clip
+  * re-containered (8 vs 24-bit DIB, flipped row order, injected chunks),
+  * byte-different but frame-identical — the [[Multimodal.videoHashBits]]
+  * spatio-temporal fingerprint collides at Hamming 0 for those and within
+  * the radius for lightly perturbed content. All mechanics ride
+  * [[Hash64Index]]; this wrapper owns only the AVI decode → fingerprint
+  * derivation.
+  */
+object VideoHashIndex {
+
+  private def hashTable(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.videoHashes(media).toDF()
+      .select(col("doc_id"), col("hash"), col("width"), col("height"),
+        col("n_frames"))
+
+  def build(spark: SparkSession, media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      path: String): Unit =
+    Hash64Index.build(spark, hashTable(media), "hash", path)
+
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Hash64Index.delete(spark, path, ids)
+
+  def compact(spark: SparkSession, path: String): Unit =
+    Hash64Index.compact(spark, path)
+
+  def dedupIngest(spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2): DataFrame =
+    Hash64Index.dedupIngest(spark, path, batch.toDF().select(col("doc_id")),
+      hashTable(batch), "hash", maxHamming)
+}

@@ -71,6 +71,14 @@ object Multimodal {
             MediaMeta(-1L, mediaType, data.length.toLong, rate, channels, sampleFrames)
           case None => stub.decode(mediaType, data)
         }
+      } else if (mediaType == "video") {
+        AviCodec.aviMeta(data) match {
+          // header-only: the avih chunk carries (width, height, frames)
+          // without touching a single pixel
+          case Some((w, h, frames)) =>
+            MediaMeta(-1L, mediaType, data.length.toLong, w, h, frames)
+          case None => stub.decode(mediaType, data)
+        }
       } else stub.decode(mediaType, data)
 
     private def u16(d: Array[Byte], o: Int): Int = ((d(o) & 0xFF) << 8) | (d(o + 1) & 0xFF)
@@ -472,6 +480,85 @@ object Multimodal {
     */
   def audioNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame =
     nearPairs64(audioHashes(media).toDF()
+      .select(col("doc_id"), col("hash").as("h")), maxHamming)
+
+  // ---- perceptual video near-dup -------------------------------------------
+
+  /** Video fingerprint over decoded grayscale frames, as a 64-char '0'/'1'
+    * string — the Haitsma–Kalker sign construction ([[audioHashBits]])
+    * applied on the spatio-temporal block-luminance grid their video work
+    * (and the TIRI family) uses:
+    *
+    *   grid: 9 time segments t = ⌊i·9/nFrames⌋ over the frame index ×
+    *         9 spatial cells c = ⌊y·3/h⌋·3 + ⌊x·3/w⌋ (a 3×3 block grid,
+    *         index-map convention like the audio frames);
+    *   E(t,c) = Σ pixel values in cell c over the segment's frames (long);
+    *   bit(t,c) for t=1..8, c=0..7:
+    *     (E(t,c)−E(t,c+1)) − (E(t−1,c)−E(t−1,c+1)) > 0, ordered by (t,c).
+    *
+    * Every step is integer, so the SQL oracle reproduces the identical
+    * string from the frame-pixel definition while Spark computes it from
+    * real AVI bytes. Invariant to exactly what a container re-encode
+    * changes (8 vs 24-bit DIB, row order, junk chunks — the decode
+    * normalizes all of them) and to global brightness shifts (differences
+    * of differences), sensitive to the signal itself.
+    */
+  def videoHashBits(frames: Array[Array[Int]], w: Int, h: Int): String = {
+    val segs = 9; val cells = 9
+    val n = frames.length
+    val e = Array.ofDim[Long](segs, cells)
+    var i = 0
+    while (i < n) {
+      val t = ((i.toLong * segs) / n).toInt
+      val f = frames(i)
+      var p = 0
+      while (p < f.length) {
+        val x = p % w; val y = p / w
+        e(t)((y * 3 / h) * 3 + (x * 3 / w)) += f(p)
+        p += 1
+      }
+      i += 1
+    }
+    val sb = new StringBuilder(64)
+    for (t <- 1 until segs; c <- 0 until cells - 1) {
+      val d = (e(t)(c) - e(t)(c + 1)) - (e(t - 1)(c) - e(t - 1)(c + 1))
+      sb.append(if (d > 0) '1' else '0')
+    }
+    sb.toString
+  }
+
+  case class VideoHash(doc_id: Long, hash: String, width: Int, height: Int,
+      n_frames: Int)
+
+  /** Perceptual fingerprints for every decodable uncompressed-DIB AVI
+    * payload — map-only decode+hash per partition, bytes never leave the
+    * executor (the imageHashes contract on the video modality).
+    * Undecodable or frame-less video drops out; the header-metadata path
+    * still audits it.
+    */
+  def videoHashes(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type == "video")
+          AviCodec.decodeGray(r.data).collect {
+            case (w, h, frames) if frames.nonEmpty =>
+              VideoHash(r.doc_id, videoHashBits(frames, w, h), w, h, frames.length)
+          }
+        else None
+      }
+    }
+  }
+
+  /** Perceptual video NEAR-duplicate pairs at Hamming ≤ `maxHamming` —
+    * the re-encode detector for the third media modality: byte-different
+    * containers of the same frames collide at Hamming 0, lightly perturbed
+    * content lands within the radius. Same probe family, same
+    * identical-hash collapse, same verify as the image and audio tiers
+    * ([[nearPairs64]]).
+    */
+  def videoNearPairs(media: Dataset[MediaRow], maxHamming: Int = 2): DataFrame =
+    nearPairs64(videoHashes(media).toDF()
       .select(col("doc_id"), col("hash").as("h")), maxHamming)
 
   /** Content-addressed storage audit per modality: media blobs group by

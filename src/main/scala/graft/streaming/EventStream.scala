@@ -351,6 +351,31 @@ object EventStream {
       }
       .start()
 
+  /** The VIDEO twin of [[mediaIngest]]/[[audioIngest]] — fifth modality
+    * through the same gate engine: micro-batches of AVI payloads run the
+    * spatio-temporal block-luminance fingerprint dedup against the
+    * resident `VideoHashIndex` (re-containered clips collide at Hamming 0,
+    * light perturbations within radius), verdicts land in the append-only
+    * log with batch attribution.
+    */
+  def videoIngest(media: DataFrame, indexPath: String, verdictPath: String,
+      checkpoint: String,
+      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val typed = batch.as[graft.multimodal.Multimodal.MediaRow](
+            org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
+          graft.multimodal.VideoHashIndex.dedupIngest(batch.sparkSession, indexPath,
+              typed, maxHamming)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+          ()
+        }
+      }
+      .start()
+
   /** The retrieval-index twin of `corpusIngest`: each micro-batch of
     * (doc_id, text, source) docs appends its posting rows into the
     * persisted `text.InvertedIndex` layout — arriving docs are term-

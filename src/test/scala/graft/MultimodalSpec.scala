@@ -652,4 +652,150 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hashes")
       .filter(org.apache.spark.sql.functions.col("doc_id") === 102L).count() == 0)
   }
+
+  /** The mm_video_near frame-pixel definition: 12×12 × 18 frames. The mod
+    * wrap is the nonlinearity that makes hashes vary by src (a pure affine
+    * shift would cancel in the second differences — the brightness
+    * invariance working as designed); the bumped twin perturbs one spatial
+    * cell (x,y ∈ [4,8)) of the last time segment (f ≥ 16), which by the
+    * bit dependency structure can flip at most bits (8,3) and (8,4).
+    */
+  private def vframes(src: Long, bump: Int = 0): Array[Array[Int]] =
+    Array.tabulate(18) { f =>
+      Array.tabulate(144) { p =>
+        val x = p % 12; val y = p / 12
+        val b = if (bump != 0 && f >= 16 && x >= 4 && x < 8 && y >= 4 && y < 8) bump else 0
+        ((src * 31L + f.toLong * f * 7L + x * 5L + y * 3L + b) % 256L).toInt
+      }
+    }
+
+  test("AVI codec: frames roundtrip exact across 8/24-bit and row orders; truncation keeps the frame prefix") {
+    import graft.multimodal.AviCodec
+    val frames = vframes(5L)
+    val variants = Seq(
+      AviCodec.encodeGray(frames, 12, 12),
+      AviCodec.encodeGray(frames, 12, 12, bits = 8),
+      AviCodec.encodeGray(frames, 12, 12, topDown = true),
+      AviCodec.encodeGray(frames, 12, 12, bits = 8, topDown = true, extraChunk = true))
+    // byte-different containers, identical decoded pixels
+    assert(variants.combinations(2).forall { case Seq(a, b) => !a.sameElements(b) })
+    variants.foreach { bytes =>
+      val Some((w, h, dec)) = AviCodec.decodeGray(bytes)
+      assert(w == 12 && h == 12 && dec.length == 18)
+      assert(dec.zip(frames).forall { case (a, b) => a.sameElements(b) },
+        "every container variant must decode to the identical frames")
+    }
+    // header-only metadata path
+    assert(AviCodec.aviMeta(variants.head).contains((12, 12, 18)))
+    // truncation: cut inside the last frame chunk → 17-frame prefix
+    val whole = variants.head
+    val Some((_, _, cut)) = AviCodec.decodeGray(whole.take(whole.length - 10))
+    assert(cut.length == 17 && cut.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // garbage and non-AVI RIFF never throw
+    assert(AviCodec.decodeGray("not a video".getBytes).isEmpty)
+    assert(AviCodec.decodeGray(whole.take(30)).isEmpty)
+    assert(AviCodec.decodeGray(
+      graft.multimodal.WavCodec.encodePcm16(Array(1, 2, 3, 4), 8000, 1)).isEmpty)
+    // adversarial chunk size inside the walk: clamp, don't stall or read past
+    val evil = whole.clone()
+    evil(whole.length - 14) = 0xFF.toByte // corrupt a late chunk-size byte
+    AviCodec.decodeGray(evil) // must terminate without throwing
+  }
+
+  test("video near pairs: probe join equals brute force; re-container at Hamming 0; perturbed twin within radius") {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    val srcs = (1L to 40L).map(_ * 17L)
+    val rows = srcs.flatMap { id =>
+      val base = Multimodal.MediaRow(id, "video", AviCodec.encodeGray(vframes(id), 12, 12))
+      val reEnc =
+        if (id % 51 == 0) Seq(Multimodal.MediaRow(id + 8000000L, "video",
+          AviCodec.encodeGray(vframes(id), 12, 12, bits = 8, topDown = true, extraChunk = true)))
+        else Seq.empty
+      val bumped =
+        if (id % 68 == 0) Seq(Multimodal.MediaRow(id + 9000000L, "video",
+          AviCodec.encodeGray(vframes(id, bump = 101), 12, 12)))
+        else Seq.empty
+      base +: (reEnc ++ bumped)
+    } :+ Multimodal.MediaRow(999L, "image", Array[Byte](1, 2, 3)) // non-video drops out
+    val media = spark.createDataset(rows)
+    val got = Multimodal.videoNearPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    val hashes = rows.collect {
+      case m if m.media_type == "video" =>
+        val Some((w, h, fr)) = AviCodec.decodeGray(m.data)
+        (m.doc_id, Multimodal.videoHashBits(fr, w, h))
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 2
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    assert(got == want, s"probe join must equal brute force:\n got=$got\nwant=$want")
+    srcs.filter(_ % 51 == 0).foreach { id =>
+      assert(got.contains((id, id + 8000000L, 0)), s"re-containered twin of $id must be Hamming 0")
+    }
+    val bumpPairs = got.filter { case (a, b, _) => b == a + 9000000L }
+    assert(bumpPairs.nonEmpty, "the perturbed twin must land within Hamming ≤ 2")
+  }
+
+  /** Gate-test frames: hash-mixed pixels (the noisyPcm rationale — the
+    * near-pair fixture's structured definition shares block signatures
+    * across srcs; the gate needs fingerprints that genuinely differ).
+    */
+  private def noisyFrames(src: Long): Array[Array[Int]] =
+    Array.tabulate(18) { f =>
+      Array.tabulate(144) { p =>
+        val i = (f * 144 + p).toLong
+        val h = (src * 2654435761L + i * 40503L) ^ (i * i * 97L)
+        (((h % 256L) + 256L) % 256L).toInt
+      }
+    }
+
+  test("video ingest gate: re-containered clips rejected, fresh clips admitted, lifecycle intact") {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal, VideoHashIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-vididx").toString + "/idx"
+    val resident = spark.createDataset((1L to 20L).map { i =>
+      Multimodal.MediaRow(i, "video", AviCodec.encodeGray(noisyFrames(i * 17L), 12, 12))
+    })
+    VideoHashIndex.build(spark, resident, dir)
+    val offers = spark.createDataset(Seq(
+      // a re-container of resident 7 (8-bit, flipped rows, junk) → near_dup at 0
+      Multimodal.MediaRow(101L, "video",
+        AviCodec.encodeGray(noisyFrames(7L * 17L), 12, 12, bits = 8, topDown = true, extraChunk = true)),
+      // fresh clip → ingested
+      Multimodal.MediaRow(102L, "video", AviCodec.encodeGray(noisyFrames(88888L), 12, 12)),
+      // undecodable payload passes through labeled
+      Multimodal.MediaRow(103L, "video", "not an avi".getBytes)))
+    val verdicts = VideoHashIndex.dedupIngest(spark, dir, offers)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(101L) == "near_dup", s"re-container must be caught: $verdicts")
+    assert(verdicts(102L) == "ingested")
+    assert(verdicts(103L) == "undecodable")
+    // the survivor is resident for the next batch; delete lets it back in
+    val v2 = VideoHashIndex.dedupIngest(spark, dir, spark.createDataset(Seq(
+        Multimodal.MediaRow(201L, "video", AviCodec.encodeGray(noisyFrames(88888L), 12, 12)))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(201L) == "near_dup")
+    VideoHashIndex.delete(spark, dir, Seq(102L, 201L).toDF("doc_id"))
+    VideoHashIndex.compact(spark, dir)
+    val v3 = VideoHashIndex.dedupIngest(spark, dir, spark.createDataset(Seq(
+        Multimodal.MediaRow(202L, "video", AviCodec.encodeGray(noisyFrames(88888L), 12, 12)))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v3(202L) == "ingested", "compacted takedown must re-admit the signal")
+  }
+
+  test("header decode: AVI bytes yield width/height/frames through extractMeta") {
+    import spark.implicits._
+    import graft.multimodal.AviCodec
+    val avi = AviCodec.encodeGray(vframes(3L), 12, 12)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", avi),
+      Multimodal.MediaRow(2L, "video", "mystery codec".getBytes))) // → stub
+    val metas = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).width == 12 && metas(1L).height == 12 && metas(1L).frames == 18)
+    val stub = new Multimodal.StubDecoder().decode("video", "mystery codec".getBytes)
+    assert(metas(2L).frames == stub.frames, "unrecognized video falls back to the stub")
+  }
 }

@@ -583,6 +583,56 @@ class StreamingSpec extends SparkSpec {
     assert(got(401L) == "near_dup", "batch-2 re-offer of a batch-1 survivor must die mid-stream")
   }
 
+  test("streaming video ingest gates micro-batches through the shared hash engine") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal, VideoHashIndex}
+    val base = java.nio.file.Files.createTempDirectory("graft-svid").toString
+    val streamIdx = base + "/stream-vid"
+    val twinIdx = base + "/twin-vid"
+    val verdictLog = base + "/verdicts"
+    val ckpt = base + "/ckpt"
+    // hash-mixed frames so distinct sources fingerprint far apart
+    def frames(src: Long): Array[Array[Int]] = Array.tabulate(18) { f =>
+      Array.tabulate(144) { p =>
+        val i = (f * 144 + p).toLong
+        val h = (src * 2654435761L + i * 40503L) ^ (i * i * 97L)
+        (((h % 256L) + 256L) % 256L).toInt
+      }
+    }
+    def avi(id: Long, src: Long, reContainer: Boolean = false) =
+      Multimodal.MediaRow(id, "video",
+        AviCodec.encodeGray(frames(src), 12, 12,
+          bits = if (reContainer) 8 else 24, topDown = reContainer,
+          extraChunk = reContainer))
+    val resident = (0L until 15L).map(i => avi(i, i))
+    VideoHashIndex.build(spark, resident.toDS(), streamIdx)
+    VideoHashIndex.build(spark, resident.toDS(), twinIdx)
+    // batch 1: fresh + a re-CONTAINERED resident + an undecodable payload
+    val b1 = (100L until 104L).map(i => avi(i, i + 500)) ++
+      Seq(avi(300L, 7L, reContainer = true),
+        Multimodal.MediaRow(301L, "video", "not a video".getBytes))
+    // batch 2: a re-offer of a batch-1 survivor (mid-stream growth)
+    val b2 = Seq(avi(400L, 900L), avi(401L, 102L + 500L))
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = EventStream.videoIngest(
+      mem.toDF().toDF("doc_id", "media_type", "data"), streamIdx, verdictLog, ckpt)
+    mem.addData(b1.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    mem.addData(b2.map(m => (m.doc_id, m.media_type, m.data)): _*); q.processAllAvailable()
+    q.stop()
+    val v1 = VideoHashIndex.dedupIngest(spark, twinIdx, b1.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val v2 = VideoHashIndex.dedupIngest(spark, twinIdx, b2.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == (v1 ++ v2).toMap, "streamed verdicts must equal the sequential gate")
+    assert(got(300L) == "near_dup", "the re-containered resident must die at Hamming 0")
+    assert(got(301L) == "undecodable")
+    assert(got(100L) == "ingested")
+    assert(got(401L) == "near_dup", "batch-2 re-offer of a batch-1 survivor must die mid-stream")
+  }
+
   test("streaming vector ingest gates micro-batches on resident cosine near-dups") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
