@@ -2021,7 +2021,10 @@ object SparkEntry {
         |WHERE d2 <= 1.45 ORDER BY vec_id""".stripMargin,
     "vec_knn_join" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |nc AS (SELECT GREATEST(8, LEAST(1024,
+        |    CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS n_cells FROM emb),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb
+        |  WHERE vec_id < (SELECT n_cells FROM nc)),
         |corp AS (SELECT vec_id AS c_vec_id, e AS ce, cid AS cell FROM (
         |    SELECT emb.vec_id, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
@@ -2043,7 +2046,12 @@ object SparkEntry {
     // candidate generation and the per-query top-k (rank over d2, id).
     "vec_hard_negatives" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |-- autoCells: GREATEST(8, LEAST(1024, CEIL(n/256))) — /256.0 is a
+        |-- power-of-two division, exact in both engines
+        |nc AS (SELECT GREATEST(8, LEAST(1024,
+        |    CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS n_cells FROM emb),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb
+        |  WHERE vec_id < (SELECT n_cells FROM nc)),
         |corp AS (SELECT vec_id AS c_vec_id, label AS c_label, e AS ce, cid AS cell FROM (
         |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
@@ -2068,7 +2076,10 @@ object SparkEntry {
     // asc argmax); the accuracy division is the single trailing double.
     "vec_label_audit" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |nc AS (SELECT GREATEST(8, LEAST(1024,
+        |    CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS n_cells FROM emb),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb
+        |  WHERE vec_id < (SELECT n_cells FROM nc)),
         |corp AS (SELECT vec_id AS c_vec_id, e AS ce, cid AS cell FROM (
         |    SELECT emb.vec_id, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id

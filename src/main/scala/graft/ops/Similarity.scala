@@ -185,8 +185,11 @@ object Similarity {
     * data-dependence note as `vec_dup_pairs` applies).
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    // nCells = 0 → one cell per ~256 corpus rows ([[autoCells]]): per-query
+    // candidate volume stays constant as the corpus grows
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -209,6 +212,26 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** Block count for the IVF-cell corpus self-joins, sized to the corpus:
+    * one cell per ~`targetRowsPerCell` rows, so per-query candidate volume
+    * (nProbe · n/cells) stays CONSTANT as the corpus grows and total
+    * candidate volume grows linearly — the round-8 scale probe measured
+    * the fixed-cell alternative super-linear (occupancy ×10 ⇒ within-cell
+    * candidates ×100). Floor 8 keeps tiny corpora on the historical cell
+    * count (the registered SFs resolve to exactly 8, so oracle outputs are
+    * unchanged); the cap bounds the literal-centroid plan form — the
+    * driver collect and the in-plan argmin array are linear in the cell
+    * count, and past ~10³ centroids the assignment belongs in a broadcast
+    * join (the `NgramLm` large-model precedent), which `IvfIndex` provides
+    * as the physical-index path. 256 is a power of two, so the matching
+    * SQL `CEIL(COUNT(*) / 256.0)` divides exactly and both engines agree
+    * bit-for-bit.
+    */
+  def autoCells(n: Long, targetRowsPerCell: Long = 256L, floorCells: Int = 8,
+      cap: Int = 1024): Int =
+    math.min(cap.toLong, math.max(floorCells.toLong,
+      (n + targetRowsPerCell - 1) / targetRowsPerCell)).toInt
+
   /** Hard-negative mining for contrastive training (the DPR/SimCLR data-prep
     * op): for every vector, the k nearest corpus vectors carrying a
     * DIFFERENT label — semantically close but known-not-matching, the
@@ -227,10 +250,19 @@ object Similarity {
     * neighbors live in its nProbe probed cells — `SimilaritySpec` asserts
     * probe-all ≡ brute force; the registered oracle mirrors the blocked
     * plan itself, so the hash check is recall-independent.
+    *
+    * `nCells = 0` (the default) auto-scales the block count to the corpus
+    * via [[autoCells]] — the round-8 scale probe showed the fixed 8-cell
+    * config going ~10.6× at 10× data (cell occupancy ×10 ⇒ within-cell
+    * candidates ×100); with occupancy held at ~256 rows/cell the candidate
+    * volume grows linearly in the corpus. Resolving the count reads ONE
+    * corpus count at plan-construction time (this function is already
+    * eager: it collects the centroids and the salt map).
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCells)
+      nCells: Int = 0, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -456,8 +488,11 @@ object Similarity {
     * bounded by corpus ids or the label alphabet.
     */
   def knnLabelAudit(embeddings: DataFrame, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCells)
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    // nCells = 0 → auto-scale like hardNegatives (same self-join shape,
+    // same fixed-cell hazard at growing corpus size)
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -509,8 +544,9 @@ object Similarity {
     * per-query top-k is unchanged map-side-combining bounded aggregation.
     */
   def knnJoinSalted(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      nCells: Int = 8, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
+      nCells: Int = 0, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -556,13 +592,15 @@ object Similarity {
     * and the all-pairs form below stays as the spec-level verifier.
     */
   def cosineDupPairsBlocked(embeddings: DataFrame, threshold: Double = 0.95,
-      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
-    // Seed centroids collected ONCE to the driver: nCells × dim floats, a
-    // constant independent of corpus size — so cell assignment below is
-    // map-only codegen (distances to a literal array, array_sort, slice),
-    // with no crossJoin, no per-vector window shuffle. At 100 TB this is
-    // the difference between a map stage and shuffling 8× the corpus.
-    val cents = embeddings.filter(col("vec_id") < nCells)
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    // nCells = 0 → corpus-sized cell count ([[autoCells]], ~256 rows/cell)
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    // Seed centroids collected ONCE to the driver: cells × dim floats,
+    // sub-linear in corpus size — so cell assignment below is map-only
+    // codegen (distances to a literal array, array_sort, slice), with no
+    // crossJoin, no per-vector window shuffle. At 100 TB this is the
+    // difference between a map stage and shuffling 8× the corpus.
+    val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
@@ -759,7 +797,7 @@ object Similarity {
     * from the runtime size).
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
-      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
     val pairs = cosineDupPairsBlocked(embeddings, threshold, nCells, nProbe)
       .select(col("vec_id_a"), col("vec_id_b"))
     // (id, label) for every vector with at least one near-dup edge;

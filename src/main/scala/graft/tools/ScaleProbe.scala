@@ -79,6 +79,43 @@ object ScaleProbe {
           slice(col("embedding"), 1, r)).as("embedding"))
     }.reduce(_ unionByName _)
 
+  /** The registered mm_audio_near fixture over an arbitrary id set. */
+  private def audioMedia(spark: SparkSession, ids: DataFrame) = {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WavCodec}
+    ids.select(col("doc_id")).as[Long].filter((id: Long) => id % 11 == 0).flatMap { id =>
+      def samples(bumpAt: Int): Array[Int] = Array.tabulate(576) { i =>
+        val dip = if (bumpAt >= 0 && (i == bumpAt || i == bumpAt + 1)) 1L else 0L
+        (((id * 37L + i.toLong * 11L - dip) % 4096L) - 2048L).toInt
+      }
+      val base = Multimodal.MediaRow(id, "audio", WavCodec.encodePcm16(samples(-1), 8000, 1))
+      if (id % 44 == 0)
+        Seq(base, Multimodal.MediaRow(id + 5000000L, "audio",
+          WavCodec.encodePcm16(samples(570), 8000, 1)))
+      else Seq(base)
+    }
+  }
+
+  /** The registered mm_video_near fixture over an arbitrary id set. */
+  private def videoMedia(spark: SparkSession, ids: DataFrame) = {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    ids.select(col("doc_id")).as[Long].filter((id: Long) => id % 17 == 0).flatMap { id =>
+      def frames(bump: Int): Array[Array[Int]] = Array.tabulate(18) { f =>
+        Array.tabulate(144) { p =>
+          val x = p % 12; val y = p / 12
+          val b = if (bump != 0 && f >= 16 && x >= 4 && x < 8 && y >= 4 && y < 8) bump else 0
+          ((id * 31L + f.toLong * f * 7L + x * 5L + y * 3L + b) % 256L).toInt
+        }
+      }
+      val base = Multimodal.MediaRow(id, "video", AviCodec.encodeGray(frames(0), 12, 12))
+      if (id % 68 == 0)
+        Seq(base, Multimodal.MediaRow(id + 9000000L, "video",
+          AviCodec.encodeGray(frames(101), 12, 12)))
+      else Seq(base)
+    }
+  }
+
   /** The registered mm_phash_near fixture over an arbitrary id set. */
   private def phashMedia(spark: SparkSession, ids: DataFrame) = {
     import spark.implicits._
@@ -100,6 +137,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional comma-separated op-name filter for targeted re-probes
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .appName("graft-scale-probe")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -121,8 +160,13 @@ object ScaleProbe {
       .unionByName(e.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000000L).as("vec_id"),
           transform(col("embedding"), x => x + x).as("embedding")))
-    val media1 = phashMedia(spark, docs1).cache(); media1.count()
-    val mediaN = phashMedia(spark, docsN).cache(); mediaN.count()
+    def need(name: String) = only.forall(_.contains(name))
+    lazy val media1 = { val m = phashMedia(spark, docs1).cache(); m.count(); m }
+    lazy val mediaN = { val m = phashMedia(spark, docsN).cache(); m.count(); m }
+    lazy val aud1 = { val m = audioMedia(spark, docs1).cache(); m.count(); m }
+    lazy val audN = { val m = audioMedia(spark, docsN).cache(); m.count(); m }
+    lazy val vid1 = { val m = videoMedia(spark, docs1).cache(); m.count(); m }
+    lazy val vidN = { val m = videoMedia(spark, docsN).cache(); m.count(); m }
 
     val probes: Seq[(String, () => Long, () => Long)] = Seq(
       ("doc_minhash_pairs",
@@ -144,9 +188,27 @@ object ScaleProbe {
       ("vec_dup_pairs_blocked",
         () => Similarity.cosineDupPairsBlocked(planted(emb1), 0.95, nCells = 64, nProbe = 4).count(),
         () => Similarity.cosineDupPairsBlocked(planted(embN), 0.95, nCells = 64, nProbe = 4).count()),
+      ("mm_audio_near",
+        () => graft.multimodal.Multimodal.audioNearPairs(aud1).count(),
+        () => graft.multimodal.Multimodal.audioNearPairs(audN).count()),
+      ("mm_video_near",
+        () => graft.multimodal.Multimodal.videoNearPairs(vid1).count(),
+        () => graft.multimodal.Multimodal.videoNearPairs(vidN).count()),
+      // default (nCells = 0) now auto-scales the block count to the corpus
+      // (~256 rows/cell) — the fix for the round-8 probe's 10.6× finding
       ("vec_hard_negatives",
         () => Similarity.hardNegatives(emb1).count(),
-        () => Similarity.hardNegatives(embN).count()))
+        () => Similarity.hardNegatives(embN).count()),
+      ("vec_label_audit",
+        () => Similarity.knnLabelAudit(emb1).count(),
+        () => Similarity.knnLabelAudit(embN).count()))
+      .filter { case (name, _, _) => need(name) }
+
+    // force the needed media caches OUTSIDE the timed sections (the lazy
+    // vals otherwise materialize inside the first measure() call)
+    if (need("mm_phash_near")) { media1; mediaN }
+    if (need("mm_audio_near")) { aud1; audN }
+    if (need("mm_video_near")) { vid1; vidN }
 
     println(s"# scale probe: $sfDir vs ${reps}x (docs ${docs1.count()} -> ${docsN.count()}, " +
       s"vecs ${emb1.count()} -> ${embN.count()})")

@@ -92,6 +92,17 @@ class SimilaritySpec extends SparkSpec {
       .forall(_._2.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L)))
   }
 
+  test("autoCells: floor at the historical 8, linear in the corpus, capped for the literal plan") {
+    // the registered SFs resolve to exactly 8 — adaptive sizing must not
+    // move the oracle-bound outputs
+    assert(Similarity.autoCells(500L) == 8, "sf0.01 corpus")
+    assert(Similarity.autoCells(2000L) == 8, "sf0.1 corpus (2000/256 rounds up to exactly 8)")
+    assert(Similarity.autoCells(20000L) == 79, "the 10x probe corpus gets ~corpus/256 cells")
+    assert(Similarity.autoCells(10L * 1000 * 1000 * 1000) == 1024,
+      "billion-vector corpora cap where the literal-centroid plan form ends")
+    assert(Similarity.autoCells(0L) == 8 && Similarity.autoCells(1L) == 8)
+  }
+
   test("hard negatives: salting is invariant on a hot-cell label-skewed corpus") {
     import spark.implicits._
     // centroids at one-hot corners; vectors 8..511 ALL cluster near
