@@ -1086,6 +1086,25 @@ object SparkEntry {
           refineFactor = rf)
         .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
     }),
+    // The IVF-SQ8 serve sidecar in the provably-exact configuration
+    // (probe all cells, refine budget covering the sealed window):
+    // scalar-dequantized ADC candidates from the tinyint codes column,
+    // exact float re-rank, hot-day brute arm — must equal brute force
+    // over the retained window, completing the serve ladder
+    // flat | ivf | ivfpq | sq.
+    "vec_serve_sq_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("flatservesq", d) { p =>
+        graft.vector.VectorIndex.append(graft.vector.VectorIndex.fromEmbeddings(emb), p)
+        graft.vector.ServeIndex.build(s, p, "sq", nCells = 8)
+      }
+      val qv = emb.filter(col("vec_id") === 9L).select("embedding").head.getSeq[Float](0)
+      val rf = ((emb.count() + 9) / 10).toInt
+      graft.vector.ServeIndex.search(s, dir, "sq", qv, k = 10, nProbe = 8,
+          refineFactor = rf)
+        .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
+    }),
   )
 
   // ---- CRM tool-equivalents (the reference's 9-tool surface, SURVEY §3) ----
@@ -2319,6 +2338,18 @@ object SparkEntry {
     // candidates, the output distances are the exact float re-rank.
     "vec_serve_pq_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  1.0 - d2/2.0 AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // SQ8 serve path, probe-all + window-covering refine ≡ brute force —
+    // the dequantized ADC stage only SELECTS candidates; output distances
+    // are the exact float re-rank (the vec_serve_pq_search rationale).
+    "vec_serve_sq_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 9),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
         |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
         |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,

@@ -9,14 +9,15 @@ import graft.functions.VectorFunctions._
   * lets `GraftApi.searchData` stop brute-forcing the retained window once
   * that window is big. The flat `VectorIndex` layout stays the source of
   * truth (appends, tombstones, retention, payload); `build` reorganizes its
-  * CURRENT retained window into an IVF or IVF-PQ layout at
+  * CURRENT retained window into an IVF, IVF-PQ, or IVF-SQ8 layout at
   * `<indexPath>._serve`, and `search` serves the reference's query contract
   * from it:
   *
   *  - SEALED days (ingest_date < the sidecar's watermark) are probe-pruned:
-  *    only `nProbe` cell directories are read — and on the `ivfpq` kind the
-  *    candidate stage reads the codes column only (ADC), touching float
-  *    embeddings just for the `k·refineFactor` re-rank leaders.
+  *    only `nProbe` cell directories are read — and on the `ivfpq` / `sq`
+  *    kinds the candidate stage reads the codes column only (residual-PQ
+  *    ADC / scalar dequantization), touching float embeddings just for the
+  *    `k·refineFactor` re-rank leaders.
   *  - The HOT day (ingest_date ≥ watermark — the day still taking appends)
   *    is brute-forced straight from the flat layout, so rows ingested
   *    after the sidecar build are always visible. Sealed + hot partition
@@ -62,6 +63,12 @@ object ServeIndex {
   private def exists(spark: SparkSession, p: String): Boolean =
     fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
+  /** Trained per-dimension SQ bounds of an `sq`-kind sidecar. */
+  private def readBounds(spark: SparkSession, sc: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(s"$sc/sq_bounds").orderBy(col("dim")).collect()
+    (rows.map(_.getAs[Double]("lo")).toSeq, rows.map(_.getAs[Double]("hi")).toSeq)
+  }
+
   /** (kind, watermark) of the live sidecar, if one is fully built. */
   def meta(spark: SparkSession, indexPath: String): Option[(String, java.sql.Date)] = {
     val mp = s"${sidecarPath(indexPath)}/meta"
@@ -88,7 +95,8 @@ object ServeIndex {
   def build(spark: SparkSession, indexPath: String, kind: String,
       nCells: Int = 8, kmeansIters: Int = 3, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 3, asOf: java.sql.Date = null): Unit = {
-    require(kind == "ivf" || kind == "ivfpq", s"unknown serve index kind: $kind")
+    require(kind == "ivf" || kind == "ivfpq" || kind == "sq",
+      s"unknown serve index kind: $kind")
     val anchor = Option(asOf)
       .orElse(VectorIndex.maxIngestDate(spark, indexPath))
       .getOrElse(throw new IllegalStateException(
@@ -112,7 +120,19 @@ object ServeIndex {
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     val vectors =
       if (kind == "ivf") assigned
-      else {
+      else if (kind == "sq") {
+        // SQ8 codes over the RAW window vectors (FAISS IVF-SQ shape): the
+        // per-dimension (min, max) bounds train in one partial-agg pass
+        // and persist beside the centroids; the candidate stage reads the
+        // 4×-narrower codes column only, like the pq kind reads its codes
+        val (mins, maxs) = SqIndex.train(rows)
+        mins.toSeq.zip(maxs.toSeq).zipWithIndex
+          .map { case ((lo, hi), dimIdx) => (dimIdx, lo, hi) }
+          .toDF("dim", "lo", "hi")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/sq_bounds")
+        assigned.withColumn("codes",
+          SqIndex.encodeCol(col("embedding"), mins.toSeq, maxs.toSeq))
+      } else {
         // residual PQ: codes encode v − centroid(cell(v)), the IvfPqIndex
         // construction, trained on this window's residuals
         val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
@@ -181,7 +201,21 @@ object ServeIndex {
       if (kind == "ivf")
         sealedAll.withColumn("d2", l2Sq(col("embedding"), lit(q)))
           .select(col("vec_id"), col("d2"), col("data_type"), col("data_json"))
-      else {
+      else if (kind == "sq") {
+        // asymmetric SQ distance over the codes column only (query stays
+        // float, corpus decodes inside the scan — SqIndex.search's ADC),
+        // bounded leaders re-ranked exactly against the raw embeddings
+        val (mins, maxs) = readBounds(spark, sc)
+        val leaders = sealedAll
+          .withColumn("adc_d2",
+            l2SqHof(SqIndex.decodeCol(col("codes"), mins, maxs), lit(q)))
+          .orderBy(col("adc_d2"), col("vec_id"))
+          .limit(k * math.max(1, refineFactor))
+          .select(col("vec_id"))
+        sealedAll.join(broadcast(leaders), "vec_id", "left_semi")
+          .withColumn("d2", l2Sq(col("embedding"), lit(q)))
+          .select(col("vec_id"), col("d2"), col("data_type"), col("data_json"))
+      } else {
         // ADC per probed cell (query-residual LUT, codes column only),
         // bounded leaders re-ranked exactly — the IvfPqIndex.search plan
         // over the payload-carrying layout
@@ -281,7 +315,26 @@ object ServeIndex {
           .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
           .select(col("query_id"), col("vec_id"), col("d2"),
             col("data_type"), col("data_json"))
-      else {
+      else if (kind == "sq") {
+        // the single-query sq path's ADC + exact re-rank, with the per-query
+        // leader cut as the bounded top-k aggregate (the ivfpq batch shape)
+        val (mins, maxs) = readBounds(spark, sc)
+        val leaders = qSide
+          .join(sealedAll.select(col("vec_id"), col("codes"), col("cell")), "cell")
+          .withColumn("adc_d2",
+            l2SqHof(SqIndex.decodeCol(col("codes"), mins, maxs), col("q_emb")))
+          .groupBy(col("query_id"))
+          .agg(TopKAggregator.topK(k * math.max(1, refineFactor),
+            -col("adc_d2"), col("vec_id")).as("top"))
+          .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+        leaders
+          .join(sealedAll.select(col("vec_id"), col("embedding"),
+            col("data_type"), col("data_json")), "vec_id")
+          .join(q, "query_id")
+          .withColumn("d2", l2Sq(col("q_emb"), col("embedding")))
+          .select(col("query_id"), col("vec_id"), col("d2"),
+            col("data_type"), col("data_json"))
+      } else {
         // per-(query, cell) residual LUT in-plan; candidates scored over
         // the codes column only (the IvfPqIndex.knnJoin construction)
         val books = PqIndex.readBooks(spark, sc)

@@ -188,6 +188,42 @@ class GraftApiSpec extends SparkSpec {
       "budgeted recall floor: the fast config overlaps the exact top-k")
   }
 
+  test("serve.index=sq probe-all + window-covering refine ≡ flat bitwise, single and batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-sq").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(10), "text", "late", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    graft.vector.ServeIndex.build(spark, dir, "sq", nCells = 8)
+    val probe = docs.select("text").head.getString(0)
+    val flat = GraftApi.searchData(spark, dir, probe, 5)
+    // probe all 8 cells, refine 5·20 = 100 ≥ the 60-row window: the SQ ADC
+    // stage only SELECTS candidates, the exact re-rank decides — provably
+    // the flat answer (the SqIndex.searchExact rationale)
+    val served = withServeConf("sq", nProbe = 8, refine = 20) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(hitBits(served) == hitBits(flat),
+      "probe-all SQ8 over sealed days + brute hot day must equal the flat scan bit-for-bit")
+    // the budgeted config still lands the identical-text hit at rank 1
+    val fast = withServeConf("sq", nProbe = 2, refine = 4) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(fast.results.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(fast.results.head.similarity_score > 0.99)
+    // batch twin: probe-all sq batch ≡ flat batch bitwise
+    val texts = docs.limit(3).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def bbits(p: GraftApi.Page[GraftApi.BatchSearchHit]) =
+      p.results.map(h => (h.query_id, h.rank,
+        java.lang.Double.doubleToRawLongBits(h.similarity_score), h.data_type, h.data_json))
+    val flatB = GraftApi.searchDataBatch(spark, dir, texts, 5)
+    val servedB = withServeConf("sq", 8, 20)(GraftApi.searchDataBatch(spark, dir, texts, 5))
+    assert(bbits(servedB) == bbits(flatB),
+      "probe-all + window-covering refine SQ batch must equal the flat batch bitwise")
+  }
+
   test("serve sidecar sealed scan is partition-pruned to the probed cells on disk") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-api-prune").toString + "/idx"
