@@ -585,6 +585,33 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // C4 line-level cleaning (Raffel 2020 §2.2) over harness-derived
+    // re-lining (the corpus has no newlines — the fixture chunks every 7
+    // words into a line and plants exactly what C4's rules target): every
+    // (id+j) % 5 == 0 line loses its terminal punctuation, every
+    // (id·31+j) % 13 == 0 line gains the word "javascript", every 97th doc
+    // a "lorem ipsum" line, every 89th a curly-brace code line. The oracle
+    // replays the re-lining AND the surgery in SQL — line verdicts, doc
+    // verdicts and the re-assembled clean text all hash cross-engine.
+    "doc_c4_lines" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ws = split(col("text"), " ")
+      val lineArr = transform(
+        sequence(lit(0), floor((size(ws) + lit(6)) / lit(7)).cast("int") - 1),
+        j => concat(
+          array_join(slice(ws, j * 7 + 1, lit(7)), " "),
+          when((col("doc_id") * 31 + j) % 13 === 0, " javascript").otherwise(""),
+          when((col("doc_id") + j) % 5 === 0, "").otherwise(".")))
+      val withLorem = when(col("doc_id") % 97 === 0,
+        concat(lineArr, array(lit("lorem ipsum dolor sit amet."))))
+        .otherwise(lineArr)
+      val withBrace = when(col("doc_id") % 89 === 0,
+        concat(withLorem, array(lit("function() { return 1; }."))))
+        .otherwise(withLorem)
+      val lined = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(withBrace, "\n").as("text"))
+      Curation.c4LineClean(lined)
+    }),
     // Markup stripping over harness-derived HTML wrapping (the
     // doc_pii_redact fixture pattern): tags, entities, boilerplate div on
     // every 3rd doc — the oracle replays wrap + strip in SQL, so the
@@ -2537,6 +2564,43 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // Re-lining + C4 line surgery replayed in SQL: the same 7-word
+    // chunking, punctuation/javascript planting, lorem/brace extra lines,
+    // line-keep predicate, doc verdicts and kept-line re-join.
+    "doc_c4_lines" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, r.j,
+        |    array_to_string(ws[CAST(r.j*7+1 AS BIGINT):CAST(r.j*7+7 AS BIGINT)], ' ')
+        |      || CASE WHEN (doc_id*31 + r.j) % 13 = 0 THEN ' javascript' ELSE '' END
+        |      || CASE WHEN (doc_id + r.j) % 5 = 0 THEN '' ELSE '.' END AS line
+        |  FROM w, range(400) r(j) WHERE r.j*7 < len(ws)),
+        |extra AS (
+        |  SELECT doc_id, 1000 AS j, 'lorem ipsum dolor sit amet.' AS line
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1001, 'function() { return 1; }.'
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |lines AS (SELECT * FROM l0 UNION ALL SELECT * FROM extra),
+        |k AS (SELECT doc_id, j, line,
+        |    CASE WHEN right(line, 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split(line, ' ')) >= 3
+        |      AND NOT contains(line, 'javascript') THEN 1 ELSE 0 END AS keep
+        |  FROM lines),
+        |agg AS (SELECT doc_id,
+        |    COUNT(*) AS n_lines, SUM(keep) AS n_kept,
+        |    MAX(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) AS has_lorem,
+        |    MAX(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS has_brace,
+        |    string_agg(CASE WHEN keep = 1 THEN line END, chr(10) ORDER BY j) AS clean
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CASE WHEN has_lorem = 1 THEN 'lorem_ipsum'
+        |       WHEN has_brace = 1 THEN 'brace'
+        |       WHEN n_kept < 5 THEN 'too_short' ELSE 'kept' END AS verdict,
+        |  CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept >= 5
+        |       THEN clean END AS clean_text
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "doc_strip_markup" ->
       """WITH wrapped AS (SELECT doc_id,
         |  '<html><body><p id="' || doc_id || '">' ||

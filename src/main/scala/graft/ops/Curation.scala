@@ -42,6 +42,53 @@ object Curation {
   /** Per-doc PII match counts + the redacted text. Map-only: three codegen
     * regexp_extract_all counts and a chained regexp_replace over one scan.
     */
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 — the cleaning
+    * recipe behind the C4 corpus), the surgery tier between doc-level
+    * quality gates (which drop whole documents) and span-level dedup: a
+    * crawled page is mostly boilerplate LINES (menus, buttons, code), and
+    * C4's fix is to keep only the prose lines and re-assemble the page.
+    *
+    * Line rules (a line survives iff ALL hold):
+    *  - ends in terminal punctuation (`.` `!` `?` or a closing quote);
+    *  - carries at least `minWordsPerLine` words;
+    *  - does not contain the word "javascript" (the enable-JS boilerplate).
+    * Document rules, applied to the RAW text (C4 drops these pages whole):
+    *  - contains "lorem ipsum" → verdict `lorem_ipsum`;
+    *  - contains a curly brace → verdict `brace` (code, not prose);
+    *  - fewer than `minLines` surviving lines → verdict `too_short`.
+    *
+    * Output: one row per input doc — (doc_id, n_lines, n_kept, verdict,
+    * clean_text), where clean_text is the surviving lines re-joined for
+    * `kept` docs and NULL for dropped ones. Every rule is a codegen'd
+    * string/array expression over one projection: map-only, no shuffle,
+    * column-pruned to (doc_id, text) — the same 100-TB shape as the PII
+    * pass. (C4's remaining rules live elsewhere: the bad-words list is the
+    * keyword gate, three-sentence-span dedup is [[removeDupSpans]].)
+    */
+  def c4LineClean(docs: DataFrame, minWordsPerLine: Int = 3,
+      minLines: Int = 5): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val keepLine = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(l, " ")) >= minWordsPerLine) &&
+        !l.contains("javascript")
+    val kept = filter(lines, keepLine)
+    docs.select(col("doc_id"), col("text"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        kept.as("kept_lines"))
+      .withColumn("verdict",
+        when(col("text").contains("lorem ipsum"), "lorem_ipsum")
+          .when(col("text").contains("{"), "brace")
+          .when(col("n_kept") < minLines, "too_short")
+          .otherwise("kept"))
+      .withColumn("clean_text",
+        when(col("verdict") === "kept", array_join(col("kept_lines"), "\n")))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val counts = piiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"n_${name}s")

@@ -11,6 +11,39 @@ class CurationSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("C4 line cleaning: each line rule and each doc rule isolated") {
+    val good = "one two three words here."
+    val docs = docsDF(
+      // every line rule in isolation, one surviving doc
+      (1L, Seq(good,
+        "no terminal punctuation at all", // dropped: no terminal punct
+        "two words.", //                     dropped: < 3 words
+        "please enable javascript to continue.", // dropped: javascript
+        "ends with a question mark?", //     kept: ? is terminal
+        "ends with a quote.\"", //           kept: closing quote
+        good, good, good).mkString("\n")),
+      // doc rules, each verdict in isolation
+      (2L, (Seq.fill(6)(good) :+ "lorem ipsum dolor sit amet.").mkString("\n")),
+      (3L, (Seq.fill(6)(good) :+ "function() { return 1; }.").mkString("\n")),
+      (4L, Seq(good, good, good, good).mkString("\n"))) // 4 kept < 5 → too_short
+    val got = graft.ops.Curation.c4LineClean(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("verdict") == "kept")
+    assert(got(1L).getAs[Long]("n_lines") == 9 && got(1L).getAs[Long]("n_kept") == 6)
+    assert(got(1L).getAs[String]("clean_text") ==
+      Seq(good, "ends with a question mark?", "ends with a quote.\"",
+        good, good, good).mkString("\n"),
+      "surviving lines re-join in order, dropped lines excised")
+    assert(got(2L).getAs[String]("verdict") == "lorem_ipsum")
+    assert(got(3L).getAs[String]("verdict") == "brace")
+    assert(got(4L).getAs[String]("verdict") == "too_short")
+    // dropped docs carry no clean text
+    Seq(2L, 3L, 4L).foreach(id => assert(got(id).isNullAt(got(id).fieldIndex("clean_text"))))
+    // lorem takes precedence over brace over too_short (one doc, all three)
+    val multi = docsDF((9L, "lorem ipsum { x }"))
+    assert(graft.ops.Curation.c4LineClean(multi).head.getAs[String]("verdict") == "lorem_ipsum")
+  }
+
   test("PII redaction counts and replaces emails, phones, IPs") {
     val docs = docsDF(
       1L -> "mail me at jane.doe@corp.example.org thanks",
