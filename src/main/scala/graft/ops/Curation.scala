@@ -66,6 +66,15 @@ object Curation {
     * keyword gate, three-sentence-span dedup is [[removeDupSpans]].)
     */
   def c4LineClean(docs: DataFrame, minWordsPerLine: Int = 3,
+      minLines: Int = 5): DataFrame =
+    c4LineSignals(docs, minWordsPerLine, minLines).orderBy(col("doc_id"))
+
+  /** [[c4LineClean]] minus its presentation sort — the form that runs
+    * verbatim on an unaggregated STREAM (the gopherSignals precedent):
+    * every rule is a row-local projection, so stream output equals batch
+    * output bit-for-bit (`StreamingSpec`).
+    */
+  def c4LineSignals(docs: DataFrame, minWordsPerLine: Int = 3,
       minLines: Int = 5): DataFrame = {
     val lines = split(col("text"), "\n")
     val keepLine = (l: Column) =>
@@ -86,7 +95,6 @@ object Curation {
         when(col("verdict") === "kept", array_join(col("kept_lines"), "\n")))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {

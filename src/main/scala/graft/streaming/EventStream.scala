@@ -183,6 +183,15 @@ object EventStream {
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
     graft.ops.TextAnalysis.gopherSignals(docs, stopwords, minWords, maxWords)
 
+  /** Streaming C4 line-level cleaning: the surgery tier mid-stream — every
+    * rule is a row-local string/array projection (the gopherGateStream
+    * shape), stateless, no watermark; stream verdicts and re-assembled
+    * clean text equal the batch operator bit-for-bit (`StreamingSpec`).
+    */
+  def c4CleanStream(docs: DataFrame, minWordsPerLine: Int = 3,
+      minLines: Int = 5): DataFrame =
+    graft.ops.Curation.c4LineSignals(docs, minWordsPerLine, minLines)
+
   /** Streaming CCNet LM scoring: score a document stream against a model
     * persisted by `NgramLm.buildAt` (trained OFFLINE on the static
     * reference slice — the CCNet posture). The model attaches as literal

@@ -223,6 +223,31 @@ class StreamingSpec extends SparkSpec {
     assert(lGot.exists(r => r(3).asInstanceOf[Long] > 0L), "some bigram hits must occur")
   }
 
+  test("streaming C4 line cleaning equals the batch surgery bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val good = "one two three words here."
+    val rows = Seq(
+      (1L, Seq(good, "no punctuation line", "two words.",
+        "enable javascript now please.", good, good, good, good).mkString("\n")),
+      (2L, (Seq.fill(6)(good) :+ "lorem ipsum dolor.").mkString("\n")),
+      (3L, (Seq.fill(6)(good) :+ "code { x }.").mkString("\n")),
+      (4L, Seq(good, good).mkString("\n")))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = EventStream.c4CleanStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("c4_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.getString(4)))).sortBy(_._1)
+    val want = graft.ops.Curation.c4LineClean(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.getString(4)))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "stream surgery must equal the batch operator")
+    assert(got.map(_._4).toSeq == Seq("kept", "lorem_ipsum", "brace", "too_short"))
+  }
+
   test("streaming LM scoring serves an over-threshold model via the static broadcast") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
