@@ -200,20 +200,24 @@ object AviCodec {
     */
   def decodeGray(d: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
     if (d.length < 24 || !tag(d, 0, "RIFF") || !tag(d, 8, "AVI ")) return None
-    val fmt = for {
-      (hFrom, hUntil) <- findList(d, 12L, d.length.toLong, "hdrl")
-      (sFrom, sUntil) <- findList(d, hFrom.toLong, hUntil.toLong, "strl")
-      f <- {
-        var vids = false
+    // walk EVERY strl list in hdrl and take the first video stream — a
+    // muxed file may list its audio stream first
+    val fmt = findList(d, 12L, d.length.toLong, "hdrl").flatMap {
+      case (hFrom, hUntil) =>
         var parsed: Option[Fmt] = None
-        walk(d, sFrom.toLong, sUntil.toLong) { (o, payload, avail) =>
-          if (tag(d, o, "strh") && avail >= 4) vids = tag(d, payload, "vids")
-          else if (tag(d, o, "strf") && vids) parsed = parseStrf(d, payload, avail)
+        walk(d, hFrom.toLong, hUntil.toLong) { (o, payload, avail) =>
+          if (tag(d, o, "LIST") && tag(d, payload, "strl") && avail >= 4) {
+            var vids = false
+            walk(d, payload.toLong + 4, payload.toLong + avail) { (so, sp, sAvail) =>
+              if (tag(d, so, "strh") && sAvail >= 4) vids = tag(d, sp, "vids")
+              else if (tag(d, so, "strf") && vids) parsed = parseStrf(d, sp, sAvail)
+              parsed.isEmpty
+            }
+          }
           parsed.isEmpty
         }
         parsed
-      }
-    } yield f
+    }
     fmt.flatMap { f =>
       findList(d, 12L, d.length.toLong, "movi").map { case (mFrom, mUntil) =>
         val stride = rowStride(f.w, f.bits)

@@ -700,6 +700,30 @@ class MultimodalSpec extends SparkSpec {
     val evil = whole.clone()
     evil(whole.length - 14) = 0xFF.toByte // corrupt a late chunk-size byte
     AviCodec.decodeGray(evil) // must terminate without throwing
+    // a muxed file listing its AUDIO stream first: splice an auds strl
+    // into hdrl right after avih (patching hdrl + RIFF sizes) — the
+    // decoder must skip it and find the video stream
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val audStrh = "strh".getBytes("US-ASCII") ++ le32(8) ++
+      "auds".getBytes("US-ASCII") ++ "none".getBytes("US-ASCII")
+    val audStrf = "strf".getBytes("US-ASCII") ++ le32(4) ++ le32(0)
+    val audStrl = "LIST".getBytes("US-ASCII") ++
+      le32(4 + audStrh.length + audStrf.length) ++
+      "strl".getBytes("US-ASCII") ++ audStrh ++ audStrf
+    val muxed = whole.take(88) ++ audStrl ++ whole.drop(88) // avih ends at 88
+    def patchSize(a: Array[Byte], off: Int, delta: Int): Unit = {
+      val v = (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+        ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+      le32(v + delta).copyToArray(muxed, off)
+      ()
+    }
+    patchSize(muxed, 4, audStrl.length) // RIFF size
+    patchSize(muxed, 16, audStrl.length) // hdrl LIST size
+    val Some((mw, mh, mdec)) = AviCodec.decodeGray(muxed)
+    assert(mw == 12 && mh == 12 &&
+      mdec.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "the decoder must skip a leading audio strl and decode the video stream")
   }
 
   test("video near pairs: probe join equals brute force; re-container at Hamming 0; perturbed twin within radius") {
