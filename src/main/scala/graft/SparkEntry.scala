@@ -978,6 +978,48 @@ object SparkEntry {
       }
       Multimodal.phashNearPairs(media)
     }),
+    // The perceptual ingest DECISION oracle-bound (the doc_incr_dedup_ingest
+    // pattern applied to the image gate): residents = every 23rd doc's
+    // deterministic 16×16 PNG; the offer batch plants verbatim re-encodes
+    // (new filter bytes, same pixels → near_dup at Hamming 0), within-batch
+    // identical twins (min-id survives, the other is batch_dup), one-pixel
+    // near twins, fresh images and garbage payloads. DuckDB replays the
+    // whole four-tier decision (decodability → batch min-id groups → probe
+    // Hamming ≤ 2 vs residents → ingested) from the pixel definitions and
+    // the verdict column hashes at both SFs.
+    "mm_phash_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
+      def pxA(src: Long, bump: Int): Array[Int] = Array.tabulate(256) { p =>
+        ((src * 31 + (p % 16) * 7 + (p / 16) * 13 +
+          (if (p == 0) bump else 0)) % 256).toInt
+      }
+      def pxB(src: Long): Array[Int] = Array.tabulate(256) { p =>
+        ((src * 41 + (p % 16) * 9 + (p / 16) * 5 + 1) % 256).toInt
+      }
+      def pxC(src: Long): Array[Int] = Array.tabulate(256) { p =>
+        ((src * 57 + (p % 16) * 11 + (p / 16) * 17 + 3) % 256).toInt
+      }
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 23 == 0)
+      val dir = cachedArtifact("phashgate", d) { p =>
+        PhashIndex.build(s, ids.map(id =>
+          Multimodal.MediaRow(id, "image", PngCodec.encodeGray(pxA(id, 0), 16, 16))), p)
+      }
+      val batch = ids.flatMap { id =>
+        def img(off: Long, px: Array[Int], filterType: Int = 0) =
+          Multimodal.MediaRow(id + off, "image",
+            PngCodec.encodeGray(px, 16, 16, filterType = filterType))
+        val reEnc = if (id % 46 == 0) Seq(img(4000000L, pxA(id, 0), filterType = 1)) else Seq.empty
+        val twins = if (id % 92 == 0) Seq(img(5000000L, pxB(id)), img(6000000L, pxB(id))) else Seq.empty
+        val near = if (id % 69 == 0) Seq(img(7000000L, pxA(id, 6))) else Seq.empty
+        val garbage = if (id % 115 == 0)
+          Seq(Multimodal.MediaRow(id + 9000000L, "image", s"junk$id".getBytes)) else Seq.empty
+        (reEnc ++ twins ++ near) ++ Seq(img(8000000L, pxC(id))) ++ garbage
+      }
+      PhashIndex.dedupIngest(s, dir, batch)
+    }),
     // Perceptual AUDIO near-dup (Haitsma–Kalker sign hash over lag-comb
     // band energies, integer-exact): every 11th doc renders to a REAL
     // PCM16 WAV from a deterministic sample definition; every 33rd gets a
@@ -3583,6 +3625,59 @@ object SparkEntry {
         |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
         |SELECT doc_id_a, doc_id_b, hamming FROM h
         |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // The image gate's four-tier decision replayed from the pixel
+    // definitions: decodability → within-batch identical-hash min-id →
+    // Hamming ≤ 2 vs the resident hash set → ingested, coalesced in gate
+    // order (the doc_incr_dedup_ingest oracle pattern).
+    "mm_phash_ingest" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+        |imgs AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS kind, 1 AS resident, 1 AS decodable FROM base
+        |  UNION ALL SELECT doc_id + 4000000, doc_id, 0, 0, 1 FROM base WHERE doc_id % 46 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 92 = 0
+        |  UNION ALL SELECT doc_id + 6000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 92 = 0
+        |  UNION ALL SELECT doc_id + 7000000, doc_id, 3, 0, 1 FROM base WHERE doc_id % 69 = 0
+        |  UNION ALL SELECT doc_id + 8000000, doc_id, 4, 0, 1 FROM base
+        |  UNION ALL SELECT doc_id + 9000000, doc_id, -1, 0, 0 FROM base WHERE doc_id % 115 = 0),
+        |px AS (
+        |  SELECT i.doc_id, i.resident, t.x, u.y,
+        |    CASE i.kind
+        |      WHEN 0 THEN (i.src * 31 + t.x * 7 + u.y * 13) % 256
+        |      WHEN 2 THEN (i.src * 41 + t.x * 9 + u.y * 5 + 1) % 256
+        |      WHEN 3 THEN (i.src * 31 + t.x * 7 + u.y * 13 +
+        |        CASE WHEN t.x = 0 AND u.y = 0 THEN 6 ELSE 0 END) % 256
+        |      WHEN 4 THEN (i.src * 57 + t.x * 11 + u.y * 17 + 3) % 256
+        |    END AS v
+        |  FROM imgs i, range(16) t(x), range(16) u(y) WHERE i.decodable = 1),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, SUM(v) // 4 AS cell
+        |  FROM px GROUP BY doc_id, x // 2, y // 2),
+        |means AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, '' ORDER BY cy, cx) AS ahash
+        |  FROM cells c JOIN means USING (doc_id) GROUP BY c.doc_id),
+        |rh AS (SELECT b.doc_id, b.ahash FROM bits b JOIN imgs i USING (doc_id) WHERE i.resident = 1),
+        |bh AS (SELECT b.doc_id, b.ahash FROM bits b JOIN imgs i USING (doc_id) WHERE i.resident = 0),
+        |keep AS (SELECT ahash, MIN(doc_id) AS keep_id FROM bh GROUP BY ahash),
+        |hp AS (
+        |  SELECT p.bid, CAST(SUM(CASE WHEN substr(p.hb, r.i, 1) = substr(p.hr, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hd
+        |  FROM (SELECT b.doc_id AS bid, b.ahash AS hb, rr.ahash AS hr FROM bh b, rh rr) p,
+        |    range(1, 65) r(i)
+        |  GROUP BY p.bid, p.hr),
+        |near AS (SELECT DISTINCT bid FROM hp WHERE hd <= 2)
+        |SELECT i.doc_id,
+        |  CASE WHEN i.decodable = 0 THEN 'undecodable'
+        |       WHEN i.doc_id > k.keep_id THEN 'batch_dup'
+        |       WHEN n.bid IS NOT NULL THEN 'near_dup'
+        |       ELSE 'ingested' END AS verdict
+        |FROM imgs i
+        |LEFT JOIN bh ON bh.doc_id = i.doc_id
+        |LEFT JOIN keep k ON k.ahash = bh.ahash
+        |LEFT JOIN near n ON n.bid = i.doc_id
+        |WHERE i.resident = 0
+        |ORDER BY i.doc_id""".stripMargin,
     // Brute-force Hamming ≤ 2 over fingerprints recomputed from the PCM
     // sample DEFINITION (the container bytes are invisible to SQL — which
     // is the point: Spark must decode byte-different containers to the
