@@ -355,6 +355,34 @@ object SparkEntry {
       graft.vector.IvfIndex.search(s, dir, qv, k = 10, nProbe = 8)
         .select(col("vec_id"), col("label"), col("dist_sq"))
     }),
+    // The VECTOR gate's ingest decision oracle-bound (mm_phash_ingest's
+    // sibling on the IvfIndex engine), in the probe-all configuration so
+    // candidacy is total and the cosine tier is brute-force-replayable
+    // (recall-independent, the vec_delete_search rationale): the batch
+    // plants verbatim re-offers (cos = 1), SCALED copies (2v — cosine is
+    // scale-invariant, the vector analog of a re-encode) twice for the
+    // within-batch tier, first-dim-negated near twins (cos = 1 − 2v₁²/|v|²,
+    // straddling the 0.95 threshold on this generator), and reversed
+    // vectors as fresh content. Every construction is exact in both
+    // engines (x+x, sign flip, permutation — no rounding anywhere).
+    "vec_ivf_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfgate", d)(p => graft.vector.IvfIndex.build(s, emb, p))
+      def offers(off: Long, modCond: Long, vec: org.apache.spark.sql.Column) =
+        emb.filter(col("vec_id") % modCond === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("label"), vec.as("embedding"))
+      val doubled = transform(col("embedding"), x => x + x)
+      val negFirst = transform(col("embedding"), (x, i) =>
+        when(i === 0, -x).otherwise(x))
+      val batch = offers(4000000L, 29L, col("embedding"))
+        .unionByName(offers(5000000L, 58L, doubled))
+        .unionByName(offers(6000000L, 58L, doubled))
+        .unionByName(offers(7000000L, 87L, negFirst))
+        .unionByName(offers(8000000L, 29L, reverse(col("embedding"))))
+      graft.vector.IvfIndex.dedupIngest(s, dir, batch, threshold = 0.95, nProbe = 8)
+        .orderBy(col("vec_id"))
+    }),
     // ---- dedup + text analysis over documents (scale extensions) ----
     // The fixture corpus has no exact copies, so the HARNESS (not the
     // operator) unions a deterministic re-ingest (every 7th doc under a new
@@ -2390,6 +2418,33 @@ object SparkEntry {
         |  'embedding' AS data_type,
         |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // The vector gate's three-tier decision replayed brute-force (probe-all
+    // makes candidacy total): within-batch identical-embedding min-id →
+    // cos ≥ 0.95 vs any resident → ingested. Every batch construction is
+    // rounding-free (x+x, sign flip, reverse), so float→double casts agree.
+    "vec_ivf_ingest" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id + 4000000 AS vec_id, v FROM e WHERE vec_id % 29 = 0
+        |  UNION ALL SELECT vec_id + 5000000, list_transform(v, x -> x * 2)
+        |    FROM e WHERE vec_id % 58 = 0
+        |  UNION ALL SELECT vec_id + 6000000, list_transform(v, x -> x * 2)
+        |    FROM e WHERE vec_id % 58 = 0
+        |  UNION ALL SELECT vec_id + 7000000, [-v[1]] || v[2:]
+        |    FROM e WHERE vec_id % 87 = 0
+        |  UNION ALL SELECT vec_id + 8000000, list_reverse(v) FROM e WHERE vec_id % 29 = 0),
+        |keep AS (SELECT v, MIN(vec_id) AS keep_id FROM b GROUP BY v),
+        |near AS (
+        |  SELECT DISTINCT b.vec_id FROM b, e
+        |  WHERE ${dotSql("b.v", "e.v")} /
+        |    (sqrt(${dotSql("b.v", "b.v")}) * sqrt(${dotSql("e.v", "e.v")})) >= 0.95)
+        |SELECT b.vec_id,
+        |  CASE WHEN b.vec_id > k.keep_id THEN 'batch_dup'
+        |       WHEN n.vec_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'ingested' END AS verdict
+        |FROM b JOIN keep k ON k.v = b.v
+        |LEFT JOIN near n ON n.vec_id = b.vec_id
+        |ORDER BY b.vec_id""".stripMargin,
     // Serve-sidecar probe-all = brute force over the retained window
     // (vec_id % 10 >= 3, the fromEmbeddings date spread) — recall-
     // independent because every cell is probed and the hot day is scanned.
