@@ -1125,6 +1125,52 @@ object SparkEntry {
       }
       Multimodal.videoNearPairs(media)
     }),
+    // The VIDEO gate's ingest decision oracle-bound (mm_phash_ingest's
+    // sibling through the shared Hash64Index engine, with the video
+    // fingerprint): residents = every 19th doc's deterministic AVI; the
+    // batch plants re-containered residents (8-bit top-down + junk chunk →
+    // Hamming 0), within-batch identical twins, segment-8 bumped twins
+    // (the bit-dependency structure bounds them at Hamming ≤ 2 — ALWAYS
+    // within the probe radius), fresh clips and garbage. DuckDB replays
+    // the four-tier decision from the frame-pixel definitions.
+    "mm_video_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{AviCodec, Multimodal, VideoHashIndex}
+      def frames(src: Long, kind: Int): Array[Array[Int]] = Array.tabulate(18) { f =>
+        Array.tabulate(144) { p =>
+          val x = p % 12; val y = p / 12
+          val v = kind match {
+            case 0 => src * 31L + f.toLong * f * 7L + x * 5L + y * 3L
+            case 2 => src * 43L + f * 11L + x * 7L + y * 5L + 2L
+            case 3 => src * 31L + f.toLong * f * 7L + x * 5L + y * 3L +
+              (if (f >= 16 && x >= 4 && x < 8 && y >= 4 && y < 8) 101L else 0L)
+            case _ => src * 57L + f * 13L + x * 9L + y * 7L + 5L
+          }
+          (v % 256L).toInt
+        }
+      }
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 19 == 0)
+      val dir = cachedArtifact("vidgate", d) { p =>
+        VideoHashIndex.build(s, ids.map(id =>
+          Multimodal.MediaRow(id, "video", AviCodec.encodeGray(frames(id, 0), 12, 12))), p)
+      }
+      val batch = ids.flatMap { id =>
+        def clip(off: Long, kind: Int, reContainer: Boolean = false) =
+          Multimodal.MediaRow(id + off, "video",
+            AviCodec.encodeGray(frames(id, kind), 12, 12,
+              bits = if (reContainer) 8 else 24, topDown = reContainer,
+              extraChunk = reContainer))
+        val reEnc = if (id % 38 == 0) Seq(clip(4000000L, 0, reContainer = true)) else Seq.empty
+        val twins = if (id % 76 == 0) Seq(clip(5000000L, 2), clip(6000000L, 2)) else Seq.empty
+        val bumped = if (id % 57 == 0) Seq(clip(7000000L, 3)) else Seq.empty
+        val garbage = if (id % 95 == 0)
+          Seq(Multimodal.MediaRow(id + 9000000L, "video", s"novid$id".getBytes)) else Seq.empty
+        (reEnc ++ twins ++ bumped) ++ Seq(clip(8000000L, 4)) ++ garbage
+      }
+      VideoHashIndex.dedupIngest(s, dir, batch)
+    }),
     "vec_index_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -3718,7 +3764,8 @@ object SparkEntry {
         |hp AS (
         |  SELECT p.bid, CAST(SUM(CASE WHEN substr(p.hb, r.i, 1) = substr(p.hr, r.i, 1)
         |      THEN 0 ELSE 1 END) AS INT) AS hd
-        |  FROM (SELECT b.doc_id AS bid, b.ahash AS hb, rr.ahash AS hr FROM bh b, rh rr) p,
+        |  FROM (SELECT DISTINCT b.doc_id AS bid, b.ahash AS hb, rr.ahash AS hr
+        |        FROM bh b, rh rr) p,
         |    range(1, 65) r(i)
         |  GROUP BY p.bid, p.hr),
         |near AS (SELECT DISTINCT bid FROM hp WHERE hd <= 2)
@@ -3822,6 +3869,69 @@ object SparkEntry {
         |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
         |SELECT doc_id_a, doc_id_b, hamming FROM h
         |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // The video gate's four-tier decision from the frame-pixel
+    // definitions: fingerprint chain = mm_video_near's; tier order =
+    // mm_phash_ingest's.
+    "mm_video_ingest" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 19 = 0),
+        |vids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS kind, 1 AS resident, 1 AS decodable FROM base
+        |  UNION ALL SELECT doc_id + 4000000, doc_id, 0, 0, 1 FROM base WHERE doc_id % 38 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 76 = 0
+        |  UNION ALL SELECT doc_id + 6000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 76 = 0
+        |  UNION ALL SELECT doc_id + 7000000, doc_id, 3, 0, 1 FROM base WHERE doc_id % 57 = 0
+        |  UNION ALL SELECT doc_id + 8000000, doc_id, 4, 0, 1 FROM base
+        |  UNION ALL SELECT doc_id + 9000000, doc_id, -1, 0, 0 FROM base WHERE doc_id % 95 = 0),
+        |px AS (
+        |  SELECT v.doc_id, v.resident, fr.f, t.x, u.y,
+        |    CASE v.kind
+        |      WHEN 0 THEN (v.src * 31 + fr.f * fr.f * 7 + t.x * 5 + u.y * 3) % 256
+        |      WHEN 2 THEN (v.src * 43 + fr.f * 11 + t.x * 7 + u.y * 5 + 2) % 256
+        |      WHEN 3 THEN (v.src * 31 + fr.f * fr.f * 7 + t.x * 5 + u.y * 3 +
+        |        CASE WHEN fr.f >= 16 AND t.x BETWEEN 4 AND 7 AND u.y BETWEEN 4 AND 7
+        |          THEN 101 ELSE 0 END) % 256
+        |      WHEN 4 THEN (v.src * 57 + fr.f * 13 + t.x * 9 + u.y * 7 + 5) % 256
+        |    END AS val
+        |  FROM vids v, range(18) fr(f), range(12) t(x), range(12) u(y)
+        |  WHERE v.decodable = 1),
+        |e AS (
+        |  SELECT doc_id, resident, (f * 9) // 18 AS t,
+        |    ((y * 3) // 12) * 3 + ((x * 3) // 12) AS c,
+        |    CAST(SUM(val) AS BIGINT) AS en
+        |  FROM px GROUP BY doc_id, resident, (f * 9) // 18,
+        |    ((y * 3) // 12) * 3 + ((x * 3) // 12)),
+        |bits AS (
+        |  SELECT e1.doc_id, e1.resident,
+        |    string_agg(CASE WHEN (e1.en - e2.en) - (e3.en - e4.en) > 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY e1.t, e1.c) AS h
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.t = e1.t AND e2.c = e1.c + 1
+        |  JOIN e e3 ON e3.doc_id = e1.doc_id AND e3.t = e1.t - 1 AND e3.c = e1.c
+        |  JOIN e e4 ON e4.doc_id = e1.doc_id AND e4.t = e1.t - 1 AND e4.c = e1.c + 1
+        |  WHERE e1.t >= 1 AND e1.c <= 7
+        |  GROUP BY e1.doc_id, e1.resident),
+        |rh AS (SELECT doc_id, h FROM bits WHERE resident = 1),
+        |bh AS (SELECT doc_id, h FROM bits WHERE resident = 0),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM bh GROUP BY h),
+        |hp AS (
+        |  SELECT p.bid, CAST(SUM(CASE WHEN substr(p.hb, r.i, 1) = substr(p.hr, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hd
+        |  FROM (SELECT DISTINCT b.doc_id AS bid, b.h AS hb, rr.h AS hr
+        |        FROM bh b, rh rr) p,
+        |    range(1, 65) r(i)
+        |  GROUP BY p.bid, p.hr),
+        |near AS (SELECT DISTINCT bid FROM hp WHERE hd <= 2)
+        |SELECT v.doc_id,
+        |  CASE WHEN v.decodable = 0 THEN 'undecodable'
+        |       WHEN v.doc_id > k.keep_id THEN 'batch_dup'
+        |       WHEN n.bid IS NOT NULL THEN 'near_dup'
+        |       ELSE 'ingested' END AS verdict
+        |FROM vids v
+        |LEFT JOIN bh ON bh.doc_id = v.doc_id
+        |LEFT JOIN keep k ON k.h = bh.h
+        |LEFT JOIN near n ON n.bid = v.doc_id
+        |WHERE v.resident = 0
+        |ORDER BY v.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
