@@ -1125,6 +1125,48 @@ object SparkEntry {
       }
       Multimodal.videoNearPairs(media)
     }),
+    // The AUDIO gate's ingest decision oracle-bound — completing the
+    // verdict-level oracle family across every gate engine and modality
+    // (text LshIndex, image/audio/video Hash64Index, vector IvfIndex):
+    // re-mastered residents (stereo-duplicated + extra LIST chunk) die at
+    // Hamming 0, within-batch identical signals keep min-id, two-sample
+    // dips land within the probe radius, garbage is undecodable.
+    "mm_audio_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{AudioHashIndex, Multimodal, WavCodec}
+      def sm(src: Long, kind: Int): Array[Int] = Array.tabulate(576) { i =>
+        val v = kind match {
+          case 0 => (src * 37L + i.toLong * 11L) % 4096L
+          case 2 => (src * 53L + i.toLong * 7L + 3L) % 4096L
+          case 3 =>
+            val dip = if (i == 570 || i == 571) 1L else 0L
+            (src * 37L + i.toLong * 11L - dip) % 4096L
+          case _ => (src * 61L + i.toLong * 13L + 5L) % 4096L
+        }
+        (v - 2048L).toInt
+      }
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 13 == 0)
+      val dir = cachedArtifact("audgate", d) { p =>
+        AudioHashIndex.build(s, ids.map(id =>
+          Multimodal.MediaRow(id, "audio", WavCodec.encodePcm16(sm(id, 0), 8000, 1))), p)
+      }
+      val batch = ids.flatMap { id =>
+        def wav(off: Long, kind: Int, reMaster: Boolean = false) =
+          Multimodal.MediaRow(id + off, "audio",
+            if (reMaster) WavCodec.encodePcm16(sm(id, kind).flatMap(v => Array(v, v)),
+              8000, 2, extraChunk = true)
+            else WavCodec.encodePcm16(sm(id, kind), 8000, 1))
+        val reEnc = if (id % 26 == 0) Seq(wav(4000000L, 0, reMaster = true)) else Seq.empty
+        val twins = if (id % 52 == 0) Seq(wav(5000000L, 2), wav(6000000L, 2)) else Seq.empty
+        val dipped = if (id % 39 == 0) Seq(wav(7000000L, 3)) else Seq.empty
+        val garbage = if (id % 65 == 0)
+          Seq(Multimodal.MediaRow(id + 9000000L, "audio", s"noaud$id".getBytes)) else Seq.empty
+        (reEnc ++ twins ++ dipped) ++ Seq(wav(8000000L, 4)) ++ garbage
+      }
+      AudioHashIndex.dedupIngest(s, dir, batch)
+    }),
     // The VIDEO gate's ingest decision oracle-bound (mm_phash_ingest's
     // sibling through the shared Hash64Index engine, with the video
     // fingerprint): residents = every 19th doc's deterministic AVI; the
@@ -3869,6 +3911,68 @@ object SparkEntry {
         |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
         |SELECT doc_id_a, doc_id_b, hamming FROM h
         |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // The audio gate's four-tier decision from the PCM sample
+    // definitions: fingerprint chain = mm_audio_near's; tier order =
+    // mm_phash_ingest's.
+    "mm_audio_ingest" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+        |aud AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS kind, 1 AS resident, 1 AS decodable FROM base
+        |  UNION ALL SELECT doc_id + 4000000, doc_id, 0, 0, 1 FROM base WHERE doc_id % 26 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 52 = 0
+        |  UNION ALL SELECT doc_id + 6000000, doc_id, 2, 0, 1 FROM base WHERE doc_id % 52 = 0
+        |  UNION ALL SELECT doc_id + 7000000, doc_id, 3, 0, 1 FROM base WHERE doc_id % 39 = 0
+        |  UNION ALL SELECT doc_id + 8000000, doc_id, 4, 0, 1 FROM base
+        |  UNION ALL SELECT doc_id + 9000000, doc_id, -1, 0, 0 FROM base WHERE doc_id % 65 = 0),
+        |sm AS (
+        |  SELECT a.doc_id, a.resident, r.i AS i,
+        |    CASE a.kind
+        |      WHEN 0 THEN ((a.src * 37 + r.i * 11) % 4096) - 2048
+        |      WHEN 2 THEN ((a.src * 53 + r.i * 7 + 3) % 4096) - 2048
+        |      WHEN 3 THEN ((a.src * 37 + r.i * 11 -
+        |        CASE WHEN r.i IN (570, 571) THEN 1 ELSE 0 END) % 4096) - 2048
+        |      WHEN 4 THEN ((a.src * 61 + r.i * 13 + 5) % 4096) - 2048
+        |    END AS s
+        |  FROM aud a, range(576) r(i) WHERE a.decodable = 1),
+        |e AS (
+        |  SELECT c.doc_id, c.resident, (c.i * 9) // 576 AS f, lb.b AS b,
+        |    CAST(SUM(ABS(c.s - p.s)) AS BIGINT) AS en
+        |  FROM sm c
+        |  JOIN range(1, 10) lb(b) ON c.i >= lb.b
+        |  JOIN sm p ON p.doc_id = c.doc_id AND p.i = c.i - lb.b
+        |  GROUP BY c.doc_id, c.resident, (c.i * 9) // 576, lb.b),
+        |bits AS (
+        |  SELECT e1.doc_id, e1.resident,
+        |    string_agg(CASE WHEN (e1.en - e2.en) - (e3.en - e4.en) > 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY e1.f, e1.b) AS h
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f AND e2.b = e1.b + 1
+        |  JOIN e e3 ON e3.doc_id = e1.doc_id AND e3.f = e1.f - 1 AND e3.b = e1.b
+        |  JOIN e e4 ON e4.doc_id = e1.doc_id AND e4.f = e1.f - 1 AND e4.b = e1.b + 1
+        |  WHERE e1.f >= 1 AND e1.b <= 8
+        |  GROUP BY e1.doc_id, e1.resident),
+        |rh AS (SELECT doc_id, h FROM bits WHERE resident = 1),
+        |bh AS (SELECT doc_id, h FROM bits WHERE resident = 0),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM bh GROUP BY h),
+        |hp AS (
+        |  SELECT p.bid, CAST(SUM(CASE WHEN substr(p.hb, r.i, 1) = substr(p.hr, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hd
+        |  FROM (SELECT DISTINCT b.doc_id AS bid, b.h AS hb, rr.h AS hr
+        |        FROM bh b, rh rr) p,
+        |    range(1, 65) r(i)
+        |  GROUP BY p.bid, p.hr),
+        |near AS (SELECT DISTINCT bid FROM hp WHERE hd <= 2)
+        |SELECT a.doc_id,
+        |  CASE WHEN a.decodable = 0 THEN 'undecodable'
+        |       WHEN a.doc_id > k.keep_id THEN 'batch_dup'
+        |       WHEN n.bid IS NOT NULL THEN 'near_dup'
+        |       ELSE 'ingested' END AS verdict
+        |FROM aud a
+        |LEFT JOIN bh ON bh.doc_id = a.doc_id
+        |LEFT JOIN keep k ON k.h = bh.h
+        |LEFT JOIN near n ON n.bid = a.doc_id
+        |WHERE a.resident = 0
+        |ORDER BY a.doc_id""".stripMargin,
     // The video gate's four-tier decision from the frame-pixel
     // definitions: fingerprint chain = mm_video_near's; tier order =
     // mm_phash_ingest's.
