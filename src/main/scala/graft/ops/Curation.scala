@@ -67,12 +67,18 @@ object Curation {
     */
   def c4LineClean(docs: DataFrame, minWordsPerLine: Int = 3,
       minLines: Int = 5): DataFrame =
-    c4LineSignals(docs, minWordsPerLine, minLines).orderBy(col("doc_id"))
+    c4LineSignals(docs, minWordsPerLine, minLines)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
 
-  /** [[c4LineClean]] minus its presentation sort — the form that runs
-    * verbatim on an unaggregated STREAM (the gopherSignals precedent):
-    * every rule is a row-local projection, so stream output equals batch
-    * output bit-for-bit (`StreamingSpec`).
+  /** [[c4LineClean]] minus its presentation sort and canonical projection —
+    * the form that runs verbatim on an unaggregated STREAM (the
+    * gopherSignals precedent) and composes into pipelines: every input
+    * column PASSES THROUGH (a downstream gate still needs lang/source),
+    * with (n_lines, n_kept, verdict, clean_text) appended. Every rule is a
+    * row-local projection, so stream output equals batch output
+    * bit-for-bit (`StreamingSpec`).
     */
   def c4LineSignals(docs: DataFrame, minWordsPerLine: Int = 3,
       minLines: Int = 5): DataFrame = {
@@ -82,19 +88,16 @@ object Curation {
         (size(split(l, " ")) >= minWordsPerLine) &&
         !l.contains("javascript")
     val kept = filter(lines, keepLine)
-    docs.select(col("doc_id"), col("text"),
-        size(lines).cast("long").as("n_lines"),
-        size(kept).cast("long").as("n_kept"),
-        kept.as("kept_lines"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
       .withColumn("verdict",
         when(col("text").contains("lorem ipsum"), "lorem_ipsum")
           .when(col("text").contains("{"), "brace")
           .when(col("n_kept") < minLines, "too_short")
           .otherwise("kept"))
       .withColumn("clean_text",
-        when(col("verdict") === "kept", array_join(col("kept_lines"), "\n")))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
-        col("clean_text"))
+        when(col("verdict") === "kept", array_join(kept, "\n")))
   }
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -288,6 +288,80 @@ object EventStream {
       }
       .start()
 
+  /** The WHOLE text-curation path as one streaming ingest — C4 line
+    * surgery → Gopher hand-rule gate → CCNet LM quality gate → LSH
+    * dedup-ingest, per micro-batch: the pipeline a crawl feed actually
+    * runs, composed from the individually oracle-bound stages
+    * (`doc_c4_lines`, `doc_gopher_gate`, `doc_lm_score`,
+    * `doc_incr_dedup_ingest`).
+    *
+    * Stage semantics: C4 runs first and the SURVIVING text is the cleaned
+    * re-assembly (downstream stages see the surgery's output, not the raw
+    * page); the LM gate applies a FIXED fit-ppm FLOOR (fit_ppm is
+    * higher-is-better — the head bucket is the highest fit) against the
+    * offline-trained persisted model (the CCNet production posture —
+    * corpus-relative percentile cuts are an offline calibration, a stream
+    * applies the precomputed threshold); survivors of all three gates run
+    * the resident LSH dedup gate and append. The verdict log carries one
+    * row per offered doc: (doc_id, stage, verdict, batch_id) — the first
+    * stage that dropped it, or the dedup gate's verdict (`ingested` /
+    * `batch_dup` / `exact_dup` / `near_dup` / `overlap_dup`).
+    *
+    * Delivery contract: `corpusIngest`'s — at-least-once, replay fails
+    * loud on the id gate.
+    */
+  def curatedCorpusIngest(docs: DataFrame, lmModelPath: String,
+      indexPath: String, verdictPath: String, checkpoint: String,
+      minFitPpm: Long,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      jaccardThreshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val c4 = graft.ops.Curation.c4LineSignals(batch).localCheckpoint(true)
+          val cleaned = c4.filter(col("verdict") === "kept")
+            .select(col("doc_id"), col("clean_text").as("text"),
+              col("lang"), col("source"))
+            .localCheckpoint(true) // three consumers: gopher, lm, ingest
+          val gopherFail = graft.ops.TextAnalysis
+            .gopherSignals(cleaned, stopwords, minWords, maxWords)
+            .filter(!col("pass")).select(col("doc_id"))
+            .localCheckpoint(true)
+          val afterGopher = cleaned.join(gopherFail, Seq("doc_id"), "left_anti")
+          val lmFail = graft.text.NgramLm
+            .scoreDocsStreamFrom(s, afterGopher, lmModelPath)
+            .filter(col("fit_ppm") < minFitPpm).select(col("doc_id"))
+            .localCheckpoint(true)
+          val survivors = afterGopher.join(lmFail, Seq("doc_id"), "left_anti")
+          val dedupVerdicts = graft.text.LshIndex
+            .ingestBatch(s, indexPath, survivors.select(col("doc_id"), col("text")),
+              jaccardThreshold)
+            .withColumnRenamed("verdict", "dedup_verdict")
+          batch.select(col("doc_id"))
+            .join(c4.select(col("doc_id"), col("verdict").as("c4_verdict")),
+              Seq("doc_id"), "left")
+            .join(gopherFail.withColumn("g_fail", lit(true)), Seq("doc_id"), "left")
+            .join(lmFail.withColumn("lm_fail", lit(true)), Seq("doc_id"), "left")
+            .join(dedupVerdicts, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("c4_verdict") =!= "kept", lit("c4"))
+                .when(col("g_fail"), lit("gopher"))
+                .when(col("lm_fail"), lit("lm"))
+                .otherwise(lit("dedup")).as("stage"),
+              when(col("c4_verdict") =!= "kept", col("c4_verdict"))
+                .when(col("g_fail"), lit("gopher_fail"))
+                .when(col("lm_fail"), lit("lm_tail"))
+                .otherwise(col("dedup_verdict")).as("verdict"),
+              lit(batchId).as("batch_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+          ()
+        }
+      }
+      .start()
+
   /** The vector twin of `corpusIngest`: each micro-batch of
     * (vec_id, label, embedding) runs the cosine near-duplicate gate
     * against the resident IVF layout (`IvfIndex.dedupIngest` — within-batch

@@ -238,14 +238,111 @@ class StreamingSpec extends SparkSpec {
     val q = EventStream.c4CleanStream(mem.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("c4_stream").outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    val got = spark.table("c4_stream").collect()
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_lines", "n_kept", "verdict", "clean_text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         Option(r.getString(4)))).sortBy(_._1)
-    val want = graft.ops.Curation.c4LineClean(rows.toDF("doc_id", "text")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
-        Option(r.getString(4)))).sortBy(_._1)
+    val got = img(spark.table("c4_stream"))
+    val want = img(graft.ops.Curation.c4LineClean(rows.toDF("doc_id", "text")))
     assert(got.toSeq == want.toSeq, "stream surgery must equal the batch operator")
     assert(got.map(_._4).toSeq == Seq("kept", "lorem_ipsum", "brace", "too_short"))
+  }
+
+  test("composed curation ingest: C4 -> Gopher -> LM -> LSH dedup mid-stream equals the sequential composition") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = java.nio.file.Files.createTempDirectory("graft-curing").toString
+    // good in-vocab lines: terminal punctuation, >=3 words, two distinct
+    // stopwords somewhere in the doc, in the LM's vocabulary
+    def goodLine(i: Int) = s"the quick fox and the lazy dog run$i."
+    def doc(id: Long, lines: Seq[String]) = (id, lines.mkString("\n"), "en", "s0")
+    val docLines: Map[Long, Seq[String]] = Map(
+      1L -> (0 until 6).map(i => s"the small cat and the tall bird fly$i."),
+      4L -> (0 until 6).map(i => s"the zzq$i qqz$i and wwx$i vvy$i."), // OOV page
+      5L -> (0 until 6).map(goodLine),
+      6L -> (0 until 6).map(i => s"the round fish and the flat crab swim$i."))
+    // the offline reference slice covers every surviving page's vocabulary
+    // (the CCNet posture: the LM models the wanted distribution)
+    val reference = Seq(1L, 5L, 6L).zipWithIndex.map { case (id, i) =>
+      (900L + i, docLines(id).map(_.stripSuffix(".")).mkString(" "), "en", "s0")
+    }.toDF("doc_id", "text", "lang", "source")
+    val lmDir = base + "/lm"
+    graft.text.NgramLm.buildAt(spark, reference, lmDir, vocabSize = 40, maxBigrams = 200)
+    def cleanedOf(lines: Seq[String]): String =
+      graft.ops.Curation.c4LineClean(Seq((0L, lines.mkString("\n"))).toDF("doc_id", "text"))
+        .head.getAs[String]("clean_text")
+    // the resident dedup index holds the CLEANED form of doc 5's page
+    val residentDocs = Seq((500L, cleanedOf(docLines(5L)))).toDF("doc_id", "text")
+    val streamIdx = base + "/stream-idx"
+    val twinIdx = base + "/twin-idx"
+    graft.text.LshIndex.build(spark, residentDocs, streamIdx)
+    graft.text.LshIndex.build(spark, residentDocs, twinIdx)
+    // LM ceiling between the ACTUAL cleaned pages' scores, batch-side
+    val probe = docLines.toSeq.map { case (id, lines) =>
+      (id, cleanedOf(lines), "en", "s0") }.toDF("doc_id", "text", "lang", "source")
+    val sc = graft.text.NgramLm.scoreDocsFrom(spark, probe, lmDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fit_ppm")).toMap
+    val inVocabMin = Seq(1L, 5L, 6L).map(sc).min
+    val minFitPpm = (inVocabMin + sc(4L)) / 2
+    assert(inVocabMin > minFitPpm && sc(4L) < minFitPpm,
+      s"fixture needs in-vocab pages above the fit floor and the OOV page below it: $sc")
+
+    val b1 = Seq(
+      doc(1L, docLines(1L)), //                                           survives all → ingested
+      doc(2L, "lorem ipsum dolor sit amet." +: (0 until 5).map(goodLine)), // c4: lorem_ipsum
+      doc(3L, (0 until 6).map(i => s"cat$i dog$i fox$i bird$i cow$i.")), //   gopher: no stopwords
+      doc(4L, docLines(4L)), //                                              lm: over the ceiling
+      doc(5L, docLines(5L)), //                                              dedup: resident re-offer
+      doc(6L, docLines(6L)),
+      doc(7L, docLines(6L))) //                                              batch twin of 6
+    val b2 = Seq(doc(8L, docLines(1L))) // re-offer of a batch-1 survivor
+    val verdictLog = base + "/verdicts"
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = EventStream.curatedCorpusIngest(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"),
+      lmDir, streamIdx, verdictLog, base + "/ckpt", minFitPpm, minWords = 5L)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    // the sequential composition against the twin index, batch by batch
+    def runStages(rows: Seq[(Long, String, String, String)]): Map[Long, (String, String)] = {
+      val batch = rows.toDF("doc_id", "text", "lang", "source")
+      val c4 = graft.ops.Curation.c4LineSignals(batch)
+      val cleaned = c4.filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("clean_text").as("text"), col("lang"), col("source"))
+      val gFail = graft.ops.TextAnalysis.gopherSignals(cleaned, minWords = 5L)
+        .filter(!col("pass")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val afterG = cleaned.filter(!col("doc_id").isInCollection(gFail.toSeq :+ -1L))
+      val lmFail = graft.text.NgramLm.scoreDocsFrom(spark, afterG, lmDir)
+        .filter(col("fit_ppm") < minFitPpm).select("doc_id").collect().map(_.getLong(0)).toSet
+      val survivors = afterG.filter(!col("doc_id").isInCollection(lmFail.toSeq :+ -1L))
+      val dedup = graft.text.LshIndex.ingestBatch(spark, twinIdx,
+          survivors.select(col("doc_id"), col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val c4v = c4.select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.map { case (id, _, _, _) =>
+        id -> (if (c4v(id) != "kept") ("c4", c4v(id))
+          else if (gFail(id)) ("gopher", "gopher_fail")
+          else if (lmFail(id)) ("lm", "lm_tail")
+          else ("dedup", dedup(id)))
+      }.toMap
+    }
+    val want = runStages(b1) ++ runStages(b2)
+    val got = spark.read.parquet(verdictLog).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("stage"), r.getAs[String]("verdict"))).toMap
+    assert(got == want, s"streamed composition must equal the sequential one:\n got=$got\nwant=$want")
+    // every stage fires at least once, in the designed places
+    assert(got(1L) == ("dedup", "ingested"))
+    assert(got(2L) == ("c4", "lorem_ipsum"))
+    assert(got(3L) == ("gopher", "gopher_fail"))
+    assert(got(4L) == ("lm", "lm_tail"))
+    assert(got(5L)._2 == "exact_dup", s"the resident re-offer must die in the dedup gate: ${got(5L)}")
+    assert(got(7L)._2 == "batch_dup")
+    assert(got(8L)._2 == "exact_dup", "a batch-1 survivor must veto its batch-2 re-offer mid-stream")
   }
 
   test("streaming LM scoring serves an over-threshold model via the static broadcast") {
