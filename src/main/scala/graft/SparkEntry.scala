@@ -1125,6 +1125,43 @@ object SparkEntry {
       }
       Multimodal.videoNearPairs(media)
     }),
+    // Shot-boundary detection over REAL decoded AVIs: every 31st doc
+    // renders an 18-frame video; every 62nd plants HARD CUTS at frames 6
+    // and 12 (the pixel definition switches per segment), the rest are
+    // single-scene. Segmentation is row-local inside the decode pass
+    // (map-only); the oracle replays per-frame aHashes from the pixel
+    // definitions, thresholds consecutive-frame Hamming, and rebuilds the
+    // shot spans with a running cut count.
+    "mm_video_shots" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{AviCodec, Multimodal}
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 31 == 0)
+      val media = ids.map { id =>
+        val cuts = id % 62 == 0
+        // within a scene: a wrap-free base + tiny per-frame drift (a global
+        // shift the mean-relative hash ignores); at a cut the GRADIENT
+        // DIRECTION flips — spatial structure changes, which is what a
+        // perceptual hash keys on (a pure brightness jump would not)
+        val frames = Array.tabulate(18) { f =>
+          val seg = if (!cuts) 0 else if (f < 6) 0 else if (f < 12) 1 else 2
+          Array.tabulate(144) { p =>
+            val x = p % 12; val y = p / 12
+            val grad = seg match {
+              case 0 => x * 5 + y * 3
+              case 1 => (11 - x) * 5 + y * 3
+              case _ => x * 5 + (11 - y) * 3
+            }
+            (((id * 31L + seg * 97L) % 128L) + (f % 8) + grad).toInt
+          }
+        }
+        Multimodal.MediaRow(id, "video", AviCodec.encodeGray(frames, 12, 12))
+      }
+      Multimodal.videoShots(media).toDF()
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("shot_no"))
+    }),
     // The AUDIO gate's ingest decision oracle-bound — completing the
     // verdict-level oracle family across every gate engine and modality
     // (text LshIndex, image/audio/video Hash64Index, vector IvfIndex):
@@ -3911,6 +3948,57 @@ object SparkEntry {
         |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
         |SELECT doc_id_a, doc_id_b, hamming FROM h
         |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Per-frame aHash replay (12×12 → 8×8 cells via the boundary-grid
+    // inverse cx = (2x+1)//3, variable cell populations → SUM//COUNT),
+    // consecutive-frame Hamming > 16 = a cut, shots = running cut count.
+    "mm_video_shots" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id AS src,
+        |    CASE WHEN doc_id % 62 = 0 THEN 1 ELSE 0 END AS has_cuts
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |segs AS (
+        |  SELECT v.doc_id, v.src, fr.f,
+        |    CASE WHEN v.has_cuts = 0 THEN 0
+        |         WHEN fr.f < 6 THEN 0 WHEN fr.f < 12 THEN 1 ELSE 2 END AS seg
+        |  FROM vids v, range(18) fr(f)),
+        |px AS (
+        |  SELECT s.doc_id, s.f, t.x, u.y,
+        |    ((s.src * 31 + s.seg * 97) % 128) + (s.f % 8) +
+        |      CASE s.seg WHEN 0 THEN t.x * 5 + u.y * 3
+        |        WHEN 1 THEN (11 - t.x) * 5 + u.y * 3
+        |        ELSE t.x * 5 + (11 - u.y) * 3 END AS val
+        |  FROM segs s, range(12) t(x), range(12) u(y)),
+        |cells AS (
+        |  SELECT doc_id, f, (2 * y + 1) // 3 AS cy, (2 * x + 1) // 3 AS cx,
+        |    SUM(val) // COUNT(*) AS cell
+        |  FROM px GROUP BY doc_id, f, (2 * y + 1) // 3, (2 * x + 1) // 3),
+        |means AS (SELECT doc_id, f, SUM(cell) // 64 AS mean
+        |  FROM cells GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT c.doc_id, c.f,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY cy, cx) AS h
+        |  FROM cells c JOIN means m ON m.doc_id = c.doc_id AND m.f = c.f
+        |  GROUP BY c.doc_id, c.f),
+        |hd AS (
+        |  SELECT a.doc_id, a.f,
+        |    CAST(SUM(CASE WHEN substr(a.h, r.i, 1) = substr(p.h, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS d
+        |  FROM bits a JOIN bits p ON p.doc_id = a.doc_id AND p.f = a.f - 1,
+        |    range(1, 65) r(i)
+        |  GROUP BY a.doc_id, a.f),
+        |cut AS (
+        |  SELECT b.doc_id, b.f,
+        |    CASE WHEN hd.d > 16 THEN 1 ELSE 0 END AS is_cut
+        |  FROM bits b LEFT JOIN hd ON hd.doc_id = b.doc_id AND hd.f = b.f),
+        |shotof AS (
+        |  SELECT doc_id, f,
+        |    1 + SUM(COALESCE(is_cut, 0)) OVER (PARTITION BY doc_id ORDER BY f) AS shot_no
+        |  FROM cut)
+        |SELECT doc_id, CAST(shot_no AS BIGINT) AS shot_no,
+        |  CAST(MIN(f) AS BIGINT) AS start_frame, CAST(MAX(f) AS BIGINT) AS end_frame,
+        |  COUNT(*) AS n_frames
+        |FROM shotof GROUP BY doc_id, shot_no ORDER BY doc_id, shot_no""".stripMargin,
     // The audio gate's four-tier decision from the PCM sample
     // definitions: fingerprint chain = mm_audio_near's; tier order =
     // mm_phash_ingest's.

@@ -561,6 +561,47 @@ object Multimodal {
     nearPairs64(videoHashes(media).toDF()
       .select(col("doc_id"), col("hash").as("h")), maxHamming)
 
+  case class VideoShot(doc_id: Long, shot_no: Long, start_frame: Long,
+      end_frame: Long, n_frames: Long)
+
+  /** Shot-boundary detection / keyframe segmentation — the video-pipeline
+    * stage between decode and frame sampling (a vision-LM corpus samples
+    * per SHOT, not per fixed stride, or a hard cut lands twice and a long
+    * still scene floods the batch): per-frame aHash over the decoded
+    * frames, a boundary wherever consecutive frames' hashes differ by more
+    * than `minHamming` bits (a cut changes most of the 64 cells; within a
+    * scene the mean-relative hash shrugs off global brightness drift), and
+    * one row per resulting shot with its frame span. The first frame of
+    * each shot is the canonical keyframe.
+    *
+    * Scale shape: a video's frames arrive in ONE row, so the whole
+    * segmentation is row-local inside the decode pass — map-only, no
+    * shuffle, bytes never leave the executor; only shot rows (bounded by
+    * the cut count) come out. Undecodable or frame-less payloads drop out.
+    */
+  def videoShots(media: Dataset[MediaRow], minHamming: Int = 16): Dataset[VideoShot] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type == "video")
+          AviCodec.decodeGray(r.data).toSeq.flatMap {
+            case (w, h, frames) if frames.nonEmpty =>
+              val hashes = frames.map(f => aHashBits(f, w, h))
+              val cuts = (1 until frames.length).filter { i =>
+                hashes(i - 1).zip(hashes(i)).count { case (a, b) => a != b } > minHamming
+              }
+              val starts = 0 +: cuts
+              val ends = cuts.map(_ - 1) :+ (frames.length - 1)
+              starts.zip(ends).zipWithIndex.map { case ((s, e), i) =>
+                VideoShot(r.doc_id, i + 1L, s.toLong, e.toLong, (e - s + 1).toLong)
+              }
+            case _ => Seq.empty
+          }
+        else Seq.empty
+      }
+    }
+  }
+
   /** Content-addressed storage audit per modality: media blobs group by
     * content hash (the CAS/dedup-store model — a crawl re-delivers the
     * same image under many pages), yielding copy counts and the byte

@@ -810,6 +810,40 @@ class MultimodalSpec extends SparkSpec {
     assert(v3(202L) == "ingested", "compacted takedown must re-admit the signal")
   }
 
+  test("video shots: hard cuts segment, drift and brightness jumps do not, spans partition the frames") {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal}
+    def gradFrame(base: Int, drift: Int, flipX: Boolean): Array[Int] =
+      Array.tabulate(144) { p =>
+        val x = p % 12; val y = p / 12
+        base + drift + (if (flipX) (11 - x) * 5 else x * 5) + y * 3
+      }
+    // doc 1: two hard cuts (gradient flips at frames 6 and 12)
+    val cutFrames = Array.tabulate(18)(f => gradFrame(40, f % 4,
+      flipX = f >= 6 && f < 12))
+    // doc 2: single scene with per-frame drift AND a mid-video global
+    // brightness jump — neither may segment (the mean-relative hash
+    // ignores uniform shifts)
+    val steady = Array.tabulate(18)(f => gradFrame(if (f < 9) 30 else 90, f % 4, flipX = false))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", AviCodec.encodeGray(cutFrames, 12, 12)),
+      Multimodal.MediaRow(2L, "video", AviCodec.encodeGray(steady, 12, 12)),
+      Multimodal.MediaRow(3L, "video", "not a video".getBytes))) // drops out
+    val shots = Multimodal.videoShots(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.shot_no)).toMap
+    assert(shots(1L).map(s => (s.start_frame, s.end_frame)).toSeq ==
+      Seq((0L, 5L), (6L, 11L), (12L, 17L)),
+      s"hard cuts at 6 and 12 must yield exactly those spans: ${shots(1L).toSeq}")
+    assert(shots(2L).map(s => (s.start_frame, s.end_frame)).toSeq == Seq((0L, 17L)),
+      "drift and a global brightness jump must NOT cut a steady scene")
+    assert(!shots.contains(3L))
+    // spans partition the frame range with no overlap or gap
+    shots(1L).sliding(2).foreach { case Array(a, b) =>
+      assert(b.start_frame == a.end_frame + 1)
+    }
+    assert(shots(1L).map(_.n_frames).sum == 18L)
+  }
+
   test("header decode: AVI bytes yield width/height/frames through extractMeta") {
     import spark.implicits._
     import graft.multimodal.AviCodec
