@@ -1162,6 +1162,41 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("shot_no"))
     }),
+    // Cross-MODAL still search: every 41st doc is an image (12×12 PNG of a
+    // per-src pixel pattern); every 82nd doc ALSO renders a video whose
+    // MIDDLE shot shows exactly that image as a still (flanked by two
+    // gradient scenes — the cuts segment it), so the shot-2 keyframe
+    // collides with the image at Hamming 0. The operator must find exactly
+    // the (image, video, shot) matches through one probe join over real
+    // decoded PNGs and AVIs; the oracle replays image hashes, per-frame
+    // video hashes, the cut segmentation, and the cross-modality pairs.
+    "mm_still_pairs" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{AviCodec, Multimodal, PngCodec}
+      def pImg(src: Long): Array[Int] = Array.tabulate(144) { p =>
+        ((src * 31 + (p % 12) * 7 + (p / 12) * 13) % 256).toInt
+      }
+      val ids = Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+        .filter((id: Long) => id % 41 == 0)
+      val media = ids.flatMap { id =>
+        val img = Multimodal.MediaRow(id, "image", PngCodec.encodeGray(pImg(id), 12, 12))
+        val vid = if (id % 82 == 0) {
+          val frames = Array.tabulate(18) { f =>
+            if (f >= 6 && f < 12) pImg(id)
+            else Array.tabulate(144) { p =>
+              val x = p % 12; val y = p / 12
+              if (f < 6) (((id * 47 + 13) % 128) + (11 - x) * 5 + y * 3 + f % 4).toInt
+              else (((id * 71 + 29) % 128) + x * 5 + (11 - y) * 3 + f % 4).toInt
+            }
+          }
+          Seq(Multimodal.MediaRow(id + 2000000L, "video",
+            AviCodec.encodeGray(frames, 12, 12)))
+        } else Seq.empty
+        img +: vid
+      }
+      Multimodal.videoStillOfImagePairs(media)
+    }),
     // The AUDIO gate's ingest decision oracle-bound — completing the
     // verdict-level oracle family across every gate engine and modality
     // (text LshIndex, image/audio/video Hash64Index, vector IvfIndex):
@@ -3948,6 +3983,70 @@ object SparkEntry {
         |  FROM pairs, range(1, 65) r(i) GROUP BY doc_id_a, doc_id_b)
         |SELECT doc_id_a, doc_id_b, hamming FROM h
         |WHERE hamming <= 2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Image hashes + per-frame video hashes + the cut segmentation + the
+    // cross-modality Hamming pairs, all from the pixel definitions.
+    "mm_still_pairs" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+        |ipx AS (
+        |  SELECT b.doc_id, t.x, u.y,
+        |    (b.doc_id * 31 + t.x * 7 + u.y * 13) % 256 AS val
+        |  FROM base b, range(12) t(x), range(12) u(y)),
+        |icells AS (
+        |  SELECT doc_id, (2 * y + 1) // 3 AS cy, (2 * x + 1) // 3 AS cx,
+        |    SUM(val) // COUNT(*) AS cell
+        |  FROM ipx GROUP BY doc_id, (2 * y + 1) // 3, (2 * x + 1) // 3),
+        |imeans AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM icells GROUP BY doc_id),
+        |ibits AS (
+        |  SELECT c.doc_id,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, '' ORDER BY cy, cx) AS h
+        |  FROM icells c JOIN imeans USING (doc_id) GROUP BY c.doc_id),
+        |vpx AS (
+        |  SELECT b.doc_id, fr.f, t.x, u.y,
+        |    CASE WHEN fr.f >= 6 AND fr.f < 12
+        |        THEN (b.doc_id * 31 + t.x * 7 + u.y * 13) % 256
+        |      WHEN fr.f < 6
+        |        THEN ((b.doc_id * 47 + 13) % 128) + (11 - t.x) * 5 + u.y * 3 + fr.f % 4
+        |      ELSE ((b.doc_id * 71 + 29) % 128) + t.x * 5 + (11 - u.y) * 3 + fr.f % 4
+        |    END AS val
+        |  FROM base b, range(18) fr(f), range(12) t(x), range(12) u(y)
+        |  WHERE b.doc_id % 82 = 0),
+        |vcells AS (
+        |  SELECT doc_id, f, (2 * y + 1) // 3 AS cy, (2 * x + 1) // 3 AS cx,
+        |    SUM(val) // COUNT(*) AS cell
+        |  FROM vpx GROUP BY doc_id, f, (2 * y + 1) // 3, (2 * x + 1) // 3),
+        |vmeans AS (SELECT doc_id, f, SUM(cell) // 64 AS mean
+        |  FROM vcells GROUP BY doc_id, f),
+        |vbits AS (
+        |  SELECT c.doc_id, c.f,
+        |    string_agg(CASE WHEN cell > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY cy, cx) AS h
+        |  FROM vcells c JOIN vmeans m ON m.doc_id = c.doc_id AND m.f = c.f
+        |  GROUP BY c.doc_id, c.f),
+        |vhd AS (
+        |  SELECT a.doc_id, a.f,
+        |    CAST(SUM(CASE WHEN substr(a.h, r.i, 1) = substr(p.h, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS d
+        |  FROM vbits a JOIN vbits p ON p.doc_id = a.doc_id AND p.f = a.f - 1,
+        |    range(1, 65) r(i)
+        |  GROUP BY a.doc_id, a.f),
+        |starts AS (
+        |  SELECT b.doc_id, b.f, b.h,
+        |    CAST(row_number() OVER (PARTITION BY b.doc_id ORDER BY b.f) AS BIGINT) AS shot_no
+        |  FROM vbits b LEFT JOIN vhd ON vhd.doc_id = b.doc_id AND vhd.f = b.f
+        |  WHERE b.f = 0 OR vhd.d > 16),
+        |pairs AS (
+        |  SELECT i.doc_id AS image_doc_id, s.doc_id + 2000000 AS video_doc_id,
+        |    s.shot_no, i.h AS hi, s.h AS hk
+        |  FROM ibits i, starts s),
+        |hp AS (
+        |  SELECT image_doc_id, video_doc_id, shot_no,
+        |    CAST(SUM(CASE WHEN substr(hi, r.i, 1) = substr(hk, r.i, 1)
+        |      THEN 0 ELSE 1 END) AS INT) AS hamming
+        |  FROM pairs, range(1, 65) r(i)
+        |  GROUP BY image_doc_id, video_doc_id, shot_no)
+        |SELECT image_doc_id, video_doc_id, shot_no, hamming
+        |FROM hp WHERE hamming <= 2
+        |ORDER BY image_doc_id, video_doc_id, shot_no""".stripMargin,
     // Per-frame aHash replay (12×12 → 8×8 cells via the boundary-grid
     // inverse cx = (2x+1)//3, variable cell populations → SUM//COUNT),
     // consecutive-frame Hamming > 16 = a cut, shots = running cut count.

@@ -602,6 +602,65 @@ object Multimodal {
     }
   }
 
+  case class KeyframeHash(doc_id: Long, shot_no: Long, start_frame: Long,
+      ahash: String)
+
+  /** Per-shot keyframe perceptual hashes: [[videoShots]]' segmentation with
+    * each shot represented by its first frame's aHash — the rows a
+    * vision-LM sampling stage or a cross-modal dedup joins on. Same
+    * row-local map-only shape as videoShots (the per-frame hashes are
+    * already in hand when the cuts are found).
+    */
+  def videoKeyframes(media: Dataset[MediaRow], minHamming: Int = 16): Dataset[KeyframeHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type == "video")
+          AviCodec.decodeGray(r.data).toSeq.flatMap {
+            case (w, h, frames) if frames.nonEmpty =>
+              val hashes = frames.map(f => aHashBits(f, w, h))
+              val cuts = (1 until frames.length).filter { i =>
+                hashes(i - 1).zip(hashes(i)).count { case (a, b) => a != b } > minHamming
+              }
+              (0 +: cuts).zipWithIndex.map { case (s, i) =>
+                KeyframeHash(r.doc_id, i + 1L, s.toLong, hashes(s))
+              }
+            case _ => Seq.empty
+          }
+        else Seq.empty
+      }
+    }
+  }
+
+  /** Cross-MODAL still search: which videos contain a known image as a
+    * still shot? Image aHashes and per-shot keyframe aHashes ride ONE
+    * probe join ([[nearPairs64]], same identical-hash collapse), so a
+    * video whose shot renders a corpus image collides at Hamming 0 and
+    * light re-encodes land within the radius — the dedup/compliance query
+    * a mixed image+video corpus needs (a takedown image must also
+    * surface the videos embedding it). Keyframes enter the shared id
+    * space as 5·10⁸ + doc_id·1000 + shot_no (callers' media ids must stay
+    * below 5·10⁸ and shots-per-video below 1000); pairs that don't cross
+    * the modality boundary are dropped, and the packing is decoded back
+    * to (image_doc_id, video_doc_id, shot_no).
+    */
+  def videoStillOfImagePairs(media: Dataset[MediaRow], maxHamming: Int = 2,
+      minHamming: Int = 16): DataFrame = {
+    val kfBase = 500000000L
+    val imgs = imageHashes(media).toDF()
+      .select(col("doc_id"), col("ahash").as("h"))
+    val kfs = videoKeyframes(media, minHamming).toDF()
+      .select((lit(kfBase) + col("doc_id") * 1000 + col("shot_no")).as("doc_id"),
+        col("ahash").as("h"))
+    nearPairs64(imgs.unionByName(kfs), maxHamming)
+      .filter(col("doc_id_a") < kfBase && col("doc_id_b") >= kfBase)
+      .select(col("doc_id_a").as("image_doc_id"),
+        ((col("doc_id_b") - kfBase) / 1000).cast("long").as("video_doc_id"),
+        pmod(col("doc_id_b") - kfBase, lit(1000L)).as("shot_no"),
+        col("hamming"))
+      .orderBy(col("image_doc_id"), col("video_doc_id"), col("shot_no"))
+  }
+
   /** Content-addressed storage audit per modality: media blobs group by
     * content hash (the CAS/dedup-store model — a crawl re-delivers the
     * same image under many pages), yielding copy counts and the byte
