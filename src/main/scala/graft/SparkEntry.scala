@@ -355,6 +355,15 @@ object SparkEntry {
       graft.vector.IvfIndex.search(s, dir, qv, k = 10, nProbe = 8)
         .select(col("vec_id"), col("label"), col("dist_sq"))
     }),
+    // Exact distributed covariance moments (the PCA/whitening front half —
+    // the rotation stage FAISS applies before quantization): coordinates
+    // quantize to floor(x·1e6) microunit longs, every cross-shuffle sum is
+    // long arithmetic (the vec_kmeans_step discipline), one
+    // map-side-combined aggregation over d(d+1)/2 keys. The d×d Jacobi
+    // eigendecomposition consumes these exact sums on the driver
+    // (PcaSpec pins it against a single-node reference bitwise).
+    "vec_covariance" -> ((s, d) =>
+      graft.vector.Pca.covarianceMicro(Tables.embeddings(s, d))),
     // The VECTOR gate's ingest decision oracle-bound (mm_phash_ingest's
     // sibling on the IvfIndex engine), in the probe-all configuration so
     // candidacy is total and the cosine tier is brute-force-replayable
@@ -2578,6 +2587,19 @@ object SparkEntry {
         |  'embedding' AS data_type,
         |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
         |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
+    // Microunit quantization + exact long pair sums — bit-identical in any
+    // engine (floor(x·1e6): multiply is one correctly-rounded IEEE op,
+    // floor is exact; everything after is integer).
+    "vec_covariance" ->
+      """WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
+        |p AS (SELECT i.i AS dim_i, j.j AS dim_j, qv[i.i + 1] AS qi, qv[j.j + 1] AS qj
+        |  FROM q, range(64) i(i), range(64) j(j) WHERE j.j >= i.i)
+        |SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+        |  COUNT(*) AS n_rows, CAST(SUM(qi) AS BIGINT) AS sum_qi,
+        |  CAST(SUM(qj) AS BIGINT) AS sum_qj,
+        |  CAST(SUM(qi * qj) AS BIGINT) AS sum_qq
+        |FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""".stripMargin,
     // The vector gate's three-tier decision replayed brute-force (probe-all
     // makes candidacy total): within-batch identical-embedding min-id →
     // cos ≥ 0.95 vs any resident → ingested. Every batch construction is

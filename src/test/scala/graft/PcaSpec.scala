@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Pca
+
+class PcaSpec extends SparkSpec {
+
+  test("covariance moments: exact microunit sums match a driver-side replay") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Pca.covarianceMicro(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_qi"),
+          r.getAs[Long]("sum_qj"), r.getAs[Long]("sum_qq"))).toMap
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val d = vecs.head.length
+    for (i <- 0 until d; j <- i until d) {
+      val sqq = vecs.map(v => v(i) * v(j)).sum
+      val (n, si, sj, sq) = got((i.toLong, j.toLong))
+      assert(n == vecs.length && si == vecs.map(_(i)).sum &&
+        sj == vecs.map(_(j)).sum && sq == sqq, s"pair ($i,$j) moments must be exact")
+    }
+  }
+
+  test("jacobi eigen: recovers a planted spectrum; deterministic; ordered descending") {
+    // A = V diag(λ) Vᵀ with a known orthonormal V (2D rotations embedded in 4D)
+    val c = math.cos(0.7); val s = math.sin(0.7)
+    val v = Array(
+      Array(c, -s, 0.0, 0.0), Array(s, c, 0.0, 0.0),
+      Array(0.0, 0.0, c, -s), Array(0.0, 0.0, s, c))
+    val lam = Array(9.0, 4.0, 1.0, 0.25)
+    val a = Array.tabulate(4, 4)((i, j) =>
+      (0 until 4).map(k => v(i)(k) * lam(k) * v(j)(k)).sum)
+    val (eig, comps) = Pca.jacobiEigen(a)
+    assert(eig.zip(lam).forall { case (e, l) => math.abs(e - l) < 1e-9 },
+      s"planted spectrum must be recovered: ${eig.toSeq}")
+    assert(eig.sameElements(eig.sortBy(-_)), "eigenvalues must come out descending")
+    // eigenvectors match the planted basis up to sign
+    comps.zipWithIndex.foreach { case (u, k) =>
+      val dot = math.abs((0 until 4).map(i => u(i) * v(i)(k)).sum)
+      assert(math.abs(dot - 1.0) < 1e-9, s"component $k must align with the planted axis")
+    }
+    // bitwise determinism: same input, same output
+    val (eig2, comps2) = Pca.jacobiEigen(a.map(_.clone()))
+    assert(eig.sameElements(eig2) &&
+      comps.zip(comps2).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("distributed projection equals the single-node reference bitwise; whitening normalizes variance") {
+    val emb = Tables.embeddings(spark, sf).localCheckpoint(true)
+    val model = Pca.fit(emb)
+    assert(model.eigenvalues.sameElements(model.eigenvalues.sortBy(-_)))
+    val k = 8
+    val got = Pca.project(emb, model, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // single-node reference with the IDENTICAL left-to-right fold order
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    rows.foreach { case (id, x) =>
+      val want = (0 until k).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < x.length) {
+          acc += (x(i).toDouble - model.mean(i)) * model.components(c)(i)
+          i += 1
+        }
+        acc
+      }
+      assert(got(id) == want, s"projection of $id must match the reference bitwise")
+    }
+    // variance concentrates in eigen order, and whitening flattens it to ~1
+    val proj = rows.map { case (_, x) =>
+      (0 until k).map { c =>
+        x.indices.foldLeft(0.0)((acc, i) =>
+          acc + (x(i).toDouble - model.mean(i)) * model.components(c)(i))
+      }
+    }
+    def variance(vals: Seq[Double]): Double = {
+      val m = vals.sum / vals.size
+      vals.map(v => (v - m) * (v - m)).sum / vals.size
+    }
+    val vars = (0 until k).map(c => variance(proj.map(_(c))).toDouble)
+    vars.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-9, s"projected variance must be non-increasing: $vars")
+    }
+    vars.zipWithIndex.foreach { case (v, c) =>
+      assert(math.abs(v - model.eigenvalues(c)) < 0.05 * (model.eigenvalues(c) + 1e-9),
+        s"projected variance must match the eigenvalue (quantization slack): $v vs ${model.eigenvalues(c)}")
+    }
+    val whitened = Pca.project(emb, model, k, whiten = true).collect()
+      .map(_.getSeq[Double](1))
+    val wvars = (0 until k).map(c => variance(whitened.map(_(c))))
+    wvars.foreach(v => assert(math.abs(v - 1.0) < 0.05,
+      s"whitened per-component variance must be ~1: $wvars"))
+  }
+}
