@@ -916,6 +916,15 @@ object SparkEntry {
       val dir = cachedArtifact("ngramlm", d)(p => graft.text.NgramLm.buildAt(s, docs, p))
       graft.text.NgramLm.lmSourceAuditFrom(s, docs, dir)
     }),
+    // The OFFLINE calibration the streaming gate consumes: per-language
+    // fit-ppm floors of the head (p30) and head∪middle (p70) buckets —
+    // what curatedCorpusIngest's fixed minFitPpm threshold is derived
+    // from. Serve-from-artifact like the other doc_lm_* queries.
+    "doc_lm_cutoffs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = cachedArtifact("ngramlm", d)(p => graft.text.NgramLm.buildAt(s, docs, p))
+      graft.text.NgramLm.lmCutoffsFrom(s, docs, dir)
+    }),
     // The CCNet SELECTION applied: per-doc head/middle/tail labels from
     // the persisted model's fit, tail dropped — the gate a curation run
     // feeds downstream, oracle-bound per document.
@@ -3691,6 +3700,40 @@ object SparkEntry {
     // Same scoring replay, then the CCNet 30/70 cut per language on the
     // integer fit with doc_id tie-break (unique order -> percent_rank is
     // the same (rank-1)/(n-1) double both engines).
+    // Same train+score replay as doc_lm_buckets, cut at the bucket floors.
+    "doc_lm_cutoffs" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws FROM w WHERE lang = 'en'),
+        |u AS (SELECT unnest(ws) AS wd FROM tr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY wd ORDER BY c DESC, wd LIMIT 24),
+        |bp AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pr FROM tr),
+        |big AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM bp
+        |        WHERE string_split(pr, ' ')[1] IN (SELECT wd FROM uni)
+        |          AND string_split(pr, ' ')[2] IN (SELECT wd FROM uni)
+        |        GROUP BY pr ORDER BY c DESC, pr LIMIT 300),
+        |pe AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM w),
+        |px AS (SELECT doc_id, p.a AS a, p.b AS b FROM pe),
+        |sc AS (SELECT px.doc_id,
+        |    CASE WHEN bg.c IS NOT NULL AND ua.c IS NOT NULL THEN (1000000 * bg.c) // ua.c
+        |         ELSE (400000 * COALESCE(ub.c, 0)) // (SELECT n FROM tot) END AS ppm
+        |  FROM px LEFT JOIN big bg ON bg.pr = px.a || ' ' || px.b
+        |          LEFT JOIN uni ua ON ua.wd = px.a
+        |          LEFT JOIN uni ub ON ub.wd = px.b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, CAST(sum(ppm) AS BIGINT) AS sum_ppm
+        |  FROM sc GROUP BY doc_id),
+        |fin AS (SELECT w.doc_id, w.lang,
+        |    CAST(COALESCE(a.sum_ppm, 0) // greatest(COALESCE(a.n_scored, 0), 1) AS BIGINT) AS fit_ppm
+        |  FROM w LEFT JOIN agg a USING (doc_id)),
+        |bk AS (SELECT lang, fit_ppm,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY fit_ppm DESC, doc_id) AS pr FROM fin),
+        |lab AS (SELECT lang,
+        |    CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket,
+        |    fit_ppm FROM bk)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN bucket = 'head' THEN fit_ppm END) AS BIGINT) AS head_floor_ppm,
+        |  CAST(min(CASE WHEN bucket != 'tail' THEN fit_ppm END) AS BIGINT) AS middle_floor_ppm
+        |FROM lab GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_lm_buckets" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
         |tr AS (SELECT ws FROM w WHERE lang = 'en'),

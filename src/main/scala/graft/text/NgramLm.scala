@@ -357,6 +357,25 @@ object NgramLm {
   /** Per-doc head/middle/tail labels (the 30/70 cut of
     * [[perplexityBuckets]] before its roll-up).
     */
+  /** The OFFLINE percentile calibration that closes the loop between the
+    * corpus-relative CCNet cut ([[perplexityBucketsFrom]]) and the
+    * fixed-threshold gates a STREAM applies
+    * (`EventStream.curatedCorpusIngest`'s `minFitPpm`): per language, the
+    * fit-ppm floor of the head bucket (30th percentile in fit-descending
+    * order) and of head∪middle (70th). A streaming gate keeping
+    * `fit_ppm ≥ head_floor_ppm` admits exactly the reference slice's head
+    * bucket, up to docs TIED with the floor value (percent_rank breaks
+    * ties by doc_id; a value threshold cannot, and admits the whole tie
+    * group — the conservative side).
+    */
+  def lmCutoffsFrom(spark: SparkSession, docs: DataFrame, path: String): DataFrame =
+    bucketed(scoredUnsortedFrom(spark, docs, path))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("bucket") === "head", col("fit_ppm"))).as("head_floor_ppm"),
+        min(when(col("bucket") =!= "tail", col("fit_ppm"))).as("middle_floor_ppm"))
+      .orderBy(col("lang"))
+
   private def bucketed(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))

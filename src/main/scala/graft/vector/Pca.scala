@@ -131,6 +131,7 @@ object Pca {
     */
   def fit(embeddings: DataFrame): PcaModel = {
     val rows = covarianceMicro(embeddings).collect()
+    require(rows.nonEmpty, "cannot fit a PCA model on an empty corpus")
     val d = (math.sqrt(8.0 * rows.length + 1) - 1).toInt / 2
     val n = rows.head.getAs[Long]("n_rows").toDouble
     val sumQ = new Array[Double](d)

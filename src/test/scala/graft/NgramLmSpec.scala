@@ -181,6 +181,31 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("cutoffs: floors reproduce the buckets as value thresholds, up to floor ties") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmcut").toString + "/idx"
+    NgramLm.buildAt(spark, docs, dir)
+    val cuts = NgramLm.lmCutoffsFrom(spark, docs, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("head_floor_ppm"), r.getAs[Long]("middle_floor_ppm"))).toMap
+    val labeled = NgramLm.lmGateFrom(spark, docs, dir, keep = Seq("head", "middle", "tail"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("fit_ppm"),
+        r.getAs[String]("bucket")))
+    assert(cuts.values.map(_._1).sum == docs.count(), "doc counts conserved")
+    labeled.groupBy(_._1).foreach { case (lang, rows) =>
+      val (_, headFloor, midFloor) = cuts(lang)
+      assert(midFloor <= headFloor, "the p70 floor cannot exceed the p30 floor")
+      val head = rows.filter(_._3 == "head").map(_._2)
+      assert(head.nonEmpty && head.min == headFloor,
+        "head_floor_ppm must be the head bucket's minimum fit")
+      // a value threshold admits the head bucket plus only floor-tied docs
+      val admitted = rows.filter(_._2 >= headFloor)
+      assert(admitted.size >= head.size &&
+        admitted.filter(_._3 != "head").forall(_._2 == headFloor),
+        "fit >= head floor = head ∪ {docs tied with the floor}")
+    }
+  }
+
   test("source audit == manual roll-up of per-doc scores; docs conserved") {
     val docs = Tables.documents(spark, sf)
     val audit = NgramLm.lmSourceAudit(docs).collect()
