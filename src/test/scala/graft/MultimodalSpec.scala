@@ -844,6 +844,33 @@ class MultimodalSpec extends SparkSpec {
     assert(shots(1L).map(_.n_frames).sum == 18L)
   }
 
+  test("cross-modal still search: a video shot showing a corpus image surfaces; unrelated content does not") {
+    import spark.implicits._
+    import graft.multimodal.{AviCodec, Multimodal, PngCodec}
+    // image 1 also appears as the MIDDLE shot of video 50; image 2 appears
+    // in no video — its absence is the negative
+    def pattern(src: Long): Array[Int] = Array.tabulate(144) { p =>
+      ((src * 2654435761L + p.toLong * 40503L) % 256L + 256L).toInt % 256
+    }
+    def grad(flip: Boolean, f: Int): Array[Int] = Array.tabulate(144) { p =>
+      val x = p % 12; val y = p / 12
+      20 + (if (flip) (11 - x) * 5 else x * 5) + y * 3 + f % 4
+    }
+    val vidFrames = Array.tabulate(18) { f =>
+      if (f >= 6 && f < 12) pattern(1L)
+      else grad(f < 6, f)
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", PngCodec.encodeGray(pattern(1L), 12, 12)),
+      Multimodal.MediaRow(2L, "image", PngCodec.encodeGray(pattern(2L), 12, 12)),
+      Multimodal.MediaRow(50L, "video", AviCodec.encodeGray(vidFrames, 12, 12))))
+    val pairs = Multimodal.videoStillOfImagePairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(pairs.contains((1L, 50L, 2L, 0)),
+      s"the embedded image must surface as the video's shot 2 at Hamming 0: ${pairs.toSeq}")
+    assert(!pairs.exists(_._1 == 2L), "the unembedded image must not match")
+  }
+
   test("header decode: AVI bytes yield width/height/frames through extractMeta") {
     import spark.implicits._
     import graft.multimodal.AviCodec

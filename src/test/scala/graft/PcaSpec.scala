@@ -22,6 +22,15 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covariance plan: partial (map-side) aggregation before the d²-key shuffle") {
+    val plan = Pca.covarianceMicro(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the d(d+1)/2-key roll-up must combine map-side so the shuffle carries
+    // partitions·d² longs, not corpus·d² rows
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"covariance aggregation must be partial+final:\n${plan.take(1500)}")
+  }
+
   test("jacobi eigen: recovers a planted spectrum; deterministic; ordered descending") {
     // A = V diag(λ) Vᵀ with a known orthonormal V (2D rotations embedded in 4D)
     val c = math.cos(0.7); val s = math.sin(0.7)
