@@ -151,21 +151,29 @@ object Pca {
   }
 
   /** Project embeddings onto the top-`k` components — map-only against the
-    * literal (μ, V) arrays; `whiten = true` additionally scales each
+    * literal component arrays; `whiten = true` additionally scales each
     * coordinate by 1/√λ (unit variance per component, the preprocessing
-    * quantizers want). The fold runs left-to-right over dimensions, so the
-    * single-node reference reproduces it bit-for-bit.
+    * quantizers want).
+    *
+    * Codegen-friendly by construction (higher-order functions evaluate
+    * interpreted — this is a whole-corpus pass): by linearity,
+    * (x−μ)·v = x·v − μ·v, the second term a driver-side constant, so each
+    * component is a flat 64-term sum of `element_at`·literal products —
+    * plain Catalyst expressions inside whole-stage codegen. The sum folds
+    * left-to-right over dimensions; the single-node reference in `PcaSpec`
+    * reproduces the identical association order bit-for-bit.
     */
   def project(embeddings: DataFrame, model: PcaModel, k: Int,
       whiten: Boolean = false, eps: Double = 1e-9): DataFrame = {
-    val mu = typedLit(model.mean.toSeq)
+    val d = model.mean.length
     val comps = (0 until k).map { c =>
-      val vc = typedLit(model.components(c).toSeq)
-      val dot = aggregate(sequence(lit(0), lit(model.mean.length - 1)), lit(0.0),
-        (acc, i) => acc +
-          (element_at(col("embedding"), i + 1).cast("double") -
-            element_at(mu, i + 1)) * element_at(vc, i + 1))
-      if (whiten) dot / lit(math.sqrt(model.eigenvalues(c) max eps)) else dot
+      val vc = model.components(c)
+      val muDotV = (0 until d).foldLeft(0.0)((acc, i) => acc + model.mean(i) * vc(i))
+      val xDotV = (0 until d).map { i =>
+        element_at(col("embedding"), i + 1).cast("double") * lit(vc(i))
+      }.reduceLeft(_ + _)
+      val y = xDotV - lit(muDotV)
+      if (whiten) y / lit(math.sqrt(model.eigenvalues(c) max eps)) else y
     }
     embeddings.select(col("vec_id"), array(comps: _*).as("projected"))
   }

@@ -62,18 +62,20 @@ class PcaSpec extends SparkSpec {
     val k = 8
     val got = Pca.project(emb, model, k).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    // single-node reference with the IDENTICAL left-to-right fold order
+    // single-node reference with the IDENTICAL arithmetic: x·v − μ·v,
+    // both sums folding left-to-right
     val rows = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def dotRef(x: Int => Double, v: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += x(i) * v(i); i += 1 }
+      acc
+    }
     rows.foreach { case (id, x) =>
       val want = (0 until k).map { c =>
-        var acc = 0.0
-        var i = 0
-        while (i < x.length) {
-          acc += (x(i).toDouble - model.mean(i)) * model.components(c)(i)
-          i += 1
-        }
-        acc
+        val vc = model.components(c)
+        dotRef(i => x(i).toDouble, vc) - dotRef(model.mean(_), vc)
       }
       assert(got(id) == want, s"projection of $id must match the reference bitwise")
     }
