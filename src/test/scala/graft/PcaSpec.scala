@@ -22,6 +22,60 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("composition: SQ8 in PCA space stays provably exact; PCA prefix beats the raw prefix") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).localCheckpoint(true)
+    val model = Pca.fit(emb)
+    val d = model.mean.length
+    // full-rank rotation: project to ALL components, feed the SQ exact-band
+    // kNN — the banded re-rank bound holds for any input space, so the
+    // rotated index must equal brute force in the rotated space
+    val rotated = Pca.project(emb, model, d)
+      .select(col("vec_id"),
+        col("projected").cast("array<float>").as("embedding"))
+      .withColumn("label", lit(0))
+      .localCheckpoint(true)
+    val queries = rotated.filter(col("vec_id") % 501 === 0)
+    val got = graft.vector.SqIndex.knnJoin(queries, rotated, k = 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("c_vec_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_vec_id")).orderBy(col("d2"), col("c_vec_id"))
+    val brute = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qe"))
+      .crossJoin(rotated.select(col("vec_id").as("c_vec_id"), col("embedding").as("ce")))
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_vec_id", "rank", "c_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.sameElements(brute.sorted),
+      "the SQ exact band must return brute force in the rotated space too")
+
+    // PCA top-k minimizes MSE over affine rank-k maps; keep-first-k +
+    // mean-fill is such a map, so the PCA-prefix reconstruction error is
+    // provably <= the raw Matryoshka prefix's
+    val k = 8
+    val rows = emb.select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val rawMeans = (0 until d).map(i => rows.map(_(i)).sum / rows.length)
+    val rawErr = rows.map { x =>
+      (k until d).map(i => { val e = x(i) - rawMeans(i); e * e }).sum
+    }.sum
+    val proj = Pca.project(emb, model, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byId = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    // reconstruction: x̂ = μ + Σ_c y_c v_c; error = |x − x̂|²
+    val pcaErr = byId.map { case (id, x) =>
+      val y = proj(id)
+      (0 until d).map { i =>
+        val xi = x(i).toDouble
+        val rec = model.mean(i) + (0 until k).map(c => y(c) * model.components(c)(i)).sum
+        val e = xi - rec; e * e
+      }.sum
+    }.sum
+    assert(pcaErr <= rawErr + 1e-6,
+      s"PCA prefix must reconstruct at least as well as the raw prefix: $pcaErr vs $rawErr")
+  }
+
   test("covariance plan: partial (map-side) aggregation before the d²-key shuffle") {
     val plan = Pca.covarianceMicro(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
