@@ -622,6 +622,56 @@ object Curation {
     *    is one map-side indexed `filter` over the doc's own token array —
     *    docs with no removals never join anything.
     */
+  /** CCNet-style corpus-wide PARAGRAPH deduplication (Wenzek et al. 2020,
+    * §4.1): every paragraph (newline-separated) is normalized — lowercase,
+    * digits and punctuation stripped — and each normalized paragraph keeps
+    * only its global FIRST occurrence (min (doc_id, pos)); later
+    * occurrences are cut from their documents and the text rebuilt. This
+    * removes the dominant crawl artifact — site-level boilerplate
+    * (navigation, copyright lines, cookie banners) repeated across
+    * thousands of pages — that document-level dedup can never see.
+    *
+    * Output: (doc_id, n_pars, n_kept, dedup_text), dedup_text NULL when
+    * every paragraph was a later duplicate. Paragraphs whose normalized
+    * form is empty (whitespace / pure punctuation) never participate:
+    * hashing them would collapse every blank line in the corpus onto one
+    * global survivor.
+    *
+    * Scale shape ([[removeDupSpans]] discipline):
+    *  - ONE map-side-combined aggregation on the normalized paragraph
+    *    finds first occurrence + count — no window sort, so a boilerplate
+    *    line repeated 10⁸ times combines map-side instead of sorting in
+    *    one task;
+    *  - only multi-occurrence paragraphs survive (`cnt > 1`) so the join
+    *    back carries the DUPLICATE mass, not the corpus (AQE broadcasts
+    *    it on lightly-duplicated corpora); a hot key hash-joins without
+    *    buffering — work stays linear per row;
+    *  - the rebuild is one per-doc aggregation (doc-bounded state).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val lines = Par.seed(docs, col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", trim(regexp_replace(lower(col("line")), "[^a-z ]", "")))
+    val dupFirst = lines.filter(col("norm") =!= "")
+      .groupBy(col("norm"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("norm"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val marked = lines.join(dupFirst, Seq("norm"), "left")
+      .withColumn("keep", col("f_doc").isNull ||
+        (col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))).as("kp"))
+      .select(col("doc_id"), col("n_pars"), col("n_kept"),
+        when(col("n_kept") > 0,
+          array_join(transform(col("kp"), _.getField("line")), "\n"))
+          .as("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     // The gram-occurrence stream feeds two gh-keyed consumers (the
     // first-occurrence aggregation and the join-back). Deliberately

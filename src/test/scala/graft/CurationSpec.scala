@@ -44,6 +44,40 @@ class CurationSpec extends SparkSpec {
     assert(graft.ops.Curation.c4LineClean(multi).head.getAs[String]("verdict") == "lorem_ipsum")
   }
 
+  test("paragraph dedup: first occurrence wins, digit/punct-insensitive, empty lines pass") {
+    val docs = docsDF(
+      // doc 1 owns the first occurrence of the boilerplate line
+      (1L, Seq("unique alpha text here.",
+        "Copyright 2023 All Rights Reserved!",
+        "more unique beta text.").mkString("\n")),
+      // doc 2 repeats it with a DIFFERENT year and punctuation — same
+      // normalized class, so it must be cut; its own line survives
+      (2L, Seq("copyright 2024 all rights reserved.",
+        "doc two keeps this line.").mkString("\n")),
+      // doc 3: internal duplicate — the second occurrence inside the SAME
+      // doc is also a later occurrence
+      (3L, Seq("gamma gamma line.", "gamma gamma line.").mkString("\n")),
+      // doc 4: every paragraph is a later duplicate → dedup_text NULL
+      (4L, "unique alpha text here."),
+      // doc 5: empty + punctuation-only lines never participate
+      (5L, Seq("", "?!...", "delta survives.").mkString("\n")))
+    val got = Curation.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_kept") == 3 &&
+      got(1L).getAs[String]("dedup_text").contains("Copyright 2023"),
+      "the global first occurrence keeps its ORIGINAL surface form")
+    assert(got(2L).getAs[Long]("n_pars") == 2 && got(2L).getAs[Long]("n_kept") == 1)
+    assert(got(2L).getAs[String]("dedup_text") == "doc two keeps this line.",
+      "the year-variant boilerplate is a later occurrence of the same normalized class")
+    assert(got(3L).getAs[Long]("n_kept") == 1 &&
+      got(3L).getAs[String]("dedup_text") == "gamma gamma line.",
+      "within-doc repeats collapse to the first position")
+    assert(got(4L).getAs[Long]("n_kept") == 0 && got(4L).isNullAt(got(4L).fieldIndex("dedup_text")),
+      "a doc made entirely of later duplicates rebuilds to NULL")
+    assert(got(5L).getAs[Long]("n_pars") == 3 && got(5L).getAs[Long]("n_kept") == 3,
+      "empty-normalized lines pass through unconditioned")
+  }
+
   test("PII redaction counts and replaces emails, phones, IPs") {
     val docs = docsDF(
       1L -> "mail me at jane.doe@corp.example.org thanks",
