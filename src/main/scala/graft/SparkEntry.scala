@@ -630,6 +630,31 @@ object SparkEntry {
     // a "lorem ipsum" line, every 89th a curly-brace code line. The oracle
     // replays the re-lining AND the surgery in SQL — line verdicts, doc
     // verdicts and the re-assembled clean text all hash cross-engine.
+    // CCNet paragraph-level corpus dedup over a harness-derived multi-line
+    // fixture (the doc_c4_lines re-lining, no surgery) with planted
+    // cross-doc boilerplate: every 7th doc a newsletter line, every 11th a
+    // copyright line whose YEAR varies (2020 + doc_id%5) — five surface
+    // forms, ONE normalized class, so the digit-stripping normalization
+    // has teeth. The oracle replays re-lining, normalization,
+    // first-occurrence choice and text rebuild in SQL.
+    "doc_par_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ws = split(col("text"), " ")
+      val lineArr = transform(
+        sequence(lit(0), floor((size(ws) + lit(6)) / lit(7)).cast("int") - 1),
+        j => array_join(slice(ws, j * 7 + 1, lit(7)), " "))
+      val withNews = when(col("doc_id") % 7 === 0,
+        concat(lineArr, array(lit("subscribe to our newsletter today."))))
+        .otherwise(lineArr)
+      val withCr = when(col("doc_id") % 11 === 0,
+        concat(withNews, array(concat(lit("copyright "),
+          (col("doc_id") % 5 + 2020).cast("string"),
+          lit(" all rights reserved.")))))
+        .otherwise(withNews)
+      val lined = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(withCr, "\n").as("text"))
+      Curation.paragraphDedup(lined)
+    }),
     "doc_c4_lines" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ws = split(col("text"), " ")
@@ -1377,6 +1402,27 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 9L).select("embedding").head.getSeq[Float](0)
       val rf = ((emb.count() + 9) / 10).toInt
       graft.vector.ServeIndex.search(s, dir, "sq", qv, k = 10, nProbe = 8,
+          refineFactor = rf)
+        .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
+    }),
+    // The OPQ serve sidecar (PCA-rotated residual PQ — FAISS
+    // "PCAMatrix,IVF,PQ" posture) in the provably-exact configuration:
+    // cells, residuals and ADC codes live in the decorrelated ROTATED
+    // space, the stored embeddings and the exact re-rank stay original —
+    // so probe-all + window-covering refine must equal brute force over
+    // the retained window, independent of what the rotation did to the
+    // candidate tier. Completes the serve ladder
+    // flat | ivf | ivfpq | sq | opq.
+    "vec_serve_opq_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("flatserveopq", d) { p =>
+        graft.vector.VectorIndex.append(graft.vector.VectorIndex.fromEmbeddings(emb), p)
+        graft.vector.ServeIndex.build(s, p, "opq", nCells = 8)
+      }
+      val qv = emb.filter(col("vec_id") === 11L).select("embedding").head.getSeq[Float](0)
+      val rf = ((emb.count() + 9) / 10).toInt
+      graft.vector.ServeIndex.search(s, dir, "opq", qv, k = 10, nProbe = 8,
           refineFactor = rf)
         .getOrElse(sys.error("serve sidecar must answer the probe-all config"))
     }),
@@ -2651,6 +2697,15 @@ object SparkEntry {
     // PQ serve path, probe-all + window-covering refine ≡ brute force —
     // recall-independent like vec_pq_search: the ADC stage only SELECTS
     // candidates, the output distances are the exact float re-rank.
+    "vec_serve_opq_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 11),
+        |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
+        |      FROM embeddings e, q WHERE e.vec_id % 10 >= 3)
+        |SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank,
+        |  1.0 - d2/2.0 AS similarity_score,
+        |  'embedding' AS data_type,
+        |  '{"vec_id":' || vec_id || ',"label":' || label || '}' AS data_json
+        |FROM (SELECT * FROM d ORDER BY d2, vec_id LIMIT 10) ORDER BY d2, vec_id""".stripMargin,
     "vec_serve_pq_search" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
         |d AS (SELECT e.vec_id, e.label, ${l2sqSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS d2
@@ -2855,6 +2910,33 @@ object SparkEntry {
     // Re-lining + C4 line surgery replayed in SQL: the same 7-word
     // chunking, punctuation/javascript planting, lorem/brace extra lines,
     // line-keep predicate, doc verdicts and kept-line re-join.
+    "doc_par_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, r.j,
+        |    array_to_string(ws[CAST(r.j*7+1 AS BIGINT):CAST(r.j*7+7 AS BIGINT)], ' ') AS line
+        |  FROM w, range(400) r(j) WHERE r.j*7 < len(ws)),
+        |extra AS (
+        |  SELECT doc_id, 1000 AS j, 'subscribe to our newsletter today.' AS line
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1001,
+        |    'copyright ' || CAST(2020 + doc_id % 5 AS VARCHAR) || ' all rights reserved.'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |lines AS (SELECT * FROM l0 UNION ALL SELECT * FROM extra),
+        |n AS (SELECT doc_id, j, line,
+        |    trim(regexp_replace(lower(line), '[^a-z ]', '', 'g')) AS norm
+        |  FROM lines),
+        |rn AS (SELECT doc_id, j, line, norm,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id, j) AS r
+        |  FROM n),
+        |m AS (SELECT doc_id, j, line, (norm = '' OR r = 1) AS keep FROM rn)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pars,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+        |       THEN string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY j)
+        |  END AS dedup_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_c4_lines" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |l0 AS (

@@ -32,12 +32,12 @@ object IndexPipeline {
     * embedder, prune the index to the retention window, and run kNN with
     * FAISS-parity output through the configured access path:
     *
-    *   spark.graft.serve.index = flat | ivf | ivfpq | sq   (default flat)
+    *   spark.graft.serve.index = flat | ivf | ivfpq | sq | opq  (default flat)
     *   spark.graft.serve.nProbe, spark.graft.serve.refineFactor
     *
     * `flat` is the reference-parity brute scan of the retained window
     * (`faiss_manager.py:143` only ever instantiates IndexFlatL2). `ivf` /
-    * `ivfpq` / `sq` serve from the [[ServeIndex]] sidecar — probe-pruned
+    * `ivfpq` / `sq` / `opq` serve from the [[ServeIndex]] sidecar — probe-pruned
     * sealed days + the brute hot day — and FALL BACK to the flat scan whenever the
     * sidecar can't answer this request correctly (absent, mid-rebuild,
     * wrong kind, or an `asOf` before its watermark): the config can only

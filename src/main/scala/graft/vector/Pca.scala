@@ -164,17 +164,26 @@ object Pca {
     * reproduces the identical association order bit-for-bit.
     */
   def project(embeddings: DataFrame, model: PcaModel, k: Int,
-      whiten: Boolean = false, eps: Double = 1e-9): DataFrame = {
+      whiten: Boolean = false, eps: Double = 1e-9): DataFrame =
+    embeddings.select(col("vec_id"), projectCol(model, k, whiten, eps).as("projected"))
+
+  /** [[project]]'s projection as a standalone Column over `input` — the
+    * form other operators embed (the OPQ serve kind rotates both the
+    * corpus and the query side with it). Same flat codegen'd expression,
+    * same left-to-right association.
+    */
+  def projectCol(model: PcaModel, k: Int, whiten: Boolean = false,
+      eps: Double = 1e-9, input: Column = col("embedding")): Column = {
     val d = model.mean.length
     val comps = (0 until k).map { c =>
       val vc = model.components(c)
       val muDotV = (0 until d).foldLeft(0.0)((acc, i) => acc + model.mean(i) * vc(i))
       val xDotV = (0 until d).map { i =>
-        element_at(col("embedding"), i + 1).cast("double") * lit(vc(i))
+        element_at(input, i + 1).cast("double") * lit(vc(i))
       }.reduceLeft(_ + _)
       val y = xDotV - lit(muDotV)
       if (whiten) y / lit(math.sqrt(model.eigenvalues(c) max eps)) else y
     }
-    embeddings.select(col("vec_id"), array(comps: _*).as("projected"))
+    array(comps: _*)
   }
 }

@@ -9,7 +9,8 @@ import graft.functions.VectorFunctions._
   * lets `GraftApi.searchData` stop brute-forcing the retained window once
   * that window is big. The flat `VectorIndex` layout stays the source of
   * truth (appends, tombstones, retention, payload); `build` reorganizes its
-  * CURRENT retained window into an IVF, IVF-PQ, or IVF-SQ8 layout at
+  * CURRENT retained window into an IVF, IVF-PQ, IVF-SQ8, or OPQ (PCA-rotated
+  * residual PQ — FAISS `PCAMatrix,IVFx,PQy` posture) layout at
   * `<indexPath>._serve`, and `search` serves the reference's query contract
   * from it:
   *
@@ -69,6 +70,33 @@ object ServeIndex {
     (rows.map(_.getAs[Double]("lo")).toSeq, rows.map(_.getAs[Double]("hi")).toSeq)
   }
 
+  /** Persisted PCA rotation of an `opq`-kind sidecar: mean row (comp_id
+    * = −1) plus one eigenvector row per component, reconstructed into the
+    * [[Pca.PcaModel]] the projection expression consumes (eigenvalues are
+    * not persisted — the rotation never whitens).
+    */
+  private def readRotation(spark: SparkSession, sc: String): Pca.PcaModel = {
+    val rows = spark.read.parquet(s"$sc/rotation").collect()
+    val mean = rows.find(_.getLong(0) == -1L).get.getSeq[Double](1).toArray
+    val comps = rows.filter(_.getLong(0) >= 0).sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    Pca.PcaModel(mean, Array.fill(comps.length)(0.0), comps)
+  }
+
+  /** Rotate one query with the sidecar's persisted PCA basis — the same
+    * left-to-right fold [[Pca.projectCol]] codegens, evaluated on the
+    * driver (a d-length array, not a corpus pass).
+    */
+  private def rotateQuery(spark: SparkSession, sc: String,
+      q: Seq[Float]): Array[Float] = {
+    val mdl = readRotation(spark, sc)
+    mdl.components.map { vc =>
+      val muDotV = mdl.mean.indices.foldLeft(0.0)((acc, i) => acc + mdl.mean(i) * vc(i))
+      val xDotV = q.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * vc(i))
+      (xDotV - muDotV).toFloat
+    }
+  }
+
   /** (kind, watermark) of the live sidecar, if one is fully built. */
   def meta(spark: SparkSession, indexPath: String): Option[(String, java.sql.Date)] = {
     val mp = s"${sidecarPath(indexPath)}/meta"
@@ -95,7 +123,7 @@ object ServeIndex {
   def build(spark: SparkSession, indexPath: String, kind: String,
       nCells: Int = 8, kmeansIters: Int = 3, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 3, asOf: java.sql.Date = null): Unit = {
-    require(kind == "ivf" || kind == "ivfpq" || kind == "sq",
+    require(kind == "ivf" || kind == "ivfpq" || kind == "sq" || kind == "opq",
       s"unknown serve index kind: $kind")
     val anchor = Option(asOf)
       .orElse(VectorIndex.maxIngestDate(spark, indexPath))
@@ -103,23 +131,53 @@ object ServeIndex {
         s"no ingest days at $indexPath — nothing to index"))
     val rows = VectorIndex.loadRecent(spark, indexPath, anchor)
       .localCheckpoint(true) // consumed by seeding, k-means, assign, write
-    val seedRows = rows.orderBy(col("vec_id"), col("ingest_date")).limit(nCells)
-      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    // OPQ kind: PCA-rotate the window BEFORE the IVF/PQ stages (the FAISS
+    // `PCAMatrix` / OPQ-init preprocessing) — cells, residuals and codes
+    // live in the decorrelated rotated space, which concentrates variance
+    // so the same codebook budget quantizes with less error; the STORED
+    // embedding column and the exact re-rank stay ORIGINAL, so probe-all
+    // exactness is untouched. The rotation is orthogonal: L2 distances in
+    // rotated space equal raw-space distances up to float rounding, which
+    // only ever moves the candidate tier, never the re-ranked answer.
+    val rotation = if (kind == "opq") Some(Pca.fit(rows)) else None
+    val annRows = (rotation match {
+      case Some(mdl) =>
+        rows.withColumn("ann_emb", transform(
+          Pca.projectCol(mdl, mdl.mean.length), x => x.cast("float")))
+          .localCheckpoint(true) // d² flops/row — not re-paid per k-means round
+      case None => rows.withColumn("ann_emb", col("embedding"))
+    })
+    val seedRows = annRows.orderBy(col("vec_id"), col("ingest_date")).limit(nCells)
+      .select(col("ann_emb")).collect().map(_.getSeq[Float](0))
     require(seedRows.nonEmpty, s"retained window at $indexPath is empty")
     import spark.implicits._
     val seeds = seedRows.zipWithIndex
       .map { case (e, i) => (i.toLong, e) }.toSeq
       .toDF("cid", "c_embedding")
     val centroids = IvfIndex
-      .kmeansCentroids(rows, seedRows.length, kmeansIters, seeds = Some(seeds))
+      .kmeansCentroids(
+        annRows.select(col("vec_id"), col("ann_emb").as("embedding")),
+        seedRows.length, kmeansIters, seeds = Some(seeds))
       .localCheckpoint(true)
-    val assigned = IvfIndex.assign(rows, centroids).withColumnRenamed("cid", "cell")
+    // assignment runs in the ANN space (= raw space for non-opq kinds)
+    val assigned = IvfIndex.assign(
+        annRows.withColumnRenamed("embedding", "orig_emb")
+          .withColumnRenamed("ann_emb", "embedding"), centroids)
+      .withColumnRenamed("embedding", "ann_emb")
+      .withColumnRenamed("orig_emb", "embedding")
+      .withColumnRenamed("cid", "cell")
     val staging = sidecarPath(indexPath) + ".build"
     val stagingFs = fs(spark, staging)
     stagingFs.delete(new org.apache.hadoop.fs.Path(staging), true)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    rotation.foreach { mdl =>
+      ((-1L, mdl.mean.toSeq) +: mdl.components.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq)
+        .toDF("comp_id", "v")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/rotation")
+    }
     val vectors =
-      if (kind == "ivf") assigned
+      if (kind == "ivf") assigned.drop("ann_emb")
       else if (kind == "sq") {
         // SQ8 codes over the RAW window vectors (FAISS IVF-SQ shape): the
         // per-dimension (min, max) bounds train in one partial-agg pass
@@ -130,17 +188,18 @@ object ServeIndex {
           .map { case ((lo, hi), dimIdx) => (dimIdx, lo, hi) }
           .toDF("dim", "lo", "hi")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/sq_bounds")
-        assigned.withColumn("codes",
+        assigned.drop("ann_emb").withColumn("codes",
           SqIndex.encodeCol(col("embedding"), mins.toSeq, maxs.toSeq))
       } else {
-        // residual PQ: codes encode v − centroid(cell(v)), the IvfPqIndex
+        // residual PQ: codes encode v − centroid(cell(v)) — v in the ANN
+        // space (rotated for opq, raw for ivfpq) — the IvfPqIndex
         // construction, trained on this window's residuals
         val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
         val centMap = map(cents.flatMap { case (cid, v) =>
           Seq(lit(cid), typedLit(v)) }.toSeq: _*)
         val withRes = assigned.withColumn("pq_embedding",
-          zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
+          zip_with(col("ann_emb"), element_at(centMap, col("cell")), (a, b) => a - b))
           .localCheckpoint(true) // PQ training reruns the scan per round
         val books = PqIndex.train(
           withRes.select(col("vec_id"), col("pq_embedding").as("embedding")),
@@ -150,7 +209,7 @@ object ServeIndex {
         }.toSeq.toDF("sub_id", "code", "c_sub")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
         withRes.withColumn("codes", PqIndex.codesExpr(books, col("pq_embedding")))
-          .drop("pq_embedding")
+          .drop("pq_embedding").drop("ann_emb")
       }
     vectors.write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
       .parquet(s"$staging/vectors")
@@ -182,12 +241,17 @@ object ServeIndex {
       .getOrElse(return None)
     if (anchor.before(m)) return None
     val windowLo = date_sub(lit(anchor), VectorIndex.RetentionDays)
-    // probe: driver math over the tiny centroid sidecar (IvfIndex.search)
+    // probe: driver math over the tiny centroid sidecar (IvfIndex.search).
+    // On the opq kind the centroids live in ROTATED space, so the query
+    // rotates first (same projection the build applied) — the raw query
+    // still drives the exact re-rank and the hot arm below.
     val q = query.toArray
+    val qAnn: Array[Float] =
+      if (kind == "opq") rotateQuery(spark, sc, query) else q
     val cents = spark.read.parquet(s"$sc/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def l2(a: Seq[Float]): Double = a.zip(query).map { case (x, y) =>
+    def l2(a: Seq[Float]): Double = a.zip(qAnn).map { case (x, y) =>
       (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
     val probed = cents.map { case (cid, c) => (l2(c), cid) }.sorted
       .take(math.max(1, nProbe)).map(_._2)
@@ -225,7 +289,7 @@ object ServeIndex {
         val dsub = books(0)(0).length
         val perCell = probed.toSeq.map { cid =>
           val centroid = cents.find(_._1 == cid).get._2
-          val qRes = query.zip(centroid).map { case (x, c) => x - c }
+          val qRes = qAnn.toSeq.zip(centroid).map { case (x, c) => x - c }
           val lutFlat: Seq[Double] = (0 until mSub * ksub).map { i =>
             val s = i / ksub; val j = i % ksub
             (0 until dsub).map { p =>
@@ -298,13 +362,22 @@ object ServeIndex {
     val cents = spark.read.parquet(s"$sc/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // opq: the per-query rotation moves INTO the plan (the projectCol
+    // codegen'd expression over the query column); probe assignment and
+    // the residual LUT run on q_ann, the exact re-rank on the raw q_emb
+    val qAnnCol =
+      if (kind == "opq") {
+        val mdl = readRotation(spark, sc)
+        transform(Pca.projectCol(mdl, mdl.mean.length, input = col("q_emb")),
+          x => x.cast("float"))
+      } else col("q_emb")
     val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("q_emb"), typedLit(v)).as("d"), lit(cid).as("cid"))
+      struct(l2Sq(col("q_ann"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
     val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
       x => x.getField("cid")), 1, math.max(1, nProbe))
     val q = queries.select(col("query_id"), col("q_emb"))
-    val qSide = q.withColumn("cell", explode(probeCells))
+    val qSide = q.withColumn("q_ann", qAnnCol).withColumn("cell", explode(probeCells))
     val sealedAll = VectorIndex.dropTombstoned(spark, indexPath,
       spark.read.parquet(s"$sc/vectors")
         .filter(col("ingest_date") > windowLo && col("ingest_date") < lit(m)))
@@ -354,7 +427,7 @@ object ServeIndex {
         })
         val qLut = qSide
           .withColumn("q_res",
-            zip_with(col("q_emb"), element_at(centMap, col("cell")), (a, b) => a - b))
+            zip_with(col("q_ann"), element_at(centMap, col("cell")), (a, b) => a - b))
           .withColumn("lut", lutExpr)
           .select(col("query_id"), col("cell"), col("lut"))
         val adc = aggregate(

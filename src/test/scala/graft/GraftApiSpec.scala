@@ -224,6 +224,53 @@ class GraftApiSpec extends SparkSpec {
       "probe-all + window-covering refine SQ batch must equal the flat batch bitwise")
   }
 
+  test("serve.index=opq rotated-PQ probe-all + window-covering refine ≡ flat bitwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-opq").toString + "/idx"
+    val docs = Tables.documents(spark, sf).limit(50)
+    graft.vector.IndexPipeline.indexRecords(docs, "text", "document", dir,
+      java.sql.Date.valueOf("2024-03-01"))
+    graft.vector.IndexPipeline.indexRecords(docs.limit(10), "text", "late", dir,
+      java.sql.Date.valueOf("2024-03-02"))
+    graft.vector.ServeIndex.build(spark, dir, "opq", nCells = 8)
+    // the rotation sidecar exists and the stored vectors stay ORIGINAL:
+    // payload/embedding columns are byte-identical to the flat layout's —
+    // only cells and codes live in rotated space
+    val sc = graft.vector.ServeIndex.sidecarPath(dir)
+    val rot = spark.read.parquet(s"$sc/rotation")
+    assert(rot.count() >= 2, "mean row + at least one eigenvector row")
+    val cols = spark.read.parquet(s"$sc/vectors").columns.toSet
+    assert(!cols.contains("ann_emb") && cols.contains("codes") && cols.contains("embedding"),
+      "rotated vectors are never stored — codes carry the rotated-space info")
+    val probe = docs.select("text").head.getString(0)
+    val flat = GraftApi.searchData(spark, dir, probe, 5)
+    // probe all 8 cells, refine 5·20 = 100 ≥ the 60-row window: candidacy
+    // is total whatever the rotation did, and the exact re-rank runs the
+    // SAME raw-space distance expression as the flat scan — bitwise equal
+    val served = withServeConf("opq", nProbe = 8, refine = 20) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(hitBits(served) == hitBits(flat),
+      "probe-all rotated-PQ over sealed days + brute hot day must equal the flat scan bit-for-bit")
+    // budgeted config: the identical-text vector still lands at rank 1
+    val fast = withServeConf("opq", nProbe = 2, refine = 4) {
+      GraftApi.searchData(spark, dir, probe, 5)
+    }
+    assert(fast.results.map(_.rank) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(fast.results.head.similarity_score > 0.99,
+      "the query rotates with the same basis as the corpus — recall@1 holds")
+    // batch twin: probe-all opq batch ≡ flat batch bitwise (the in-plan
+    // query rotation must agree with the driver-side single-query rotation)
+    val texts = docs.limit(3).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def bbits(p: GraftApi.Page[GraftApi.BatchSearchHit]) =
+      p.results.map(h => (h.query_id, h.rank,
+        java.lang.Double.doubleToRawLongBits(h.similarity_score), h.data_type, h.data_json))
+    val flatB = GraftApi.searchDataBatch(spark, dir, texts, 5)
+    val servedB = withServeConf("opq", 8, 20)(GraftApi.searchDataBatch(spark, dir, texts, 5))
+    assert(bbits(servedB) == bbits(flatB),
+      "probe-all + window-covering refine OPQ batch must equal the flat batch bitwise")
+  }
+
   test("serve sidecar sealed scan is partition-pruned to the probed cells on disk") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-api-prune").toString + "/idx"
