@@ -655,6 +655,38 @@ object SparkEntry {
         .select(col("doc_id"), array_join(withCr, "\n").as("text"))
       Curation.paragraphDedup(lined)
     }),
+    // Incremental paragraph dedup — the CCNet shard posture: the resident
+    // half (even doc ids) seeds the persisted ParagraphIndex; the offered
+    // shard (odd ids re-id'd above every resident id, plus verbatim
+    // re-offers of every 10th resident doc) cuts against resident
+    // paragraph hashes AND its own earlier occurrences. Re-offers rebuild
+    // to NULL (every paragraph already owned by a resident). The oracle
+    // replays the union with resident-priority first-occurrence choice.
+    "doc_par_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ws = split(col("text"), " ")
+      val lineArr = transform(
+        sequence(lit(0), floor((size(ws) + lit(6)) / lit(7)).cast("int") - 1),
+        j => array_join(slice(ws, j * 7 + 1, lit(7)), " "))
+      val withNews = when(col("doc_id") % 7 === 0,
+        concat(lineArr, array(lit("subscribe to our newsletter today."))))
+        .otherwise(lineArr)
+      val withCr = when(col("doc_id") % 11 === 0,
+        concat(withNews, array(concat(lit("copyright "),
+          (col("doc_id") % 5 + 2020).cast("string"),
+          lit(" all rights reserved.")))))
+        .otherwise(withNews)
+      val linedAll = Tables.documents(s, d)
+        .select(col("doc_id"), array_join(withCr, "\n").as("text"))
+      val dir = cachedArtifact("paring", d) { p =>
+        graft.text.ParagraphIndex.build(s, linedAll.filter(col("doc_id") % 2 === 0), p)
+      }
+      val freshShard = linedAll.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      val reoffers = linedAll.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 4500000L).as("doc_id"), col("text"))
+      graft.text.ParagraphIndex.ingestBatch(s, dir, freshShard.unionByName(reoffers))
+    }),
     "doc_c4_lines" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ws = split(col("text"), " ")
@@ -2910,6 +2942,41 @@ object SparkEntry {
     // Re-lining + C4 line surgery replayed in SQL: the same 7-word
     // chunking, punctuation/javascript planting, lorem/brace extra lines,
     // line-keep predicate, doc verdicts and kept-line re-join.
+    "doc_par_ingest" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, r.j,
+        |    array_to_string(ws[CAST(r.j*7+1 AS BIGINT):CAST(r.j*7+7 AS BIGINT)], ' ') AS line
+        |  FROM w, range(400) r(j) WHERE r.j*7 < len(ws)),
+        |extra AS (
+        |  SELECT doc_id, 1000 AS j, 'subscribe to our newsletter today.' AS line
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1001,
+        |    'copyright ' || CAST(2020 + doc_id % 5 AS VARCHAR) || ' all rights reserved.'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |lines AS (SELECT * FROM l0 UNION ALL SELECT * FROM extra),
+        |univ AS (
+        |  SELECT doc_id AS src, doc_id AS out_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 4000000 FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 4500000 FROM documents WHERE doc_id % 10 = 0),
+        |ulines AS (
+        |  SELECT u.out_id, l.j, l.line,
+        |    trim(regexp_replace(lower(l.line), '[^a-z ]', '', 'g')) AS norm
+        |  FROM univ u JOIN lines l ON l.doc_id = u.src),
+        |rn AS (SELECT out_id, j, line, norm,
+        |    row_number() OVER (PARTITION BY norm ORDER BY out_id, j) AS r
+        |  FROM ulines),
+        |m AS (SELECT out_id AS doc_id, j, line, (norm = '' OR r = 1) AS keep
+        |  FROM rn WHERE out_id >= 4000000)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pars,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+        |       THEN string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY j)
+        |  END AS dedup_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_par_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |l0 AS (

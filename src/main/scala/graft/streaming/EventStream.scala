@@ -384,6 +384,34 @@ object EventStream {
       }
       .start()
 
+  /** The PARAGRAPH-surgery twin of `corpusIngest` — the incremental CCNet
+    * shard posture mid-stream: each micro-batch of (doc_id, text) cuts
+    * its resident-duplicate paragraphs against the persisted
+    * `ParagraphIndex` (and its own within-batch later occurrences), the
+    * rebuilt docs land in the output path with batch attribution, and the
+    * batch's newly-won paragraph hashes append to the index — so a
+    * paragraph first seen in batch 1 suppresses its re-occurrence in
+    * batch 7. Unlike the verdict gates this twin performs SURGERY: docs
+    * survive with duplicated paragraphs removed (dedup_text NULL when
+    * nothing survived). Delivery: at-least-once; a replayed batch is
+    * idempotent by the index's self-match rule (re-offers keep their own
+    * first occurrences), so reprocessing reproduces the same output rows
+    * rather than cutting the batch against itself.
+    */
+  def paragraphIngest(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.ParagraphIndex.ingestBatch(batch.sparkSession, indexPath, batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+          ()
+        }
+      }
+      .start()
+
   /** The IMAGE twin of `corpusIngest`/`vectorCorpusIngest` — the third
     * modality's ingest gate: each micro-batch of (doc_id, media_type,
     * data) rows runs the perceptual-hash dedup gate against the resident

@@ -78,6 +78,44 @@ class CurationSpec extends SparkSpec {
       "empty-normalized lines pass through unconditioned")
   }
 
+  test("paragraph index: shard ingest ≡ batch dedup, idempotent re-offer, delete frees") {
+    import graft.text.ParagraphIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-paridx").toString + "/idx"
+    val shard1 = docsDF(
+      (1L, "alpha one.\nshared boilerplate line."),
+      (2L, "beta two.\nshared boilerplate line."))
+    val shard2 = docsDF(
+      (10L, "SHARED BOILERPLATE LINE!!\ngamma three."),
+      (11L, "alpha one."))
+    ParagraphIndex.build(spark, shard1, dir)
+    val got1 = ParagraphIndex.ingestBatch(spark, dir, shard2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    // shard-at-a-time must equal the batch operator over the union
+    // (shard1 ids < shard2 ids), restricted to the offered shard's rows
+    val ref = graft.ops.Curation.paragraphDedup(shard1.unionByName(shard2))
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got1.toSeq == ref.toSeq,
+      "incremental ingest must reproduce the whole-corpus batch dedup")
+    assert(got1.find(_._1 == 11L).get._4 == null,
+      "a shard doc made entirely of resident paragraphs rebuilds to NULL")
+    // idempotency: re-offering the SAME shard reproduces its output (the
+    // self-match rule), instead of cutting everything against itself
+    val got2 = ParagraphIndex.ingestBatch(spark, dir, shard2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got2.toSeq == got1.toSeq, "re-ingesting a shard must be a no-op")
+    // takedown: deleting doc 1 frees the paragraphs it first claimed
+    ParagraphIndex.delete(spark, dir, Seq(1L))
+    val shard3 = docsDF((20L, "alpha one.\nshared boilerplate line."))
+    val got3 = ParagraphIndex.ingestBatch(spark, dir, shard3).collect().head
+    assert(got3.getLong(2) == 2L && got3.getString(3) ==
+      "alpha one.\nshared boilerplate line.",
+      "freed paragraphs are claimable again after the owner's deletion")
+  }
+
   test("PII redaction counts and replaces emails, phones, IPs") {
     val docs = docsDF(
       1L -> "mail me at jane.doe@corp.example.org thanks",

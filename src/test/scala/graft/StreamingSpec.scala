@@ -606,6 +606,46 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, "streamed index must equal the sequential twin")
   }
 
+  test("streaming paragraph ingest cuts resident dups and grows the hash set mid-stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-spar").toString
+    val streamIdx = base + "/stream-idx"
+    val twinIdx = base + "/twin-idx"
+    val outLog = base + "/rebuilt"
+    val ckpt = base + "/ckpt"
+    val seed = Seq((1L, "alpha resident line.\nshared chrome line.")).toDF("doc_id", "text")
+    graft.text.ParagraphIndex.build(spark, seed, streamIdx)
+    graft.text.ParagraphIndex.build(spark, seed, twinIdx)
+    // batch 1: a resident dup paragraph + a fresh one the stream must claim
+    val b1 = Seq((10L, "shared chrome line.\nfresh batch one line."))
+    // batch 2: re-offers batch 1's fresh paragraph — only catchable if
+    // batch 1's hashes became resident before batch 2 ran
+    val b2 = Seq((20L, "fresh batch one line.\nbatch two own line."))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.paragraphIngest(
+      mem.toDF().toDF("doc_id", "text"), streamIdx, outLog, ckpt)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val t1 = graft.text.ParagraphIndex.ingestBatch(spark, twinIdx, b1.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val t2 = graft.text.ParagraphIndex.ingestBatch(spark, twinIdx, b2.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val got = spark.read.parquet(outLog).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("dedup_text")))
+    assert(got.toSeq == (t1 ++ t2).toSeq,
+      "streamed surgery output must equal the sequential ingest loop")
+    assert(got(0) == ((10L, 1L, "fresh batch one line.")),
+      "the resident paragraph is cut, the fresh one kept")
+    assert(got(1) == ((20L, 1L, "batch two own line.")),
+      "a batch-2 re-offer of a batch-1 paragraph must be cut mid-stream")
+    val a = spark.read.parquet(s"$streamIdx/hashes").orderBy("norm").collect().toSeq
+    val b = spark.read.parquet(s"$twinIdx/hashes").orderBy("norm").collect().toSeq
+    assert(a == b, "streamed hash set must equal the sequential twin")
+  }
+
   test("streaming media ingest gates micro-batches on resident perceptual near-dups") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
