@@ -747,6 +747,14 @@ object SparkEntry {
     // to differ from raw tf, which is what the oracle then checks.
     "doc_tfidf_search" -> ((s, d) =>
       TextAnalysis.tfidfSearch(Tables.documents(s, d), Seq("table", "spark"))),
+    // Hybrid lexical+dense retrieval fused with integer-exact RRF: the
+    // tf-idf top-20 and the cosine-kNN top-20 (query = vec 0's embedding)
+    // fuse by floored 10^12/(60+rank) LONG sums — both arms and the
+    // fusion replay exactly in SQL, so the whole hybrid ranking hashes
+    // cross-engine (a float RRF would not).
+    "doc_hybrid_search" -> ((s, d) =>
+      TextAnalysis.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("table", "spark"))),
     // Cross-source 4-gram leakage matrix over all C(20,2) source pairs.
     "doc_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceOverlap(Tables.documents(s, d))),
@@ -3377,6 +3385,36 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, CAST(n_hits AS BIGINT) AS n_hits FROM h
         |WHERE n_hits > 0 ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+    "doc_hybrid_search" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf1,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf2
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM t),
+        |lex AS (SELECT doc_id,
+        |  CAST(tf1 * ((1000000 * n_docs) // greatest(df1, 1))
+        |     + tf2 * ((1000000 * n_docs) // greatest(df2, 1)) AS BIGINT) AS score
+        |  FROM t, st WHERE tf1 > 0 OR tf2 > 0
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lexr AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM lex),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |cosd AS (SELECT e.vec_id,
+        |  ${dotSql("CAST(e.embedding AS DOUBLE[])", "q.qe")} /
+        |  (sqrt(${dotSql("CAST(e.embedding AS DOUBLE[])", "CAST(e.embedding AS DOUBLE[])")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS cos
+        |  FROM embeddings e, q),
+        |den AS (SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id LIMIT 20),
+        |denr AS (SELECT vec_id AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vec_rank
+        |  FROM den)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+        |  CAST(COALESCE(1000000000000 // (60 + l.lex_rank), 0)
+        |     + COALESCE(1000000000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_score
+        |FROM lexr l FULL OUTER JOIN denr v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "doc_tfidf_search" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf1,

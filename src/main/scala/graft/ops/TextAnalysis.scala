@@ -631,6 +631,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid lexical + dense retrieval with reciprocal-rank fusion (RRF —
+    * Cormack et al. 2009; the Elasticsearch/Vespa hybrid default): the
+    * integer-exact [[tfidfSearch]] arm and the cosine-kNN arm
+    * ([[Similarity.knnCosine]]) each produce a top-`nPerArm` ranking, and
+    * the fused score is Σ_arms ⌊10¹² / (rrfK + rank)⌋ in LONG arithmetic —
+    * floor of an integer division, exact in any engine, which is what
+    * makes the fused ranking hash-oracle-able end to end (the textbook
+    * float Σ 1/(k+r) would depend on summation and division rounding). A
+    * doc absent from an arm contributes nothing there (its arm rank stays
+    * NULL in the output — the audit trail of WHY a doc ranked).
+    *
+    * Scale shape: each arm is its already-shipped top-k plan (map-only
+    * scoring + TakeOrderedAndProject); rank assignment happens POST-limit
+    * on ≤ nPerArm rows, so the single-partition window is bounded, not
+    * corpus-sized; the fusion join is tiny × tiny.
+    */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], queryId: Long = 0L, nPerArm: Int = 20,
+      k: Int = 10, rrfK: Long = 60L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val lex = tfidfSearch(docs, terms, nPerArm)
+      .withColumn("lex_rank", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = Similarity.knnCosine(embeddings, queryId, nPerArm)
+      .withColumn("vec_rank", row_number().over(
+        w.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 DIV ($rrfK + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
+  }
+
   /** Okapi BM25 ranked retrieval — the real log-idf form with length
     * normalization (k1/b defaults from the literature). Same two-pass
     * map-only shape as `tfidfSearch`, plus the corpus average doc length

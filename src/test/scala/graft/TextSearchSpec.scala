@@ -57,6 +57,42 @@ class TextSearchSpec extends SparkSpec {
     assert(top(1).getLong(2) == 9L * 1000000L)
   }
 
+  test("hybridSearch: RRF fuses both arms exactly, one-arm docs carry a NULL rank") {
+    import spark.implicits._
+    // lexical corpus: docs 1-3 mention the term with descending tf;
+    // doc 4 never does (vector-only candidate)
+    val docs = docsDf(
+      (1L, "table table table x", "s"),
+      (2L, "table table y z", "s"),
+      (3L, "table y z w", "s"),
+      (4L, "nothing relevant here", "s"))
+    // embeddings: doc 4 closest to the query (vec 0), then 1, 3, 2 far
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (4L, Seq(0.99f, 0.1f), 0),
+      (1L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(-1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = TextAnalysis.hybridSearch(docs, emb, Seq("table"),
+      queryId = 0L, nPerArm = 3, k = 10)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3))).toList
+    def rrf(r: Long) = if (r < 0) 0L else 1000000000000L / (60L + r)
+    // lexical top-3: 1, 2, 3; dense top-3 (cos desc, excl. nothing): 0, 4, 1
+    val expected = Map(
+      1L -> (1L, 3L), 2L -> (2L, -1L), 3L -> (3L, -1L),
+      0L -> (-1L, 1L), 4L -> (-1L, 2L))
+    for ((id, lr, vr, sc) <- got) {
+      assert((lr, vr) == expected(id), s"arm ranks for doc $id")
+      assert(sc == rrf(lr) + rrf(vr), s"RRF score for doc $id is the exact floored sum")
+    }
+    // doc 1 sits in BOTH arms and must outrank every single-arm doc
+    assert(got.head._1 == 1L, "the both-arms doc fuses to the top")
+    assert(got.map(_._1).toSet == expected.keySet)
+  }
+
   test("bm25Search matches the hand-computed Okapi formula") {
     // 4 docs, term 'q' in 2 of them, uniform doc length 4 => dl/avgdl = 1.
     val d = docsDf(
