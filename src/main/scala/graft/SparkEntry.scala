@@ -229,6 +229,11 @@ object SparkEntry {
     "vec_cluster_sample" -> ((s, d) =>
       Similarity.clusterSample(Tables.embeddings(s, d))),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(Tables.embeddings(s, d))),
+    // Recall@10 of the IVF probe trade across budgets 1/2/4/8 over a
+    // deterministic 8-query window — the ANN tuning curve, oracle-bound:
+    // every stage is engine-portable arithmetic with (d2, id) tie-breaks,
+    // and the probe-all row pins recall = 1.0 exactly.
+    "vec_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d))),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
     // is DATA-DEPENDENT recall, not a guarantee — at cos ≥ 0.42 a
@@ -2566,6 +2571,39 @@ object SparkEntry {
         |      FROM d)
         |SELECT cell, rank, vec_id, draw FROM r WHERE rank <= 64
         |ORDER BY cell, rank""".stripMargin,
+    "vec_recall_curve" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, e, cid FROM (
+        |  SELECT emb.vec_id, emb.e, c.cid,
+        |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY ${l2sqSql("emb.e", "c.ce")}, c.cid) AS arn
+        |  FROM emb, c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id >= 10 AND vec_id < 18),
+        |nq AS (SELECT COUNT(*) AS n FROM q),
+        |brute AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("a.e", "q.qe")}, a.vec_id) AS rn
+        |  FROM q, asn a) WHERE rn <= 10),
+        |prank AS (SELECT qid, cid, pr FROM (
+        |  SELECT q.qid, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY ${l2sqSql("c.ce", "q.qe")}, c.cid) - 1 AS pr
+        |  FROM q, c)),
+        |budgets AS (SELECT * FROM (VALUES (1),(2),(4),(8)) b(p)),
+        |cand AS (SELECT b.p, pk.qid, a.vec_id, ${l2sqSql("a.e", "q2.qe")} AS d2
+        |  FROM budgets b, prank pk
+        |  JOIN asn a ON a.cid = pk.cid
+        |  JOIN q q2 ON q2.qid = pk.qid
+        |  WHERE pk.pr < b.p),
+        |topp AS (SELECT p, qid, vec_id FROM (
+        |  SELECT p, qid, vec_id,
+        |    row_number() OVER (PARTITION BY p, qid ORDER BY d2, vec_id) AS rn
+        |  FROM cand) WHERE rn <= 10)
+        |SELECT CAST(p AS BIGINT) AS n_probe,
+        |  CAST(nq.n AS BIGINT) AS n_queries,
+        |  CAST(COUNT(*) AS BIGINT) AS hits,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(10 * nq.n AS DOUBLE) AS recall
+        |FROM topp JOIN brute USING (qid, vec_id), nq
+        |GROUP BY p, nq.n ORDER BY n_probe""".stripMargin,
     "vec_ivf_search" ->
       s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),

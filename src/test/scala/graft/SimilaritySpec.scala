@@ -6,6 +6,25 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("IVF recall curve: probe-all pins 1.0, recall is monotone in the budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.ops.Similarity.ivfRecallCurve(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val nQ = rows.head._2
+    for ((p, q, hits, recall) <- rows) {
+      assert(q == nQ && hits <= 10 * nQ, s"hits bounded at budget $p")
+      assert(math.abs(recall - hits.toDouble / (10.0 * nQ)) < 1e-15)
+    }
+    // candidacy only ever grows with the budget — recall is monotone
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) <= w(1)),
+      "recall must not decrease as more cells are probed")
+    assert(rows.last._4 == 1.0,
+      "probe-all candidacy is total: the probed top-k IS the brute top-k")
+    assert(rows.head._4 < 1.0,
+      "a one-cell probe on this geometry must actually lose recall, or the curve has no teeth")
+  }
+
   test("batch kNN join: probe-all is exact, default probes clear a recall floor") {
     import graft.functions.VectorFunctions.l2Sq
     import org.apache.spark.sql.expressions.Window
