@@ -71,6 +71,55 @@ class SkewFixturesSpec extends SparkSpec {
     assert(capped.totalWrite * 2 < uncapped.totalWrite)
   }
 
+  test("paragraph dedup: a 10k-copy boilerplate line never concentrates in one task") {
+    import graft.ops.Curation
+    import spark.implicits._
+    // the crawl shape paragraph dedup exists for: every page carries the
+    // same chrome line, plus its own content line
+    // content lines must stay distinct AFTER digit-stripping — spell the
+    // id in letters
+    def tag(i: Int): String = i.toString.map(c => ('a' + (c - '0')).toChar)
+    val docs = (0 until 10000).map(i =>
+      (i.toLong, s"unique content line ${tag(i)}.\nshared boilerplate chrome line."))
+      .toDF("doc_id", "text")
+    // AQE's small-partition coalescing would merge these byte-tiny test
+    // shuffles into one task and mask the DISTRIBUTION being measured —
+    // at real scale nothing coalesces; disable it for the measurement
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val ours = shuffleStats {
+        assert(Curation.paragraphDedup(docs)
+          .agg(sum(col("n_kept"))).head.getLong(0) == 10001L,
+          "doc 0 keeps both lines, every other doc keeps only its content line")
+      }
+      // the window formulation the operator deliberately avoids: the
+      // surgery needs a keep/cut flag on EVERY line (not just the
+      // winners — Spark's WindowGroupLimit would save a pure rank-1
+      // filter), and ranking every occurrence per normalized paragraph
+      // sorts every copy of the hot key inside one task
+      val win = shuffleStats {
+        val lines = docs
+          .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+          .withColumn("norm", trim(regexp_replace(lower(col("line")), "[^a-z ]", "")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("norm")).orderBy(col("doc_id"), col("pos"))
+        assert(lines.withColumn("rn", row_number().over(w))
+          .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)))
+          .head.getLong(0) == 10001L)
+      }
+      assert(win.maxTaskRead >= 10000L,
+        s"the window shape must actually concentrate the hot paragraph (got ${win.maxTaskRead})")
+      // ours: the winners aggregation combines map-side (the hot key is 4
+      // partial rows, not 10k), the dup side broadcasts, and the rebuild
+      // hash-distributes on doc_id — max per-task read stays ~ lines /
+      // shuffle partitions (20001/4 ≈ 5k), never the hot key's copy count
+      assert(ours.maxTaskRead <= 7000L,
+        s"min(struct) combine + broadcastable dup side: no task absorbs the hot key (got ${ours.maxTaskRead})")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("phash collapse: a crawl of 1k byte-identical renders keeps shuffle volume ~ output size") {
     import graft.multimodal.{Multimodal, PngCodec}
     import spark.implicits._
