@@ -586,6 +586,13 @@ object SparkEntry {
     // vocab, map-only scoring. Oracle retrains the same model in SQL.
     "doc_quality_classifier" -> ((s, d) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, d), "src0")),
+    // Multi-class domain router (fastText-supervised posture): per-source
+    // add-one-smoothed integer word scores over the shared top-300 vocab,
+    // map-only argmax scoring with a margin audit column. Oracle retrains
+    // and re-routes the same integer model in SQL, ties broken toward the
+    // lexicographically smallest source in both engines.
+    "doc_domain_classify" -> ((s, d) =>
+      TextAnalysis.domainClassifier(Tables.documents(s, d))),
     // ROC-sweep calibration of the classifier's cutoff: the balanced-
     // accuracy-maximizing threshold with its confusion counts.
     "doc_threshold_calibration" -> ((s, d) => {
@@ -3342,6 +3349,36 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    "doc_domain_classify" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 300)),
+        |cnt AS (SELECT tok.w AS w, tok.source, COUNT(*) AS c
+        |  FROM tok JOIN vocab ON tok.w = vocab.w GROUP BY tok.w, tok.source),
+        |nv AS (SELECT COUNT(*) AS v FROM vocab),
+        |fullc AS (SELECT v.w, s.source, COALESCE(c.c, 0) AS c
+        |  FROM vocab v CROSS JOIN srcs s
+        |  LEFT JOIN cnt c ON c.w = v.w AND c.source = s.source),
+        |tots AS (SELECT source, SUM(c) AS tot FROM fullc GROUP BY source),
+        |wscore AS (SELECT f.w, f.source,
+        |    (1000000000 * (f.c + 1)) // (t.tot + nv.v) AS score
+        |  FROM fullc f JOIN tots t USING (source), nv),
+        |dsum AS (SELECT d.doc_id, s.source AS cand, COALESCE(SUM(ws.score), 0) AS sc
+        |  FROM documents d CROSS JOIN srcs s
+        |  LEFT JOIN tok dt ON dt.doc_id = d.doc_id
+        |  LEFT JOIN wscore ws ON ws.w = dt.w AND ws.source = s.source
+        |  GROUP BY d.doc_id, s.source),
+        |ranked AS (SELECT doc_id, cand, sc,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cand) AS rn
+        |  FROM dsum),
+        |best AS (SELECT doc_id, cand AS pred_source, sc AS bsc FROM ranked WHERE rn = 1),
+        |second AS (SELECT doc_id, sc AS s2 FROM ranked WHERE rn = 2)
+        |SELECT d.doc_id, d.source, b.pred_source,
+        |  CAST(b.bsc - COALESCE(s.s2, b.bsc) AS BIGINT) AS margin
+        |FROM documents d JOIN best b USING (doc_id)
+        |LEFT JOIN second s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "doc_quality_classifier" ->
       """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

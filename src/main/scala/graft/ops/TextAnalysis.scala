@@ -406,6 +406,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-class domain classifier — the fastText-supervised posture of
+    * the binary quality pair ([[trainWordClassifier]]): add-one-smoothed
+    * per-source word scores in scaled-integer arithmetic,
+    * score(w, s) = ⌊S·(c_ws + 1) / (tot_s + |V|)⌋, trained in ONE
+    * aggregation over the top-`vocabSize` vocabulary. Returns the sorted
+    * source list and per-word score vectors (a driver-bounded artifact of
+    * the centroid class; at a production vocab the literal map gives way
+    * to a broadcast join — the `NgramLm.scoreDocsFrom` precedent).
+    */
+  def trainDomainClassifier(docs: DataFrame, vocabSize: Int = 300)
+      : (Seq[String], Array[(String, Array[Long])]) = {
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize).select(col("w"))
+    val sumCols = sources.map(s =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"c_$s"))
+    val counts = tok.join(vocab, Seq("w"))
+      .groupBy(col("w"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()
+      .map(r => (r.getString(0), sources.indices.map(i => r.getLong(i + 1)).toArray))
+    require(counts.nonEmpty, "empty corpus: no vocabulary to train on")
+    val v = counts.length.toLong
+    val tots = sources.indices.map(i => counts.map(_._2(i)).sum).toArray
+    val S = 1000000000L
+    (sources, counts.map { case (w, cs) =>
+      w -> sources.indices.map(i => S * (cs(i) + 1) / (tots(i) + v)).toArray
+    }.sortBy(_._1))
+  }
+
+  /** Score every doc against every source and pick the integer argmax —
+    * map-only: one literal word → score-vector map, one fold per row
+    * accumulating the per-source sums elementwise, ties broken toward the
+    * lexicographically smallest source (index order over the sorted
+    * list). Output: (doc_id, source, pred_source, margin) where margin =
+    * best − runner-up total (0 on a tie — the audit signal for
+    * unconfident routing).
+    */
+  def classifyDomains(docs: DataFrame,
+      model: (Seq[String], Array[(String, Array[Long])])): DataFrame = {
+    val (sources, weights) = model
+    require(weights.nonEmpty, "need a non-empty weight table")
+    val k = sources.length
+    val zeros = array(Seq.fill(k)(lit(0L)): _*)
+    val wmap = map(weights.flatMap { case (w, vs) =>
+      Seq(lit(w), array(vs.map(lit(_)).toSeq: _*)) }.toSeq: _*)
+    val sums = aggregate(split(col("text"), " "), zeros,
+      (acc, x) => zip_with(acc, coalesce(element_at(wmap, x), zeros), (a, b) => a + b))
+    val srcArr = array(sources.map(lit(_)): _*)
+    val best = array_max(col("sums"))
+    // argmax with smallest-index tie-break: first position holding the max
+    val bestIdx = element_at(
+      filter(transform(col("sums"), (v, i) => when(v === best, i + 1)), x => x.isNotNull), 1)
+    val margin =
+      if (k == 1) lit(0L)
+      else best - array_max(filter(
+        transform(col("sums"), (v, i) => when(i + 1 =!= bestIdx, v)), x => x.isNotNull))
+    docs.select(col("doc_id"), col("source"), sums.as("sums"))
+      .withColumn("pred_source", element_at(srcArr, bestIdx))
+      .withColumn("margin", margin)
+      .select(col("doc_id"), col("source"), col("pred_source"), col("margin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train-then-score in one call — the registered-query form. */
+  def domainClassifier(docs: DataFrame, vocabSize: Int = 300): DataFrame =
+    classifyDomains(docs, trainDomainClassifier(docs, vocabSize))
+
   /** Train-then-score in one call — the registered-query form. */
   def qualityClassifier(docs: DataFrame, targetSource: String,
       vocabSize: Int = 300): DataFrame =

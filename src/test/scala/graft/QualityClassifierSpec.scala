@@ -41,6 +41,42 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("domain classifier: argmax routes each distinctive doc home, margin audits ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha alpha shared", "sA"),
+      (2L, "alpha alpha shared words", "sA"),
+      (3L, "beta beta beta shared", "sB"),
+      (4L, "beta beta shared words", "sB"),
+      (5L, "gamma gamma gamma shared", "sC"),
+      (6L, "gamma gamma shared words", "sC")).toDF("doc_id", "text", "source")
+    val model = TextAnalysis.trainDomainClassifier(d, vocabSize = 100)
+    assert(model._1 == Seq("sA", "sB", "sC"), "sources surface sorted")
+    val got = TextAnalysis.classifyDomains(d, model).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    for ((id, src, pred, margin) <- got) {
+      assert(pred == src, s"doc $id with a dominant source word must route home")
+      assert(margin > 0, s"doc $id routes with a positive margin")
+    }
+    // a doc of only shared words scores identically everywhere: tie →
+    // lexicographically smallest source, margin exactly 0
+    val tie = TextAnalysis.classifyDomains(
+      Seq((9L, "shared words shared words", "sB")).toDF("doc_id", "text", "source"), model)
+      .collect().head
+    assert(tie.getString(2) == "sA" && tie.getLong(3) == 0L,
+      "an all-shared doc ties and breaks toward the smallest source with margin 0")
+    // scoring equals the explode-join reference on the integer weights
+    val (srcs, weights) = model
+    val wmap = weights.toMap
+    val ref = d.collect().map { r =>
+      val sums = srcs.indices.map(i => r.getString(1).split(" ")
+        .map(w => wmap.get(w).map(_(i)).getOrElse(0L)).sum)
+      val bi = sums.indexOf(sums.max)
+      (r.getLong(0), srcs(bi))
+    }.toMap
+    got.foreach { case (id, _, pred, _) => assert(pred == ref(id)) }
+  }
+
   test("map-only scoring equals the explode-join reference") {
     val d = fixture()
     val weights = TextAnalysis.trainWordClassifier(d, "tgt", vocabSize = 100)
