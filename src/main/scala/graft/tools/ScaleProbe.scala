@@ -161,6 +161,10 @@ object ScaleProbe {
         .select((col("vec_id") + 100000000L).as("vec_id"),
           transform(col("embedding"), x => x + x).as("embedding")))
     def need(name: String) = only.forall(_.contains(name))
+    def lined(d: DataFrame) = d.select(col("doc_id"), array_join(expr(
+      "transform(sequence(0, cast(floor((size(split(text, ' ')) + 6) / 7) as int) - 1), " +
+        "j -> array_join(slice(split(text, ' '), j * 7 + 1, 7), ' '))"),
+      "\n").as("text"))
     lazy val media1 = { val m = phashMedia(spark, docs1).cache(); m.count(); m }
     lazy val mediaN = { val m = phashMedia(spark, docsN).cache(); m.count(); m }
     lazy val aud1 = { val m = audioMedia(spark, docs1).cache(); m.count(); m }
@@ -175,6 +179,16 @@ object ScaleProbe {
       ("doc_winnow_pairs",
         () => Dedup.winnowDupPairs(docs1, minShared = 3).count(),
         () => Dedup.winnowDupPairs(docsN, minShared = 3).count()),
+      // paragraph surgery over the re-lined corpus (the registered
+      // fixture's 7-word chunking, no planted extras): the replica tags
+      // kill cross-replica chunk equality, so dup mass grows ~linearly —
+      // the crawl-grew-10× shape. The isNotNull filter keeps the rebuild
+      // column alive under count()'s pruning.
+      ("doc_par_dedup",
+        () => graft.ops.Curation.paragraphDedup(lined(docs1))
+          .filter(col("dedup_text").isNotNull).count(),
+        () => graft.ops.Curation.paragraphDedup(lined(docsN))
+          .filter(col("dedup_text").isNotNull).count()),
       ("mm_phash_near",
         () => graft.multimodal.Multimodal.phashNearPairs(media1).count(),
         () => graft.multimodal.Multimodal.phashNearPairs(mediaN).count()),
