@@ -234,6 +234,15 @@ object SparkEntry {
     // every stage is engine-portable arithmetic with (d2, id) tie-breaks,
     // and the probe-all row pins recall = 1.0 exactly.
     "vec_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d))),
+    // Contrastive triplet mining (hardest positive + hardest negative per
+    // anchor, FaceNet posture) through ONE salted blocked self-join,
+    // registered PROBE-ALL (the vec_ivf_ingest precedent): labels are
+    // independent of the embedding geometry here, so the hardest POSITIVE
+    // routinely sits outside any probed-cell neighborhood — total
+    // candidacy makes the blocked plan replay the brute oracle
+    // recall-independently, and the salting still bounds every task.
+    "vec_triplets" -> ((s, d) =>
+      Similarity.tripletMine(Tables.embeddings(s, d), nProbe = 1024)),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
     // is DATA-DEPENDENT recall, not a guarantee — at cos ≥ 0.42 a
@@ -2578,6 +2587,25 @@ object SparkEntry {
         |      FROM d)
         |SELECT cell, rank, vec_id, draw FROM r WHERE rank <= 64
         |ORDER BY cell, rank""".stripMargin,
+    "vec_triplets" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pp AS (SELECT anchor_id, label, pos_id, pos_d2 FROM (
+        |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS pos_id,
+        |    ${l2sqSql("a.v", "b.v")} AS pos_d2,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${l2sqSql("a.v", "b.v")}, b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label = b.label)
+        |  WHERE rn = 1),
+        |nn AS (SELECT anchor_id, neg_id, neg_d2 FROM (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |    ${l2sqSql("a.v", "b.v")} AS neg_d2,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${l2sqSql("a.v", "b.v")}, b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.label <> b.label)
+        |  WHERE rn = 1)
+        |SELECT anchor_id, label, pos_id, pos_d2, neg_id, neg_d2,
+        |  neg_d2 - pos_d2 AS margin
+        |FROM pp JOIN nn USING (anchor_id) ORDER BY anchor_id""".stripMargin,
     "vec_recall_curve" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),

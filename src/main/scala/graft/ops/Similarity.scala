@@ -371,6 +371,68 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** Contrastive TRIPLET mining — the training-pair assembly step of an
+    * embedding-model pipeline (FaceNet, Schroff 2015; hard-mining
+    * posture): for every anchor, its hardest positive (nearest SAME-label
+    * vector, self excluded) and hardest negative (nearest
+    * different-label vector), with the triplet margin
+    * `neg_d2 − pos_d2` (≤ 0 = the violated triplets a trainer feeds
+    * first). Anchors whose label is unique in the corpus have no positive
+    * and drop out (inner join — documented contract).
+    *
+    * Shape: ONE salted IVF-cell-blocked self-join ([[hardNegatives]]'s
+    * construction verbatim — adaptive cell count, hot-cell salting)
+    * feeds BOTH sides: the label-equality split happens post-join, and
+    * each side reduces through the bounded native top-1 aggregate. Same
+    * probed-candidacy posture as the rest of the blocked family: the
+    * brute-force oracle is recall-invariant and the blocked plan must
+    * reproduce it on the registered geometry.
+    */
+  def tripletMine(embeddings: DataFrame, nCells: Int = 0, nProbe: Int = 4,
+      maxCellRows: Long = 1000000L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cents = embeddings.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val assigned = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
+      .collect().map { r =>
+        r.getLong(0) -> math.max(1L, (r.getLong(1) + maxCellRows - 1) / maxCellRows).toInt
+      }.toMap
+    val saltMap = map(saltOf.toSeq.flatMap { case (cell, s) =>
+      Seq(lit(cell), lit(s)) }: _*)
+    val c = assigned.withColumn("salt",
+      pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
+    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+      .withColumn("salt", explode(sequence(lit(0L),
+        element_at(saltMap, col("cell")).cast("long") - 1L)))
+    val joined = q.join(c, Seq("cell", "salt"))
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
+      .localCheckpoint(true) // one candidate join feeds both triplet arms
+    def arm(sameLabel: Boolean, idName: String, dName: String) = {
+      val side = if (sameLabel) joined.filter(col("c_label") === col("q_label"))
+        else joined.filter(col("c_label") =!= col("q_label"))
+      side.groupBy(col("q_vec_id"), col("q_label"))
+        .agg(graft.functions.TopKAggregator.topK(1, -col("d2"), col("c_vec_id")).as("t"))
+        .select(col("q_vec_id"), col("q_label"),
+          element_at(col("t.id"), 1).as(idName),
+          (-element_at(col("t.value"), 1)).as(dName))
+    }
+    arm(sameLabel = true, "pos_id", "pos_d2")
+      .join(arm(sameLabel = false, "neg_id", "neg_d2"), Seq("q_vec_id", "q_label"))
+      .select(col("q_vec_id").as("anchor_id"), col("q_label").as("label"),
+        col("pos_id"), col("pos_d2"), col("neg_id"), col("neg_d2"),
+        (col("neg_d2") - col("pos_d2")).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** One exact distributed Lloyd (k-means) step — the building block of
     * corpus organization at training-data scale (cluster-balanced
     * sampling, SemDeDup's clustering stage, IVF retraining): assign every

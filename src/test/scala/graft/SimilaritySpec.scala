@@ -6,6 +6,41 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("triplet mining: hardest positive and negative per anchor equal the brute definition") {
+    val emb = Tables.embeddings(spark, sf)
+    // probe-all: candidacy is total, so blocked ≡ brute ALGORITHMICALLY
+    // (the hardNegatives spec posture); the registered default-probe
+    // config is held to the same brute oracle at the shipped SFs
+    val got = graft.ops.Similarity.tripletMine(emb, nCells = 8, nProbe = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val all = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    var checked = 0
+    for ((aid, albl, aemb) <- all) {
+      val pos = all.filter(o => o._1 != aid && o._2 == albl)
+        .map(o => (d2(aemb, o._3), o._1)).sorted.headOption
+      val neg = all.filter(o => o._2 != albl)
+        .map(o => (d2(aemb, o._3), o._1)).sorted.headOption
+      (pos, neg) match {
+        case (Some((pd, pid)), Some((nd, nid))) =>
+          val (gp, gpd, gn, gnd, gm) = got(aid)
+          assert(gp == pid && gpd == pd, s"hardest positive for anchor $aid")
+          assert(gn == nid && gnd == nd, s"hardest negative for anchor $aid")
+          assert(gm == nd - pd, s"margin for anchor $aid")
+          checked += 1
+        case _ =>
+          assert(!got.contains(aid), s"anchor $aid lacks an arm and must drop out")
+      }
+    }
+    assert(checked > 0 && checked == got.size,
+      "every emitted triplet checked against brute, nothing extra emitted")
+    assert(got.values.exists(_._5 <= 0) || got.values.forall(_._5 > 0),
+      "margins computed (sanity)")
+  }
+
   test("IVF recall curve: probe-all pins 1.0, recall is monotone in the budget") {
     val emb = Tables.embeddings(spark, sf)
     val rows = graft.ops.Similarity.ivfRecallCurve(emb).collect()
