@@ -243,6 +243,10 @@ object SparkEntry {
     // recall-independently, and the salting still bounds every task.
     "vec_triplets" -> ((s, d) =>
       Similarity.tripletMine(Tables.embeddings(s, d), nProbe = 1024)),
+    // Robust median/MAD outlier audit per dimension (Hampel identifier) —
+    // both median passes through the distributed exact-quantile engine,
+    // whose interpolation matched DuckDB quantile_cont bitwise.
+    "vec_outlier_audit" -> ((s, d) => Similarity.madOutliers(Tables.embeddings(s, d))),
     // Blocked (IVF-cell) plan; the oracle stays the all-pairs definition —
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
     // is DATA-DEPENDENT recall, not a guarantee — at cos ≥ 0.42 a
@@ -2587,6 +2591,18 @@ object SparkEntry {
         |      FROM d)
         |SELECT cell, rank, vec_id, draw FROM r WHERE rank <= 64
         |ORDER BY cell, rank""".stripMargin,
+    "vec_outlier_audit" ->
+      """WITH v AS (SELECT vec_id, d.d AS dim, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) d(d)),
+        |med AS (SELECT dim, quantile_cont(x, 0.5) AS med FROM v GROUP BY dim),
+        |dev AS (SELECT v.vec_id, v.dim, abs(v.x - med.med) AS ad
+        |  FROM v JOIN med USING (dim)),
+        |mad AS (SELECT dim, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY dim)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_dims,
+        |  MAX(ad / mad.mad) AS max_ratio
+        |FROM dev JOIN mad USING (dim)
+        |WHERE mad.mad > 0 AND ad > 5.0 * mad.mad
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "vec_triplets" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pp AS (SELECT anchor_id, label, pos_id, pos_d2 FROM (

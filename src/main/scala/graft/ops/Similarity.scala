@@ -371,6 +371,45 @@ object Similarity {
       .orderBy(col("q_vec_id"), col("rank"))
   }
 
+  /** Robust per-dimension outlier audit (median/MAD — the Hampel
+    * identifier): flags vectors with any coordinate further than
+    * `k`·MAD from its dimension's median — corrupted embeddings, encoder
+    * NaN-replacements, scale bugs — where mean/stddev gates would let the
+    * outliers drag the gate itself. Zero-MAD dimensions (more than half
+    * the corpus identical) never flag — the conservative side. The
+    * default k = 5 on the RAW MAD is ≈ 3.4σ on a Gaussian dimension
+    * (MAD ≈ 0.6745σ) — the classic 3σ-class gate, robustly estimated.
+    *
+    * Both median passes run through the distributed exact-quantile engine
+    * ([[Relational.exactQuantilesDistributed]] — bucket-located order
+    * statistics, no per-dim sort), so no task ever holds a dimension's
+    * full coordinate list; everything downstream is map-only against the
+    * broadcast d-row median/MAD tables. Output: one row per flagged
+    * vector — (vec_id, n_flagged_dims, max_ratio).
+    */
+  def madOutliers(embeddings: DataFrame, k: Double = 5.0): DataFrame = {
+    import graft.ops.Relational
+    val vals = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+      .localCheckpoint(true) // feeds the median pass and the deviation pass
+    val med = Relational.exactQuantilesDistributed(vals, "dim", "x", Seq(0.5))
+      .select(col("dim"), col("quantile").as("med"))
+    val dev = vals.join(broadcast(med), Seq("dim"))
+      .select(col("vec_id"), col("dim"), abs(col("x") - col("med")).as("ad"))
+      .localCheckpoint(true) // feeds the MAD pass and the flag pass
+    val mad = Relational.exactQuantilesDistributed(
+        dev.select(col("dim"), col("ad").as("x")), "dim", "x", Seq(0.5))
+      .select(col("dim"), col("quantile").as("mad"))
+    dev.join(broadcast(mad), Seq("dim"))
+      .filter(col("mad") > 0.0 && col("ad") > lit(k) * col("mad"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_flagged_dims"),
+        max(col("ad") / col("mad")).as("max_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Contrastive TRIPLET mining — the training-pair assembly step of an
     * embedding-model pipeline (FaceNet, Schroff 2015; hard-mining
     * posture): for every anchor, its hardest positive (nearest SAME-label

@@ -6,6 +6,26 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
+    import spark.implicits._
+    // dim 0: smooth spread, nothing past 2·MAD; dim 1: constant but for
+    // one wild value — MAD 0, must NEVER flag (the conservative side);
+    // dim 2: exact quarter steps with one corrupted 9.0 at vec 3
+    val rows = (0 until 20).map { i =>
+      val d0 = i * 0.01f
+      val d1 = if (i == 7) 99f else 5f
+      val d2 = if (i == 3) 9f else 1f + (i % 5) * 0.25f
+      (i.toLong, Seq(d0, d1, d2), 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.madOutliers(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(_._1) == List(3L),
+      s"exactly the corrupted vector flags (got ${got.map(_._1)})")
+    assert(got.head._2 == 1L && got.head._3 == 7.5 / 0.25,
+      "one flagged dim, ratio = deviation/MAD exactly (all quarter-exact floats)")
+  }
+
   test("triplet mining: hardest positive and negative per anchor equal the brute definition") {
     val emb = Tables.embeddings(spark, sf)
     // probe-all: candidacy is total, so blocked ≡ brute ALGORITHMICALLY
