@@ -132,6 +132,10 @@ object SparkEntry {
     "ev_json_buckets" -> ((s, d) => Events.jsonPropBuckets(Tables.events(s, d))),
     "ev_top_users" -> ((s, d) => Events.topUsers(Tables.events(s, d), Tables.customer(s, d))),
     "ev_asof_join" -> ((s, d) => AsOfJoin.eventOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+    // View→purchase conversion-latency quantiles: AsOfJoin to the latest
+    // prior view, exact integer microsecond latencies, the distributed
+    // exact-quantile engine (quantile_cont-parity interpolation).
+    "ev_conversion_latency" -> ((s, d) => Events.conversionLatency(Tables.events(s, d))),
     "ev_range_join" -> ((s, d) =>
       RangeJoin.eventsNearOrders(Tables.events(s, d), Tables.orders(s, d))),
     // no oracleSql on purpose: HLL estimates are engine-specific; driver
@@ -2325,8 +2329,18 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events JOIN customer ON user_id + 1 = c_custkey
         |GROUP BY user_id, c_name ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_conversion_latency" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id AS v_user, ts AS v_ts FROM events
+        |      WHERE event_type = 'view'),
+        |m AS (SELECT epoch_us(p.ts) - epoch_us(v.v_ts) AS lat_us
+        |  FROM p ASOF JOIN v ON p.user_id = v.v_user AND p.ts >= v.v_ts)
+        |SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(lat_us, 0.5) AS latency_us FROM m
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(lat_us, 0.9) FROM m
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_cont(lat_us, 0.99) FROM m
+        |ORDER BY q""".stripMargin,
     "ev_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
+"""WITH e AS (SELECT event_id, user_id, event_type,
         |    CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS evt_ts FROM events),
         |o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |      FROM orders GROUP BY o_custkey, o_orderdate)

@@ -170,6 +170,35 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** View→purchase conversion latency quantiles — the funnel-timing
+    * metric a product-analytics engine pairs with [[funnel]]: every
+    * purchase as-of-joins (AsOfJoin — one shuffle, no inequality-join
+    * blowup) to the same user's most recent PRIOR view; latency is the
+    * exact integer microsecond difference (`unix_micros`, bitwise in both
+    * engines), and the requested quantiles run through the distributed
+    * exact-quantile engine over the single latency population. Purchases
+    * with no prior view never convert and drop out. Output: one row per
+    * requested quantile (q, latency_us).
+    */
+  def conversionLatency(events: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .distinct()
+      .withColumn("v_seen", col("v_ts"))
+    val lat = graft.ops.AsOfJoin.asOf(purchases, views,
+        leftKey = col("user_id"), rightKey = col("v_user"),
+        leftTs = col("ts"), rightTs = col("v_ts"), payload = Seq("v_seen"))
+      .filter(col("asof_v_seen").isNotNull)
+      .select(lit(0L).as("g"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_v_seen"))).as("lat_us"))
+    graft.ops.Relational.exactQuantilesDistributed(lat, "g", "lat_us", qs)
+      .select(col("q"), col("quantile").as("latency_us"))
+      .orderBy(col("q"))
+  }
+
   /** Weekly cohort retention: users cohort by the week of their FIRST
     * signup; a cohort's week-N retention is the share of its users with
     * ANY activity in cohort-week + N. Both week anchors are Monday-

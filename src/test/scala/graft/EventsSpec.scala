@@ -11,6 +11,28 @@ import graft.ops.{Events, Relational}
   */
 class EventsSpec extends SparkSpec {
 
+  test("conversion latency: as-of view per purchase, exact microsecond quantiles, no-view drops") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view at :00, purchase at :10 → 10s; a LATER view must not count
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "purchase"),
+      (3L, ts("2024-01-01 10:00:20"), 1L, "view"),
+      // user 2: two views, purchase converts from the most RECENT one → 30s
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view"),
+      (6L, ts("2024-01-01 09:30:30"), 2L, "purchase"),
+      // user 3: purchase with NO prior view — never converts, drops out
+      (7L, ts("2024-01-01 08:00:00"), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.conversionLatency(ev, Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(0.0) == 10000000.0 && got(1.0) == 30000000.0,
+      "min = user 1's 10s, max = user 2's 30s from the most recent view, user 3 absent")
+    assert(got(0.5) == 20000000.0, "median interpolates the two latencies")
+  }
+
   test("HLL user counts land within rsd-derived bounds of exact countDistinct") {
     val events = Tables.events(spark, sf)
     // rsd = 0.02 (the registered query's setting); assert 4σ relative error.
