@@ -447,6 +447,15 @@ object TextAnalysis {
     * unconfident routing).
     */
   def classifyDomains(docs: DataFrame,
+      model: (Seq[String], Array[(String, Array[Long])])): DataFrame =
+    domainSignals(docs, model).orderBy(col("doc_id"))
+
+  /** [[classifyDomains]] minus its presentation sort — the form that runs
+    * verbatim on an unaggregated STREAM (the `gopherSignals` precedent):
+    * the model is a driver artifact, the scoring one map-only projection,
+    * so stream output equals batch output bit-for-bit.
+    */
+  def domainSignals(docs: DataFrame,
       model: (Seq[String], Array[(String, Array[Long])])): DataFrame = {
     val (sources, weights) = model
     require(weights.nonEmpty, "need a non-empty weight table")
@@ -469,7 +478,6 @@ object TextAnalysis {
       .withColumn("pred_source", element_at(srcArr, bestIdx))
       .withColumn("margin", margin)
       .select(col("doc_id"), col("source"), col("pred_source"), col("margin"))
-      .orderBy(col("doc_id"))
   }
 
   /** Train-then-score in one call — the registered-query form. */

@@ -183,6 +183,17 @@ object EventStream {
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
     graft.ops.TextAnalysis.gopherSignals(docs, stopwords, minWords, maxWords)
 
+  /** Streaming domain routing: score a doc stream against an
+    * OFFLINE-trained multi-class domain model
+    * ([[graft.ops.TextAnalysis.trainDomainClassifier]]) — the model is a
+    * driver artifact, the scoring one map-only argmax projection
+    * (the lmScoreStream shape), stateless, no watermark; stream routes
+    * equal the batch classifier bit-for-bit (`StreamingSpec`).
+    */
+  def domainRouteStream(docs: DataFrame,
+      model: (Seq[String], Array[(String, Array[Long])])): DataFrame =
+    graft.ops.TextAnalysis.domainSignals(docs, model)
+
   /** Streaming C4 line-level cleaning: the surgery tier mid-stream — every
     * rule is a row-local string/array projection (the gopherGateStream
     * shape), stateless, no watermark; stream verdicts and re-assembled

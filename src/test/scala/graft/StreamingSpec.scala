@@ -223,6 +223,35 @@ class StreamingSpec extends SparkSpec {
     assert(lGot.exists(r => r(3).asInstanceOf[Long] > 0L), "some bigram hits must occur")
   }
 
+  test("streaming domain routing equals the batch classifier bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha alpha alpha shared", "sA"),
+      (2L, "beta beta beta shared", "sB"),
+      (3L, "gamma gamma gamma shared", "sC")).toDF("doc_id", "text", "source")
+    val model = graft.ops.TextAnalysis.trainDomainClassifier(train, vocabSize = 64)
+    val rows = Seq(
+      (10L, "alpha alpha words", "sA"),
+      (11L, "beta words beta", "sB"),
+      (12L, "shared shared shared", "sC")) // all-shared: tie → sA, margin 0
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows: _*)
+    val q = EventStream.domainRouteStream(
+        mem.toDF().toDF("doc_id", "text", "source"), model)
+      .writeStream.format("memory").queryName("domain_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("domain_stream").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sortBy(_._1)
+    val want = graft.ops.TextAnalysis.classifyDomains(
+        rows.toDF("doc_id", "text", "source"), model).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "stream routes must equal the batch classifier")
+    assert(got.toSeq.map(t => t._1 -> t._2) ==
+      Seq(10L -> "sA", 11L -> "sB", 12L -> "sA"))
+    assert(got.last._3 == 0L, "the all-shared doc ties with margin 0")
+  }
+
   test("streaming C4 line cleaning equals the batch surgery bit-for-bit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
