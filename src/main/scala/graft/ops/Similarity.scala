@@ -451,24 +451,25 @@ object Similarity {
         col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
-    val joined = q.join(c, Seq("cell", "salt"))
+    // ONE pass over the candidate join: each arm is a bounded top-1
+    // aggregate over the label-masked distance — the aggregator skips
+    // null values (its documented contract), so the mask IS the split.
+    // No materialization of the n² candidate stream, no second join.
+    val same = col("c_label") === col("q_label")
+    q.join(c, Seq("cell", "salt"))
       .filter(col("q_vec_id") =!= col("c_vec_id"))
       .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
-      .localCheckpoint(true) // one candidate join feeds both triplet arms
-    def arm(sameLabel: Boolean, idName: String, dName: String) = {
-      val side = if (sameLabel) joined.filter(col("c_label") === col("q_label"))
-        else joined.filter(col("c_label") =!= col("q_label"))
-      side.groupBy(col("q_vec_id"), col("q_label"))
-        .agg(graft.functions.TopKAggregator.topK(1, -col("d2"), col("c_vec_id")).as("t"))
-        .select(col("q_vec_id"), col("q_label"),
-          element_at(col("t.id"), 1).as(idName),
-          (-element_at(col("t.value"), 1)).as(dName))
-    }
-    arm(sameLabel = true, "pos_id", "pos_d2")
-      .join(arm(sameLabel = false, "neg_id", "neg_d2"), Seq("q_vec_id", "q_label"))
+      .groupBy(col("q_vec_id"), col("q_label"))
+      .agg(
+        graft.functions.TopKAggregator.topK(1, when(same, -col("d2")), col("c_vec_id")).as("p"),
+        graft.functions.TopKAggregator.topK(1, when(!same, -col("d2")), col("c_vec_id")).as("n"))
+      .filter(size(col("p")) > 0 && size(col("n")) > 0)
       .select(col("q_vec_id").as("anchor_id"), col("q_label").as("label"),
-        col("pos_id"), col("pos_d2"), col("neg_id"), col("neg_d2"),
-        (col("neg_d2") - col("pos_d2")).as("margin"))
+        element_at(col("p.id"), 1).as("pos_id"),
+        (-element_at(col("p.value"), 1)).as("pos_d2"),
+        element_at(col("n.id"), 1).as("neg_id"),
+        (-element_at(col("n.value"), 1)).as("neg_d2"))
+      .withColumn("margin", col("neg_d2") - col("pos_d2"))
       .orderBy(col("anchor_id"))
   }
 
