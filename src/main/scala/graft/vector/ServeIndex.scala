@@ -133,12 +133,16 @@ object ServeIndex {
       .localCheckpoint(true) // consumed by seeding, k-means, assign, write
     // OPQ kind: PCA-rotate the window BEFORE the IVF/PQ stages (the FAISS
     // `PCAMatrix` / OPQ-init preprocessing) — cells, residuals and codes
-    // live in the decorrelated rotated space, which concentrates variance
-    // so the same codebook budget quantizes with less error; the STORED
-    // embedding column and the exact re-rank stay ORIGINAL, so probe-all
-    // exactness is untouched. The rotation is orthogonal: L2 distances in
-    // rotated space equal raw-space distances up to float rounding, which
-    // only ever moves the candidate tier, never the re-ranked answer.
+    // live in the rotated space, aligning PQ subspace boundaries with the
+    // principal axes (the OPQ objective's starting point; whether that
+    // lowers quantization error is corpus-dependent — total variance is
+    // rotation-invariant, so the win comes from cross-subspace
+    // decorrelation on anisotropic real-world embeddings, not from any
+    // universal guarantee). What IS guaranteed: the STORED embedding
+    // column and the exact re-rank stay ORIGINAL, so probe-all exactness
+    // is untouched — the rotation is orthogonal, L2 distances in rotated
+    // space equal raw-space distances up to float rounding, which only
+    // ever moves the candidate tier, never the re-ranked answer.
     val rotation = if (kind == "opq") Some(Pca.fit(rows)) else None
     val annRows = (rotation match {
       case Some(mdl) =>
