@@ -518,6 +518,9 @@ object SparkEntry {
     // fallback's candidate set is reproduced bit-for-bit by DuckDB.
     "doc_blocked_jaccard" -> ((s, d) => Dedup.blockedJaccardPairsCapped(Tables.documents(s, d))),
     "doc_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    // Confusion audit of the marker heuristic vs the labeled lang column
+    // — per-(label, prediction) counts and within-label rates.
+    "doc_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     // Deterministic hash-threshold sampling / split assignment / per-group
     // cap — selection stages of the training pipeline (ops.Sampling).
     "doc_sample" -> ((s, d) => {
@@ -3273,6 +3276,27 @@ object SparkEntry {
         |    CAST(u.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - u.n_inter AS DOUBLE) AS jaccard
         |  FROM uni u JOIN sizes na ON na.doc_id = u.doc_a JOIN sizes nb ON nb.doc_id = u.doc_b)
         |WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_lang_confusion" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'le')) + len(list_filter(string_split(text,' '), x -> x = 'la')) + len(list_filter(string_split(text,' '), x -> x = 'les')) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'der')) + len(list_filter(string_split(text,' '), x -> x = 'die')) + len(list_filter(string_split(text,' '), x -> x = 'das')) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'el')) + len(list_filter(string_split(text,' '), x -> x = 'los')) + len(list_filter(string_split(text,' '), x -> x = 'una')) AS BIGINT) AS score_es
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+        |       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+        |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |  FROM s),
+        |cells AS (SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY d.lang, p.pred_lang),
+        |tot AS (SELECT lang, SUM(n_docs) AS n_lang FROM cells GROUP BY lang)
+        |SELECT c.lang, c.pred_lang, c.n_docs,
+        |  CAST(c.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS rate
+        |FROM cells c JOIN tot t USING (lang)
+        |ORDER BY c.lang, c.pred_lang""".stripMargin,
     "doc_langid" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) + len(list_filter(string_split(text,' '), x -> x = 'a')) + len(list_filter(string_split(text,' '), x -> x = 'of')) AS BIGINT) AS score_en,

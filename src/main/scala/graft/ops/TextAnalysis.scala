@@ -41,6 +41,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion audit: the marker heuristic vs the corpus's
+    * labeled `lang` column — one row per (label, prediction) with its
+    * count and within-label rate. The audit a pipeline runs before
+    * trusting a cheap classifier as a GATE: the per-label error mass says
+    * which languages the heuristic would silently drop. Two bounded
+    * aggregations (the key space is languages², calendar-class small);
+    * the rate is one IEEE division.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pred = languageId(docs).select(col("doc_id"), col("pred_lang"))
+    val cells = docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_lang").cast("double")).as("rate"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Heuristic quality score: type-token ratio, stopword ratio, length
     * score, combined with fixed weights. Single-pass scalar math (ratios
     * are one division each — deterministic float64 both engines).

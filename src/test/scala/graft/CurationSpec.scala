@@ -348,6 +348,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion: a planted misroute lands in its cell with the exact within-label rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat of a hat", "en"),
+      (2L, "the dog of a log", "en"),
+      (3L, "le chat la nuit les jours", "en"), // labeled en, predicted fr
+      (4L, "le la les", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("en", "en")) == ((2L, 2.0 / 3.0)))
+    assert(got(("en", "fr")) == ((1L, 1.0 / 3.0)),
+      "the French-marker doc mislabeled en lands in the (en, fr) cell")
+    assert(got(("fr", "fr")) == ((1L, 1.0)))
+    assert(got.size == 3, "no phantom cells")
+  }
+
   test("assembly carries every curation signal consistently in one row per doc") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
