@@ -581,6 +581,12 @@ object SparkEntry {
     // users carry NULLs from their drop-out stage onward.
     "ev_funnel" -> ((s, d) =>
       Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // The same funnel with a 12-hour conversion deadline per step —
+    // long-dormant returns stop counting as conversions; the window
+    // predicate is one exact integer microsecond comparison.
+    "ev_funnel_windowed" -> ((s, d) =>
+      Events.funnelWindowed(Tables.events(s, d), Seq("view", "click", "purchase"),
+        maxGapMinutes = 720L)),
     // signup-week cohorts × any-activity retention by week offset.
     "ev_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
     // Exact trailing-7-day distinct users per calendar day.
@@ -2196,6 +2202,24 @@ object SparkEntry {
         |FROM grid LEFT JOIN hourly
         |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h
         |ORDER BY 1, 2""".stripMargin,
+    "ev_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts1
+        |    AND epoch_us(e.ts) - epoch_us(s1.ts1) <= 43200000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts2
+        |    AND epoch_us(e.ts) - epoch_us(s2.ts2) <= 43200000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id,
+        |  strftime(ts1, '%Y-%m-%d %H:%M:%S') AS t1,
+        |  strftime(ts2, '%Y-%m-%d %H:%M:%S') AS t2,
+        |  strftime(ts3, '%Y-%m-%d %H:%M:%S') AS t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -170,6 +170,37 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Windowed funnel — [[funnel]] with a conversion deadline: step k+1
+    * counts only if it lands within `maxGapMinutes` AFTER step k (the
+    * "purchase within an hour of the view" product question; the
+    * unbounded funnel overcounts long-dormant returns as conversions).
+    * Same scale shape as [[funnel]]: k bounded join+agg stages sharing
+    * the user_id key, the window predicate one exact integer microsecond
+    * comparison inside each stage's filter. Earliest-qualifying semantics
+    * per step (min ts among in-window events after the previous step).
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+      maxGapMinutes: Long = 60L): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val gapMicros = maxGapMinutes * 60L * 1000000L
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val staged = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (s, i)) =>
+      val tPrev = s"t${i + 1}"
+      val tCur = s"t${i + 2}"
+      val reached = events.filter(col("event_type") === s)
+        .select(col("user_id"), col("ts"))
+        .join(acc.select(col("user_id"), col(tPrev)), Seq("user_id"))
+        .filter(col("ts") > col(tPrev) &&
+          unix_micros(col("ts")) - unix_micros(col(tPrev)) <= gapMicros)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(tCur))
+      acc.join(reached, Seq("user_id"), "left")
+    }
+    staged.select(col("user_id") +:
+        steps.indices.map(i => tsS(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** View→purchase conversion latency quantiles — the funnel-timing
     * metric a product-analytics engine pairs with [[funnel]]: every
     * purchase as-of-joins (AsOfJoin — one shuffle, no inequality-join

@@ -11,6 +11,41 @@ import graft.ops.{Events, Relational}
   */
 class EventsSpec extends SparkSpec {
 
+  test("windowed funnel: steps convert only inside the deadline, earliest in-window wins") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // A: every step inside the 60-min window → fully converted
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "purchase"),
+      // B: click 2h after the view → window kills step 2 (and thus 3)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 11:00:01"), 2L, "click"),
+      (6L, ts("2024-01-01 11:10:00"), 2L, "purchase"),
+      // C: has a too-late click AND a qualifying one — the in-window
+      // earliest wins, and the purchase window anchors on IT
+      (7L, ts("2024-01-01 08:00:00"), 3L, "view"),
+      (8L, ts("2024-01-01 08:30:00"), 3L, "click"),
+      (9L, ts("2024-01-01 09:20:00"), 3L, "click"),
+      (10L, ts("2024-01-01 09:40:00"), 3L, "purchase")) // 70min after first click
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.funnelWindowed(ev, Seq("view", "click", "purchase"), 60L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((Some("2024-01-01 10:00:00"), Some("2024-01-01 10:10:00"),
+      Some("2024-01-01 10:30:00"))))
+    assert(got(2L)._2.isEmpty && got(2L)._3.isEmpty,
+      "a step past the deadline must not convert, nor anything after it")
+    assert(got(3L) == ((Some("2024-01-01 08:00:00"), Some("2024-01-01 08:30:00"), None)),
+      "the earliest in-window click anchors step 3's window, which the purchase misses")
+    // the unbounded funnel DOES convert user 2 and 3 fully — the window
+    // is what changes the answer
+    val unbounded = Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(unbounded(2L).nonEmpty && unbounded(3L).nonEmpty)
+  }
+
   test("conversion latency: as-of view per purchase, exact microsecond quantiles, no-view drops") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
