@@ -240,13 +240,15 @@ object SparkEntry {
     "vec_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d))),
     // Contrastive triplet mining (hardest positive + hardest negative per
     // anchor, FaceNet posture) through ONE salted blocked self-join,
-    // registered PROBE-ALL (the vec_ivf_ingest precedent): labels are
-    // independent of the embedding geometry here, so the hardest POSITIVE
-    // routinely sits outside any probed-cell neighborhood — total
-    // candidacy makes the blocked plan replay the brute oracle
-    // recall-independently, and the salting still bounds every task.
+    // registered at the BUDGETED default probe (nProbe = 4 of autoCells
+    // cells — candidate volume bounded at any corpus size, the
+    // vec_hard_negatives posture). The oracle mirrors the BLOCKED PLAN
+    // itself (assignment + probe + label-masked top-1 per arm are all
+    // deterministic and SQL-expressible), so the hash check is
+    // recall-independent; SimilaritySpec holds probe-all ≡ the brute
+    // FaceNet definition as the algorithmic exactness pin.
     "vec_triplets" -> ((s, d) =>
-      Similarity.tripletMine(Tables.embeddings(s, d), nProbe = 1024)),
+      Similarity.tripletMine(Tables.embeddings(s, d))),
     // Robust median/MAD outlier audit per dimension (Hampel identifier) —
     // both median passes through the distributed exact-quantile engine,
     // whose interpolation matched DuckDB quantile_cont bitwise.
@@ -273,26 +275,29 @@ object SparkEntry {
     // the cap genuinely cuts at both shipped SFs.
     "vec_diverse_sample" -> ((s, d) =>
       Sampling.diverseSample(Tables.embeddings(s, d), 8, 4)),
-    // Second cosine-LSH family (sign random projections). Oracle = the
-    // all-pairs definition at cos >= 0.9; with 16 bands of 2 bits the
-    // per-pair miss probability at that threshold is ~6e-10, and the
-    // seeded hyperplanes make the candidate set deterministic — recall
-    // verified total at every shipped SF (SimilaritySpec holds the subset
-    // + recall asserts). The raw corpus has NO pairs at cos ≥ 0.9 at the
-    // shipped SFs (the oracle would match on an empty set), so the HARNESS
-    // plants deterministic near-pairs: every 25th vector re-offered under
-    // id+100000, DOUBLED elementwise. Doubling a float is exact (exponent
-    // bump, no rounding), so the planted twin's band keys are bitwise
-    // identical to its source's — candidacy is guaranteed, not
-    // probabilistic — and cos(source, twin) ≈ 1.0 gives the oracle a
-    // non-empty answer with teeth. The oracle mirrors the same union.
+    // Second cosine-LSH family (sign random projections), registered at
+    // the CANDIDACY-BOUNDED config: 4 bands × 16 bits (keyspace 65,536
+    // per band) + df-style bucket cap 256 — per-band candidacy is
+    // ≤ 256·n by construction, linear at any corpus size (the round-8
+    // probe measured the old exact-recall 2-bit config at 47.9× wall at
+    // 10× data; that demonstration is now spec-level, the simhashDupPairs
+    // precedent). Oracle = the all-pairs definition at cos ≥ 0.9: the raw
+    // corpus has NO pairs at that threshold at the shipped SFs, so the
+    // HARNESS plants deterministic near-pairs — every 25th vector
+    // re-offered under id+100000, DOUBLED elementwise. Doubling a float
+    // is exact (exponent bump, no rounding), so a twin's 64 sign bits are
+    // bitwise its source's and candidacy is guaranteed in EVERY band, not
+    // probabilistic; SimilaritySpec asserts the cap does not fire on this
+    // fixture (capped ≡ uncapped), so the oracle binds recall-free. The
+    // oracle mirrors the same union.
     "vec_rplsh_pairs" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), x => x + x).as("embedding"))
-      Similarity.rpLshDupPairs(emb.unionByName(planted), 0.9)
+      Similarity.rpLshDupPairs(emb.unionByName(planted), 0.9,
+        nBits = 64, bandBits = 16, maxBucket = 256)
     }),
     "vec_index_prune" -> ((s, d) => graft.vector.VectorIndex.pruneStats(Tables.embeddings(s, d))),
     // IVF-PQ build, timed as its own entry: a FRESH k-means + residual-PQ
@@ -725,6 +730,10 @@ object SparkEntry {
         .select((col("doc_id") + 4500000L).as("doc_id"), col("text"))
       graft.text.ParagraphIndex.ingestBatch(s, dir, freshShard.unionByName(reoffers))
     }),
+    // Keyword plants alternate real-world capitalizations ("JavaScript",
+    // "Lorem Ipsum") with the lowercase forms — the C4 keyword rules match
+    // case-insensitively (Raffel 2020 §2.2 lowercases before matching),
+    // and the mixed-case plants are what give that teeth here.
     "doc_c4_lines" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ws = split(col("text"), " ")
@@ -732,10 +741,14 @@ object SparkEntry {
         sequence(lit(0), floor((size(ws) + lit(6)) / lit(7)).cast("int") - 1),
         j => concat(
           array_join(slice(ws, j * 7 + 1, lit(7)), " "),
-          when((col("doc_id") * 31 + j) % 13 === 0, " javascript").otherwise(""),
+          when((col("doc_id") * 31 + j) % 13 === 0,
+            when((col("doc_id") + j) % 2 === 0, " JavaScript").otherwise(" javascript"))
+            .otherwise(""),
           when((col("doc_id") + j) % 5 === 0, "").otherwise(".")))
       val withLorem = when(col("doc_id") % 97 === 0,
-        concat(lineArr, array(lit("lorem ipsum dolor sit amet."))))
+        concat(lineArr, array(
+          when(col("doc_id") % 194 === 0, lit("Lorem Ipsum dolor sit amet."))
+            .otherwise(lit("lorem ipsum dolor sit amet.")))))
         .otherwise(lineArr)
       val withBrace = when(col("doc_id") % 89 === 0,
         concat(withLorem, array(lit("function() { return 1; }."))))
@@ -1430,12 +1443,47 @@ object SparkEntry {
       graft.vector.VectorIndex.search(
         graft.vector.VectorIndex.loadRecent(s, dir, asOf), qv)
     }),
+    // Serve-ladder BUILD, timed as its own entry (the vec_pq_build
+    // precedent): a FRESH flat layout + sidecar build per kind per call —
+    // the honest one-time reorganization cost — installed into the
+    // artifact cache so the four vec_serve_*search entries below measure
+    // the AMORTIZED serve path (Bench runs queries name-sorted, and
+    // "vec_serve_build" < "vec_serve_opq_search"). The returned summary is
+    // the cross-engine-expressible slice of each layout: row counts plus
+    // total code bytes (m=8 PQ codes for ivfpq/opq, d SQ8 codes for sq,
+    // none for ivf) over the retained window; the builds' CONTENT is
+    // verified by the search twins, which read exclusively from these
+    // layouts against brute-force oracles.
+    "vec_serve_build" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Seq("ivf" -> "flatserve", "ivfpq" -> "flatservepq",
+          "sq" -> "flatservesq", "opq" -> "flatserveopq").map { case (kind, key) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-q-serve-$kind").toString + "/idx"
+        graft.vector.VectorIndex.append(
+          graft.vector.VectorIndex.fromEmbeddings(Tables.embeddings(s, d)), dir)
+        graft.vector.ServeIndex.build(s, dir, kind, nCells = 8)
+        artifactCache.putIfAbsent(s"$key|$d", dir)
+        val vecs = s.read.parquet(
+          graft.vector.ServeIndex.sidecarPath(dir) + "/vectors")
+        val nCodes =
+          if (kind == "ivf") sum(lit(0L)) // the ivf layout carries no codes column
+          else sum(org.apache.spark.sql.functions.size(col("codes")).cast("long"))
+        vecs.agg(count(lit(1)).as("n_vectors"),
+            countDistinct(col("vec_id")).as("n_distinct_ids"),
+            nCodes.as("n_codes"))
+          .select(lit(kind).as("kind"), col("n_vectors"),
+            col("n_distinct_ids"), col("n_codes"))
+      }.reduce(_ unionByName _).orderBy(col("kind"))
+    }),
     // The ANN serving sidecar over the flat daily index, probe-all (the
     // provably-exact configuration): sealed days answer via the IVF cell
     // layout, the hot watermark day brute-forces from the flat source of
     // truth, and the union must equal brute force over the whole retained
     // window — the same oracle shape as vec_index_search. The budgeted
-    // configs and the fallback ladder are GraftApiSpec-pinned.
+    // configs and the fallback ladder are GraftApiSpec-pinned. Served from
+    // the artifact cache (vec_serve_build installs it), so BENCH measures
+    // the amortized serve path, not build+serve.
     "vec_serve_search" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
@@ -2644,25 +2692,42 @@ object SparkEntry {
         |FROM dev JOIN mad USING (dim)
         |WHERE mad.mad > 0 AND ad > 5.0 * mad.mad
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // The blocked plan replayed (the vec_hard_negatives precedent):
+    // autoCells assignment, nProbe=4 candidacy, then per-anchor
+    // label-masked top-1 on each arm with the (d2, id) tie-break. Anchors
+    // missing either arm inside their probed cells drop out in BOTH
+    // engines (the inner join).
     "vec_triplets" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pp AS (SELECT anchor_id, label, pos_id, pos_d2 FROM (
-        |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS pos_id,
-        |    ${l2sqSql("a.v", "b.v")} AS pos_d2,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY ${l2sqSql("a.v", "b.v")}, b.vec_id) AS rn
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label = b.label)
-        |  WHERE rn = 1),
-        |nn AS (SELECT anchor_id, neg_id, neg_d2 FROM (
-        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-        |    ${l2sqSql("a.v", "b.v")} AS neg_d2,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY ${l2sqSql("a.v", "b.v")}, b.vec_id) AS rn
-        |  FROM e a JOIN e b ON a.label <> b.label)
-        |  WHERE rn = 1)
-        |SELECT anchor_id, label, pos_id, pos_d2, neg_id, neg_d2,
-        |  neg_d2 - pos_d2 AS margin
-        |FROM pp JOIN nn USING (anchor_id) ORDER BY anchor_id""".stripMargin,
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nc AS (SELECT GREATEST(8, LEAST(1024,
+        |    CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS n_cells FROM emb),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb
+        |  WHERE vec_id < (SELECT n_cells FROM nc)),
+        |corp AS (SELECT vec_id AS c_vec_id, label AS c_label, e AS ce, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |qprobe AS (SELECT vec_id AS q_vec_id, label AS q_label, e AS qe, cid AS cell FROM (
+        |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
+        |    FROM emb, cent) WHERE prn <= 4),
+        |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, c.c_label,
+        |        ${l2sqSql("q.qe", "c.ce")} AS d2
+        |      FROM qprobe q JOIN corp c USING (cell)
+        |      WHERE q.q_vec_id <> c.c_vec_id),
+        |pp AS (SELECT q_vec_id, q_label, c_vec_id AS pos_id, d2 AS pos_d2 FROM (
+        |    SELECT q_vec_id, q_label, c_vec_id, d2,
+        |      row_number() OVER (PARTITION BY q_vec_id ORDER BY d2, c_vec_id) AS rn
+        |    FROM d WHERE c_label = q_label) WHERE rn = 1),
+        |nn AS (SELECT q_vec_id, c_vec_id AS neg_id, d2 AS neg_d2 FROM (
+        |    SELECT q_vec_id, c_vec_id, d2,
+        |      row_number() OVER (PARTITION BY q_vec_id ORDER BY d2, c_vec_id) AS rn
+        |    FROM d WHERE c_label <> q_label) WHERE rn = 1)
+        |SELECT pp.q_vec_id AS anchor_id, pp.q_label AS label, pos_id, pos_d2,
+        |  neg_id, neg_d2, neg_d2 - pos_d2 AS margin
+        |FROM pp JOIN nn USING (q_vec_id) ORDER BY anchor_id""".stripMargin,
     "vec_recall_curve" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
@@ -2852,6 +2917,18 @@ object SparkEntry {
         |FROM b JOIN keep k ON k.v = b.v
         |LEFT JOIN near n ON n.vec_id = b.vec_id
         |ORDER BY b.vec_id""".stripMargin,
+    // Each of the four kinds reorganizes the same retained window
+    // (vec_id % 10 >= 3, the fromEmbeddings date spread); codes-per-row is
+    // structural — 8 PQ subcodes (ivfpq/opq), d SQ8 codes (sq), none (ivf).
+    "vec_serve_build" ->
+      """WITH w AS (SELECT vec_id, len(embedding) AS d FROM embeddings
+        |  WHERE vec_id % 10 >= 3)
+        |SELECT k.kind, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+        |  CAST(sum(CASE k.kind WHEN 'ivf' THEN 0 WHEN 'sq' THEN d ELSE 8 END)
+        |    AS BIGINT) AS n_codes
+        |FROM (VALUES ('ivf'),('ivfpq'),('opq'),('sq')) k(kind) CROSS JOIN w
+        |GROUP BY k.kind ORDER BY kind""".stripMargin,
     // Serve-sidecar probe-all = brute force over the retained window
     // (vec_id % 10 >= 3, the fromEmbeddings date spread) — recall-
     // independent because every cell is probed and the hot day is scanned.
@@ -3147,11 +3224,15 @@ object SparkEntry {
         |l0 AS (
         |  SELECT doc_id, r.j,
         |    array_to_string(ws[CAST(r.j*7+1 AS BIGINT):CAST(r.j*7+7 AS BIGINT)], ' ')
-        |      || CASE WHEN (doc_id*31 + r.j) % 13 = 0 THEN ' javascript' ELSE '' END
+        |      || CASE WHEN (doc_id*31 + r.j) % 13 = 0 THEN
+        |           CASE WHEN (doc_id + r.j) % 2 = 0 THEN ' JavaScript' ELSE ' javascript' END
+        |         ELSE '' END
         |      || CASE WHEN (doc_id + r.j) % 5 = 0 THEN '' ELSE '.' END AS line
         |  FROM w, range(400) r(j) WHERE r.j*7 < len(ws)),
         |extra AS (
-        |  SELECT doc_id, 1000 AS j, 'lorem ipsum dolor sit amet.' AS line
+        |  SELECT doc_id, 1000 AS j,
+        |    CASE WHEN doc_id % 194 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |         ELSE 'lorem ipsum dolor sit amet.' END AS line
         |  FROM documents WHERE doc_id % 97 = 0
         |  UNION ALL
         |  SELECT doc_id, 1001, 'function() { return 1; }.'
@@ -3160,11 +3241,11 @@ object SparkEntry {
         |k AS (SELECT doc_id, j, line,
         |    CASE WHEN right(line, 1) IN ('.', '!', '?', '"')
         |      AND len(string_split(line, ' ')) >= 3
-        |      AND NOT contains(line, 'javascript') THEN 1 ELSE 0 END AS keep
+        |      AND NOT contains(lower(line), 'javascript') THEN 1 ELSE 0 END AS keep
         |  FROM lines),
         |agg AS (SELECT doc_id,
         |    COUNT(*) AS n_lines, SUM(keep) AS n_kept,
-        |    MAX(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) AS has_lorem,
+        |    MAX(CASE WHEN contains(lower(line), 'lorem ipsum') THEN 1 ELSE 0 END) AS has_lorem,
         |    MAX(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS has_brace,
         |    string_agg(CASE WHEN keep = 1 THEN line END, chr(10) ORDER BY j) AS clean
         |  FROM k GROUP BY doc_id)

@@ -640,17 +640,33 @@ object Multimodal {
     * a mixed image+video corpus needs (a takedown image must also
     * surface the videos embedding it). Keyframes enter the shared id
     * space as 5·10⁸ + doc_id·1000 + shot_no (callers' media ids must stay
-    * below 5·10⁸ and shots-per-video below 1000); pairs that don't cross
-    * the modality boundary are dropped, and the packing is decoded back
-    * to (image_doc_id, video_doc_id, shot_no).
+    * below 5·10⁸ and shots-per-video below 1000 — ENFORCED fail-loud
+    * below, the ingest-family posture: an hour-long video past 1000 cuts
+    * or an id ≥ the base would otherwise silently misdecode in a
+    * takedown/compliance answer); pairs that don't cross the modality
+    * boundary are dropped, and the packing is decoded back to
+    * (image_doc_id, video_doc_id, shot_no).
     */
   def videoStillOfImagePairs(media: Dataset[MediaRow], maxHamming: Int = 2,
       minHamming: Int = 16): DataFrame = {
     val kfBase = 500000000L
     val imgs = imageHashes(media).toDF()
-      .select(col("doc_id"), col("ahash").as("h"))
+      .select(
+        when(col("doc_id") >= kfBase, raise_error(concat(
+          lit("videoStillOfImagePairs: image doc_id "), col("doc_id"),
+          lit(s" >= keyframe id base $kfBase — packed-id space violated"))))
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("ahash").as("h"))
     val kfs = videoKeyframes(media, minHamming).toDF()
-      .select((lit(kfBase) + col("doc_id") * 1000 + col("shot_no")).as("doc_id"),
+      .select(
+        when(col("shot_no") >= 1000L, raise_error(concat(
+          lit("videoStillOfImagePairs: video "), col("doc_id"),
+          lit(" shot_no "), col("shot_no"),
+          lit(" >= 1000 — packed-id space violated"))))
+          .when(col("doc_id") >= kfBase, raise_error(concat(
+            lit("videoStillOfImagePairs: video doc_id "), col("doc_id"),
+            lit(s" >= keyframe id base $kfBase — packed-id space violated"))))
+          .otherwise(lit(kfBase) + col("doc_id") * 1000 + col("shot_no")).as("doc_id"),
         col("ahash").as("h"))
     nearPairs64(imgs.unionByName(kfs), maxHamming)
       .filter(col("doc_id_a") < kfBase && col("doc_id_b") >= kfBase)

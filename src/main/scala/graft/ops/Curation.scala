@@ -83,16 +83,18 @@ object Curation {
   def c4LineSignals(docs: DataFrame, minWordsPerLine: Int = 3,
       minLines: Int = 5): DataFrame = {
     val lines = split(col("text"), "\n")
+    // keyword rules match case-insensitively (the C4 recipe lowercases
+    // before matching — real boilerplate says "JavaScript"/"Lorem Ipsum")
     val keepLine = (l: Column) =>
       substring(l, -1, 1).isin(".", "!", "?", "\"") &&
         (size(split(l, " ")) >= minWordsPerLine) &&
-        !l.contains("javascript")
+        !lower(l).contains("javascript")
     val kept = filter(lines, keepLine)
     docs
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("n_kept", size(kept).cast("long"))
       .withColumn("verdict",
-        when(col("text").contains("lorem ipsum"), "lorem_ipsum")
+        when(lower(col("text")).contains("lorem ipsum"), "lorem_ipsum")
           .when(col("text").contains("{"), "brace")
           .when(col("n_kept") < minLines, "too_short")
           .otherwise("kept"))

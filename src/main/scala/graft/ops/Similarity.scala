@@ -423,9 +423,14 @@ object Similarity {
     * construction verbatim — adaptive cell count, hot-cell salting)
     * feeds BOTH sides: the label-equality split happens post-join, and
     * each side reduces through the bounded native top-1 aggregate. Same
-    * probed-candidacy posture as the rest of the blocked family: the
-    * brute-force oracle is recall-invariant and the blocked plan must
-    * reproduce it on the registered geometry.
+    * probed-candidacy posture as [[hardNegatives]]: the registered
+    * budgeted config is pinned by an oracle that replays the blocked plan
+    * (recall-independent), and probe-all ≡ the brute FaceNet definition
+    * is the `SimilaritySpec` exactness pin. Recall of a budgeted probe is
+    * geometry-dependent — on corpora whose labels are independent of the
+    * embedding geometry, the hardest positive routinely sits outside the
+    * probed neighborhood; raise nProbe (or probe-all) when the mined
+    * positives must be globally hardest rather than neighborhood-hardest.
     */
   def tripletMine(embeddings: DataFrame, nCells: Int = 0, nProbe: Int = 4,
       maxCellRows: Long = 1000000L): DataFrame = {
@@ -830,14 +835,34 @@ object Similarity {
     * probability 1/4, so it shares ~nBands/4 = 4 bands in expectation —
     * on an isotropic corpus the candidate set approaches ALL PAIRS, and
     * the verify stage is CPU-quadratic (41× wall at 10× rows in the
-    * probe; wider bands at θ = 0.9 cannot fix this — sign-LSH needs
-    * ~50 tables for 99% recall at 16-bit bands). This operator is the
-    * exact-recall tier, correct at any size and economical only when the
-    * corpus is clustered; the AT-SCALE cosine near-dup path is
-    * [[cosineDupPairsBlocked]] / [[semanticDedup]] (IVF-cell blocking
-    * with corpus-sized nCells — 1.5× wall at 10× rows in the same probe,
-    * identical pair output), the registered `vec_dup_pairs` /
-    * `vec_semantic_dedup` plans.
+    * round-8 probe; wider bands at θ = 0.9 cannot fix this — sign-LSH
+    * needs ~50 tables for 99% recall at 16-bit bands). This DEFAULT
+    * config is therefore the exact-recall tier, correct at any size and
+    * economical only when the corpus is clustered; the AT-SCALE cosine
+    * near-dup path is [[cosineDupPairsBlocked]] / [[semanticDedup]]
+    * (IVF-cell blocking with corpus-sized nCells — 1.5× wall at 10× rows
+    * in the same probe, identical pair output), the registered
+    * `vec_dup_pairs` / `vec_semantic_dedup` plans.
+    *
+    * `maxBucket` (df-style bucket cap, the winnowing precedent): when
+    * > 0, band buckets holding more than `maxBucket` vectors are dropped
+    * WHOLE before the candidate join — per-band candidacy is then
+    * ≤ maxBucket·n total (each row meets < maxBucket others per band),
+    * linear in the corpus by construction, and the hot-bucket table the
+    * anti-join consumes is bounded by the band keyspace. The trade is
+    * recall on pairs whose every shared band is hot — on an isotropic
+    * corpus those are overwhelmingly non-pairs (hot buckets are where
+    * unrelated vectors pile up), and byte-identical vectors never need
+    * the cap at all (the representative collapse pairs them outside the
+    * band join) — but a genuinely DENSE near-dup region bigger than
+    * `maxBucket` will be missed; that regime belongs to
+    * [[cosineDupPairsBlocked]], whose cell blocking splits dense regions
+    * instead of dropping them. The registered `vec_rplsh_pairs` config
+    * (4 × 16-bit bands, maxBucket = 256) relies on the cap only PAST the
+    * shipped fixtures — `SimilaritySpec` asserts the cap does not fire
+    * there (capped ≡ uncapped), so the all-pairs oracle binds through the
+    * planted twins' bitwise band-key equality, while at 10×+ the cap is
+    * what keeps candidacy linear (`tools.ScaleProbe` row).
     *
     * NOT a lazy transformation: like `Dedup.minhashDupPairs`, the
     * identical-embedding collapse is adaptive, so this call runs Spark
@@ -846,7 +871,8 @@ object Similarity {
     * primitives directly if a pure plan is required.
     */
   def rpLshDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
-      nBits: Int = 32, bandBits: Int = 2, seed: Long = 7L): DataFrame = {
+      nBits: Int = 32, bandBits: Int = 2, seed: Long = 7L,
+      maxBucket: Int = 0): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes: Array[Seq[Float]] =
@@ -879,12 +905,22 @@ object Similarity {
     // multi-band candidate stream and only the tiny survivor set ever
     // reaches an exchange.
     def scoredPairs(side: DataFrame): DataFrame = {
-      val buckets = side.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
+      val banded = side.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
         .select(col("vec_id"), explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band_id"),
             substring(col("sig"), b * bandBits + 1, bandBits).as("band_key"))
         }: _*)).as("bs"))
         .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.band_key").as("band_key"))
+      // df-style bucket cap: buckets past maxBucket drop WHOLE before the
+      // self-join. The hot-key table is bounded by the band keyspace
+      // (≤ nBands·2^bandBits rows), so the anti-join broadcasts.
+      val buckets =
+        if (maxBucket <= 0) banded
+        else banded.join(
+          banded.groupBy(col("band_id"), col("band_key"))
+            .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+            .select(col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"), "left_anti")
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key") &&
             col("x.vec_id") < col("y.vec_id"))

@@ -192,9 +192,15 @@ object ScaleProbe {
       ("mm_phash_near",
         () => graft.multimodal.Multimodal.phashNearPairs(media1).count(),
         () => graft.multimodal.Multimodal.phashNearPairs(mediaN).count()),
+      // the REGISTERED capped config (4 × 16-bit bands, bucket cap 256):
+      // candidacy ≤ 256·n per band by construction. The retired 2-bit
+      // exact-recall registration measured 47.9× at 10× here in round 8 —
+      // that config is spec-level now (rpLshDupPairs scaladoc).
       ("vec_rplsh_pairs",
-        () => Similarity.rpLshDupPairs(planted(emb1), 0.9).count(),
-        () => Similarity.rpLshDupPairs(planted(embN), 0.9).count()),
+        () => Similarity.rpLshDupPairs(planted(emb1), 0.9,
+          nBits = 64, bandBits = 16, maxBucket = 256).count(),
+        () => Similarity.rpLshDupPairs(planted(embN), 0.9,
+          nBits = 64, bandBits = 16, maxBucket = 256).count()),
       // the at-scale cosine near-dup twin (IVF-cell blocked, cell count
       // sized to the corpus as a real deployment would): candidate volume
       // bounded by cell occupancy instead of sign-band collisions — the

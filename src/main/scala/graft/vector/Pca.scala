@@ -41,11 +41,30 @@ object Pca {
     * with (n_rows, Σqᵢ, Σqⱼ, Σqᵢqⱼ) in microunit longs. Every downstream
     * statistic (mean, covariance, correlation) is a driver-side expression
     * over these exact sums. Long headroom: |q| ≤ ~2·10⁶ ⇒ |qᵢqⱼ| ≤ 4·10¹²,
-    * times 10⁹ rows ≈ 4·10²¹ would overflow — at that scale raise the
-    * quantum or sum per-partition into BigDecimal; at the shipped SFs the
-    * products are ≤ ~10¹⁷, comfortably inside Long.
+    * times 10⁹ rows ≈ 4·10²¹ would overflow — ENFORCED below (fail-loud,
+    * never a silent wrap): one cheap (count, max|x|) pass bounds
+    * n · qmax² against Long range before the moment pass runs. Past the
+    * bound, raise the quantum or sum per-partition into DECIMAL; at the
+    * shipped SFs the products are ≤ ~10¹⁷, comfortably inside Long. The
+    * guard is one extra aggregate job at plan-construction time
+    * (`checkHeadroom = false` opts out for callers that have already
+    * bounded their coordinates).
     */
-  def covarianceMicro(embeddings: DataFrame): DataFrame =
+  def covarianceMicro(embeddings: DataFrame,
+      checkHeadroom: Boolean = true): DataFrame = {
+    if (checkHeadroom) {
+      val r = embeddings.select(count(lit(1)).as("n"),
+        max(aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double"))))).as("mx")).head
+      val n = r.getLong(0)
+      if (n > 0 && !r.isNullAt(1)) {
+        val qMax = math.ceil(r.getDouble(1) * Micro) + 1.0
+        require(n.toDouble * qMax * qMax <= 9.0e18,
+          f"covarianceMicro: $n%d rows at max|coordinate| ${r.getDouble(1)}%.3g " +
+            "would overflow the Long microunit product sums — raise the quantum " +
+            "or sum into DECIMAL at this scale")
+      }
+    }
     embeddings.select(microCol.as("q"))
       .select(posexplode(col("q")).as(Seq("dim_i", "qi")), col("q"))
       .select(col("dim_i"), col("qi"),
@@ -58,6 +77,7 @@ object Pca {
         sum(col("qj")).as("sum_qj"),
         sum(col("qi") * col("qj")).as("sum_qq"))
       .orderBy(col("dim_i"), col("dim_j"))
+  }
 
   case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
       components: Array[Array[Double]]) // components(c) = c-th eigenvector

@@ -42,6 +42,16 @@ class CurationSpec extends SparkSpec {
     // lorem takes precedence over brace over too_short (one doc, all three)
     val multi = docsDF((9L, "lorem ipsum { x }"))
     assert(graft.ops.Curation.c4LineClean(multi).head.getAs[String]("verdict") == "lorem_ipsum")
+    // keyword rules are case-insensitive (C4 lowercases before matching) —
+    // the dominant real-world capitalizations must hit too
+    val cased = docsDF(
+      (10L, (Seq.fill(6)(good) :+ "Please enable JavaScript to view content.").mkString("\n")),
+      (11L, (Seq.fill(6)(good) :+ "Lorem Ipsum dolor sit amet.").mkString("\n")))
+    val gotCased = graft.ops.Curation.c4LineClean(cased).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(gotCased(10L).getAs[Long]("n_kept") == 6, "JavaScript line dropped case-insensitively")
+    assert(gotCased(11L).getAs[String]("verdict") == "lorem_ipsum",
+      "Lorem Ipsum flags case-insensitively")
   }
 
   test("paragraph dedup: first occurrence wins, digit/punct-insensitive, empty lines pass") {

@@ -869,6 +869,17 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 50L, 2L, 0)),
       s"the embedded image must surface as the video's shot 2 at Hamming 0: ${pairs.toSeq}")
     assert(!pairs.exists(_._1 == 2L), "the unembedded image must not match")
+    // packed-id space violations fail LOUD, never misdecode: an id at the
+    // keyframe base would masquerade as a keyframe in the modality filter
+    val badId = spark.createDataset(Seq(
+      Multimodal.MediaRow(500000000L, "image", PngCodec.encodeGray(pattern(3L), 12, 12)),
+      Multimodal.MediaRow(50L, "video", AviCodec.encodeGray(vidFrames, 12, 12))))
+    val ex = intercept[Exception] {
+      Multimodal.videoStillOfImagePairs(badId).collect()
+    }
+    assert(ex.getMessage.contains("packed-id space violated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("packed-id space violated")),
+      s"id-base violation must raise the guard, got: ${ex.getMessage}")
   }
 
   test("header decode: AVI bytes yield width/height/frames through extractMeta") {

@@ -22,6 +22,19 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covariance headroom guard: coordinates past the Long product bound fail loud") {
+    import spark.implicits._
+    // |x| = 1e7 → q = 1e13 → q² = 1e26 ≫ Long range even at n = 1: the
+    // guard must raise, never let the microunit sums wrap silently
+    val wild = Seq((0L, Seq(1e7f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Pca.covarianceMicro(wild)
+    }
+    assert(ex.getMessage.contains("overflow"), ex.getMessage)
+    // the opt-out path still constructs the plan (callers that pre-bound)
+    assert(Pca.covarianceMicro(wild, checkHeadroom = false).columns.nonEmpty)
+  }
+
   test("composition: SQ8 in PCA space stays provably exact; PCA prefix beats the raw prefix") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).localCheckpoint(true)

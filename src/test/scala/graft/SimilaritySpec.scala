@@ -29,8 +29,9 @@ class SimilaritySpec extends SparkSpec {
   test("triplet mining: hardest positive and negative per anchor equal the brute definition") {
     val emb = Tables.embeddings(spark, sf)
     // probe-all: candidacy is total, so blocked ≡ brute ALGORITHMICALLY
-    // (the hardNegatives spec posture); the registered default-probe
-    // config is held to the same brute oracle at the shipped SFs
+    // (the hardNegatives spec posture). This is the exactness pin; the
+    // REGISTERED config is the budgeted default probe, whose oracle
+    // mirrors the blocked plan itself (recall-independent hash).
     val got = graft.ops.Similarity.tripletMine(emb, nCells = 8, nProbe = 8).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3),
         r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
@@ -437,6 +438,36 @@ class SimilaritySpec extends SparkSpec {
     // fixed seed this is deterministic, and on the fixture recall is total.
     assert(lsh.keySet == exact.keySet,
       s"missed: ${exact.keySet.diff(lsh.keySet)}")
+  }
+
+  test("RP-LSH bucket cap: no-op on the registered fixture, drops a hot bucket whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    // the registered vec_rplsh_pairs fixture: planted doubled twins
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        atransform(col("embedding"), x => x + x).as("embedding"))
+    val u = emb.unionByName(planted)
+    def run(cap: Int) = graft.ops.Similarity
+      .rpLshDupPairs(u, 0.9, nBits = 64, bandBits = 16, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val capped = run(256)
+    assert(capped == run(0),
+      "the registered cap must not fire on the shipped fixture (oracle binds recall-free)")
+    val exact = graft.ops.Similarity.cosineDupPairs(u, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(capped == exact, "capped config keeps total recall on the fixture")
+    // teeth: positive rescalings share every sign bit but are not
+    // byte-identical (the representative collapse can't absorb them) —
+    // one 60-deep bucket in every band, dropped WHOLE past the cap
+    val hot = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (d + 1).toFloat * (1f + i * 1e-4f)))
+    }.toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.rpLshDupPairs(hot, 0.9, maxBucket = 10).count() == 0L,
+      "a bucket past the cap contributes no candidates")
+    assert(graft.ops.Similarity.rpLshDupPairs(hot, 0.9).count() == 60L * 59 / 2,
+      "uncapped control emits the full clique")
   }
 
   test("blocked cosine dedup reproduces the all-pairs verifier exactly") {
