@@ -257,8 +257,8 @@ object SparkEntry {
     // the blocked plan must reproduce it exactly. NOTE: blocked ≡ all-pairs
     // is DATA-DEPENDENT recall, not a guarantee — at cos ≥ 0.42 a
     // qualifying pair is found iff the two vectors share one of their
-    // nProbe=4 (of 8) nearest cells, which holds on this generator's
-    // geometry at every shipped SF (verified at sf0.001/0.01/0.1; the
+    // autoProbe (max(4, √cells)) nearest cells, which holds on this
+    // generator's geometry at every shipped SF (verified at sf0.001/0.01/0.1; the
     // algorithmic equivalence assert lives in SimilaritySpec). A different
     // embedding generator could need more probes; that would be a recall
     // tuning knob, not an operator bug.
@@ -2528,7 +2528,8 @@ object SparkEntry {
         |    SELECT emb.vec_id, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
-        |    FROM emb, cent WHERE emb.vec_id % 37 = 0) WHERE prn <= 4),
+        |    FROM emb, cent WHERE emb.vec_id % 37 = 0) WHERE prn <= (SELECT GREATEST(4,
+        |      CAST(CEIL(SQRT(n_cells)) AS BIGINT)) FROM nc)),
         |d AS (SELECT q.q_vec_id, c.c_vec_id, ${l2sqSql("q.qe", "c.ce")} AS d2
         |      FROM qprobe q JOIN corp c USING (cell)),
         |r AS (SELECT q_vec_id, c_vec_id, d2,
@@ -2555,7 +2556,8 @@ object SparkEntry {
         |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
-        |    FROM emb, cent) WHERE prn <= 4),
+        |    FROM emb, cent) WHERE prn <= (SELECT GREATEST(4,
+        |      CAST(CEIL(SQRT(n_cells)) AS BIGINT)) FROM nc)),
         |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, c.c_label,
         |        ${l2sqSql("q.qe", "c.ce")} AS d2
         |      FROM qprobe q JOIN corp c USING (cell)
@@ -2583,7 +2585,8 @@ object SparkEntry {
         |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
-        |    FROM emb, cent) WHERE prn <= 4),
+        |    FROM emb, cent) WHERE prn <= (SELECT GREATEST(4,
+        |      CAST(CEIL(SQRT(n_cells)) AS BIGINT)) FROM nc)),
         |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, ${l2sqSql("q.qe", "c.ce")} AS d2
         |      FROM qprobe q JOIN corp c USING (cell)
         |      WHERE q.q_vec_id <> c.c_vec_id),
@@ -2712,7 +2715,8 @@ object SparkEntry {
         |    SELECT emb.vec_id, emb.label, emb.e, cent.cid,
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS prn
-        |    FROM emb, cent) WHERE prn <= 4),
+        |    FROM emb, cent) WHERE prn <= (SELECT GREATEST(4,
+        |      CAST(CEIL(SQRT(n_cells)) AS BIGINT)) FROM nc)),
         |d AS (SELECT q.q_vec_id, q.q_label, c.c_vec_id, c.c_label,
         |        ${l2sqSql("q.qe", "c.ce")} AS d2
         |      FROM qprobe q JOIN corp c USING (cell)

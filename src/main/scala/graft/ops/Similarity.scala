@@ -252,10 +252,12 @@ object Similarity {
     * data-dependence note as `vec_dup_pairs` applies).
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0): DataFrame = {
     // nCells = 0 → one cell per ~256 corpus rows ([[autoCells]]): per-query
-    // candidate volume stays constant as the corpus grows
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    // candidate volume stays constant as the corpus grows; nProbe = 0 →
+    // √cells probes ([[autoProbe]]) so recall doesn't cliff with growth
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -268,7 +270,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       element_at(sortedCells, 1).cast("long").as("cell"))
     val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-      explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+      explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
     q.join(c, "cell")
       .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
       .groupBy(col("q_vec_id"))
@@ -299,6 +301,38 @@ object Similarity {
     math.min(cap.toLong, math.max(floorCells.toLong,
       (n + targetRowsPerCell - 1) / targetRowsPerCell)).toInt
 
+  /** Probe budget matched to the cell count (the FAISS `nprobe ≈ √nlist`
+    * heuristic): with [[autoCells]] the cell count grows linearly in the
+    * corpus, so a FIXED probe budget silently shrinks the probed fraction
+    * (4/8 = 50% at the floor toward 4/1024 = 0.4% at the cap) and
+    * kNN-style recall (hard negatives, label audits) would degrade as the
+    * corpus grows. √cells keeps per-query candidate volume growing only
+    * as √n·targetRowsPerCell while the probed fraction falls as 1/√n —
+    * the standard speed/recall middle. Floor 4 preserves the historical
+    * output at the 8-cell floor (the shipped sf0.01 fixtures). Every
+    * oracle that replays a blocked plan mirrors this as
+    * `GREATEST(4, CEIL(SQRT(n_cells)))` — IEEE sqrt is correctly rounded,
+    * so perfect squares agree bit-for-bit across engines.
+    */
+  def autoProbe(cells: Int, floorProbe: Int = 4): Int =
+    math.max(floorProbe, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  // Corpus counts memoized per analyzed logical plan (weak keys — entries
+  // die with their plan): the blocked family resolves autoCells at
+  // plan-construction time, and a pipeline that builds several blocked
+  // operators over the SAME table shouldn't re-run the count job per call
+  // (the round-8 eager-jobs note). Lookups are structural (LogicalPlan
+  // case-class equality), so re-derived references to one table hit.
+  private val countCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]())
+  private def memoCount(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed
+    val hit = countCache.get(key)
+    if (hit != null) hit.longValue()
+    else { val n = df.count(); countCache.put(key, n); n }
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCLR data-prep
     * op): for every vector, the k nearest corpus vectors carrying a
     * DIFFERENT label — semantically close but known-not-matching, the
@@ -322,13 +356,18 @@ object Similarity {
     * via [[autoCells]] — the round-8 scale probe showed the fixed 8-cell
     * config going ~10.6× at 10× data (cell occupancy ×10 ⇒ within-cell
     * candidates ×100); with occupancy held at ~256 rows/cell the candidate
-    * volume grows linearly in the corpus. Resolving the count reads ONE
-    * corpus count at plan-construction time (this function is already
-    * eager: it collects the centroids and the salt map).
+    * volume grows linearly in the corpus. `nProbe = 0` (the default)
+    * matches the probe budget to that growth via [[autoProbe]] — a fixed
+    * budget would silently shrink the probed fraction (and kNN recall) as
+    * the cell count scales. Resolving the count reads ONE corpus count at
+    * plan-construction time, memoized per logical plan across the blocked
+    * family (this function is already eager: it collects the centroids
+    * and the salt map).
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
-      nCells: Int = 0, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+      nCells: Int = 0, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -352,7 +391,7 @@ object Similarity {
     val c = assigned.withColumn("salt",
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
     val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+        col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
     val labels = embeddings.select(col("vec_id").as("c_vec_id"),
@@ -432,9 +471,10 @@ object Similarity {
     * probed neighborhood; raise nProbe (or probe-all) when the mined
     * positives must be globally hardest rather than neighborhood-hardest.
     */
-  def tripletMine(embeddings: DataFrame, nCells: Int = 0, nProbe: Int = 4,
+  def tripletMine(embeddings: DataFrame, nCells: Int = 0, nProbe: Int = 0,
       maxCellRows: Long = 1000000L): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -453,7 +493,7 @@ object Similarity {
     val c = assigned.withColumn("salt",
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
     val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+        col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
     // ONE pass over the candidate join: each arm is a bounded top-1
@@ -662,10 +702,11 @@ object Similarity {
     * bounded by corpus ids or the label alphabet.
     */
   def knnLabelAudit(embeddings: DataFrame, k: Int = 5,
-      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0): DataFrame = {
     // nCells = 0 → auto-scale like hardNegatives (same self-join shape,
     // same fixed-cell hazard at growing corpus size)
-    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -676,7 +717,7 @@ object Similarity {
     val c = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       element_at(sortedCells, 1).cast("long").as("cell"))
     val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-      col("label").as("q_label"), explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+      col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
     val labels = embeddings.select(col("vec_id").as("c_vec_id"),
       col("label").as("n_label"))
     val topk = q.join(c, "cell")
@@ -718,8 +759,9 @@ object Similarity {
     * per-query top-k is unchanged map-side-combining bounded aggregation.
     */
   def knnJoinSalted(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      nCells: Int = 0, nProbe: Int = 4, maxCellRows: Long = 1000000L): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+      nCells: Int = 0, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -740,7 +782,7 @@ object Similarity {
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
     // queries fan out to every salt of each probed cell
     val qSalted = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-        explode(slice(sortedCells, 1, nProbe).cast("array<long>")).as("cell"))
+        explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
     qSalted.join(c, Seq("cell", "salt"))
@@ -766,9 +808,10 @@ object Similarity {
     * and the all-pairs form below stays as the spec-level verifier.
     */
   def cosineDupPairsBlocked(embeddings: DataFrame, threshold: Double = 0.95,
-      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0): DataFrame = {
     // nCells = 0 → corpus-sized cell count ([[autoCells]], ~256 rows/cell)
-    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val probes = if (nProbe > 0) nProbe else autoProbe(cells)
     // Seed centroids collected ONCE to the driver: cells × dim floats,
     // sub-linear in corpus size — so cell assignment below is map-only
     // codegen (distances to a literal array, array_sort, slice), with no
@@ -783,7 +826,7 @@ object Similarity {
     // array_sort on struct<d,cid> orders by distance then cid — identical
     // tie-breaking to the windowed row_number it replaces.
     val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1, nProbe)
+      x => x.getField("cid")), 1, probes)
     // Cell assignment and the exact verify are the per-row-heavy stages —
     // seed parallelism on the raw vector stream (no-op on real layouts).
     val emb = Par.seed(embeddings, col("vec_id"))
@@ -1002,7 +1045,7 @@ object Similarity {
     * from the runtime size).
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
-      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0): DataFrame = {
     val pairs = cosineDupPairsBlocked(embeddings, threshold, nCells, nProbe)
       .select(col("vec_id_a"), col("vec_id_b"))
     // (id, label) for every vector with at least one near-dup edge;

@@ -62,6 +62,15 @@ class SimilaritySpec extends SparkSpec {
       "margins computed (sanity)")
   }
 
+  test("autoProbe: √cells with floor 4, exact at perfect squares") {
+    import graft.ops.Similarity.autoProbe
+    assert(autoProbe(8) == 4, "floor holds at the 8-cell floor (historical outputs)")
+    assert(autoProbe(16) == 4, "perfect square: IEEE sqrt(16) is exactly 4")
+    assert(autoProbe(20) == 5, "the sf0.1 cell count probes 5")
+    assert(autoProbe(100) == 10 && autoProbe(1024) == 32,
+      "probed fraction falls as 1/√cells, not 1/cells")
+  }
+
   test("IVF recall curve: probe-all pins 1.0, recall is monotone in the budget") {
     val emb = Tables.embeddings(spark, sf)
     val rows = graft.ops.Similarity.ivfRecallCurve(emb).collect()
