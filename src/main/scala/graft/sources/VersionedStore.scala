@@ -84,15 +84,20 @@ object VersionedStore {
   private def manifestPath(path: String, v: Long) =
     new Path(f"$path/manifests/v$v%08d.json")
 
-  /** All committed versions, ascending. */
+  /** All committed versions, ascending. Driver-side metadata IO — rides
+    * the transient-retry policy ([[RetryingIO]]): a throttled manifest
+    * listing must not read as "no versions".
+    */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(s"$path/manifests")
     val f = fs(spark, path)
-    if (!f.exists(dir)) return Seq.empty
-    f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      .sorted.toSeq
+    RetryingIO.withRetry(s"VersionedStore.versions($path)") {
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .sorted.toSeq
+    }
   }
 
   def currentVersion(spark: SparkSession, path: String): Long = {
@@ -106,8 +111,10 @@ object VersionedStore {
     val f = fs(spark, path)
     val p = manifestPath(path, v)
     require(f.exists(p), s"version $v not found at $path")
-    val in = f.open(p)
-    val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val s = RetryingIO.withRetry(s"VersionedStore.readManifest($path, v$v)") {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
     parseManifest(s)
   }
 

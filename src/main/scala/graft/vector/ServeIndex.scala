@@ -97,10 +97,18 @@ object ServeIndex {
     }
   }
 
-  /** (kind, watermark) of the live sidecar, if one is fully built. */
+  /** (kind, watermark) of the live sidecar, if one is fully built. The
+    * existence probe is driver-side metadata IO and rides the
+    * transient-retry policy (`graft.sources.RetryingIO`) — a throttled
+    * object-store response must downgrade to the flat scan only when the
+    * sidecar is genuinely absent, not because one HEAD got a 503.
+    */
   def meta(spark: SparkSession, indexPath: String): Option[(String, java.sql.Date)] = {
     val mp = s"${sidecarPath(indexPath)}/meta"
-    if (!exists(spark, mp)) None
+    val there = graft.sources.RetryingIO.withRetry(s"ServeIndex.meta($indexPath)") {
+      exists(spark, mp)
+    }
+    if (!there) None
     else {
       val r = spark.read.parquet(mp).head
       Some((r.getAs[String]("kind"), r.getAs[java.sql.Date]("watermark")))

@@ -126,12 +126,18 @@ object VectorIndex {
     graft.sources.CompactSwap.recoverAllHidden(spark, indexPath)
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
-      .map(st => java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date=")))
-      .maxOption
-      .map(java.sql.Date.valueOf)
+    // driver-side metadata IO rides the transient-retry policy — one
+    // throttled listStatus against object storage must not fail the query
+    // (graft.sources.RetryingIO: the reference connector's 3×-backoff
+    // contract; Spark only retries EXECUTOR-side task IO)
+    graft.sources.RetryingIO.withRetry(s"maxIngestDate($indexPath)") {
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+        .map(st => java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date=")))
+        .maxOption
+        .map(java.sql.Date.valueOf)
+    }
   }
 
   /** S11 delete-side: physically drop partitions older than the window
