@@ -283,14 +283,26 @@ object EventStream {
     * a corrupted dedup index, stopping is the cheap failure. The verdict
     * log carries `batch_id` so a replayed batch's duplicate verdicts are
     * identifiable and droppable downstream.
+    *
+    * `skipReplayed = true` upgrades that to IDEMPOTENT replay: the verdict
+    * log's max batch_id is the high-water mark — a batch at or below it
+    * already completed its ingest+verdict write, so the replay is a no-op
+    * instead of an exception (restart-friendly at-least-once). The
+    * ordering that makes this sound: `ingestBatch` appends the index
+    * BEFORE the verdict write, so verdicts-present ⇒ ingest completed. A
+    * crash BETWEEN index append and verdict write still fails loud on the
+    * id gate at replay — that state is genuinely ambiguous and stopping
+    * remains the cheap failure. Cost: one footer-stats read of the
+    * verdict log's batch_id column per micro-batch.
     */
   def corpusIngest(docs: DataFrame, indexPath: String, verdictPath: String,
-      checkpoint: String,
-      jaccardThreshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, jaccardThreshold: Double = 0.3,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           graft.text.LshIndex.ingestBatch(batch.sparkSession, indexPath, batch, jaccardThreshold)
             .withColumn("batch_id", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
@@ -298,6 +310,23 @@ object EventStream {
         }
       }
       .start()
+
+  /** True when the verdict log already carries this (or a later) batch id —
+    * the skip-replayed-batch high-water test. Driver-side metadata IO, so
+    * the existence probe rides the transient-retry policy.
+    */
+  private def replayedAlready(spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(verdictPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.RetryingIO.withRetry(s"replayedAlready($verdictPath)") {
+      fs.exists(p)
+    } && {
+      val mx = spark.read.parquet(verdictPath)
+        .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head
+      !mx.isNullAt(0) && mx.getLong(0) >= batchId
+    }
+  }
 
   /** The WHOLE text-curation path as one streaming ingest — C4 line
     * surgery → Gopher hand-rule gate → CCNet LM quality gate → LSH

@@ -635,6 +635,50 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, "streamed index must equal the sequential twin")
   }
 
+  test("corpus ingest replay: skipReplayed makes a replayed micro-batch a no-op; default fails loud") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sreplay").toString
+    val idx = base + "/idx"
+    val verdictLog = base + "/verdicts"
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    graft.text.LshIndex.build(spark, seed, idx)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 310).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q1 = EventStream.corpusIngest(mem.toDF().toDF("doc_id", "text"),
+      idx, verdictLog, base + "/ckpt1", skipReplayed = true)
+    mem.addData(b1: _*); q1.processAllAvailable(); q1.stop()
+    val verdictsBefore = spark.read.parquet(verdictLog).orderBy("doc_id").collect().toSeq
+    val hashesBefore = spark.read.parquet(s"$idx/hashes").count()
+
+    // simulate an at-least-once redelivery: a FRESH checkpoint replays the
+    // same source rows as batch 0, which the high-water mark already covers
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.corpusIngest(mem2.toDF().toDF("doc_id", "text"),
+      idx, verdictLog, base + "/ckpt2", skipReplayed = true)
+    mem2.addData(b1: _*); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(verdictLog).orderBy("doc_id").collect().toSeq == verdictsBefore,
+      "a replayed batch under skipReplayed must leave the verdict log untouched")
+    assert(spark.read.parquet(s"$idx/hashes").count() == hashesBefore,
+      "a replayed batch under skipReplayed must leave the index untouched")
+
+    // control: WITHOUT the option the same replay trips the id gate loud
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = EventStream.corpusIngest(mem3.toDF().toDF("doc_id", "text"),
+      idx, verdictLog, base + "/ckpt3")
+    mem3.addData(b1: _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(ex.getMessage.contains("disjoint") || ex.getMessage.contains("already"),
+      s"default replay must fail loud on the id gate: ${ex.getMessage.take(300)}")
+  }
+
   test("streaming paragraph ingest cuts resident dups and grows the hash set mid-stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
