@@ -41,11 +41,21 @@ object SnapshotStore {
   private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
 
-  /** Materialize the initial snapshot, hash-partitioned by doc_id bucket. */
+  /** Materialize the initial snapshot, hash-partitioned by doc_id bucket.
+    *
+    * The bucket-aligned repartition before the partitioned write is
+    * load-bearing: without it every write task emits a file into every
+    * bucket directory (tasks × buckets small files — the classic dynamic-
+    * partition-overwrite mistake), and every later upsert pays that file
+    * count back on its dirty-bucket reads. With it, each bucket's rows
+    * co-locate and the layout is one file per bucket (cap single-file
+    * size at real scale with `spark.sql.files.maxRecordsPerFile`).
+    */
   def init(spark: SparkSession, docs: DataFrame, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    withBucket(docs, nBuckets).write.mode(SaveMode.Overwrite)
+    withBucket(docs, nBuckets).repartition(nBuckets, col("bucket"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$path/snapshot")
     spark.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -91,8 +101,11 @@ object SnapshotStore {
       // dynamic mode: only partitions present in `merged` (= the dirty
       // buckets; a fully-emptied bucket is re-written empty via the
       // union's schema rows if any survive — an all-deleted bucket keeps
-      // its directory absent from the write and is handled below)
-      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      // its directory absent from the write and is handled below). The
+      // bucket-aligned repartition keeps the rewrite at one file per
+      // dirty bucket (see init).
+      merged.repartition(math.min(nBuckets, dirty.length), col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$path/snapshot")
       // a dirty bucket whose every row was deleted produces no output
       // rows, so dynamic overwrite leaves its old files — drop such

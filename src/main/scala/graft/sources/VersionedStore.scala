@@ -176,7 +176,11 @@ object VersionedStore {
     // clock is what vacuum() age-guards on — directory mtime is synthetic on
     // object stores and parquet task commits keep touching it on real ones
     val dirName = f"v$v%08d-t${System.currentTimeMillis()}%x-${System.nanoTime()}%x"
-    bucketed.write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
+    // bucket-aligned repartition: one file per bucket instead of
+    // tasks × buckets small files (the SnapshotStore.init rationale; cap
+    // file size at real scale with spark.sql.files.maxRecordsPerFile)
+    bucketed.repartition(col("bucket"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
       .parquet(s"$path/files/$dirName")
     val f = fs(spark, path)
     val present = f.listStatus(new Path(s"$path/files/$dirName"))
