@@ -172,7 +172,37 @@ object ScaleProbe {
     lazy val vid1 = { val m = videoMedia(spark, docs1).cache(); m.count(); m }
     lazy val vidN = { val m = videoMedia(spark, docsN).cache(); m.count(); m }
 
-    val probes: Seq[(String, () => Long, () => Long)] = Seq(
+    // serve-ladder fixtures: flat layout + sidecar per (scale, kind), built
+    // once and OUTSIDE the timed sections (builds amortize in production —
+    // the registered vec_serve_build entry is what times them); cells sized
+    // to the corpus as a deployment would
+    val serveCache = scala.collection.mutable.Map[(String, String), String]()
+    def serveDir(tag: String, emb: DataFrame, kind: String): String =
+      serveCache.getOrElseUpdate((tag, kind), {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-serve-$tag-$kind").toString + "/idx"
+        graft.vector.VectorIndex.append(
+          graft.vector.VectorIndex.fromEmbeddings(emb), dir)
+        graft.vector.ServeIndex.build(spark, dir, kind,
+          nCells = math.max(8, (emb.count() / 256).toInt))
+        dir
+      })
+    def serveSearch(dir: String, kind: String, emb: DataFrame): Long = {
+      val qv = emb.filter(col("vec_id") === 3L)
+        .select("embedding").head.getSeq[Float](0)
+      graft.vector.ServeIndex.search(spark, dir, kind, qv,
+          k = 10, nProbe = 4, refineFactor = 4)
+        .getOrElse(sys.error("sidecar must answer")).count()
+    }
+    def serveBatch(dir: String, kind: String, emb: DataFrame): Long = {
+      val qs = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      graft.vector.ServeIndex.searchBatch(spark, dir, kind, qs,
+          k = 10, nProbe = 4, refineFactor = 4)
+        .getOrElse(sys.error("sidecar must answer")).count()
+    }
+
+    val probes: Seq[(String, () => Long, () => Long)] = (Seq(
       ("doc_minhash_pairs",
         () => Dedup.minhashDupPairs(docs1).count(),
         () => Dedup.minhashDupPairs(docsN).count()),
@@ -221,14 +251,34 @@ object ScaleProbe {
         () => Similarity.hardNegatives(embN).count()),
       ("vec_label_audit",
         () => Similarity.knnLabelAudit(emb1).count(),
-        () => Similarity.knnLabelAudit(embN).count()))
+        () => Similarity.knnLabelAudit(embN).count())) ++
+      // the SERVE ladder at budgeted configs (nProbe = 4, refine = 4·k):
+      // sidecars built OUTSIDE the timed section (builds amortize in
+      // production — the vec_serve_build registration times them), cells
+      // sized to the corpus as a deployment would, so the single-query
+      // wall should stay ~FLAT at 10× (fixed probed-cell row count) and
+      // the batch join should scale with the query count, not the corpus.
+      Seq("ivf", "ivfpq", "sq", "opq").map { kind =>
+        (s"vec_serve_${kind}_search",
+          () => serveSearch(serveDir("1x", emb1, kind), kind, emb1),
+          () => serveSearch(serveDir("Nx", embN, kind), kind, embN))
+      } ++ Seq(
+      ("vec_serve_ivfpq_batch",
+        () => serveBatch(serveDir("1x", emb1, "ivfpq"), "ivfpq", emb1),
+        () => serveBatch(serveDir("Nx", embN, "ivfpq"), "ivfpq", embN))))
       .filter { case (name, _, _) => need(name) }
 
-    // force the needed media caches OUTSIDE the timed sections (the lazy
-    // vals otherwise materialize inside the first measure() call)
+    // force the needed media caches and serve sidecars OUTSIDE the timed
+    // sections (they'd otherwise materialize inside the first measure())
     if (need("mm_phash_near")) { media1; mediaN }
     if (need("mm_audio_near")) { aud1; audN }
     if (need("mm_video_near")) { vid1; vidN }
+    Seq("ivf", "ivfpq", "sq", "opq").foreach { k =>
+      if (need(s"vec_serve_${k}_search") ||
+          (k == "ivfpq" && need("vec_serve_ivfpq_batch"))) {
+        serveDir("1x", emb1, k); serveDir("Nx", embN, k); ()
+      }
+    }
 
     println(s"# scale probe: $sfDir vs ${reps}x (docs ${docs1.count()} -> ${docsN.count()}, " +
       s"vecs ${emb1.count()} -> ${embN.count()})")
