@@ -507,6 +507,32 @@ object SparkEntry {
     // propagation to fixpoint) -> (doc, cluster, size). Oracle = recursive
     // min-id closure over the SAME md5-deterministic pair set.
     "doc_dup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    // Quality-aware canonical selection: each near-dup cluster keeps its
+    // highest-n_chars member (doc_id asc tie-break) — the production
+    // survivor rule (keep the BEST variant, not the crawl-order-first
+    // one); singletons survive as themselves. Oracle replays the cluster
+    // closure plus the same (n_chars desc, id) pick.
+    "doc_dup_survivors" -> ((s, d) => Dedup.qualitySurvivors(Tables.documents(s, d))),
+    // Integer PageRank over a harness-derived deterministic link graph
+    // (d → d div 2, d → (3d+7) mod n — a tree spine plus a mixing ring):
+    // the authority prior crawl curation ranks hosts/pages with (the
+    // cc-webgraph practice). Fixed-point all-long arithmetic (contribution
+    // = rank div out_degree), so THREE full rounds replay exactly in SQL.
+    "doc_link_rank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst")))
+      graft.ops.Graph.linkRank(edges).withColumnRenamed("node", "doc_id")
+    }),
+    // Length-bucketed batching audit: quantile cuts on token counts,
+    // per-bucket padding waste vs the single-global-bucket baseline
+    // (bucket 0) — the dynamic-batching prep measurement. Cuts ride the
+    // distributed exact-quantile engine (quantile_cont-bitwise).
+    "doc_length_buckets" -> ((s, d) => Curation.lengthBuckets(Tables.documents(s, d))),
     // Composed training-corpus pipeline: language gate + quality gate +
     // cluster-loser drop, in production order (dedup before gates).
     "doc_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(Tables.documents(s, d))),
@@ -3306,6 +3332,84 @@ object SparkEntry {
         |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY cluster_id, doc_id""".stripMargin,
+    // Cluster closure (the doc_dup_clusters CTEs) + the quality pick:
+    // per cluster, row_number over (n_chars desc, doc_id) = 1; singletons
+    // via anti-join keep themselves.
+    "doc_dup_survivors" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS label FROM nodes
+        |          UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+        |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+        |      FROM cc JOIN documents d USING (doc_id)),
+        |pick AS (SELECT doc_id, cluster_size FROM (
+        |    SELECT doc_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM m) WHERE rn = 1),
+        |singles AS (SELECT d.doc_id, 1 AS cluster_size FROM documents d
+        |            LEFT JOIN cc ON cc.doc_id = d.doc_id WHERE cc.doc_id IS NULL)
+        |SELECT u.doc_id, CAST(u.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM pick UNION ALL SELECT * FROM singles) u
+        |JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Three integer-PageRank rounds unrolled: // is floor division and
+    // every quantity positive, so DuckDB's integer ops equal Scala's
+    // Long `div` exactly; the only double is the trailing /1e6.
+    "doc_link_rank" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |      UNION ALL
+        |      SELECT doc_id, (3*doc_id + 7) % (SELECT n FROM nn) FROM documents),
+        |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes),
+        |s1 AS (SELECT e.dst AS node, SUM(r0.rm // od.odeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, CAST(150000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS rm
+        |       FROM nodes LEFT JOIN s1 USING (node)),
+        |s2 AS (SELECT e.dst AS node, SUM(r1.rm // od.odeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, CAST(150000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS rm
+        |       FROM nodes LEFT JOIN s2 USING (node)),
+        |s3 AS (SELECT e.dst AS node, SUM(r2.rm // od.odeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, CAST(150000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS rm
+        |       FROM nodes LEFT JOIN s3 USING (node))
+        |SELECT node AS doc_id, rm AS rank_micro,
+        |  CAST(rm AS DOUBLE) / 1000000.0 AS rank
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+    // Quantile cuts (quantile_cont ≡ the distributed exact-quantile
+    // engine bitwise), `len > cut` bucket assignment, all-long waste
+    // arithmetic, single trailing double division.
+    "doc_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT quantile_cont(n_tokens, 0.25) AS c1,
+        |        quantile_cont(n_tokens, 0.50) AS c2,
+        |        quantile_cont(n_tokens, 0.75) AS c3 FROM t),
+        |a AS (SELECT doc_id, n_tokens,
+        |        1 + (CASE WHEN CAST(n_tokens AS DOUBLE) > c.c1 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(n_tokens AS DOUBLE) > c.c2 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(n_tokens AS DOUBLE) > c.c3 THEN 1 ELSE 0 END) AS bucket
+        |      FROM t, c),
+        |u AS (
+        |  SELECT bucket, COUNT(*) AS n_docs, MIN(n_tokens) AS min_tokens,
+        |    MAX(n_tokens) AS max_tokens, SUM(n_tokens) AS sum_tokens
+        |  FROM a GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 0, COUNT(*), MIN(n_tokens), MAX(n_tokens), SUM(n_tokens) FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+        |  min_tokens, max_tokens, CAST(sum_tokens AS BIGINT) AS sum_tokens,
+        |  CAST(n_docs * max_tokens - sum_tokens AS BIGINT) AS pad_waste,
+        |  CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+        |    / CAST(n_docs * max_tokens AS DOUBLE) AS waste_frac
+        |FROM u ORDER BY bucket""".stripMargin,
     "doc_clean_corpus" ->
       s"""WITH RECURSIVE $minhashCtes,
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashScored) WHERE jaccard >= 0.3),

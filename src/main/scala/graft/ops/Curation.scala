@@ -291,6 +291,49 @@ object Curation {
 
   // ---- Sequence packing (concat-and-chunk) -------------------------------
 
+  /** Length-bucketed batching audit — the dynamic-batching prep step: cut
+    * the token-length distribution at its k-quantiles, assign each doc to
+    * a bucket, and report the PADDING WASTE each bucket pays batching to
+    * its own max length, next to the single-global-bucket baseline
+    * (bucket 0). Padding to a per-bucket max instead of the corpus max is
+    * the standard attention-FLOPs saver; this is the measurement that
+    * justifies the cut points.
+    *
+    * The cuts come from the distributed exact-quantile engine
+    * ([[Relational.exactQuantilesDistributed]] — bucket-located order
+    * statistics whose interpolation matched DuckDB `quantile_cont`
+    * bitwise), collected as a (k−1)-length driver array; assignment is
+    * then map-only against the literal cuts (`len > cut` counts, so a
+    * doc AT a cut value falls to the lower bucket — mirrored in the
+    * oracle). Waste arithmetic is all-long; the fraction is the single
+    * trailing double division.
+    */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets to cut anything")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // feeds the quantile passes and the assignment
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = graft.ops.Relational.exactQuantilesDistributed(
+        toks.withColumn("g", lit(1)), "g", "n_tokens", qs)
+      .orderBy(col("q")).collect().map(_.getAs[Double]("quantile"))
+    val bucket = cuts.foldLeft(lit(1L).cast("long"))((acc, c) =>
+      acc + when(col("n_tokens").cast("double") > lit(c), 1L).otherwise(0L))
+    val assigned = toks.withColumn("bucket", bucket)
+    def rollup(df: DataFrame, bucketCol: Column): DataFrame = df
+      .groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+    rollup(assigned, col("bucket")).unionByName(rollup(assigned, lit(0L)))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("waste_frac", col("pad_waste").cast("double") /
+        (col("n_docs") * col("max_tokens")).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   /** Assign each doc its position in the concatenated token stream and the
     * fixed-size training sequence that position falls in (GPT-style
     * concat-then-chunk packing: the stream is cut every `budget` tokens; a

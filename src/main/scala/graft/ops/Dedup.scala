@@ -259,6 +259,40 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Quality-aware canonical selection over the near-dup clusters — what a
+    * production dedup actually keeps: not the minimum id (an arbitrary
+    * crawl-order artifact) but the BEST variant of each duplicated
+    * document. Survivor = the cluster member with the most content
+    * (n_chars desc), doc_id asc as the deterministic tie-break; singleton
+    * docs survive as themselves. One row per surviving doc with the mass
+    * it represents — the `semanticDedup` output shape, quality-ranked.
+    *
+    * Composition of verified pieces: clustering is [[dupClusters]]
+    * (MinHash-LSH pairs → pointer-jumping components); the per-cluster
+    * pick is the bounded native top-1 aggregate (value desc, id asc — no
+    * per-cluster window sort), so the whole selection adds one
+    * cluster-keyed aggregation over the DUP SLICE only and one anti-join
+    * for the singletons (broadcast-able whenever dups are sparse — the
+    * semanticDedup scale note).
+    */
+  def qualitySurvivors(docs: DataFrame, jaccardThreshold: Double = 0.3): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val clustered = dupClusters(docs, jaccardThreshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val picked = clustered.join(meta, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(graft.functions.TopKAggregator
+          .topK(1, col("n_chars").cast("double"), col("doc_id")).as("top"),
+        count(lit(1)).as("cluster_size"))
+      .select(element_at(col("top.id"), 1).as("doc_id"), col("cluster_size"))
+    val singletons = meta.join(clustered.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"))
+    picked.unionByName(singletons)
+      .join(meta, "doc_id")
+      .select(col("doc_id"), col("cluster_size"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup pairs by SimHash HAMMING RADIUS (the Manku/Jain/Sarma
     * WWW'07 construction, radius 2): every DISTINCT signature probes with
     * itself plus its 16 one-bit flips; a candidate pair is any two

@@ -54,6 +54,31 @@ class CurationSpec extends SparkSpec {
       "Lorem Ipsum flags case-insensitively")
   }
 
+  test("length buckets: quantile cuts, at-cut values fall low, waste arithmetic exact") {
+    import spark.implicits._
+    // token counts 1..8: quartile cuts (interpolated) at 2.75 / 4.5 / 6.25
+    val docs = (1 to 8).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.lengthBuckets(docs, nBuckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // buckets 1..4 hold {1,2},{3,4},{5,6},{7,8}; global row is bucket 0
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((b, mx) <- Seq(1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L)) {
+      val (n, mn, m, sum, waste, frac) = got(b)
+      assert(n == 2L && m == mx && mn == mx - 1 && sum == 2 * mx - 1,
+        s"bucket $b contents")
+      assert(waste == 1L, s"pad to the bucket max: 2·$mx − ${2 * mx - 1}")
+      assert(frac == 1.0 / (2.0 * mx))
+    }
+    val (gn, gmn, gmx, gsum, gwaste, gfrac) = got(0L)
+    assert(gn == 8L && gmn == 1L && gmx == 8L && gsum == 36L && gwaste == 28L,
+      "global baseline pads everything to the corpus max")
+    assert(gfrac == 28.0 / 64.0)
+    // bucketing saves: per-bucket waste sum (4) ≪ global waste (28)
+    assert(Seq(1L, 2L, 3L, 4L).map(got(_)._5).sum < gwaste)
+  }
+
   test("paragraph dedup: first occurrence wins, digit/punct-insensitive, empty lines pass") {
     val docs = docsDF(
       // doc 1 owns the first occurrence of the boilerplate line

@@ -19,6 +19,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactDupGroups(docs).count() == 0L)
   }
 
+  test("quality survivors: longest cluster member wins, singletons pass, sizes tile the corpus") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta"
+    val longer = base + " extra tail words here"
+    val docs = Seq(
+      (10L, base, base.length.toLong),
+      (11L, longer, longer.length.toLong), // longest of the cluster — must win
+      (12L, base, base.length.toLong),     // verbatim copy of 10
+      (20L, "totally unrelated text about something else entirely now", 57L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.qualitySurvivors(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(11L, 20L),
+      s"one survivor per cluster plus the singleton, got ${got.keySet}")
+    assert(got(11L)._1 == 3L, "the cluster's mass rides its survivor")
+    assert(got(20L)._1 == 1L)
+    assert(got.values.map(_._1).sum == 4L, "cluster sizes tile the corpus")
+    // tie on n_chars → min doc_id: drop 11, leave the two verbatim copies
+    val tied = Seq(
+      (10L, base, base.length.toLong),
+      (12L, base, base.length.toLong),
+      (20L, "totally unrelated text about something else entirely now", 57L))
+      .toDF("doc_id", "text", "n_chars")
+    val tgot = Dedup.qualitySurvivors(tied).collect().map(_.getLong(0)).toSet
+    assert(tgot == Set(10L, 20L), "equal quality falls to the smaller id")
+  }
+
   test("capped blocked jaccard: exact path when cap doesn't bind, LSH fallback is a verified subset") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.blockedJaccardPairs(docs).collect()

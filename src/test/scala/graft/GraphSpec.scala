@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private def ranks(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.linkRank(edges.toDF("src", "dst"), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ring is the stationary point: every node holds exactly 1e6 micro forever") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    for (rounds <- Seq(1, 3, 7)) {
+      val got = ranks(ring, rounds)
+      assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L),
+        s"uniform in-mass must reproduce the uniform rank at $rounds rounds")
+    }
+  }
+
+  test("star with a dangling hub: hand-computed two rounds, mass leaks, order correct") {
+    // 2 -> 1, 3 -> 1; node 1 has NO out-edges (dangling: contributes nothing)
+    val star = Seq((2L, 1L), (3L, 1L))
+    val r1 = ranks(star, 1)
+    // round 1: hub gets 150000 + 85*(1e6 + 1e6)/100; leaves get the base
+    assert(r1 == Map(1L -> 1850000L, 2L -> 150000L, 3L -> 150000L))
+    val r2 = ranks(star, 2)
+    // round 2: leaves now hold 150000 each -> hub 150000 + 85*300000/100
+    assert(r2 == Map(1L -> 405000L, 2L -> 150000L, 3L -> 150000L))
+    // dangling leak: total mass strictly decreases across rounds
+    assert(r2.values.sum < r1.values.sum && r1.values.sum < 3000000L)
+    // authority ordering survives the leak
+    assert(r2(1L) > r2(2L))
+  }
+
+  test("multigraph semantics: parallel edges each carry a contribution") {
+    // 2 -> 1 twice (odeg 2, both to the same dst) vs 2 -> 1 once (odeg 1):
+    // identical mass lands on node 1 either way when the rank is even
+    val twice = ranks(Seq((2L, 1L), (2L, 1L)), 1)
+    val once = ranks(Seq((2L, 1L)), 1)
+    assert(twice(1L) == once(1L),
+      "two half-contributions along parallel edges equal one whole")
+    // split across DIFFERENT dsts halves each side
+    val split = ranks(Seq((2L, 1L), (2L, 3L)), 1)
+    assert(split(1L) == 150000L + 85L * 500000L / 100L && split(1L) == split(3L))
+  }
+
+  test("integer arithmetic is exact: floor division, never a float sum") {
+    // odeg 3 with rank 1e6: contribution floor(1e6/3) = 333333 each;
+    // dst sums three of them -> 999999 (the 1-micro floor loss), damped
+    val fan = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 5L), (3L, 5L), (4L, 5L))
+    val got = ranks(fan, 2)
+    // round 1: 2,3,4 each get 150000 + 85*333333/100 = 150000 + 283333
+    // round 2: 5 gets 150000 + 85*(3*433333)/100 = 150000 + 1104999
+    assert(got(5L) == 150000L + 85L * (3L * 433333L) / 100L,
+      s"exact long trajectory, got ${got(5L)}")
+  }
+}
