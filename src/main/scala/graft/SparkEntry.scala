@@ -528,6 +528,10 @@ object SparkEntry {
           ((col("doc_id") * 3 + 7) % n).as("dst")))
       graft.ops.Graph.linkRank(edges).withColumnRenamed("node", "doc_id")
     }),
+    // Per-doc n-gram novelty: fraction of a doc's distinct 3-grams with
+    // corpus df = 1 — the mosaic-duplication / unique-content-mass signal
+    // (docs under 3 words drop out, the ngrams contract).
+    "doc_novelty" -> ((s, d) => TextAnalysis.docNovelty(Tables.documents(s, d))),
     // Length-bucketed batching audit: quantile cuts on token counts,
     // per-bucket padding waste vs the single-global-bucket baseline
     // (bucket 0) — the dynamic-batching prep measurement. Cuts ride the
@@ -3384,6 +3388,20 @@ object SparkEntry {
         |SELECT node AS doc_id, rm AS rank_micro,
         |  CAST(rm AS DOUBLE) / 1000000.0 AS rank
         |FROM r3 ORDER BY doc_id""".stripMargin,
+    // Distinct 3-grams per doc (the minhash shingle CTE shape), gram df,
+    // df = 1 novelty roll-up; md5 on the Spark side only keys the shuffle
+    // — counting on md5(g) ≡ counting on g.
+    "doc_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |        i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+        |FROM g JOIN df USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // Quantile cuts (quantile_cont ≡ the distributed exact-quantile
     // engine bitwise), `len > cut` bucket assignment, all-long waste
     // arithmetic, single trailing double division.

@@ -689,6 +689,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-DOCUMENT n-gram novelty — the doc-granular companion of
+    * [[sourceNovelty]] and a standard curation signal: how much of a
+    * document's distinct n-gram set appears NOWHERE else in the corpus
+    * (df = 1). Low-novelty docs are boilerplate/mirror candidates even
+    * when no single near-dup partner crosses a pair threshold (mosaic
+    * duplication); high-novelty docs carry the corpus's unique content
+    * mass. Docs shorter than n words have no grams and drop out (the
+    * `ngrams` contract — mirrored by the oracle's length filter).
+    *
+    * Scale shape: the one corpus-sized shuffle is the gram-keyed
+    * doc-frequency aggregation (map-side combined, same class as the
+    * span-dedup gram pass); the join-back is gram-table-sized and the
+    * per-doc roll-up is bounded by each doc's own gram count.
+    */
+  def docNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = Par.seed(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(Curation.ngrams(col("text"), n))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .localCheckpoint(true) // feeds the df aggregation and the join-back
+    val df = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Disjunctive ranked retrieval by SCALED-INTEGER tf-idf: docs matching
     * ANY query term, scored Σ_t tf_t · ((SCALE·N) div df_t) — the idf
     * weight as an integer quotient, so rarer terms dominate exactly as in

@@ -251,7 +251,12 @@ object ScaleProbe {
         () => Similarity.hardNegatives(embN).count()),
       ("vec_label_audit",
         () => Similarity.knnLabelAudit(emb1).count(),
-        () => Similarity.knnLabelAudit(embN).count())) ++
+        () => Similarity.knnLabelAudit(embN).count()),
+      // the round-9 registered config: budgeted autoProbe over autoCells
+      // (the r8-flagged probe-all registration was quadratic by design)
+      ("vec_triplets",
+        () => Similarity.tripletMine(emb1).count(),
+        () => Similarity.tripletMine(embN).count())) ++
       // the SERVE ladder at budgeted configs (nProbe = 4, refine = 4·k):
       // sidecars built OUTSIDE the timed section (builds amortize in
       // production — the vec_serve_build registration times them), cells

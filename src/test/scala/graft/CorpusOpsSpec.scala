@@ -72,6 +72,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("docNovelty: df=1 grams count as novel, shared grams don't, short docs drop") {
+    import spark.implicits._
+    // A and B share "a b c"; each owns one private trigram; C is too short
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "zz yy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), "sub-n docs have no grams and drop out")
+    assert(got(1L) == ((2L, 1L, 0.5)), s"doc 1: 2 grams, 1 novel (got ${got(1L)})")
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    // a within-doc repeated gram counts once (distinct per doc), and a
+    // gram repeated only WITHIN one doc is still corpus-novel
+    val rep = Seq((7L, "p q r p q r")).toDF("doc_id", "text")
+    val g7 = TextAnalysis.docNovelty(rep).collect().head
+    // "p q r p q r" yields 4 positional trigrams but only 3 DISTINCT ones
+    assert(g7.getLong(1) == 3L && g7.getLong(2) == 3L && g7.getDouble(3) == 1.0,
+      "distinct-per-doc grams, all df=1")
+  }
+
   test("sourceBalance: shares sum to 1; effective sources exact on a hand fixture") {
     import spark.implicits._
     // two sources, 30 vs 10 tokens → p = (0.75, 0.25), 1/Σp² = 1.6
