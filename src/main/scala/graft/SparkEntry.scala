@@ -473,7 +473,20 @@ object SparkEntry {
     "doc_incr_dedup_ingest" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
-      val dir = cachedArtifact("lshing", d)(p => graft.text.LshIndex.build(s, docs, p))
+      // The gate MUTATES its resident index, so it takes a PRIVATE COPY of
+      // the pristine artifact doc_incr_dedup_build times and installs
+      // (identical content by construction — same builder over the same
+      // corpus). The recursive FS copy costs ~file IO, so BENCH charges
+      // the one-time derivation to the build entry, not to this serving
+      // decision (the vec_serve_build rationale).
+      val dir = cachedArtifact("lshing", d) { p =>
+        val src = cachedArtifact("lsh", d)(q => graft.text.LshIndex.build(s, docs, q))
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+          fs, new org.apache.hadoop.fs.Path(p), false, conf)
+        ()
+      }
       val exact = docs.filter(col("doc_id") % 40 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       val near = docs.filter(col("doc_id") % 40 === 10)
