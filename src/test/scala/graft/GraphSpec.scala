@@ -47,6 +47,30 @@ class GraphSpec extends SparkSpec {
     assert(split(1L) == 150000L + 85L * 500000L / 100L && split(1L) == split(3L))
   }
 
+  test("random graphs: distributed ranks equal a single-node reference bitwise") {
+    import spark.implicits._
+    // deterministic seeded graphs, self-loops/parallel edges/dangling nodes
+    // all in range — the reference runs the identical integer recurrence
+    for (seed <- Seq(1, 2, 3, 4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(20)
+      val edges = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val rounds = 1 + rnd.nextInt(3)
+      val got = Graph.linkRank(edges.toDF("src", "dst"), rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: same multigraph/dangling/floor semantics, driver-side
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to rounds) {
+        val sums = edges.groupBy(_._2).view.mapValues(
+          _.map(e => rank(e._1) / odeg(e._1)).sum).toMap
+        rank = nodes.map(v => v -> (150000L + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got == rank, s"seed $seed: distributed must equal the reference exactly")
+    }
+  }
+
   test("integer arithmetic is exact: floor division, never a float sum") {
     // odeg 3 with rank 1e6: contribution floor(1e6/3) = 333333 each;
     // dst sums three of them -> 999999 (the 1-micro floor loss), damped
