@@ -194,6 +194,14 @@ object ScaleProbe {
           k = 10, nProbe = 4, refineFactor = 4)
         .getOrElse(sys.error("sidecar must answer")).count()
     }
+    def linkRankOver(docs: DataFrame): Long = {
+      val ids = docs.select(col("doc_id"))
+      val n = ids.count()
+      val edges = ids.select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst")))
+      graft.ops.Graph.linkRank(edges).count()
+    }
     def serveBatch(dir: String, kind: String, emb: DataFrame): Long = {
       val qs = emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -256,7 +264,16 @@ object ScaleProbe {
       // (the r8-flagged probe-all registration was quadratic by design)
       ("vec_triplets",
         () => Similarity.tripletMine(emb1).count(),
-        () => Similarity.tripletMine(embN).count())) ++
+        () => Similarity.tripletMine(embN).count()),
+      // per-doc gram novelty: ONE gram-keyed df aggregation — linear
+      ("doc_novelty",
+        () => graft.ops.TextAnalysis.docNovelty(docs1).count(),
+        () => graft.ops.TextAnalysis.docNovelty(docsN).count()),
+      // integer PageRank, 3 rounds over the registered harness graph
+      // (2 edges/doc): O(edges·rounds) joins+sums — linear
+      ("doc_link_rank",
+        () => linkRankOver(docs1),
+        () => linkRankOver(docsN))) ++
       // the SERVE ladder at budgeted configs (nProbe = 4, refine = 4·k):
       // sidecars built OUTSIDE the timed section (builds amortize in
       // production — the vec_serve_build registration times them), cells
