@@ -319,10 +319,12 @@ object Similarity {
 
   // Corpus counts memoized per analyzed logical plan (weak keys — entries
   // die with their plan): the blocked family resolves autoCells at
-  // plan-construction time, and a pipeline that builds several blocked
-  // operators over the SAME table shouldn't re-run the count job per call
-  // (the round-8 eager-jobs note). Lookups are structural (LogicalPlan
-  // case-class equality), so re-derived references to one table hit.
+  // plan-construction time, and a pipeline that stacks several blocked
+  // operators over the SAME DataFrame shouldn't re-run the count job per
+  // call (the round-8 eager-jobs note). Scope is honest per-INSTANCE
+  // reuse: a re-derived read of the same table carries fresh expression
+  // ids, so its plan is a different key — callers wanting cross-read
+  // reuse hold one DataFrame and pass it to each operator.
   private val countCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]())
