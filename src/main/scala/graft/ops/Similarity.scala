@@ -317,19 +317,22 @@ object Similarity {
   def autoProbe(cells: Int, floorProbe: Int = 4): Int =
     math.max(floorProbe, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
-  // Corpus counts memoized per analyzed logical plan (weak keys — entries
-  // die with their plan): the blocked family resolves autoCells at
-  // plan-construction time, and a pipeline that stacks several blocked
-  // operators over the SAME DataFrame shouldn't re-run the count job per
-  // call (the round-8 eager-jobs note). Scope is honest per-INSTANCE
-  // reuse: a re-derived read of the same table carries fresh expression
-  // ids, so its plan is a different key — callers wanting cross-read
-  // reuse hold one DataFrame and pass it to each operator.
+  // Corpus counts memoized per canonicalized logical plan (weak keys —
+  // entries die with their plan): the blocked family resolves autoCells
+  // at plan-construction time, and re-running the count job per operator
+  // call was the round-8 eager-jobs note. Scope is per-INSTANCE reuse
+  // (stack several blocked operators over one held DataFrame and only
+  // the first pays the count): canonicalization normalizes expression
+  // ids, but two separate file reads carry distinct HadoopFsRelation
+  // objects (no structural equality in the engine), so re-derived reads
+  // of the same path deliberately key apart — a hit is therefore always
+  // sound, and a count against a mutated path can't go stale through a
+  // fresh read.
   private val countCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]())
-  private def memoCount(df: DataFrame): Long = {
-    val key = df.queryExecution.analyzed
+  private[graft] def memoCount(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
     val hit = countCache.get(key)
     if (hit != null) hit.longValue()
     else { val n = df.count(); countCache.put(key, n); n }

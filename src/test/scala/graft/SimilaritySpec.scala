@@ -62,6 +62,28 @@ class SimilaritySpec extends SparkSpec {
       "margins computed (sanity)")
   }
 
+  test("memoCount: repeat counts of one held DataFrame run no further Spark jobs") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // per-instance scope: the SAME DataFrame stacked through several
+    // blocked operators pays the count once (separate file reads key
+    // apart by relation identity — that miss is deliberate and sound)
+    val a = Tables.embeddings(spark, sf)
+    val n1 = graft.ops.Similarity.memoCount(a)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n2 = graft.ops.Similarity.memoCount(a)
+      val n3 = graft.ops.Similarity.memoCount(a)
+      Thread.sleep(500) // listener bus drains async; a job event would land well within this
+      assert(n1 == n2 && n2 == n3 && n1 > 0)
+      assert(jobs.get() == 0, s"repeat memoCounts must run no Spark jobs (ran ${jobs.get()})")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("autoProbe: √cells with floor 4, exact at perfect squares") {
     import graft.ops.Similarity.autoProbe
     assert(autoProbe(8) == 4, "floor holds at the 8-cell floor (historical outputs)")
