@@ -271,4 +271,25 @@ class ScalePatternsSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("dynamicpruningexpression"),
       s"the fact scan must carry a dynamic pruning predicate:\n${plan.take(1500)}")
   }
+
+  test("doc novelty plan: partial df aggregation, equi-join gram match, no cross product") {
+    val plan = graft.ops.TextAnalysis.docNovelty(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram df join must be equi-join shaped:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"the gram-keyed df aggregation must combine map-side:\n${plan.take(1200)}")
+  }
+
+  test("link rank plan: per-round join+sum stays equi-join shaped with partial sums") {
+    import spark.implicits._
+    val edges = spark.range(0, 2000).select(col("id").as("src"),
+      ((col("id") * 3 + 7) % 2000).as("dst"))
+    val plan = graft.ops.Graph.linkRank(edges, rounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"rank propagation must never cross-join:\n${plan.take(1200)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"per-dst contribution sums must combine map-side:\n${plan.take(1200)}")
+  }
 }
