@@ -47,6 +47,11 @@ object Bench {
     materialize(graft.functions.TopKAggregator.topEventsPerUser(
       Tables.events(spark, sfDir).limit(1000)))
     materialize(ops.Similarity.knnL2(Tables.embeddings(spark, sfDir).limit(200)))
+    // The CRM view stack (typed content structs, earliest-k aggregate,
+    // broadcast dims) is its own codegen family, and crm_* sort FIRST —
+    // without this the alphabetically-first heavy CRM query absorbs the
+    // stack's whole JIT (measured ~2× vs isolated in r9).
+    materialize(crm.CrmOps.companyActivity(spark, sfDir))
 
     // Optional comma-separated name filter for targeted timing runs
     // (SPARK_GRAFT_ONLY=doc_blocked_jaccard,doc_minhash_pairs).
