@@ -1499,14 +1499,32 @@ object SparkEntry {
     // layouts against brute-force oracles.
     "vec_serve_build" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Seq("ivf" -> "flatserve", "ivfpq" -> "flatservepq",
-          "sq" -> "flatservesq", "opq" -> "flatserveopq").map { case (kind, key) =>
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-q-serve-$kind").toString + "/idx"
-        graft.vector.VectorIndex.append(
-          graft.vector.VectorIndex.fromEmbeddings(Tables.embeddings(s, d)), dir)
-        graft.vector.ServeIndex.build(s, dir, kind, nCells = 8)
-        artifactCache.putIfAbsent(s"$key|$d", dir)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      // The four kind-builds are independent job chains over separate
+      // temp roots — run them on concurrent driver threads (Spark's
+      // scheduler interleaves their stages across the executor pool; the
+      // standard multi-tenant submission shape). Builds don't touch
+      // session confs, so plain Futures are safe; summaries assemble
+      // after the barrier.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val dirs = try Await.result(Future.sequence(
+        Seq("ivf" -> "flatserve", "ivfpq" -> "flatservepq",
+            "sq" -> "flatservesq", "opq" -> "flatserveopq").map { case (kind, key) =>
+          Future {
+            val dir = java.nio.file.Files
+              .createTempDirectory(s"graft-q-serve-$kind").toString + "/idx"
+            graft.vector.VectorIndex.append(
+              graft.vector.VectorIndex.fromEmbeddings(Tables.embeddings(s, d)), dir)
+            graft.vector.ServeIndex.build(s, dir, kind, nCells = 8)
+            artifactCache.putIfAbsent(s"$key|$d", dir)
+            kind -> dir
+          }
+        }), Duration.Inf)
+      finally pool.shutdown()
+      dirs.map { case (kind, dir) =>
         val vecs = s.read.parquet(
           graft.vector.ServeIndex.sidecarPath(dir) + "/vectors")
         val nCodes =
