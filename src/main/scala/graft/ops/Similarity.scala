@@ -338,6 +338,20 @@ object Similarity {
     else { val n = df.count(); countCache.put(key, n); n }
   }
 
+  /** Deterministic bounded anchor sample for the kNN-mining family: the
+    * `n` lowest hash-draw vectors (`Sampling.hashDraw` of the stable id,
+    * vec_id tie-break) — reproducible, stable under corpus growth up to
+    * draw collisions, engine-portable (the `doc_sample` rule). Production
+    * mining runs over a TRAINING BATCH of anchors, never the corpus:
+    * registering the mining queries over this sample keeps their cost
+    * O(anchors · √cells · occupancy) — flat in corpus size per anchor —
+    * where the full self-join forms grow ~n^1.5 under [[autoProbe]].
+    * Lowers to TakeOrderedAndProject (bounded partial top-n per
+    * partition), never a global sort.
+    */
+  def anchorSample(embeddings: DataFrame, n: Int = 256): DataFrame =
+    embeddings.orderBy(Sampling.hashDraw(col("vec_id")), col("vec_id")).limit(n)
+
   /** Hard-negative mining for contrastive training (the DPR/SimCLR data-prep
     * op): for every vector, the k nearest corpus vectors carrying a
     * DIFFERENT label — semantically close but known-not-matching, the
@@ -357,6 +371,17 @@ object Similarity {
     * probe-all ≡ brute force; the registered oracle mirrors the blocked
     * plan itself, so the hash check is recall-independent.
     *
+    * SCALE SHAPE of this all-anchors self-join form: under the
+    * [[autoCells]]/[[autoProbe]] defaults, candidate volume is
+    * n · √cells · occupancy ≈ n^1.5·16 — deliberately super-linear (the
+    * price of recall that doesn't cliff with growth; a fixed probe budget
+    * silently probes an ever-smaller corpus fraction). Tasks stay bounded
+    * (salting) but TOTAL work grows ~n^1.5, so the production shape is
+    * [[hardNegativesFor]] over a bounded [[anchorSample]] — a training
+    * batch is 10³–10⁶ anchors, never the corpus — which the registered
+    * `vec_hard_negatives` query uses. This full form stays the spec-level
+    * exactness pin.
+    *
     * `nCells = 0` (the default) auto-scales the block count to the corpus
     * via [[autoCells]] — the round-8 scale probe showed the fixed 8-cell
     * config going ~10.6× at 10× data (cell occupancy ×10 ⇒ within-cell
@@ -370,17 +395,31 @@ object Similarity {
     * and the salt map).
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 0, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame =
+    hardNegativesFor(embeddings, embeddings, k, nCells, nProbe, maxCellRows)
+
+  /** [[hardNegatives]] generalized to a bounded ANCHOR table (the
+    * production mining shape — anchors are a training batch, the corpus is
+    * the candidate pool). Anchors need (vec_id, label, embedding) and may
+    * be any subset of — or disjoint from — the corpus; self-pairs are
+    * excluded by label equality exactly as in the self form. Cells, salt
+    * map, and neighbor labels all come from the CORPUS side; only the
+    * probe fan-out is anchor-sized, so the candidate volume is
+    * |anchors| · nProbe · occupancy — flat in corpus size per anchor
+    * (probe count grows √cells, occupancy is pinned at ~256).
+    */
+  def hardNegativesFor(anchors: DataFrame, corpus: DataFrame, k: Int = 5,
       nCells: Int = 0, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
-    val cents = embeddings.filter(col("vec_id") < cells)
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
     val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    val assigned = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
     // Hot-cell salting, the knnJoinSalted pattern verbatim: a label-skewed
     // corpus (one dominant class = one dense region) concentrates in few
@@ -395,11 +434,11 @@ object Similarity {
       Seq(lit(cell), lit(s)) }: _*)
     val c = assigned.withColumn("salt",
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
-    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+    val q = anchors.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
-    val labels = embeddings.select(col("vec_id").as("c_vec_id"),
+    val labels = corpus.select(col("vec_id").as("c_vec_id"),
       col("label").as("neg_label"))
     q.join(c, Seq("cell", "salt"))
       .filter(col("q_label") =!= col("c_label"))
@@ -475,19 +514,36 @@ object Similarity {
     * embedding geometry, the hardest positive routinely sits outside the
     * probed neighborhood; raise nProbe (or probe-all) when the mined
     * positives must be globally hardest rather than neighborhood-hardest.
+    *
+    * SCALE SHAPE: the all-anchors self-join form is ~n^1.5 under the
+    * autoProbe default (the [[hardNegatives]] note verbatim); the
+    * production/registered shape is [[tripletMineFor]] over a bounded
+    * [[anchorSample]].
     */
   def tripletMine(embeddings: DataFrame, nCells: Int = 0, nProbe: Int = 0,
+      maxCellRows: Long = 1000000L): DataFrame =
+    tripletMineFor(embeddings, embeddings, nCells, nProbe, maxCellRows)
+
+  /** [[tripletMine]] generalized to a bounded ANCHOR table (the
+    * [[hardNegativesFor]] shape): triplets are mined for each anchor row
+    * against the corpus candidate pool — cells, salt map, and both arms'
+    * candidates come from the corpus; only the probe fan-out is
+    * anchor-sized. Anchors sharing ids with corpus rows self-exclude by
+    * id exactly as in the self form.
+    */
+  def tripletMineFor(anchors: DataFrame, corpus: DataFrame,
+      nCells: Int = 0, nProbe: Int = 0,
       maxCellRows: Long = 1000000L): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
-    val cents = embeddings.filter(col("vec_id") < cells)
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
     val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    val assigned = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
     val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
       .collect().map { r =>
@@ -497,7 +553,7 @@ object Similarity {
       Seq(lit(cell), lit(s)) }: _*)
     val c = assigned.withColumn("salt",
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
-    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+    val q = anchors.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
@@ -707,23 +763,37 @@ object Similarity {
     * bounded by corpus ids or the label alphabet.
     */
   def knnLabelAudit(embeddings: DataFrame, k: Int = 5,
+      nCells: Int = 0, nProbe: Int = 0): DataFrame =
+    knnLabelAuditFor(embeddings, embeddings, k, nCells, nProbe)
+
+  /** [[knnLabelAudit]] generalized to a bounded ANCHOR table (the
+    * [[hardNegativesFor]] shape): the leave-one-out vote runs for each
+    * anchor against the corpus candidate pool, so the audit's cost is
+    * anchor-proportional — the production posture audits a stratified
+    * sample, not every vector. Accuracy is then an ESTIMATE of the
+    * full-corpus audit (the full self-join form stays the exact
+    * definition and the spec pin). SCALE SHAPE note on the self form:
+    * ~n^1.5 under the autoProbe default — the [[hardNegatives]] note
+    * verbatim.
+    */
+  def knnLabelAuditFor(anchors: DataFrame, corpus: DataFrame, k: Int = 5,
       nCells: Int = 0, nProbe: Int = 0): DataFrame = {
-    // nCells = 0 → auto-scale like hardNegatives (same self-join shape,
+    // nCells = 0 → auto-scale like hardNegatives (same join shape,
     // same fixed-cell hazard at growing corpus size)
-    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
-    val cents = embeddings.filter(col("vec_id") < cells)
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
     val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    val c = embeddings.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+    val c = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       element_at(sortedCells, 1).cast("long").as("cell"))
-    val q = embeddings.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+    val q = anchors.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
       col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
-    val labels = embeddings.select(col("vec_id").as("c_vec_id"),
+    val labels = corpus.select(col("vec_id").as("c_vec_id"),
       col("label").as("n_label"))
     val topk = q.join(c, "cell")
       .filter(col("q_vec_id") =!= col("c_vec_id"))

@@ -72,11 +72,17 @@ object ScaleProbe {
 
   private def amplifyEmb(emb: DataFrame, reps: Int, dim: Int): DataFrame =
     (0 until reps).map { r =>
-      if (r == 0) emb
+      // rotation wraps past the dimension count so 100×+ amplification is
+      // well-formed (replicas r and r+dim then share a rotation — exact
+      // cross-replica dups, harmless for the wall-clock probes)
+      val s = r % dim
+      if (s == 0) emb.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"), col("label"),
+        col("embedding"))
       else emb.select(
         (col("vec_id") + lit(r * 10000000L)).as("vec_id"), col("label"),
-        concat(slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r)).as("embedding"))
+        concat(slice(col("embedding"), s + 1, dim - s),
+          slice(col("embedding"), 1, s)).as("embedding"))
     }.reduce(_ unionByName _)
 
   /** The registered mm_audio_near fixture over an arbitrary id set. */
@@ -260,11 +266,25 @@ object ScaleProbe {
       ("vec_label_audit",
         () => Similarity.knnLabelAudit(emb1).count(),
         () => Similarity.knnLabelAudit(embN).count()),
-      // the round-9 registered config: budgeted autoProbe over autoCells
-      // (the r8-flagged probe-all registration was quadratic by design)
+      // the full self-join form — ~n^1.5 BY DESIGN under autoProbe (the
+      // spec-level exactness tier since round 10; kept probed so the
+      // shape stays a measured number, not a claim)
       ("vec_triplets",
         () => Similarity.tripletMine(emb1).count(),
         () => Similarity.tripletMine(embN).count()),
+      // the round-10 REGISTERED bounded-anchor forms: 256 fixed anchors
+      // (hashDraw rule) against the growing corpus — per-anchor candidate
+      // volume is autoProbe(√cells)·occupancy(~256), so wall grows ~√n
+      // for fixed anchors instead of the self forms' n^1.5
+      ("vec_triplets_anchored",
+        () => Similarity.tripletMineFor(Similarity.anchorSample(emb1), emb1).count(),
+        () => Similarity.tripletMineFor(Similarity.anchorSample(embN), embN).count()),
+      ("vec_hard_negatives_anchored",
+        () => Similarity.hardNegativesFor(Similarity.anchorSample(emb1), emb1).count(),
+        () => Similarity.hardNegativesFor(Similarity.anchorSample(embN), embN).count()),
+      ("vec_label_audit_anchored",
+        () => Similarity.knnLabelAuditFor(Similarity.anchorSample(emb1), emb1).count(),
+        () => Similarity.knnLabelAuditFor(Similarity.anchorSample(embN), embN).count()),
       // per-doc gram novelty: ONE gram-keyed df aggregation — linear
       ("doc_novelty",
         () => graft.ops.TextAnalysis.docNovelty(docs1).count(),

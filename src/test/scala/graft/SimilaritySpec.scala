@@ -62,6 +62,62 @@ class SimilaritySpec extends SparkSpec {
       "margins computed (sanity)")
   }
 
+  test("bounded-anchor mining: probe-all covers every two-armed anchor; budgeted output ⊆ exact anchor set") {
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = Similarity.anchorSample(emb)
+    val anchorRows = anchors.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(anchorRows.length == math.min(256L, emb.count()).toInt,
+      "anchorSample returns exactly min(n, corpus) rows")
+    // expected coverage from the DATA: an anchor has both arms iff the
+    // corpus holds another vector with its label and any vector with a
+    // different one.
+    val labelCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTotal = labelCounts.values.sum
+    val expected = anchorRows.filter { case (_, lbl) =>
+      labelCounts(lbl) >= 2 && nTotal > labelCounts(lbl)
+    }.map(_._1).toSet
+    // probe-all: candidacy total, so EXACTLY the two-armed anchors emit —
+    // the anchor-coverage contract the budgeted config can't promise.
+    val exact = Similarity.tripletMineFor(anchors, emb, nProbe = 1024)
+      .select("anchor_id").collect().map(_.getLong(0)).toSet
+    assert(exact == expected,
+      s"probe-all emits exactly the two-armed anchors (${exact.size} vs ${expected.size})")
+    // budgeted: anchors may drop when an arm sits outside probed cells,
+    // but never ADD an anchor, and surviving arms must be valid rows.
+    val budgeted = Similarity.tripletMineFor(anchors, emb)
+      .select("anchor_id").collect().map(_.getLong(0)).toSet
+    assert(budgeted.subsetOf(exact), "budgeted anchors ⊆ probe-all anchors")
+    assert(budgeted.nonEmpty, "budgeted config mines a non-trivial anchor set")
+  }
+
+  test("bounded-anchor mining: two-table forms at probe-all equal the self forms restricted to anchors") {
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = Similarity.anchorSample(emb, 64)
+    val ids = anchors.select("vec_id").collect().map(_.getLong(0)).toSet
+    // hardNegativesFor(anchors, corpus) ≡ hardNegatives(corpus) filtered
+    // to the anchor ids — the anchor generalization changes WHO is mined
+    // for, never the candidate pool or the per-anchor answer.
+    val forForm = Similarity.hardNegativesFor(anchors, emb, k = 3, nProbe = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val selfForm = Similarity.hardNegatives(emb, k = 3, nProbe = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter(t => ids.contains(t._1)).toSet
+    assert(forForm == selfForm, "hardNegativesFor ≡ anchor-filtered hardNegatives")
+    val auditFor = Similarity.knnLabelAuditFor(anchors, emb, nProbe = 1024)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // the self form's per-label accuracy differs (different denominator);
+    // the FOR form must count exactly the anchors per label.
+    val perLabel = anchors.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    auditFor.foreach { case (lbl, nVecs, nCorrect) =>
+      assert(nVecs == perLabel(lbl), s"label $lbl audits exactly its anchors")
+      assert(nCorrect >= 0 && nCorrect <= nVecs, s"label $lbl correct count bounded")
+    }
+    assert(auditFor.map(_._2).sum == ids.size, "every anchor voted exactly once")
+  }
+
   test("memoCount: repeat counts of one held DataFrame run no further Spark jobs") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
