@@ -37,13 +37,21 @@ object RetryingIO {
   final case class RetryPolicy(retries: Int = 3, baseDelayMs: Long = 200L,
       maxDelayMs: Long = 5000L, sleeper: Long => Unit = Thread.sleep)
 
+  // Status codes match only as standalone numbers (no digit on either
+  // side): a manifest named v00000429.json or a byte count embedding
+  // "...1503 bytes" in a wrapped message must NOT trigger a 3× backoff
+  // of a permanent failure (ADVICE r9). Punctuation-delimited 429/503
+  // still match — real throttle messages arrive as "HTTP 429:",
+  // "(503)", "status=429".
+  private val statusCode = java.util.regex.Pattern.compile("(?<!\\d)(429|503)(?!\\d)")
+
   def defaultTransient(t: Throwable): Boolean = t match {
     case _: java.io.FileNotFoundException => false // a real answer
     case _: java.net.ConnectException => true
     case _: java.net.SocketTimeoutException => true
     case e: java.io.IOException =>
       val m = Option(e.getMessage).getOrElse("").toLowerCase
-      m.contains("429") || m.contains("503") || m.contains("slow down") ||
+      statusCode.matcher(m).find() || m.contains("slow down") ||
         m.contains("timed out") || m.contains("connection reset") ||
         m.contains("throttl") || m.contains("service unavailable")
     case _ => false

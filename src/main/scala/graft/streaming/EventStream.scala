@@ -285,15 +285,20 @@ object EventStream {
     * identifiable and droppable downstream.
     *
     * `skipReplayed = true` upgrades that to IDEMPOTENT replay: the verdict
-    * log's max batch_id is the high-water mark — a batch at or below it
+    * log's max batch_id is the high-water mark — a batch AT the mark
     * already completed its ingest+verdict write, so the replay is a no-op
-    * instead of an exception (restart-friendly at-least-once). The
-    * ordering that makes this sound: `ingestBatch` appends the index
-    * BEFORE the verdict write, so verdicts-present ⇒ ingest completed. A
-    * crash BETWEEN index append and verdict write still fails loud on the
-    * id gate at replay — that state is genuinely ambiguous and stopping
-    * remains the cheap failure. Cost: one footer-stats read of the
-    * verdict log's batch_id column per micro-batch.
+    * instead of an exception (restart-friendly at-least-once); a batch
+    * BELOW the mark fails loud — legitimate redelivery can only replay the
+    * latest batch, so below-mark means a reset checkpoint against a
+    * retained log (or a shared log), where skipping would silently drop
+    * NEW data arriving under recycled ids. The ordering that makes the
+    * skip sound: `ingestBatch` appends the index BEFORE the verdict
+    * write, so verdicts-present ⇒ ingest completed. A crash BETWEEN index
+    * append and verdict write still fails loud on the id gate at replay —
+    * that state is genuinely ambiguous and stopping remains the cheap
+    * failure. Cost: one footer-stats read of the verdict log's batch_id
+    * column per micro-batch. The same option (same contract, same gate)
+    * exists on every ingest twin below.
     */
   def corpusIngest(docs: DataFrame, indexPath: String, verdictPath: String,
       checkpoint: String, jaccardThreshold: Double = 0.3,
@@ -311,9 +316,19 @@ object EventStream {
       }
       .start()
 
-  /** True when the verdict log already carries this (or a later) batch id —
-    * the skip-replayed-batch high-water test. Driver-side metadata IO, so
-    * the existence probe rides the transient-retry policy.
+  /** True when the log already carries EXACTLY this batch id as its
+    * high-water mark — the skip-replayed-batch test shared by every gate's
+    * `skipReplayed` option. Legitimate foreachBatch redelivery can only
+    * replay the LATEST batch (batches commit serially, and a batch's log
+    * write is the last step of its ingest), so the only sound skip is
+    * batchId == max(batch_id). A batch id BELOW the mark means the stream
+    * checkpoint was reset (ids restarted) against a retained log, or two
+    * streams share one log — silently skipping there is data loss under a
+    * flag documented as at-least-once, so it fails LOUD instead (the
+    * ADVICE r9 generation-mismatch finding). Driver-side metadata IO:
+    * both the existence probe and the footer-stats read ride the
+    * transient-retry policy (one storage throttle must not kill the
+    * micro-batch).
     */
   private def replayedAlready(spark: org.apache.spark.sql.SparkSession,
       verdictPath: String, batchId: Long): Boolean = {
@@ -322,9 +337,19 @@ object EventStream {
     graft.sources.RetryingIO.withRetry(s"replayedAlready($verdictPath)") {
       fs.exists(p)
     } && {
-      val mx = spark.read.parquet(verdictPath)
-        .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head
-      !mx.isNullAt(0) && mx.getLong(0) >= batchId
+      val mx = graft.sources.RetryingIO.withRetry(s"replayedAlready($verdictPath) read") {
+        spark.read.parquet(verdictPath)
+          .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head
+      }
+      !mx.isNullAt(0) && {
+        val m = mx.getLong(0)
+        require(batchId >= m,
+          s"replayedAlready($verdictPath): micro-batch id $batchId is behind the " +
+            s"log's high-water mark $m — the stream checkpoint was reset against a " +
+            "retained log (or two streams share it); skipping would silently drop " +
+            "data. Align or clear the log before restarting.")
+        m == batchId
+      }
     }
   }
 
@@ -348,18 +373,22 @@ object EventStream {
     * `batch_dup` / `exact_dup` / `near_dup` / `overlap_dup`).
     *
     * Delivery contract: `corpusIngest`'s — at-least-once, replay fails
-    * loud on the id gate.
+    * loud on the id gate; `skipReplayed = true` upgrades to idempotent
+    * replay under the same high-water contract (the dedup-ingest append
+    * happens before the verdict write).
     */
   def curatedCorpusIngest(docs: DataFrame, lmModelPath: String,
       indexPath: String, verdictPath: String, checkpoint: String,
       minFitPpm: Long,
       stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
       minWords: Long = 50L, maxWords: Long = 100000L,
-      jaccardThreshold: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+      jaccardThreshold: Double = 0.3,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           val s = batch.sparkSession
           val c4 = graft.ops.Curation.c4LineSignals(batch).localCheckpoint(true)
           val cleaned = c4.filter(col("verdict") === "kept")
@@ -407,15 +436,20 @@ object EventStream {
     * against the resident IVF layout (`IvfIndex.dedupIngest` — within-batch
     * exact tier, probed-cell resident tier), survivors land in their cell
     * partitions, verdicts in the append-only log. Same delivery contract:
-    * at-least-once, replay fails loud on the id-disjointness gate.
+    * at-least-once, replay fails loud on the id-disjointness gate;
+    * `skipReplayed = true` upgrades to idempotent replay under the
+    * [[corpusIngest]] high-water contract (sound because `dedupIngest`
+    * appends the index before the verdict write).
     */
   def vectorCorpusIngest(vectors: DataFrame, indexPath: String, verdictPath: String,
       checkpoint: String,
-      threshold: Double = 0.95): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.95,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           graft.vector.IvfIndex.dedupIngest(batch.sparkSession, indexPath, batch, threshold)
             .withColumn("batch_id", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
@@ -435,15 +469,21 @@ object EventStream {
     * survive with duplicated paragraphs removed (dedup_text NULL when
     * nothing survived). Delivery: at-least-once; a replayed batch is
     * idempotent by the index's self-match rule (re-offers keep their own
-    * first occurrences), so reprocessing reproduces the same output rows
-    * rather than cutting the batch against itself.
+    * first occurrences), so reprocessing reproduces the same output ROWS —
+    * but appends them AGAIN into the output path. `skipReplayed = true`
+    * suppresses that duplicate append under the [[corpusIngest]]
+    * high-water contract, with the OUTPUT path as the batch log (its rows
+    * carry batch_id; output-present ⇒ index appended, the required
+    * ordering, because `ingestBatch` appends the index before returning).
     */
   def paragraphIngest(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, outPath, batchId))) {
           graft.text.ParagraphIndex.ingestBatch(batch.sparkSession, indexPath, batch)
             .withColumn("batch_id", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
@@ -462,11 +502,13 @@ object EventStream {
     */
   def mediaIngest(media: DataFrame, indexPath: String, verdictPath: String,
       checkpoint: String,
-      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      maxHamming: Int = 2,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           val typed = batch.as[graft.multimodal.Multimodal.MediaRow](
             org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
           graft.multimodal.PhashIndex.dedupIngest(batch.sparkSession, indexPath,
@@ -486,11 +528,13 @@ object EventStream {
     */
   def audioIngest(media: DataFrame, indexPath: String, verdictPath: String,
       checkpoint: String,
-      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      maxHamming: Int = 2,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           val typed = batch.as[graft.multimodal.Multimodal.MediaRow](
             org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
           graft.multimodal.AudioHashIndex.dedupIngest(batch.sparkSession, indexPath,
@@ -511,11 +555,13 @@ object EventStream {
     */
   def videoIngest(media: DataFrame, indexPath: String, verdictPath: String,
       checkpoint: String,
-      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      maxHamming: Int = 2,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, verdictPath, batchId))) {
           val typed = batch.as[graft.multimodal.Multimodal.MediaRow](
             org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRow])
           graft.multimodal.VideoHashIndex.dedupIngest(batch.sparkSession, indexPath,
@@ -535,15 +581,28 @@ object EventStream {
     * contract as the other ingest twins: at-least-once, and a replayed
     * batch fails LOUD on the doclens id-disjointness gate instead of
     * silently splitting a doc's term frequencies across duplicate
-    * posting rows.
+    * posting rows. `skipReplayed = true` upgrades to idempotent replay:
+    * the index has no verdict log, so the gate keeps its own one-row-per-
+    * batch `batchlog` sidecar under the index root, written AFTER the
+    * append (log-present ⇒ append completed — the ordering the high-water
+    * skip requires; a crash between append and log write still fails loud
+    * on the doclens gate, the genuinely ambiguous state).
     */
   def invertedIngest(docs: DataFrame, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      skipReplayed: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && !(skipReplayed &&
+            replayedAlready(batch.sparkSession, s"$indexPath/batchlog", batchId))) {
           graft.text.InvertedIndex.appendBatch(batch.sparkSession, batch, indexPath)
+          if (skipReplayed) {
+            batch.sparkSession.range(1)
+              .select(lit(batchId).as("batch_id"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(s"$indexPath/batchlog")
+          }
         }
       }
       .start()

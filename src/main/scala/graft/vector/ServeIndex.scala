@@ -110,7 +110,12 @@ object ServeIndex {
     }
     if (!there) None
     else {
-      val r = spark.read.parquet(mp).head
+      // the follow-up footer read is the same class of driver-side
+      // metadata IO as the probe — one throttle must not fail the query
+      // either (ADVICE r9)
+      val r = graft.sources.RetryingIO.withRetry(s"ServeIndex.meta($indexPath) read") {
+        spark.read.parquet(mp).head
+      }
       Some((r.getAs[String]("kind"), r.getAs[java.sql.Date]("watermark")))
     }
   }

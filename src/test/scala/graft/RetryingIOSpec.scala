@@ -67,6 +67,15 @@ class RetryingIOSpec extends AnyFunSuite {
     assert(!defaultTransient(new java.io.FileNotFoundException("x")))
     assert(!defaultTransient(new java.io.IOException("checksum mismatch")))
     assert(!defaultTransient(new RuntimeException("429"))) // only IO-shaped failures
+    // status codes only as standalone numbers — digits embedded in paths,
+    // versions, or byte counts are permanent failures, not throttles
+    assert(!defaultTransient(new java.io.IOException(
+      "cannot parse manifest v00000429.json")))
+    assert(!defaultTransient(new java.io.IOException(
+      "unexpected EOF after 1503 bytes")))
+    assert(!defaultTransient(new java.io.IOException("block 42903 corrupt")))
+    assert(defaultTransient(new java.io.IOException("status=429, retry later")))
+    assert(defaultTransient(new java.io.IOException("throttled (429)")))
   }
 
   test("delay cap binds: long budgets never sleep past maxDelayMs") {

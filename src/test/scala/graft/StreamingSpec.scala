@@ -679,6 +679,176 @@ class StreamingSpec extends SparkSpec {
       s"default replay must fail loud on the id gate: ${ex.getMessage.take(300)}")
   }
 
+  test("replay gates: skipReplayed no-ops a redelivered micro-batch on every ingest twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{Multimodal, PngCodec, WavCodec, AviCodec}
+    val base = java.nio.file.Files.createTempDirectory("graft-sreplay-all").toString
+
+    // Each twin: ingest one batch under skipReplayed, snapshot the durable
+    // state, redeliver the SAME rows through a fresh checkpoint (replayed
+    // as batch 0 — exactly the high-water mark), and assert the state is
+    // untouched. The run(...) indirection is per-gate because MemoryStream
+    // is typed.
+
+    // -- vector gate --------------------------------------------------
+    val emb = Tables.embeddings(spark, sf)
+    val vIdx = base + "/vidx"; val vLog = base + "/vlog"
+    graft.vector.IvfIndex.build(spark, emb.filter(col("vec_id") < 100), vIdx)
+    val vb = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")))).toSeq
+    def runVec(ck: String): Unit = {
+      val mem = MemoryStream[(Long, Int, Seq[Float])]
+      val q = EventStream.vectorCorpusIngest(
+        mem.toDF().toDF("vec_id", "label", "embedding"), vIdx, vLog,
+        base + ck, skipReplayed = true)
+      mem.addData(vb: _*); q.processAllAvailable(); q.stop()
+    }
+    runVec("/vck1")
+    val vVerd = spark.read.parquet(vLog).orderBy("vec_id").collect().toSeq
+    val vRows = spark.read.parquet(s"$vIdx/vectors").count()
+    runVec("/vck2")
+    assert(spark.read.parquet(vLog).orderBy("vec_id").collect().toSeq == vVerd,
+      "vector gate: replayed batch must leave the verdict log untouched")
+    assert(spark.read.parquet(s"$vIdx/vectors").count() == vRows,
+      "vector gate: replayed batch must leave the index untouched")
+
+    // -- media gates (image / audio / video share Hash64Index) --------
+    def png(src: Long): Array[Byte] = PngCodec.encodeGray(
+      Array.tabulate(1024) { p =>
+        var h = src * 1000003L + p
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        (h & 0xFF).toInt
+      }, 32, 32)
+    def wav(src: Long): Array[Byte] = WavCodec.encodePcm16(
+      Array.tabulate(576) { i =>
+        val h = (src * 2654435761L + i.toLong * 40503L) ^ (i.toLong * i * 97L)
+        (((h % 4096L) + 4096L) % 4096L - 2048L).toInt
+      }, 8000, 1)
+    def avi(src: Long): Array[Byte] = AviCodec.encodeGray(
+      Array.tabulate(18) { f =>
+        Array.tabulate(144) { p =>
+          var h = src * 6364136223846793005L + f * 1442695040888963407L + p
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          (h & 0xFF).toInt
+        }
+      }, 12, 12)
+    val mediaGates = Seq[(String, String, Long => Multimodal.MediaRow,
+        (org.apache.spark.sql.DataFrame, String, String, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery)](
+      ("img", "image", id => Multimodal.MediaRow(id, "image", png(id)),
+        (df, idx, log, ck) => EventStream.mediaIngest(df, idx, log, ck, skipReplayed = true)),
+      ("aud", "audio", id => Multimodal.MediaRow(id, "audio", wav(id)),
+        (df, idx, log, ck) => EventStream.audioIngest(df, idx, log, ck, skipReplayed = true)),
+      ("vid", "video", id => Multimodal.MediaRow(id, "video", avi(id)),
+        (df, idx, log, ck) => EventStream.videoIngest(df, idx, log, ck, skipReplayed = true)))
+    mediaGates.foreach { case (tag, _, row, start) =>
+      val idx = s"$base/$tag-idx"; val log = s"$base/$tag-log"
+      val resident = (0L until 8L).map(row)
+      tag match {
+        case "img" => graft.multimodal.PhashIndex.build(spark, resident.toDS(), idx)
+        case "aud" => graft.multimodal.AudioHashIndex.build(spark, resident.toDS(), idx)
+        case _ => graft.multimodal.VideoHashIndex.build(spark, resident.toDS(), idx)
+      }
+      val batch = (100L until 106L).map(row)
+      def run(ck: String): Unit = {
+        val mem = MemoryStream[(Long, String, Array[Byte])]
+        val q = start(mem.toDF().toDF("doc_id", "media_type", "data"), idx, log, s"$base/$tag$ck")
+        mem.addData(batch.map(m => (m.doc_id, m.media_type, m.data)): _*)
+        q.processAllAvailable(); q.stop()
+      }
+      run("-ck1")
+      val verd = spark.read.parquet(log).orderBy("doc_id").collect().toSeq
+      val hashes = spark.read.parquet(s"$idx/hashes").count()
+      run("-ck2")
+      assert(spark.read.parquet(log).orderBy("doc_id").collect().toSeq == verd,
+        s"$tag gate: replayed batch must leave the verdict log untouched")
+      assert(spark.read.parquet(s"$idx/hashes").count() == hashes,
+        s"$tag gate: replayed batch must leave the hash index untouched")
+    }
+
+    // -- inverted-index gate (batchlog sidecar) ------------------------
+    val docs = Tables.documents(spark, sf)
+    val iIdx = base + "/inv-idx"
+    graft.text.InvertedIndex.build(spark, docs.filter(col("doc_id") < 50), iIdx, nBuckets = 8)
+    val ib = docs.filter(col("doc_id") >= 50 && col("doc_id") < 70)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def runInv(ck: String): Unit = {
+      val mem = MemoryStream[(Long, String, String)]
+      val q = EventStream.invertedIngest(
+        mem.toDF().toDF("doc_id", "text", "source"), iIdx, base + ck, skipReplayed = true)
+      mem.addData(ib: _*); q.processAllAvailable(); q.stop()
+    }
+    runInv("/ick1")
+    val postings = spark.read.parquet(s"$iIdx/postings").count()
+    val doclens = spark.read.parquet(s"$iIdx/doclens").count()
+    runInv("/ick2")
+    assert(spark.read.parquet(s"$iIdx/postings").count() == postings,
+      "inverted gate: replayed batch must leave the postings untouched")
+    assert(spark.read.parquet(s"$iIdx/doclens").count() == doclens,
+      "inverted gate: replayed batch must leave the doclens untouched")
+    assert(spark.read.parquet(s"$iIdx/batchlog").collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "inverted gate: exactly one batchlog row for the one real batch")
+
+    // -- paragraph gate (output path as batch log) ---------------------
+    val pIdx = base + "/par-idx"; val pOut = base + "/par-out"
+    graft.text.ParagraphIndex.build(spark,
+      Seq((1L, "alpha resident line.")).toDF("doc_id", "text"), pIdx)
+    val pb = Seq((10L, "alpha resident line.\nfresh batch line."))
+    def runPar(ck: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.paragraphIngest(
+        mem.toDF().toDF("doc_id", "text"), pIdx, pOut, base + ck, skipReplayed = true)
+      mem.addData(pb: _*); q.processAllAvailable(); q.stop()
+    }
+    runPar("/pck1")
+    val pRows = spark.read.parquet(pOut).orderBy("doc_id").collect().toSeq
+    val pHashes = spark.read.parquet(s"$pIdx/hashes").count()
+    runPar("/pck2")
+    assert(spark.read.parquet(pOut).orderBy("doc_id").collect().toSeq == pRows,
+      "paragraph gate: replayed batch must not duplicate output rows")
+    assert(spark.read.parquet(s"$pIdx/hashes").count() == pHashes,
+      "paragraph gate: replayed batch must leave the hash set untouched")
+  }
+
+  test("replay gates: a batch id BEHIND the high-water mark fails loud (generation mismatch)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sreplay-gen").toString
+    val idx = base + "/idx"
+    val verdictLog = base + "/verdicts"
+    val docs = Tables.documents(spark, sf)
+    graft.text.LshIndex.build(spark,
+      docs.filter(col("doc_id") < 300).select("doc_id", "text"), idx)
+    def rows(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // two committed batches → high-water mark 1
+    val mem = MemoryStream[(Long, String)]
+    val q1 = EventStream.corpusIngest(mem.toDF().toDF("doc_id", "text"),
+      idx, verdictLog, base + "/ckpt1", skipReplayed = true)
+    mem.addData(rows(300, 310): _*); q1.processAllAvailable()
+    mem.addData(rows(310, 320): _*); q1.processAllAvailable()
+    q1.stop()
+    // a reset checkpoint delivers NEW data as batch 0 — below the mark.
+    // The old >= semantics would silently skip it (data loss); the gate
+    // must fail loud instead.
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.corpusIngest(mem2.toDF().toDF("doc_id", "text"),
+      idx, verdictLog, base + "/ckpt2", skipReplayed = true)
+    mem2.addData(rows(320, 330): _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(ex.getMessage.contains("behind the log's high-water mark"),
+      s"generation mismatch must fail loud, got: ${ex.getMessage.take(300)}")
+  }
+
   test("streaming paragraph ingest cuts resident dups and grows the hash set mid-stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
