@@ -44,33 +44,98 @@ object Graph {
 
   private val Micro = 1000000L
 
-  /** `rounds` integer-PageRank iterations over an edge list. Output: one
-    * row per node — (node, rank_micro, rank), ordered by node.
+  /** One damped update against the current `ranks` — the shared round
+    * body of [[linkRank]] (fixed unrolled rounds, the oracle-bound form)
+    * and [[linkRankConverged]] (movement-threshold stop). Pure integer
+    * arithmetic, so both callers produce bitwise-identical trajectories.
     */
-  def linkRank(edges: DataFrame, rounds: Int = 3, dampingPct: Long = 85L,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(rounds >= 1, "need at least one round")
-    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+  private def rankRound(nodes: DataFrame, withDeg: DataFrame,
+      ranks: DataFrame, base: Long, dampingPct: Long): DataFrame = {
+    val contribs = withDeg
+      .join(ranks.select(col("node").as("src"), col("rank_micro")), "src")
+      .select(col("dst").as("node"), expr("rank_micro div odeg").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("s"))
+    nodes.join(contribs, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+          .as("rank_micro"))
+  }
+
+  private def prepared(edges: DataFrame, srcCol: String, dstCol: String):
+      (DataFrame, DataFrame) = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val withDeg = e.join(outDeg, "src")
+    (nodes, e.join(outDeg, "src"))
+  }
+
+  /** `rounds` integer-PageRank iterations over an edge list. Output: one
+    * row per node — (node, rank_micro, rank), ordered by node. Lineage
+    * grows linearly in rounds — fine at the registered 3; deep runs
+    * belong on [[linkRankConverged]], whose per-round materialization
+    * bounds lineage and stops at the fixpoint.
+    */
+  def linkRank(edges: DataFrame, rounds: Int = 3, dampingPct: Long = 85L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val (nodes, withDeg) = prepared(edges, srcCol, dstCol)
     val base = (100L - dampingPct) * Micro / 100L
     var ranks = nodes.withColumn("rank_micro", lit(Micro))
-    for (_ <- 1 to rounds) {
-      val contribs = withDeg
-        .join(ranks.select(col("node").as("src"), col("rank_micro")), "src")
-        .select(col("dst").as("node"), expr("rank_micro div odeg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
-            .as("rank_micro"))
-    }
+    for (_ <- 1 to rounds) ranks = rankRound(nodes, withDeg, ranks, base, dampingPct)
     ranks
       .withColumn("rank", col("rank_micro").cast("double") / 1000000.0)
       .orderBy(col("node"))
+  }
+
+  /** Result of a convergence run: final ranks (node, rank_micro, rank —
+    * ordered by node), rounds actually executed, and the last round's
+    * max |Δrank_micro| (≤ epsMicro iff the run stopped on convergence
+    * rather than the round budget).
+    */
+  final case class LinkRankRun(ranks: DataFrame, rounds: Int, maxMoveMicro: Long)
+
+  /** [[linkRank]] with a MOVEMENT-THRESHOLD stop — the deep-run form
+    * (authority signals saturate over tens of rounds; a fixed round count
+    * either wastes rounds or under-converges). Per round: one damped
+    * integer update (bitwise [[linkRank]]'s trajectory), then a
+    * `localCheckpoint` materialization — which simultaneously BOUNDS
+    * LINEAGE (the round's plan starts from materialized partitions, so a
+    * 50-round run never builds a 50-join tree) and feeds the movement
+    * aggregate max |Δrank_micro| without recomputing the round. The
+    * movement check is one narrow (node, long)-keyed join per round —
+    * the price every convergence-stopped PageRank pays, O(nodes) against
+    * the round's own O(edges) shuffle. Stops when movement < `epsMicro`
+    * (strict, so 0 disables — the [[graft.ops.Similarity.kmeansTrain]]
+    * convention) or at `maxRounds`.
+    */
+  def linkRankConverged(edges: DataFrame, maxRounds: Int = 50,
+      epsMicro: Long = 100L, dampingPct: Long = 85L,
+      srcCol: String = "src", dstCol: String = "dst"): LinkRankRun = {
+    require(maxRounds >= 1, "need at least one round")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val (nodesRaw, withDegRaw) = prepared(edges, srcCol, dstCol)
+    // both sides re-join every round — materialize once
+    val nodes = nodesRaw.localCheckpoint(true)
+    val withDeg = withDegRaw.localCheckpoint(true)
+    val base = (100L - dampingPct) * Micro / 100L
+    var ranks = nodes.withColumn("rank_micro", lit(Micro)).localCheckpoint(true)
+    var rounds = 0
+    var move = Long.MaxValue
+    while (rounds < maxRounds && move >= epsMicro) {
+      val next = rankRound(nodes, withDeg, ranks, base, dampingPct)
+        .localCheckpoint(true)
+      val mv = next.join(ranks.select(col("node"), col("rank_micro").as("prev")), "node")
+        .agg(max(abs(col("rank_micro") - col("prev")))).head
+      move = if (mv.isNullAt(0)) 0L else mv.getLong(0) // empty graph = fixpoint
+      ranks = next
+      rounds += 1
+    }
+    LinkRankRun(
+      ranks.withColumn("rank", col("rank_micro").cast("double") / 1000000.0)
+        .orderBy(col("node")),
+      rounds, move)
   }
 }

@@ -71,6 +71,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("convergence mode: deep run stops on movement, trajectory matches the unrolled form bitwise") {
+    import spark.implicits._
+    // a larger random graph (self-loops, parallel edges, dangling nodes in
+    // range) that needs a DEEP run — the fixed-round form would either
+    // waste rounds or under-converge here
+    val rnd = new scala.util.Random(42)
+    val n = 800
+    val edges = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .toDF("src", "dst").localCheckpoint(true)
+    val run = Graph.linkRankConverged(edges, maxRounds = 60, epsMicro = 25L)
+    assert(run.rounds >= 20 && run.rounds < 60,
+      s"the graph must genuinely need a deep run and then stop on movement, ran ${run.rounds}")
+    assert(run.maxMoveMicro < 25L,
+      s"stopped on convergence, not the budget (last move ${run.maxMoveMicro})")
+    // bitwise trajectory pin: the converged ranks equal linkRank unrolled
+    // to exactly the executed round count — per-round localCheckpoint
+    // materialization changes lineage, never values
+    val got = run.ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unrolled = Graph.linkRank(edges, rounds = run.rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == unrolled, "converged trajectory ≡ unrolled trajectory")
+    // one more round past the stop moves nothing beyond the threshold —
+    // the stop is a genuine fixpoint region, not a lucky dip
+    val more = Graph.linkRank(edges, rounds = run.rounds + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val drift = got.map { case (node, rm) => math.abs(more(node) - rm) }.max
+    assert(drift < 25L, s"movement stays under the threshold after the stop (drift $drift)")
+    // epsMicro = 0 disables the stop: exactly maxRounds run
+    val fixed = Graph.linkRankConverged(edges, maxRounds = 3, epsMicro = 0L)
+    assert(fixed.rounds == 3, "strict comparison: 0 never fires")
+  }
+
   test("integer arithmetic is exact: floor division, never a float sum") {
     // odeg 3 with rank 1e6: contribution floor(1e6/3) = 333333 each;
     // dst sums three of them -> 999999 (the 1-micro floor loss), damped
