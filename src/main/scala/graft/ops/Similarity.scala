@@ -312,7 +312,14 @@ object Similarity {
     * output at the 8-cell floor (the shipped sf0.01 fixtures). Every
     * oracle that replays a blocked plan mirrors this as
     * `GREATEST(4, CEIL(SQRT(n_cells)))` — IEEE sqrt is correctly rounded,
-    * so perfect squares agree bit-for-bit across engines.
+    * so perfect squares agree bit-for-bit across engines. The autoCells
+    * 1024-cell cap bounds this at 32 probes — the implicit probe cap: a
+    * corpus past the cap probes ≤ 32/1024 ≈ 3% of cells, never more
+    * work per query than the cap-sized corpus. NOTE the composition with
+    * an ALL-CORPUS self-join (every row queries): total candidate volume
+    * grows ~n^1.5 below the cap — see [[hardNegatives]]' scale note;
+    * bounded-anchor registration ([[anchorSample]]) is the production
+    * shape there.
     */
   def autoProbe(cells: Int, floorProbe: Int = 4): Int =
     math.max(floorProbe, math.ceil(math.sqrt(cells.toDouble)).toInt)
