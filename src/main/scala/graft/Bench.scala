@@ -84,10 +84,11 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // provenance: cross-round comparison is valid ONLY between idle
-    // captures (load_avg ≲ 1 at both ends) — the r9 final-vs-idle split
-    // cost an analysis a false regression. The field makes every capture
-    // self-describing.
-    val prov = if (math.max(loadAvgStart, loadAvg) < 1.5) "idle" else "loaded"
+    // captures — the r9 final-vs-idle split cost an analysis a false
+    // regression. Keyed on the START load alone: the bench's own
+    // local[32] executor threads always raise the END average, so only
+    // pre-existing contention invalidates a capture.
+    val prov = if (loadAvgStart < 1.0) "idle" else "loaded"
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${f"$loadAvgStart%.2f"},"load_avg_end":${f"$loadAvg%.2f"},"cpus":$cpus,"provenance":"$prov; compare cross-round idle-to-idle only"}""")
     spark.stop()
   }
