@@ -151,6 +151,29 @@ object StreamBench {
       results += "corpusIngest" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
     }
 
+    // ---- 2b. the same gate under skipReplayed ------------------------------
+    // quantifies the idempotent-replay option's per-micro-batch cost (one
+    // footer-stats read of the verdict log's batch_id column) against the
+    // fail-loud default above — same source, same gate, same window
+    locally {
+      val indexPath = tmp("lsh-idx2") + "/idx"
+      val verdictPath = tmp("lsh-verd2") + "/v"
+      text.LshIndex.build(spark, Tables.documents(spark, sfDir), indexPath)
+      val docs = rate(2000)
+        .select((col("value") + 60000000L).as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(29)),
+            i => concat(lit("tok"), pmod(col("value") * 7 + i * 13, lit(997)))), " ")
+            .as("text"))
+      val q = streaming.EventStream.corpusIngest(docs, indexPath, verdictPath,
+        tmp("lsh-ckpt2"), skipReplayed = true)
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "corpusIngestSkipReplayed" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
     // ---- 3. versioned CDC commits ------------------------------------------
     locally {
       val storePath = tmp("vstore") + "/store"

@@ -92,6 +92,15 @@ class SimilaritySpec extends SparkSpec {
     assert(budgeted.nonEmpty, "budgeted config mines a non-trivial anchor set")
   }
 
+  test("anchorSample lowers to a bounded TakeOrderedAndProject, never a global sort") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Similarity.anchorSample(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"anchor selection must be the bounded per-partition top-n merge, got:\n${plan.take(600)}")
+    assert(!plan.contains("Sort ["),
+      "no global sort may appear below the take")
+  }
+
   test("bounded-anchor mining: two-table forms at probe-all equal the self forms restricted to anchors") {
     val emb = Tables.embeddings(spark, sf)
     val anchors = Similarity.anchorSample(emb, 64)
