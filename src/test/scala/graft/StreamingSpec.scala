@@ -814,6 +814,41 @@ class StreamingSpec extends SparkSpec {
       "paragraph gate: replayed batch must leave the hash set untouched")
   }
 
+  test("replay gates: skipReplayed no-ops a redelivered batch through the curated pipeline") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sreplay-cur").toString
+    // minimal healthy fixture: in-vocab punctuated stopword-bearing pages
+    def page(tag: Int) = (0 until 6).map(i => s"the quick fox and the lazy dog run$tag$i.").mkString("\n")
+    val reference = Seq((900L, page(9).replace(".", ""), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val lmDir = base + "/lm"
+    graft.text.NgramLm.buildAt(spark, reference, lmDir, vocabSize = 40, maxBigrams = 200)
+    val idx = base + "/idx"
+    graft.text.LshIndex.build(spark,
+      Seq((500L, "resident seed page unrelated tokens entirely.")).toDF("doc_id", "text"), idx)
+    val b1 = Seq((1L, page(1), "en", "s0"), (2L, page(2), "en", "s0"))
+    val verdictLog = base + "/verdicts"
+    def run(ck: String): Unit = {
+      val mem = MemoryStream[(Long, String, String, String)]
+      val q = EventStream.curatedCorpusIngest(
+        mem.toDF().toDF("doc_id", "text", "lang", "source"),
+        lmDir, idx, verdictLog, base + ck, minFitPpm = 0L, minWords = 5L,
+        skipReplayed = true)
+      mem.addData(b1: _*); q.processAllAvailable(); q.stop()
+    }
+    run("/ck1")
+    val verd = spark.read.parquet(verdictLog).orderBy("doc_id").collect().toSeq
+    assert(verd.map(_.getAs[String]("verdict")).count(_ == "ingested") == 2,
+      s"fixture sanity: both pages pass all four gates, got $verd")
+    val hashes = spark.read.parquet(s"$idx/hashes").count()
+    run("/ck2")
+    assert(spark.read.parquet(verdictLog).orderBy("doc_id").collect().toSeq == verd,
+      "curated gate: replayed batch must leave the verdict log untouched")
+    assert(spark.read.parquet(s"$idx/hashes").count() == hashes,
+      "curated gate: replayed batch must leave the dedup index untouched")
+  }
+
   test("replay gates: a batch id BEHIND the high-water mark fails loud (generation mismatch)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
