@@ -92,6 +92,40 @@ class SimilaritySpec extends SparkSpec {
     assert(budgeted.nonEmpty, "budgeted config mines a non-trivial anchor set")
   }
 
+  test("tripletMineFor at probe-all equals brute force on random geometry") {
+    import spark.implicits._
+    // seeded random corpora (dim 8, 4 labels): the two-table probe-all
+    // form must reproduce the exact FaceNet definition per anchor on ANY
+    // geometry, not just the shipped generator's
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1), rnd.nextInt(4))
+      }
+      val emb = rows.toDF("vec_id", "embedding", "label")
+      val anchors = Similarity.anchorSample(emb, 20)
+      val anchorIds = anchors.select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Similarity.tripletMineFor(anchors, emb, nProbe = 1024).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+      def d2(a: Seq[Float], b: Seq[Float]) = a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+      rows.filter(t => anchorIds(t._1)).foreach { case (aid, ae, albl) =>
+        val pos = rows.filter(o => o._1 != aid && o._3 == albl)
+          .map(o => (d2(ae, o._2), o._1)).sorted.headOption
+        val neg = rows.filter(o => o._3 != albl)
+          .map(o => (d2(ae, o._2), o._1)).sorted.headOption
+        (pos, neg) match {
+          case (Some((pd, pid)), Some((nd, nid))) =>
+            assert(got(aid) == ((pid, pd, nid, nd)), s"seed $seed anchor $aid")
+          case _ => assert(!got.contains(aid), s"seed $seed armless anchor $aid must drop")
+        }
+      }
+      assert(got.keySet.subsetOf(anchorIds), s"seed $seed: only anchors emit")
+    }
+  }
+
   test("anchorSample lowers to a bounded TakeOrderedAndProject, never a global sort") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.anchorSample(emb).queryExecution.executedPlan.toString
