@@ -131,6 +131,11 @@ object Similarity {
     // a map-only argmin over a literal array — same tie-break (distance,
     // cid) as the crossJoin + per-vector window it replaces, at none of the
     // shuffle cost (see cosineDupPairsBlocked for the same pattern).
+    // MEASURED pitfall (r10, 100k rows × 256 centroids): the "cheaper"
+    // array_min(structs).getField("cid") is ~25× SLOWER than this
+    // array_sort form — ArrayMin is CodegenFallback, which drags the
+    // whole literal-centroid array (and every l2Sq inside it) out of
+    // whole-stage codegen into interpreted eval. Keep the sort.
     val cents = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
