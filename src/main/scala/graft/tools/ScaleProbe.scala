@@ -285,6 +285,12 @@ object ScaleProbe {
       ("vec_label_audit_anchored",
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(emb1), emb1).count(),
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(embN), embN).count()),
+      // the registered PROBE-ALL exact tier: candidacy = anchors × corpus
+      // (linear in n for fixed anchors, cell-keyed tasks) — the cost of
+      // global FaceNet-hardest arms, bounded by the anchor budget
+      ("vec_triplets_exact",
+        () => Similarity.tripletMineFor(Similarity.anchorSample(emb1), emb1, nProbe = 1024).count(),
+        () => Similarity.tripletMineFor(Similarity.anchorSample(embN), embN, nProbe = 1024).count()),
       // per-doc gram novelty: ONE gram-keyed df aggregation — linear
       ("doc_novelty",
         () => graft.ops.TextAnalysis.docNovelty(docs1).count(),
