@@ -296,6 +296,21 @@ object SparkEntry {
     // Oracle = all-pairs edges + recursive min-label reachability (the
     // doc_dup_clusters precedent) + the same survivor/size projection.
     "vec_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.42)),
+    // Embedding-space benchmark decontamination — the semantic tier of the
+    // decontam ladder (doc_decontam exact n-grams → doc_decontam_bloom →
+    // this; paraphrased eval leakage shares no surface form). Benchmark =
+    // every 97th vector (the doc_decontam split rule); threshold 0.35 sits
+    // deliberately BELOW the corpus's 0.42 near-dup bar — decontamination
+    // over-drops, never under-drops. Candidacy is total (broadcast bench,
+    // map-only cosine) so the brute SQL oracle binds recall-free: 9 of 494
+    // corpus vectors flag at sf0.01, 89 of 4,979 at sf0.1 — selective with
+    // teeth at both shipped SFs.
+    "vec_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontam(
+        emb.filter(col("vec_id") % 97 =!= 0), emb.filter(col("vec_id") % 97 === 0))
+    }),
     // Region-balanced diversity sample: 16 sign-pattern regions (first 4
     // dims), cap 8 per region in stable hashDraw order — the embedding-
     // space twin of doc_rebalance. 16 regions over 500/5000 vectors means
@@ -656,6 +671,26 @@ object SparkEntry {
     // clear total/30 at each shipped SF, so the threshold genuinely
     // discriminates (and the rare words are far below it).
     "doc_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // PMI-ranked bigram collocations over the bigram distribution's own
+    // marginals — integer-exact ranking (⌊c_xy·N·10⁶/(c_x·c_y)⌋, Long
+    // floor division in both engines; log is monotone so the ratio ranks
+    // by PMI). min-count 5 bites (900 of 916 bigrams survive at sf0.01),
+    // and the 31-word generator vocab makes the marginals genuinely
+    // shared across pairs.
+    "doc_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
+    // Spearman rank agreement between two quality signals per source
+    // (vocabulary richness vs document length) — the filter-agreement
+    // audit, through the distributed average-rank engine (no per-source
+    // single-reducer window; ties get the textbook tied-average rank).
+    // Integer signals ⇒ every rank and sum is exact; ρ is one shared
+    // double expression over the exact sums.
+    "doc_signal_corr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sig = Tables.documents(s, d).select(col("source"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("a"),
+        col("n_chars").as("b"))
+      Relational.rankCorrelation(sig, "source", "a", "b")
+    }),
     // Per-source token shares + inverse-Simpson effective source count.
     "doc_source_balance" -> ((s, d) => TextAnalysis.sourceBalance(Tables.documents(s, d))),
     // Per-source document-length quantiles through the distributed exact
@@ -2944,6 +2979,19 @@ object SparkEntry {
         |    ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.42 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // Brute-force cross-side cosine (candidacy is total in the operator —
+    // broadcast bench side — so this is recall-free); argmax = highest
+    // cos then lowest bench_id, mirrored as row_number.
+    "vec_decontam" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM n),
+        |p AS (SELECT c.vec_id, b.vec_id AS bench_id,
+        |    ${dotSql("c.e", "b.e")} / (c.nrm * b.nrm) AS cos
+        |  FROM m c JOIN m b ON c.vec_id % 97 <> 0 AND b.vec_id % 97 = 0)
+        |SELECT vec_id, bench_id, cos AS cos_sim FROM (
+        |  SELECT vec_id, bench_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        |  FROM p WHERE cos >= 0.35) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Sign-pattern regions over the raw floats, hashDraw order, cap 8 —
     // every piece is engine-portable, so the oracle mirrors the rule.
     "vec_diverse_sample" ->
@@ -3875,6 +3923,55 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT word, n, t.total FROM c, t WHERE n * 30 > t.total
         |ORDER BY n DESC, word""".stripMargin,
+    // PMI ratio as pure BIGINT floor division (DuckDB `//` ≡ Spark `DIV`
+    // on non-negative longs); marginals re-aggregate the counted table.
+    "doc_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |       FROM t WHERE len(w) >= 2),
+        |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy,
+        |       string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y
+        |       FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bc),
+        |lft AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY 1),
+        |rgt AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM bc GROUP BY 1)
+        |SELECT bigram, c_xy, c_x, c_y,
+        |  CAST((c_xy * n * 1000000) // (c_x * c_y) AS BIGINT) AS pmi_ratio_ppm
+        |FROM bc JOIN lft USING (x) JOIN rgt USING (y) CROSS JOIN tot
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_ratio_ppm DESC, bigram LIMIT 50""".stripMargin,
+    // Tied-average ranks in the declarative one-window form (2·avg_rank =
+    // 2·#smaller + #equal + 1 — rank() gives 1+#smaller); the Spark side's
+    // bucketed engine equals this bit-for-bit because ranks are integers
+    // and Long addition is associative. ρ's double expression is mirrored
+    // token-for-token.
+    "doc_signal_corr" ->
+      """WITH s AS (SELECT source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS a,
+        |    n_chars AS b FROM documents),
+        |r AS (SELECT source,
+        |    2*(rank() OVER (PARTITION BY source ORDER BY a) - 1)
+        |      + COUNT(*) OVER (PARTITION BY source, a) + 1 AS r2a,
+        |    2*(rank() OVER (PARTITION BY source ORDER BY b) - 1)
+        |      + COUNT(*) OVER (PARTITION BY source, b) + 1 AS r2b
+        |  FROM s),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2a * r2b) AS DECIMAL(38,0)) AS s_ab,
+        |    CAST(SUM(r2a * r2a) AS DECIMAL(38,0)) AS s_aa,
+        |    CAST(SUM(r2b * r2b) AS DECIMAL(38,0)) AS s_bb
+        |  FROM r GROUP BY source),
+        |d AS (SELECT source, n, s_ab, s_aa, s_bb,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) AS srd
+        |  FROM g)
+        |SELECT source, n, s_ab, s_aa, s_bb,
+        |  CASE WHEN (nd * CAST(s_aa AS DOUBLE) - srd * srd) > 0
+        |        AND (nd * CAST(s_bb AS DOUBLE) - srd * srd) > 0
+        |    THEN (nd * CAST(s_ab AS DOUBLE) - srd * srd)
+        |      / (sqrt(nd * CAST(s_aa AS DOUBLE) - srd * srd)
+        |         * sqrt(nd * CAST(s_bb AS DOUBLE) - srd * srd))
+        |  END AS rho
+        |FROM d ORDER BY source""".stripMargin,
     "doc_domain_classify" ->
       """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

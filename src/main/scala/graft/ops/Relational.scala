@@ -924,4 +924,96 @@ object Relational {
       .select(col(groupCol) +: momentDerived: _*)
       .orderBy(col(groupCol))
   }
+
+  /** Distributed exact AVERAGE ranks (the tied-rank convention: a value
+    * shared by `vc` rows gets rank `#smaller + (vc+1)/2` on every one of
+    * them) — the order-statistics primitive under [[rankCorrelation]],
+    * emitted doubled (`2·avg_rank`, always an integer Long) so no
+    * fraction ever enters the arithmetic.
+    *
+    * Same scale shape as [[exactQuantilesDistributed]], which this
+    * generalizes from selected order statistics to the full rank vector:
+    * histogram-bucket by value (monotone, so bucket boundaries align with
+    * the ordering), per-bucket counts (≤nBuckets rows/group) turn into
+    * exclusive bucket offsets through one tiny window, a per-(group,
+    * bucket) window over DISTINCT values (duplicates collapse map-side in
+    * the value→count aggregation, so a 10⁸-copy hot value is ONE row
+    * here) adds the within-bucket cumulative, and rows join their rank
+    * back by value. No task ever sorts a full group — the naive
+    * `rank().over(Window.partitionBy(group).orderBy(v))` funnels every
+    * group through one reducer, which is exactly what this replaces. The
+    * oracle keeps the declarative one-window form: ranks are integers and
+    * Long addition is associative, so bucketed ≡ single-window
+    * bit-for-bit (the `cumTokensBySource` argument).
+    */
+  private def withRank2(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String, nBuckets: Int): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val vd = v.cast("double")
+    val stats = df.groupBy(g).agg(min(vd).as("_mn"), max(vd).as("_mx"))
+    // Monotone non-strict in v (double cast is order-preserving), so equal
+    // values always share a bucket and cum counts stay consistent.
+    val bucket = when(col("_mx") === col("_mn"), lit(0L)).otherwise(
+      least(lit(nBuckets - 1L),
+        floor((vd - col("_mn")) / (col("_mx") - col("_mn")) * nBuckets))).cast("long")
+    val bucketed = df.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
+      .drop("_mn", "_mx")
+    val valCounts = bucketed.groupBy(g, col("_rb"), v.as("_rv"))
+      .agg(count(lit(1)).as("_vc"))
+    val bucketOffsets = valCounts.groupBy(g, col("_rb")).agg(sum(col("_vc")).as("_bc"))
+      .withColumn("_cumb",
+        sum(col("_bc")).over(Window.partitionBy(g).orderBy(col("_rb"))) - col("_bc"))
+      .select(g, col("_rb"), col("_cumb"))
+    val ranked = valCounts
+      .withColumn("_vcum",
+        sum(col("_vc")).over(Window.partitionBy(g, col("_rb")).orderBy(col("_rv"))) - col("_vc"))
+      .join(bucketOffsets, Seq(groupCol, "_rb"))
+      .select(g, col("_rv"),
+        (lit(2L) * (col("_cumb") + col("_vcum")) + col("_vc") + lit(1L)).as(outCol))
+    bucketed.join(ranked, bucketed(groupCol) === ranked(groupCol) && v === col("_rv"))
+      .drop(ranked(groupCol)).drop("_rv", "_rb")
+  }
+
+  /** Spearman rank correlation between two numeric signals, per group —
+    * the filter-agreement audit of a curation pipeline ("do these two
+    * quality signals rank documents the same way?"): Pearson correlation
+    * of the tied-average rank vectors, the textbook tie-corrected
+    * Spearman ρ. Ranks come from [[withRank2]] doubled, so every
+    * aggregate here is INTEGER-EXACT: with R = 2·avg_rank, ΣR = n(n+1)
+    * identically (derived, never summed), and ΣRaRb / ΣRa² / ΣRb²
+    * accumulate as DECIMAL(38,0) through the shuffle (factors cast
+    * before the multiply — a Long product overflows past n ≈ 1.5·10⁹
+    * rows per group; decimal38 carries ~2.9·10¹² ). ρ is then ONE
+    * shared double expression over the exact sums:
+    * (n·ΣRaRb − (ΣR)²) / (√(n·ΣRa² − (ΣR)²)·√(n·ΣRb² − (ΣR)²)),
+    * NULL when either signal is constant (zero variance — no ranking to
+    * correlate; the conservative side).
+    *
+    * Scale shape: two rank passes (each the bucketed engine above — no
+    * single-reducer window), one value-keyed join-back per signal, one
+    * map-side-combined grouped aggregation. Output is group-bounded.
+    */
+  def rankCorrelation(df: DataFrame, groupCol: String,
+      aCol: String, bCol: String, nBuckets: Int = 4096): DataFrame = {
+    val base = df.select(col(groupCol), col(aCol), col(bCol))
+    val ranked = withRank2(withRank2(base, groupCol, aCol, "_r2a", nBuckets),
+      groupCol, bCol, "_r2b", nBuckets)
+    val dec = "decimal(38,0)"
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("_r2a").cast(dec) * col("_r2b").cast(dec)).as("s_ab"),
+      sum(col("_r2a").cast(dec) * col("_r2a").cast(dec)).as("s_aa"),
+      sum(col("_r2b").cast(dec) * col("_r2b").cast(dec)).as("s_bb"))
+    val nD = col("n").cast("double")
+    val srD = nD * (nD + lit(1.0d))
+    val num = nD * col("s_ab").cast("double") - srD * srD
+    val denA = nD * col("s_aa").cast("double") - srD * srD
+    val denB = nD * col("s_bb").cast("double") - srD * srD
+    agg.select(col(groupCol), col("n"),
+        col("s_ab").cast(dec).as("s_ab"), col("s_aa").cast(dec).as("s_aa"),
+        col("s_bb").cast(dec).as("s_bb"),
+        when(denA > 0 && denB > 0, num / (sqrt(denA) * sqrt(denB))).as("rho"))
+      .orderBy(col(groupCol))
+  }
 }

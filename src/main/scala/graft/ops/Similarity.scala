@@ -1147,6 +1147,47 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic companion of
+    * the text-level `Curation.contaminatedDocs` n-gram gate: flag every
+    * corpus vector whose cosine similarity to ANY benchmark (held-out eval
+    * suite) vector reaches `threshold`, with the best-matching benchmark
+    * vector as evidence. Paraphrased eval leakage survives exact and
+    * n-gram decontamination (no shared surface form); the embedding gate
+    * is the tier that catches it. Decontamination runs LOOSER than
+    * near-dup detection by design — over-dropping a few clean docs is
+    * cheap, leaking an eval item into training data is not — hence the
+    * default sits below the corpus's near-dup threshold.
+    *
+    * Scale shape: a benchmark is bounded (an eval suite is 10³–10⁵ rows,
+    * ~MBs of floats) so the benchmark side BROADCASTS — the corpus-sized
+    * pass is map-only cosine against the broadcast table with the
+    * threshold filter applied before anything shuffles; only the flagged
+    * rows (sparse by construction — a contaminated corpus is a broken
+    * corpus) reach the per-vector argmax, a partial-aggregable max(struct)
+    * keyed on vec_id. Nothing corpus-sized crosses the shuffle and no
+    * IVF/recall machinery is needed: candidacy is total, so the flag set
+    * is EXACT — which is what lets a plain brute-force SQL oracle bind.
+    *
+    * Evidence tie rule: highest cosine, then lowest bench_id — encoded as
+    * max(struct(cos, −bench_id)), the engine-portable argmax.
+    */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.35): DataFrame = {
+    val bench = benchmark.select(col("vec_id").as("bench_id"),
+      col("embedding").as("be"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("bn"))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+    c.crossJoin(broadcast(bench))
+      .withColumn("cos", dot(col("embedding"), col("be")) / (col("cn") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("nbid"))).as("best"))
+      .select(col("vec_id"), (-col("best.nbid")).as("bench_id"),
+        col("best.cos").as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact all-pairs cosine near-dup — O(n²) by construction. Kept as the
     * spec-level verifier for the blocked plan above; never the shipped
     * query path at scale.

@@ -850,6 +850,62 @@ object TextAnalysis {
     * map-side-combined sum. The shuffle key space is the source list —
     * bounded — so this stays one wide stage at any corpus size.
     */
+  /** PMI-ranked bigram collocations (Church & Hanks 1990 — the association
+    * mining behind tokenizer-vocab curation and multi-word-expression
+    * detection): the top-k adjacent word pairs whose joint frequency most
+    * exceeds chance under the bigram distribution's own marginals,
+    * p(x,y)/(p(x)·p(y)) with p(x) = the LEFT-position marginal and p(y)
+    * the RIGHT-position marginal, so the whole statistic derives from ONE
+    * bigram count table and the corpus is touched exactly once.
+    *
+    * Determinism: log is monotone, so ranking by the RATIO ranks by PMI —
+    * and the ratio ships as the integer `pmi_ratio_ppm` =
+    * ⌊c_xy·N·10⁶ / (c_x·c_y)⌋, pure Long arithmetic (floor division of
+    * non-negative longs — identical in any engine; no transcendental in
+    * the hash surface). A one-pass fail-loud guard bounds
+    * max(c_xy)·N·10⁶ against Long range (the `Pca.covarianceMicro`
+    * posture); past it, the same plan runs in DECIMAL(38,0).
+    *
+    * Scale shape: map-only bigram explode → ONE map-side-combined count
+    * keyed on the bigram (keyspace ≤ vocab², bounded); marginals re-
+    * aggregate the COUNTED table (vocab-sized, never the corpus) and join
+    * back broadcast; top-k lowers to TakeOrderedAndProject. min-count
+    * floor 5 (the collocation-literature default) kills the long tail of
+    * noise pairs before ranking.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = docs
+      .filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+    // The counted table feeds four consumers (total, guard, both marginals,
+    // the final join) — localCheckpoint stages the ONE corpus-sized pass so
+    // everything downstream reruns over the vocab²-bounded materialization
+    // (the q21_waiting_suppliers multi-consumer precedent).
+    val counts = bigrams.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val totRow = counts.agg(sum(col("c_xy")), max(col("c_xy"))).collect()(0)
+    val (n, maxC) =
+      if (totRow.isNullAt(0)) (0L, 0L) else (totRow.getLong(0), totRow.getLong(1))
+    require(n == 0L || maxC <= Long.MaxValue / 1000000L / n,
+      s"pmi_ratio_ppm would overflow Long (N=$n, max c_xy=$maxC); rerun in DECIMAL(38,0)")
+    val left = counts.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val right = counts.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    counts
+      .join(broadcast(left), "x").join(broadcast(right), "y")
+      .filter(col("c_xy") >= minCount)
+      .withColumn("num", col("c_xy") * lit(n) * lit(1000000L))
+      .withColumn("den", col("c_x") * col("c_y"))
+      .withColumn("pmi_ratio_ppm", expr("num DIV den"))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"), col("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("bigram"))
+      .limit(topK)
+  }
+
   def corpusCard(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("lang"), md5(col("text")).as("th"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),

@@ -14,6 +14,26 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("collocations: exact PMI-ratio arithmetic, marginals from the bigram table, min-count and tie order") {
+    // "x y x y z y" → bigrams (x y)×2, (y x), (y z), (z y); N = 5.
+    // Left marginals x:2 y:2 z:1, right marginals y:3 x:1 z:1.
+    //   x y: ⌊2·5·10⁶/(2·3)⌋ = 1,666,666   y x: ⌊5·10⁶/(2·1)⌋ = 2,500,000
+    //   y z: 2,500,000                      z y: ⌊5·10⁶/(1·3)⌋ = 1,666,666
+    // Rank: ppm desc then bigram asc — the two ties order lexicographically.
+    val d = docsDf((1L, "x y x y z y"))
+    val got = TextAnalysis.collocations(d, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got == List(
+      ("y x", 1L, 2L, 1L, 2500000L), ("y z", 1L, 2L, 1L, 2500000L),
+      ("x y", 2L, 2L, 3L, 1666666L), ("z y", 1L, 1L, 3L, 1666666L)), got.toString)
+    // min-count floor drops the singletons.
+    val floored = TextAnalysis.collocations(d, minCount = 2L).collect()
+    assert(floored.map(_.getString(0)).toList == List("x y"))
+    // Single-word docs contribute nothing; empty corpus yields empty output.
+    assert(TextAnalysis.collocations(docsDf((2L, "solo")), 1L).collect().isEmpty)
+  }
+
   test("removeDupSpans cuts later occurrences of a shared 8-token span, keeps the first") {
     val span = "q w e r t y u i" // 8 tokens
     val d = docsDf(

@@ -188,6 +188,51 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(cums.last - shares.sum) < 1e-12 && cums.last <= 1.0)
   }
 
+  test("rankCorrelation: bucketed tied-average ranks ≡ brute reference on skewed random data") {
+    import spark.implicits._
+    // Heavy ties (values mod 7 / mod 5) + two groups; tiny nBuckets forces
+    // real multi-bucket offsets, so the bucketed path itself is exercised.
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 120).map { i =>
+      (if (i % 2 == 0) "g0" else "g1", (rng.nextInt(100) % 7).toLong,
+        (rng.nextInt(100) % 5).toLong)
+    }
+    val got = Relational.rankCorrelation(rows.toDF("g", "a", "b"), "g", "a", "b", nBuckets = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
+          r.getDecimal(4).toBigInteger, r.getDouble(5)))).toMap
+    def rank2(vs: Seq[Long]): Seq[Long] =
+      vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val (ra, rb) = (rank2(rs.map(_._2)), rank2(rs.map(_._3)))
+      val n = rs.size.toLong
+      val sab = ra.zip(rb).map { case (x, y) => BigInt(x) * y }.sum
+      val saa = ra.map(x => BigInt(x) * x).sum
+      val sbb = rb.map(x => BigInt(x) * x).sum
+      val (gn, gab, gaa, gbb, grho) = got(g)
+      assert((gn, BigInt(gab), BigInt(gaa), BigInt(gbb)) == ((n, sab, saa, sbb)),
+        s"group $g exact rank sums")
+      val nD = n.toDouble; val srD = nD * (nD + 1.0)
+      val num = nD * sab.toDouble - srD * srD
+      val den = math.sqrt(nD * saa.toDouble - srD * srD) *
+        math.sqrt(nD * sbb.toDouble - srD * srD)
+      assert(math.abs(grho - num / den) < 1e-12, s"group $g rho")
+    }
+  }
+
+  test("rankCorrelation endpoints: monotone pair → ρ ≈ 1, reversed → ρ ≈ −1, constant signal → NULL") {
+    import spark.implicits._
+    val mono = (1 to 50).map(i => ("g", i.toLong, (i * 3 + 7).toLong)).toDF("g", "a", "b")
+    val up = Relational.rankCorrelation(mono, "g", "a", "b").collect().head.getDouble(5)
+    assert(math.abs(up - 1.0) < 1e-12)
+    val rev = (1 to 50).map(i => ("g", i.toLong, (1000 - i).toLong)).toDF("g", "a", "b")
+    val dn = Relational.rankCorrelation(rev, "g", "a", "b").collect().head.getDouble(5)
+    assert(math.abs(dn + 1.0) < 1e-12)
+    val const = (1 to 50).map(i => ("g", i.toLong, 9L)).toDF("g", "a", "b")
+    val r = Relational.rankCorrelation(const, "g", "a", "b").collect().head
+    assert(r.isNullAt(5), "zero-variance signal must yield NULL rho")
+  }
+
   test("regression moments agree with built-in corr/regr within float tolerance and exactly on a fixture") {
     val li = Tables.lineitem(spark, sf)
     val r = Relational.regressionMoments(li, "l_quantity", "l_extendedprice")

@@ -6,6 +6,30 @@ import graft.vector.VectorIndex
 
 class SimilaritySpec extends SparkSpec {
 
+  test("semanticDecontam flags by best benchmark cosine with the (max cos, min bench_id) tie rule") {
+    import spark.implicits._
+    // bench 0 = e_x, bench 1 = e_y (unit axes); corpus: 10 = scaled e_x
+    // (cos 1 vs bench 0), 11 = diagonal (cos 1/√2 vs BOTH — an exact
+    // arithmetic tie, so evidence must name bench 0), 12 = negated e_y
+    // (cos −1), 13 = e_z (orthogonal to both). Threshold 0.5 keeps 10
+    // and 11 only.
+    val bench = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(4f, 0f, 0f)), (11L, Seq(2f, 2f, 0f)),
+      (12L, Seq(0f, -3f, 0f)), (13L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, bench, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(t => (t._1, t._2)) == List((10L, 0L), (11L, 0L)),
+      s"flag set + evidence (got $got)")
+    assert(got.head._3 == 1.0, "exact-direction cosine is exactly 1")
+    // The benchmark side must broadcast — the corpus-sized pass is map-only.
+    val plan = Similarity.semanticDecontam(corpus, bench, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bench side should broadcast:\n$plan")
+  }
+
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
     import spark.implicits._
     // dim 0: smooth spread, nothing past 2·MAD; dim 1: constant but for
