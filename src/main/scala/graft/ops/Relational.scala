@@ -939,7 +939,12 @@ object Relational {
     * bucket) window over DISTINCT values (duplicates collapse map-side in
     * the value→count aggregation, so a 10⁸-copy hot value is ONE row
     * here) adds the within-bucket cumulative, and rows join their rank
-    * back by value. No task ever sorts a full group — the naive
+    * back by value. The join-back's skew posture: the rank side is
+    * distinct-value-bounded, so AQE broadcasts it whenever values repeat
+    * heavily (rows then stay map-local — a 10⁸-copy hot value never
+    * concentrates); when the rank side IS corpus-sized the keys are
+    * high-cardinality by construction and the equi-join distributes. No
+    * task ever sorts a full group — the naive
     * `rank().over(Window.partitionBy(group).orderBy(v))` funnels every
     * group through one reducer, which is exactly what this replaces. The
     * oracle keeps the declarative one-window form: ranks are integers and

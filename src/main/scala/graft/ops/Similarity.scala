@@ -1188,6 +1188,37 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Sort-free, SHUFFLE-free signals form of [[semanticDecontam]] for the
+    * literal-benchmark regime — the streaming twin's shape (the
+    * `domainSignals` posture: the model is a driver artifact, scoring is
+    * one map-only projection). Each benchmark vector becomes one codegen'd
+    * dot fold against the row's embedding; the per-row argmax is an
+    * `array_max` over (cos, −bench_id) structs, so flags, evidence and
+    * cosines equal the batch operator BITWISE: the dot expression is the
+    * same sequential float64 fold either way, and the benchmark norms are
+    * pre-folded on the driver in the identical element order. Row-local ⇒
+    * legal mid-stream with zero state and no watermark.
+    *
+    * Literal-size cap: one fold per benchmark vector embeds the benchmark
+    * in the plan — fine to ~10³ vectors (the eval-suite scale); past that
+    * the broadcast-join batch form is the right tool (the NgramLm
+    * literal-vs-broadcast boundary).
+    */
+  def decontamSignals(vecs: DataFrame, bench: Seq[(Long, Array[Float])],
+      threshold: Double = 0.35): DataFrame = {
+    require(bench.nonEmpty, "decontamSignals needs a non-empty benchmark")
+    val cn = sqrt(dot(col("embedding"), col("embedding")))
+    val entries = bench.map { case (bid, bv) =>
+      val bn = math.sqrt(bv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      struct((dot(col("embedding"), typedLit(bv.toSeq)) / (cn * lit(bn))).as("cos"),
+        lit(-bid).as("nbid"))
+    }
+    vecs.withColumn("best", array_max(array(entries: _*)))
+      .filter(col("best.cos") >= threshold)
+      .select(col("vec_id"), (-col("best.nbid")).as("bench_id"),
+        col("best.cos").as("cos_sim"))
+  }
+
   /** Exact all-pairs cosine near-dup — O(n²) by construction. Kept as the
     * spec-level verifier for the blocked plan above; never the shipped
     * query path at scale.

@@ -203,6 +203,18 @@ object EventStream {
       minLines: Int = 5): DataFrame =
     graft.ops.Curation.c4LineSignals(docs, minWordsPerLine, minLines)
 
+  /** Streaming semantic decontamination: gate a vector stream against a
+    * STATIC benchmark (the eval suite is a driver artifact — it never
+    * grows with the stream), flagging anything within cosine `threshold`
+    * of any benchmark vector. Row-local codegen'd dot folds (the
+    * domainRouteStream shape), stateless, no watermark; flags, evidence
+    * and cosines equal the batch [[graft.ops.Similarity.semanticDecontam]]
+    * bit-for-bit (`StreamingSpec`).
+    */
+  def semanticDecontamStream(vecs: DataFrame, bench: Seq[(Long, Array[Float])],
+      threshold: Double = 0.35): DataFrame =
+    graft.ops.Similarity.decontamSignals(vecs, bench, threshold)
+
   /** Streaming CCNet LM scoring: score a document stream against a model
     * persisted by `NgramLm.buildAt` (trained OFFLINE on the static
     * reference slice — the CCNet posture). The model attaches as literal

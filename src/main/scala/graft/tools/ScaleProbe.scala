@@ -295,6 +295,34 @@ object ScaleProbe {
       ("doc_novelty",
         () => graft.ops.TextAnalysis.docNovelty(docs1).count(),
         () => graft.ops.TextAnalysis.docNovelty(docsN).count()),
+      // semantic decontam: the BENCHMARK is fixed (an eval suite doesn't
+      // grow with the crawl) while the corpus grows — broadcast bench,
+      // map-only cosine, flagged-rows-only shuffle ⇒ expect ~linear wall
+      ("vec_decontam",
+        () => Similarity.semanticDecontam(
+          emb1.filter(col("vec_id") % 97 =!= 0),
+          emb1.filter(col("vec_id") % 97 === 0)).count(),
+        () => Similarity.semanticDecontam(
+          embN.filter(col("vec_id") % 97 =!= 0),
+          emb1.filter(col("vec_id") % 97 === 0)).count()),
+      // PMI collocations: one corpus-sized bigram count (map-side
+      // combined, vocab²-bounded keyspace), everything downstream
+      // vocab-sized ⇒ expect ~linear wall, ~flat shuffle
+      ("doc_collocations",
+        () => graft.ops.TextAnalysis.collocations(docs1, minCount = 1L).count(),
+        () => graft.ops.TextAnalysis.collocations(docsN, minCount = 1L).count()),
+      // Spearman audit through the bucketed rank engine: two rank passes
+      // + one value-keyed join-back per signal — linear shuffle volume,
+      // no per-group single-reducer window
+      ("doc_signal_corr",
+        () => graft.ops.Relational.rankCorrelation(docs1.select(
+          (col("doc_id") % 4).as("g"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("a"),
+          length(col("text")).cast("long").as("b")), "g", "a", "b").count(),
+        () => graft.ops.Relational.rankCorrelation(docsN.select(
+          (col("doc_id") % 4).as("g"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("a"),
+          length(col("text")).cast("long").as("b")), "g", "a", "b").count()),
       // integer PageRank, 3 rounds over the registered harness graph
       // (2 edges/doc): O(edges·rounds) joins+sums — linear
       ("doc_link_rank",

@@ -30,6 +30,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"bench side should broadcast:\n$plan")
   }
 
+  test("decontamSignals (literal-benchmark form) equals semanticDecontam bitwise on the corpus") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val benchDf = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val bench = benchDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val viaBatch = Similarity.semanticDecontam(corpus, benchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val viaSignals = Similarity.decontamSignals(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    assert(viaBatch.nonEmpty, "fixture must flag something")
+    assert(viaSignals == viaBatch,
+      "literal-fold signals must equal the broadcast-join operator bitwise")
+  }
+
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
     import spark.implicits._
     // dim 0: smooth spread, nothing past 2·MAD; dim 1: constant but for

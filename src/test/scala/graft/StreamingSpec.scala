@@ -176,6 +176,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.sameElements(survivors))
   }
 
+  test("streaming semantic decontam: literal-benchmark signals equal the batch operator bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      10L -> Seq(4f, 0f, 0f),   // exact benchmark direction — flags vs bench 0
+      11L -> Seq(2f, 2f, 0f),   // exact two-way tie — evidence must be bench 0
+      12L -> Seq(1f, 8f, 0f),   // closer to bench 1
+      13L -> Seq(0f, 0f, 1f))   // orthogonal — survives
+    val bench = Seq(0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData(rows: _*)
+    val q = EventStream.semanticDecontamStream(
+        mem.toDF().toDF("vec_id", "embedding"), bench, 0.5)
+      .writeStream.format("memory").queryName("sem_decontam").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sem_decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toList
+    val batch = graft.ops.Similarity.semanticDecontam(
+        rows.toDF("vec_id", "embedding"),
+        bench.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(t => (t._1, t._2)) == List((10L, 0L), (11L, 0L), (12L, 1L)))
+  }
+
   test("streaming quality gates: Gopher rules and LM scores equal batch bit-for-bit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
