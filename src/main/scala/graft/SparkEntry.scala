@@ -433,6 +433,13 @@ object SparkEntry {
     // top-10, every step single-IEEE-op double arithmetic.
     "vec_sq_search_fast" -> ((s, d) =>
       graft.vector.SqIndex.search(Tables.embeddings(s, d), k = 10, refine = 80)),
+    // SQ8 reconstruction-error audit: top-20 worst encode→decode vectors,
+    // each checked against the analytic half-step bound (all pass on a
+    // healthy corpus — the within_bound column is the contract the ADC
+    // serving path rests on). Same exact train/encode/decode arithmetic
+    // as vec_sq_search_fast, so the oracle replays it end to end.
+    "vec_quant_error" -> ((s, d) =>
+      graft.vector.SqIndex.quantErrorAudit(Tables.embeddings(s, d))),
     // Vector-tier point-delete lifecycle (takedown/GDPR), oracle-bound: the
     // cached IVF layout gets a deterministic tombstone set (every 41st
     // vec_id — including the query vector itself, so the nearest hit at
@@ -3144,6 +3151,30 @@ object SparkEntry {
         |SELECT CAST(rk AS BIGINT) AS rank, vec_id, label, d2 AS dist_sq,
         |  1.0 - d2 / 2.0 AS similarity
         |FROM r WHERE rk <= 10 ORDER BY rank""".stripMargin,
+    // Same trained-bounds encode→decode replay as vec_sq_search_fast; the
+    // analytic bound mirrors decodeErrorBound's dim-ordered sum + 1e-4.
+    "vec_quant_error" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |b AS (SELECT d.d AS dim, MIN(e[d.d + 1]) AS lo, MAX(e[d.d + 1]) AS hi
+        |      FROM emb, range(64) d(d) GROUP BY d.d),
+        |ba AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM b),
+        |dec AS (SELECT emb.vec_id,
+        |          list_transform(range(1, 65), i ->
+        |            ba.los[i] + ((CASE WHEN ba.his[i] - ba.los[i] > 0
+        |              THEN round(least(255.0, greatest(0.0,
+        |                ((emb.e[i] - ba.los[i]) * 255.0) / (ba.his[i] - ba.los[i]))))
+        |              ELSE 0.0 END) * (ba.his[i] - ba.los[i])) / 255.0) AS de
+        |        FROM emb, ba),
+        |e2 AS (SELECT emb.vec_id, ${l2sqSql("dec.de", "emb.e")} AS err2
+        |       FROM emb JOIN dec USING (vec_id)),
+        |bound AS (SELECT sqrt(list_sum(list_transform(range(1, 65), i ->
+        |    ((ba.his[i] - ba.los[i]) / 510.0) * ((ba.his[i] - ba.los[i]) / 510.0))))
+        |    + 0.0001 AS bnd FROM ba)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id, err2,
+        |  sqrt(err2) <= bnd AS within_bound
+        |FROM (SELECT vec_id, err2,
+        |        row_number() OVER (ORDER BY err2 DESC, vec_id) AS rank FROM e2), bound
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "vec_index_prune" ->
       """WITH idx AS (SELECT vec_id, DATE '2024-01-01' + CAST(vec_id % 10 AS INT) AS ingest_date FROM embeddings),
         |mx AS (SELECT max(ingest_date) AS mxd FROM idx)

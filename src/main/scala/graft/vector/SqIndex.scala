@@ -110,6 +110,39 @@ object SqIndex {
       val e = (maxs(d) - mins(d)) / 510.0; e * e
     }.sum) + 1e-4
 
+  /** Quantization reconstruction audit — "measure, don't guess" for the
+    * compression tier (the vec_recall_curve posture applied to DISTORTION
+    * instead of recall): the top-N worst-reconstructed vectors by squared
+    * encode→decode L2 error, each checked against [[decodeErrorBound]]'s
+    * analytic half-step bound. A `within_bound = false` row means the
+    * quantizer's contract is broken (a train/encode drift bug, NaN/Inf
+    * coordinates, or bounds computed on a different corpus than the one
+    * encoded) — the audit a serving fleet runs before trusting SQ8 ADC
+    * distances. Outliers that STRETCH the per-dim span (and so everyone
+    * else's quantization step) surface here first: the worst row's err2
+    * against the bound is the "should I clip or switch to PQ" signal.
+    *
+    * Scale shape: train is one dim-keyed partial agg; encode→decode→error
+    * is map-only codegen over each row; top-N lowers to
+    * TakeOrderedAndProject. Error arithmetic is the exact sequential
+    * float64 fold shared with the ADC path, so the audit is engine-
+    * portable and oracle-bindable bitwise.
+    */
+  def quantErrorAudit(embeddings: DataFrame, topN: Int = 20): DataFrame = {
+    val (mins, maxs) = train(embeddings)
+    val bound = decodeErrorBound(mins, maxs)
+    embeddings.select(col("vec_id"),
+        l2SqHof(decodeCol(encodeCol(col("embedding"), mins.toSeq, maxs.toSeq),
+          mins.toSeq, maxs.toSeq), col("embedding")).as("err2"))
+      .orderBy(col("err2").desc, col("vec_id"))
+      .limit(topN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("err2").desc, col("vec_id"))).cast("long"))
+      .withColumn("within_bound", sqrt(col("err2")) <= lit(bound))
+      .select(col("rank"), col("vec_id"), col("err2"), col("within_bound"))
+      .orderBy(col("rank"))
+  }
+
   /** Batch kNN join through the SQ codes with a PROVABLY exact re-rank
     * band (the classic quantized-search refinement bound): rank all
     * (query, code) pairs by asymmetric distance, then keep every

@@ -75,6 +75,28 @@ class SqIndexSpec extends SparkSpec {
     assert(got.filter(_.getLong(1) == 1L).forall(_.getDouble(3) == 0.0))
   }
 
+  test("quantErrorAudit: grid points reconstruct exactly, off-grid error exact, all within the analytic bound") {
+    import spark.implicits._
+    // dim 0 spans [0, 255] so the quantization grid is exactly the
+    // integers; dim 1 is constant (span 0 — must contribute zero error).
+    // v1/v2 sit ON the grid (err 0), v3 at 0.4 rounds to code 0 → decode
+    // 0 → err² = 0.4² exactly (one IEEE multiply).
+    val d = Seq(
+      (1L, "a", Seq(0f, 7f)), (2L, "a", Seq(255f, 7f)), (3L, "a", Seq(0.4f, 7f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = SqIndex.quantErrorAudit(d, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toList
+    val e = 0.4f.toDouble * 0.4f.toDouble
+    assert(got == List((1L, 3L, e, true), (2L, 1L, 0.0, true), (3L, 2L, 0.0, true)),
+      got.toString)
+    // Whole-corpus audit: a healthy corpus passes the bound on every row.
+    val corpus = SqIndex.quantErrorAudit(Tables.embeddings(spark, sf)).collect()
+    assert(corpus.length == 20 && corpus.forall(_.getBoolean(3)),
+      "every top-20 reconstruction error must sit within the half-step bound")
+    val errs = corpus.map(_.getDouble(2))
+    assert(errs.zip(errs.tail).forall { case (a, b) => a >= b }, "ranked by err2 desc")
+  }
+
   test("budgeted config: high recall at an 8x-over-k refine budget") {
     val df = fixture
     val brute = Similarity.knnL2(df, queryId = 3L, k = 10)
