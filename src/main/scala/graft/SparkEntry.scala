@@ -698,6 +698,20 @@ object SparkEntry {
         col("n_chars").as("b"))
       Relational.rankCorrelation(sig, "source", "a", "b")
     }),
+    // Corpus-relative percentile selection per source ("keep the top 30%
+    // by signal") — the generic gate whose LM-specific instance is the
+    // CCNet 30/70 cut (doc_lm_gate). Exact integer pct_ppm from the
+    // tied-average rank engine; boundary ties go in or out together in
+    // both engines, so the keep flag hash-binds.
+    "doc_quality_pct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sig = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Relational.percentileRanks(sig, "source", "n_tokens")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pct_ppm"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Per-source token shares + inverse-Simpson effective source count.
     "doc_source_balance" -> ((s, d) => TextAnalysis.sourceBalance(Tables.documents(s, d))),
     // Per-source document-length quantiles through the distributed exact
@@ -4003,6 +4017,19 @@ object SparkEntry {
         |         * sqrt(nd * CAST(s_bb AS DOUBLE) - srd * srd))
         |  END AS rho
         |FROM d ORDER BY source""".stripMargin,
+    // Tied-average-rank percentile in the declarative window form; the
+    // ppm arithmetic is BIGINT floor division in both engines.
+    "doc_quality_pct" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+        |r AS (SELECT doc_id, source, v,
+        |    2*(rank() OVER (PARTITION BY source ORDER BY v) - 1)
+        |      + COUNT(*) OVER (PARTITION BY source, v) + 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM s)
+        |SELECT doc_id, source, v AS n_tokens,
+        |  CAST((r2 * 500000) // n AS BIGINT) AS pct_ppm,
+        |  ((r2 * 500000) // n) > 700000 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "doc_domain_classify" ->
       """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -1001,7 +1001,10 @@ object Relational {
     */
   def rankCorrelation(df: DataFrame, groupCol: String,
       aCol: String, bCol: String, nBuckets: Int = 4096): DataFrame = {
+    // Pairwise-complete convention (the textbook Spearman rule): a row
+    // missing either signal drops — a null must never occupy a rank.
     val base = df.select(col(groupCol), col(aCol), col(bCol))
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
     val ranked = withRank2(withRank2(base, groupCol, aCol, "_r2a", nBuckets),
       groupCol, bCol, "_r2b", nBuckets)
     val dec = "decimal(38,0)"
@@ -1020,5 +1023,32 @@ object Relational {
         col("s_bb").cast(dec).as("s_bb"),
         when(denA > 0 && denB > 0, num / (sqrt(denA) * sqrt(denB))).as("rho"))
       .orderBy(col(groupCol))
+  }
+
+  /** Per-row percentile rank of a signal within its group, as the exact
+    * integer `pct_ppm` = ⌊avg_rank·10⁶/n⌋ = (2·avg_rank)·500000 DIV n —
+    * pure Long floor division on [[withRank2]]'s doubled tied-average
+    * ranks (overflows past n ≈ 9·10¹² rows per group), plus a `keep` flag
+    * selecting the top `keepTopPpm` share. This is the corpus-relative
+    * percentile selection a curation pipeline applies per language/source
+    * ("keep the top 30% by classifier score") — `NgramLm.lmGateFrom`'s
+    * 30/70 CCNet cut is the LM-specific instance; this is the generic
+    * gate for ANY numeric signal. Ties share an average rank, so boundary
+    * ties go in or out TOGETHER (deterministic in any engine — no
+    * row_number coin flip at the cut).
+    *
+    * Scale shape: the bucketed rank engine (no per-group single-reducer
+    * window) + one broadcast join of group counts. Null signals drop
+    * (a null must never occupy a rank).
+    */
+  def percentileRanks(df: DataFrame, groupCol: String, valueCol: String,
+      keepTopPpm: Long = 300000L, nBuckets: Int = 4096): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    withRank2(base, groupCol, valueCol, "_r2", nBuckets)
+      .join(broadcast(counts), groupCol)
+      .withColumn("pct_ppm", expr("(_r2 * 500000) DIV _n"))
+      .withColumn("keep", col("pct_ppm") > lit(1000000L - keepTopPpm))
+      .drop("_r2", "_n")
   }
 }

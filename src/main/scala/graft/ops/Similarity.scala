@@ -1170,6 +1170,12 @@ object Similarity {
     *
     * Evidence tie rule: highest cosine, then lowest bench_id — encoded as
     * max(struct(cos, −bench_id)), the engine-portable argmax.
+    *
+    * Regime boundary: past broadcastable benchmark size (≫10⁵ rows — at
+    * that point it is a second corpus, not an eval suite), the same
+    * question is [[knnJoinSalted]] with the benchmark as the indexed side
+    * and k = 1 + the threshold filter — the IVF-blocked machinery exists
+    * for exactly that shape.
     */
   def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.35): DataFrame = {

@@ -233,6 +233,24 @@ class RelationalSpec extends SparkSpec {
     assert(r.isNullAt(5), "zero-variance signal must yield NULL rho")
   }
 
+  test("percentileRanks: exact ppm arithmetic, boundary ties move together, nulls drop") {
+    import spark.implicits._
+    // values [10, 20, 20, 30] in one group: avg ranks 1 / 2.5 / 2.5 / 4 →
+    // pct_ppm 250000 / 625000 / 625000 / 1000000.
+    val d = Seq(("g", 1L, Some(10L)), ("g", 2L, Some(20L)), ("g", 3L, Some(20L)),
+      ("g", 4L, Some(30L)), ("g", 5L, None)).toDF("g", "id", "v")
+    val got = Relational.percentileRanks(d, "g", "v").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("pct_ppm"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got == Map(1L -> ((250000L, false)), 2L -> ((625000L, false)),
+      3L -> ((625000L, false)), 4L -> ((1000000L, true))), got.toString)
+    assert(!got.contains(5L), "null signal must drop, never occupy a rank")
+    // A cut landing ON the tie: both tied rows cross together.
+    val wide = Relational.percentileRanks(d, "g", "v", keepTopPpm = 500000L)
+      .filter(col("keep")).collect().map(_.getAs[Long]("id")).sorted
+    assert(wide.sameElements(Array(2L, 3L, 4L)), "tied pair enters the gate together")
+  }
+
   test("regression moments agree with built-in corr/regr within float tolerance and exactly on a fixture") {
     val li = Tables.lineitem(spark, sf)
     val r = Relational.regressionMoments(li, "l_quantity", "l_extendedprice")
