@@ -671,6 +671,10 @@ object SparkEntry {
     // — all three arms of the semantics exercised across the shipped SFs.
     "doc_mix_epochs" -> ((s, d) => Sampling.mixCorpusEpochs(Tables.documents(s, d),
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 8000L)),
+    // Token-balanced training-shard manifest in stable hashDraw order
+    // (deterministic global shuffle + greedy 2000-token cuts): ~14 shards
+    // at sf0.01, ~133 at sf0.1 — the export step's balance audit.
+    "doc_shards" -> ((s, d) => Sampling.shardAssign(Tables.documents(s, d))),
     "doc_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "doc_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -3877,6 +3881,20 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600 ELSE 400 END
         |ORDER BY source, doc_id""".stripMargin,
+    // Declarative one-window form of the bucketed prefix sum (Long
+    // addition is associative — the doc_mix argument); shard arithmetic
+    // is BIGINT floor division in both engines.
+    "doc_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  substr(md5('graft|' || doc_id), 1, 8) AS draw FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY draw, doc_id) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_len_quantiles" ->
       """SELECT source,
         |  quantile_cont(len(string_split(text, ' ')), 0.25) AS p25,

@@ -127,6 +127,37 @@ object Sampling {
     * literal when-chain for the per-source budgets (bounded driver
     * artifact, like vocab/centroids — no join).
     */
+  /** Balanced training-shard assignment — the EXPORT step between curation
+    * and the training loader (the webdataset/Megatron shard-writer
+    * convention): docs are laid out in stable `hashDraw` order (a
+    * deterministic global shuffle — exactly what a training run wants) and
+    * greedily cut into shards of ~`targetTokens` whitespace tokens,
+    * `shard_id = exclusive-prefix-tokens DIV targetTokens`. Docs never
+    * split; the doc straddling a boundary overflows its shard by less than
+    * one document, so every shard's token mass lands in
+    * [target − max_doc, target + max_doc) — the balance the returned
+    * manifest (one row per shard: docs, token mass, min doc id) audits.
+    *
+    * Scale shape: map-only token count + the bucketed distributed prefix
+    * sum (`cumTokensBySource` under one constant source key — no
+    * single-reducer window), then one bounded roll-up keyed on shard_id
+    * (≤ corpus_tokens/target rows). Integer floor division, exact in any
+    * engine.
+    */
+  def shardAssign(docs: DataFrame, targetTokens: Long = 2000L,
+      bucketChars: Int = 2): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val base = docs.select(col("doc_id"), lit("all").as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // two consumers: bucket totals and the window
+    cumTokensBySource(base, bucketChars)
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) DIV $targetTokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("shard_id"))
+  }
+
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
       tokenBudget: Long, bucketChars: Int = 2): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")

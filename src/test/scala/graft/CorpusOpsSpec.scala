@@ -14,6 +14,29 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("shardAssign: greedy draw-order cuts, docs never split, every shard within one doc of target") {
+    // 40 docs × 5 tokens, target 12 → a doc straddles every boundary, so
+    // the overflow semantics genuinely exercise.
+    val docs = docsDf((0L until 40L).map(i => (i, "a b c d e")): _*)
+    val got = Sampling.shardAssign(docs, targetTokens = 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // Brute reference: sort by (md5 draw, doc_id), exclusive-prefix DIV 12.
+    val order = (0L until 40L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), i))
+    val expected = order.zipWithIndex
+      .map { case (_, pos) => (pos * 5L) / 12L }
+      .groupBy(identity).toList.sortBy(_._1)
+      .map { case (sid, xs) => (sid, xs.size.toLong, xs.size * 5L) }
+    assert(got == expected, s"got $got vs $expected")
+    // Balance: every shard's token mass within one doc of target (last
+    // shard may be a remainder below it).
+    assert(got.init.forall { case (_, _, t) => t >= 12L - 4L && t < 12L + 5L })
+    val total = got.map(_._3).sum
+    assert(total == 200L, "every token lands in exactly one shard")
+  }
+
   test("collocations: exact PMI-ratio arithmetic, marginals from the bigram table, min-count and tie order") {
     // "x y x y z y" → bigrams (x y)×2, (y x), (y z), (z y); N = 5.
     // Left marginals x:2 y:2 z:1, right marginals y:3 x:1 z:1.
