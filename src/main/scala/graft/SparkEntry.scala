@@ -440,6 +440,11 @@ object SparkEntry {
     // as vec_sq_search_fast, so the oracle replays it end to end.
     "vec_quant_error" -> ((s, d) =>
       graft.vector.SqIndex.quantErrorAudit(Tables.embeddings(s, d))),
+    // IVF cell-occupancy balance audit at the autoCells default (8 cells
+    // at sf0.01, 20 at sf0.1): load_ppm = n·cells·10⁶ DIV total, 10⁶ =
+    // balanced — the retrain/salt decision signal for the blocked family.
+    "vec_cell_balance" -> ((s, d) =>
+      Similarity.cellBalance(Tables.embeddings(s, d))),
     // Vector-tier point-delete lifecycle (takedown/GDPR), oracle-bound: the
     // cached IVF layout gets a deterministic tombstone set (every 41st
     // vec_id — including the query vector itself, so the nearest hit at
@@ -2689,6 +2694,24 @@ object SparkEntry {
         |      FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, label, d2 AS dist_sq FROM d
         |WHERE d2 <= 1.45 ORDER BY vec_id""".stripMargin,
+    // Seed assignment + counts + BIGINT floor-div load factor; the cell
+    // count mirrors autoCells exactly as in the blocked-family oracles.
+    "vec_cell_balance" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nc AS (SELECT GREATEST(8, LEAST(1024,
+        |    CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS n_cells FROM emb),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb
+        |  WHERE vec_id < (SELECT n_cells FROM nc)),
+        |asn AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT emb.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM asn GROUP BY cell),
+        |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM c)
+        |SELECT cell, n_vectors,
+        |  CAST((n_vectors * (SELECT n_cells FROM nc) * 1000000) // total AS BIGINT) AS load_ppm
+        |FROM c, tot ORDER BY cell""".stripMargin,
     "vec_knn_join" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |nc AS (SELECT GREATEST(8, LEAST(1024,

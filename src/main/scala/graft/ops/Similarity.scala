@@ -730,6 +730,35 @@ object Similarity {
     embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
   }
 
+  /** IVF cell-occupancy balance audit — "measure, don't guess" for the
+    * index layout itself (the vec_recall_curve/quantErrorAudit posture
+    * applied to PARTITION SKEW): one row per cell with its vector count
+    * and the integer imbalance factor
+    * `load_ppm = n_vectors·cells·10⁶ DIV total` (10⁶ = perfectly
+    * balanced; a 20×-overloaded cell reads 2·10⁷). Probe cost and task
+    * shape in every blocked operator scale with the HOTTEST probed cell,
+    * so this is the retrain/salt decision signal — run it after ingest
+    * drift, before trusting nProbe budgets tuned on yesterday's layout.
+    *
+    * Scale shape: map-only seed assignment (literal centroids) + one
+    * map-side-combined count keyed on cell (≤cells rows out) + cell-count
+    * arithmetic on the bounded result. Long division floors identically
+    * in any engine, so the audit is oracle-bindable.
+    */
+  def cellBalance(embeddings: DataFrame, nCells: Int = 0): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))
+    val counts = assignSeedCells(embeddings, cells)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .localCheckpoint() // two consumers: the total and the per-cell rows
+    val total = counts.agg(sum(col("n_vectors"))).collect()(0).getLong(0)
+    require(total <= Long.MaxValue / 1000000L / cells,
+      s"load_ppm would overflow Long (total=$total, cells=$cells); rerun in DECIMAL(38,0)")
+    counts
+      .withColumn("load_ppm",
+        expr(s"(n_vectors * ${cells}L * 1000000L) DIV ${total}L"))
+      .orderBy(col("cell"))
+  }
+
   /** Cluster-balanced sampling — the corpus-coverage selection step
     * (SemDeDup/DoReMi-style pipelines sample per embedding cluster so a
     * dominant dense region cannot crowd the sample): assign every vector
@@ -1163,8 +1192,10 @@ object Similarity {
     * pass is map-only cosine against the broadcast table with the
     * threshold filter applied before anything shuffles; only the flagged
     * rows (sparse by construction — a contaminated corpus is a broken
-    * corpus) reach the per-vector argmax, a partial-aggregable max(struct)
-    * keyed on vec_id. Nothing corpus-sized crosses the shuffle and no
+    * corpus) reach the per-vector argmax, a partial+final max(struct)
+    * keyed on vec_id (sort-based — struct buffers aren't
+    * hash-aggregatable — but over the sparse flagged slice only, so the
+    * sort never sees the corpus). Nothing corpus-sized crosses the shuffle and no
     * IVF/recall machinery is needed: candidacy is total, so the flag set
     * is EXACT — which is what lets a plain brute-force SQL oracle bind.
     *

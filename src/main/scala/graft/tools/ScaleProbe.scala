@@ -305,12 +305,39 @@ object ScaleProbe {
         () => Similarity.semanticDecontam(
           embN.filter(col("vec_id") % 97 =!= 0),
           emb1.filter(col("vec_id") % 97 === 0)).count()),
+      // SQ8 reconstruction audit: one dim-keyed train agg + a map-only
+      // encode→decode→error pass + TakeOrderedAndProject — linear
+      ("vec_quant_error",
+        () => graft.vector.SqIndex.quantErrorAudit(emb1).count(),
+        () => graft.vector.SqIndex.quantErrorAudit(embN).count()),
+      // cell-balance audit: map-only assignment + one cell-keyed count —
+      // linear scan, bounded (≤cells) output
+      ("vec_cell_balance",
+        () => Similarity.cellBalance(emb1).count(),
+        () => Similarity.cellBalance(embN).count()),
       // PMI collocations: one corpus-sized bigram count (map-side
       // combined, vocab²-bounded keyspace), everything downstream
       // vocab-sized ⇒ expect ~linear wall, ~flat shuffle
       ("doc_collocations",
         () => graft.ops.TextAnalysis.collocations(docs1, minCount = 1L).count(),
         () => graft.ops.TextAnalysis.collocations(docsN, minCount = 1L).count()),
+      // percentile gate: one rank pass + a broadcast count join — linear
+      ("doc_quality_pct",
+        () => graft.ops.Relational.percentileRanks(docs1.select(col("doc_id"),
+          (col("doc_id") % 4).as("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "source", "n_tokens").count(),
+        () => graft.ops.Relational.percentileRanks(docsN.select(col("doc_id"),
+          (col("doc_id") % 4).as("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "source", "n_tokens").count()),
+      // shard manifest: map-only token count + bucketed prefix sum +
+      // shard-keyed roll-up — linear, no single-reducer window
+      ("doc_shards",
+        () => graft.ops.Sampling.shardAssign(docs1.select(col("doc_id"),
+          col("text"))).count(),
+        () => graft.ops.Sampling.shardAssign(docsN.select(col("doc_id"),
+          col("text"))).count()),
       // Spearman audit through the bucketed rank engine: two rank passes
       // + one value-keyed join-back per signal — linear shuffle volume,
       // no per-group single-reducer window

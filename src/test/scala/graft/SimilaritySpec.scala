@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
       "literal-fold signals must equal the broadcast-join operator bitwise")
   }
 
+  test("cellBalance: exact load factors, hot cell surfaces, counts conserve the corpus") {
+    import spark.implicits._
+    // 4 seeds at unit corners; 12 extra vectors huddle around seed 0 →
+    // cell 0 holds 13 of 16 vectors: load_ppm = 13·4·10⁶ DIV 16 = 3,250,000
+    // (13× the balanced 10⁶/4... i.e. 3.25× of 10⁶); the others 250,000.
+    val rows =
+      Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+        (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f))) ++
+      (4L until 16L).map(i => (i, Seq(1f + (i % 3) * 0.01f, 0.01f, 0f, 0f)))
+    val got = Similarity.cellBalance(rows.toDF("vec_id", "embedding"), nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((0L, 13L, 3250000L), (1L, 1L, 250000L),
+      (2L, 1L, 250000L), (3L, 1L, 250000L)), got.toString)
+    assert(got.map(_._2).sum == 16L, "every vector lands in exactly one cell")
+  }
+
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
     import spark.implicits._
     // dim 0: smooth spread, nothing past 2·MAD; dim 1: constant but for
