@@ -1247,6 +1247,12 @@ object Similarity {
     val cn = sqrt(dot(col("embedding"), col("embedding")))
     val entries = bench.map { case (bid, bv) =>
       val bn = math.sqrt(bv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      // Fail loud on a degenerate benchmark vector: its NaN cosine would
+      // win every row's array_max (NaN sorts LAST in Spark ordering) and
+      // silently disable flagging wholesale — where the batch form only
+      // drops the NaN pairs. A zero-norm eval item is a data bug either
+      // way; refuse it rather than diverge.
+      require(bn > 0, s"benchmark vector $bid has zero norm")
       struct((dot(col("embedding"), typedLit(bv.toSeq)) / (cn * lit(bn))).as("cos"),
         lit(-bid).as("nbid"))
     }

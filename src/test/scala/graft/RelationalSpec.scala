@@ -192,31 +192,36 @@ class RelationalSpec extends SparkSpec {
     import spark.implicits._
     // Heavy ties (values mod 7 / mod 5) + two groups; tiny nBuckets forces
     // real multi-bucket offsets, so the bucketed path itself is exercised.
+    // Bucket-count sweep: 1 (everything in one bucket — offsets degenerate),
+    // 2 and 7 (real multi-bucket offset paths), 4096 (more buckets than
+    // distinct values). Negative values exercise the extent shift.
     val rng = new scala.util.Random(42)
     val rows = (0 until 120).map { i =>
-      (if (i % 2 == 0) "g0" else "g1", (rng.nextInt(100) % 7).toLong,
+      (if (i % 2 == 0) "g0" else "g1", (rng.nextInt(100) % 7).toLong - 3L,
         (rng.nextInt(100) % 5).toLong)
     }
-    val got = Relational.rankCorrelation(rows.toDF("g", "a", "b"), "g", "a", "b", nBuckets = 3)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
-          r.getDecimal(4).toBigInteger, r.getDouble(5)))).toMap
     def rank2(vs: Seq[Long]): Seq[Long] =
       vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
-    rows.groupBy(_._1).foreach { case (g, rs) =>
-      val (ra, rb) = (rank2(rs.map(_._2)), rank2(rs.map(_._3)))
-      val n = rs.size.toLong
-      val sab = ra.zip(rb).map { case (x, y) => BigInt(x) * y }.sum
-      val saa = ra.map(x => BigInt(x) * x).sum
-      val sbb = rb.map(x => BigInt(x) * x).sum
-      val (gn, gab, gaa, gbb, grho) = got(g)
-      assert((gn, BigInt(gab), BigInt(gaa), BigInt(gbb)) == ((n, sab, saa, sbb)),
-        s"group $g exact rank sums")
-      val nD = n.toDouble; val srD = nD * (nD + 1.0)
-      val num = nD * sab.toDouble - srD * srD
-      val den = math.sqrt(nD * saa.toDouble - srD * srD) *
-        math.sqrt(nD * sbb.toDouble - srD * srD)
-      assert(math.abs(grho - num / den) < 1e-12, s"group $g rho")
+    for (nb <- Seq(1, 2, 7, 4096)) {
+      val got = Relational.rankCorrelation(rows.toDF("g", "a", "b"), "g", "a", "b", nBuckets = nb)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
+            r.getDecimal(4).toBigInteger, r.getDouble(5)))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val (ra, rb) = (rank2(rs.map(_._2)), rank2(rs.map(_._3)))
+        val n = rs.size.toLong
+        val sab = ra.zip(rb).map { case (x, y) => BigInt(x) * y }.sum
+        val saa = ra.map(x => BigInt(x) * x).sum
+        val sbb = rb.map(x => BigInt(x) * x).sum
+        val (gn, gab, gaa, gbb, grho) = got(g)
+        assert((gn, BigInt(gab), BigInt(gaa), BigInt(gbb)) == ((n, sab, saa, sbb)),
+          s"group $g exact rank sums at nBuckets=$nb")
+        val nD = n.toDouble; val srD = nD * (nD + 1.0)
+        val num = nD * sab.toDouble - srD * srD
+        val den = math.sqrt(nD * saa.toDouble - srD * srD) *
+          math.sqrt(nD * sbb.toDouble - srD * srD)
+        assert(math.abs(grho - num / den) < 1e-12, s"group $g rho at nBuckets=$nb")
+      }
     }
   }
 

@@ -47,6 +47,12 @@ class SimilaritySpec extends SparkSpec {
     assert(viaBatch.nonEmpty, "fixture must flag something")
     assert(viaSignals == viaBatch,
       "literal-fold signals must equal the broadcast-join operator bitwise")
+    // A zero-norm benchmark vector must refuse loudly (its NaN cosine
+    // would otherwise win every array_max and silently disable flagging).
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.decontamSignals(corpus, Seq((7L, Array(0f, 0f, 0f))))
+    }
+    assert(ex.getMessage.contains("zero norm"))
   }
 
   test("cellBalance: exact load factors, hot cell surfaces, counts conserve the corpus") {
