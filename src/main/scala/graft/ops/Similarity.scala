@@ -744,6 +744,14 @@ object Similarity {
     * map-side-combined count keyed on cell (≤cells rows out) + cell-count
     * arithmetic on the bounded result. Long division floors identically
     * in any engine, so the audit is oracle-bindable.
+    *
+    * COST of this operator form is the assignment itself — O(cells·d) per
+    * row, so O(n²·d/256) corpus-wide below the autoCells 1024 cap
+    * (MEASURED: 20.9× wall at 100× data, 782 cells — the pre-cap
+    * quadratic regime's tail; past the cap it is linear with a 1024·d
+    * constant). An INDEXED corpus never pays it: the production form is
+    * `IvfIndex.cellBalance`, which counts the layout's `cell=` partition
+    * column — parquet footers only, no re-assignment.
     */
   def cellBalance(embeddings: DataFrame, nCells: Int = 0): DataFrame = {
     val cells = if (nCells > 0) nCells else autoCells(memoCount(embeddings))

@@ -299,6 +299,42 @@ object IvfIndex {
     ()
   }
 
+  /** Cell-occupancy balance audit over the PHYSICAL layout — the
+    * production twin of `Similarity.cellBalance`: an indexed corpus
+    * already carries its cell assignment in the `cell=` directory
+    * structure, so the audit is one count over the partition column
+    * (parquet footers only — no vector data read, no re-assignment; the
+    * operator form's O(n·cells) literal-centroid pass is the
+    * unindexed-corpus fallback, and its pre-cap cost is documented
+    * there). Tombstones fold out first so the audit reflects the serving
+    * view, and centroid cells with NO surviving rows report 0 — a
+    * drifted or takedown-hollowed cell is exactly what the audit exists
+    * to show. `load_ppm = n_vectors·cells·10⁶ DIV total`, 10⁶ = balanced
+    * (the `Similarity.cellBalance` convention).
+    */
+  def cellBalance(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
+    val cells = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long").as("cell")).distinct()
+    // The partition column discovers as int; normalize to long so the
+    // audit's schema matches the operator form's.
+    val counts = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/vectors")
+          .select(col("vec_id"), col("cell").cast("long").as("cell")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val full = cells.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+      .localCheckpoint() // two consumers: the total and the per-cell rows
+    val nCells = full.count()
+    val total = full.agg(sum(col("n_vectors"))).collect()(0).getLong(0)
+    require(total == 0 || total <= Long.MaxValue / 1000000L / nCells,
+      s"load_ppm would overflow Long (total=$total, cells=$nCells)")
+    full.withColumn("load_ppm",
+        if (total == 0) lit(0L)
+        else expr(s"(n_vectors * ${nCells}L * 1000000L) DIV ${total}L"))
+      .orderBy(col("cell"))
+  }
+
   /** Retention: physically drop `ingest_date=` directories older than the
     * `(asOf−maxDays, asOf]` window inside every cell — the IVF analog of
     * `VectorIndex.retain` (reference `_remove_old_indexes`,

@@ -292,6 +292,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == expected, "pruned range search must equal brute force on clusters")
   }
 
+  test("layout cellBalance: counts match per-cell reality, tombstones fold out, hollowed cells report 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bal").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
+    val audit1 = IvfIndex.cellBalance(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = spark.read.parquet(s"$dir/vectors")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit1 == truth, "audit must equal per-cell row counts")
+    val total = truth.values.sum
+    // Tombstone EVERY vector of the fullest cell: the audit must show the
+    // hollowed cell at 0 (not drop the row) and the totals re-normalize.
+    val hot = truth.maxBy(_._2)._1
+    val hotIds = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell") === hot).select(col("vec_id"))
+    IvfIndex.delete(spark, dir, hotIds)
+    val audit2 = IvfIndex.cellBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hollow = audit2.find(_._1 == hot).get
+    assert(hollow._2 == 0L && hollow._3 == 0L, s"hollowed cell must report 0: $hollow")
+    assert(audit2.map(_._2).sum == total - truth(hot), "survivor counts re-normalize")
+  }
+
   test("delete: tombstoned ids vanish from search/knnJoin/rangeSearch pre-compaction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString + "/ivf"
