@@ -723,6 +723,11 @@ object Similarity {
     val cents = embeddings.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // Fail loud rather than assign every row a NULL cell: the seed
+    // convention requires ids below k to exist (a corpus whose ids start
+    // at 1000 has zero seeds — always a caller bug, never a valid layout).
+    require(cents.nonEmpty,
+      s"no seed vectors with vec_id < $k — the seed-cell convention needs low ids present")
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }

@@ -69,6 +69,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got == List((0L, 13L, 3250000L), (1L, 1L, 250000L),
       (2L, 1L, 250000L), (3L, 1L, 250000L)), got.toString)
     assert(got.map(_._2).sum == 16L, "every vector lands in exactly one cell")
+    // A corpus with no low ids has zero seeds — must refuse, not emit
+    // NULL cells.
+    val shifted = rows.map { case (i, e) => (i + 1000L, e) }
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cellBalance(shifted.toDF("vec_id", "embedding"), nCells = 4)
+    }
+    assert(ex.getMessage.contains("seed"))
   }
 
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
