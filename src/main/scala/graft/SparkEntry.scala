@@ -4032,9 +4032,10 @@ object SparkEntry {
     // and Long addition is associative. ρ's double expression is mirrored
     // token-for-token.
     "doc_signal_corr" ->
-      """WITH s AS (SELECT source,
+      """WITH s AS (SELECT * FROM (SELECT source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS a,
-        |    n_chars AS b FROM documents),
+        |    n_chars AS b FROM documents)
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
         |r AS (SELECT source,
         |    2*(rank() OVER (PARTITION BY source ORDER BY a) - 1)
         |      + COUNT(*) OVER (PARTITION BY source, a) + 1 AS r2a,
@@ -4061,8 +4062,9 @@ object SparkEntry {
     // Tied-average-rank percentile in the declarative window form; the
     // ppm arithmetic is BIGINT floor division in both engines.
     "doc_quality_pct" ->
-      """WITH s AS (SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+      """WITH s AS (SELECT * FROM (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents)
+        |  WHERE v IS NOT NULL),
         |r AS (SELECT doc_id, source, v,
         |    2*(rank() OVER (PARTITION BY source ORDER BY v) - 1)
         |      + COUNT(*) OVER (PARTITION BY source, v) + 1 AS r2,

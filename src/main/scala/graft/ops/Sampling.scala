@@ -108,25 +108,6 @@ object Sampling {
       .drop("_draw", "_bucket")
   }
 
-  /** Source-proportional token-budget mixing — the static data-mixture
-    * step of a training pipeline (fixed mixture weights à la The Pile;
-    * DoReMi etc. LEARN these weights, then apply exactly this selection).
-    * Each listed source contributes documents until its weight-share of
-    * `tokenBudget` whitespace tokens is filled; unlisted sources are
-    * excluded. Within a source, docs are taken in `hashDraw` order — the
-    * same stable-under-growth draw as `hashSample`, so re-ingesting the
-    * corpus or growing OTHER sources never changes a source's picks, and
-    * the md5 ordering reproduces bit-for-bit in the DuckDB oracle.
-    * A doc is kept iff its source's cumulative token count up to and
-    * including it fits the source's budget: the budget is never
-    * overfilled, the tail doc that would cross it (and everything after)
-    * drops.
-    *
-    * Scale shape: map-only token count + the bucketed distributed prefix
-    * sum of `cumTokensBySource` (no per-source single-reducer window) + a
-    * literal when-chain for the per-source budgets (bounded driver
-    * artifact, like vocab/centroids — no join).
-    */
   /** Balanced training-shard assignment — the EXPORT step between curation
     * and the training loader (the webdataset/Megatron shard-writer
     * convention): docs are laid out in stable `hashDraw` order (a
@@ -158,6 +139,25 @@ object Sampling {
       .orderBy(col("shard_id"))
   }
 
+  /** Source-proportional token-budget mixing — the static data-mixture
+    * step of a training pipeline (fixed mixture weights à la The Pile;
+    * DoReMi etc. LEARN these weights, then apply exactly this selection).
+    * Each listed source contributes documents until its weight-share of
+    * `tokenBudget` whitespace tokens is filled; unlisted sources are
+    * excluded. Within a source, docs are taken in `hashDraw` order — the
+    * same stable-under-growth draw as `hashSample`, so re-ingesting the
+    * corpus or growing OTHER sources never changes a source's picks, and
+    * the md5 ordering reproduces bit-for-bit in the DuckDB oracle.
+    * A doc is kept iff its source's cumulative token count up to and
+    * including it fits the source's budget: the budget is never
+    * overfilled, the tail doc that would cross it (and everything after)
+    * drops.
+    *
+    * Scale shape: map-only token count + the bucketed distributed prefix
+    * sum of `cumTokensBySource` (no per-source single-reducer window) + a
+    * literal when-chain for the per-source budgets (bounded driver
+    * artifact, like vocab/centroids — no join).
+    */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
       tokenBudget: Long, bucketChars: Int = 2): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")

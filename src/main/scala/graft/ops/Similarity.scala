@@ -725,9 +725,14 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     // Fail loud rather than assign every row a NULL cell: the seed
     // convention requires ids below k to exist (a corpus whose ids start
-    // at 1000 has zero seeds — always a caller bug, never a valid layout).
-    require(cents.nonEmpty,
-      s"no seed vectors with vec_id < $k — the seed-cell convention needs low ids present")
+    // at 1000 has zero seeds — a caller bug). A legitimately EMPTY corpus
+    // short-circuits to an empty result instead — pre-existing callers
+    // (clusterSample, cellMicroSums) return empty on empty input.
+    if (cents.isEmpty) {
+      require(embeddings.isEmpty,
+        s"no seed vectors with vec_id < $k — the seed-cell convention needs low ids present")
+      return embeddings.withColumn("cell", lit(null).cast("long"))
+    }
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
@@ -1226,6 +1231,17 @@ object Similarity {
     val bench = benchmark.select(col("vec_id").as("bench_id"),
       col("embedding").as("be"),
       sqrt(dot(col("embedding"), col("embedding"))).as("bn"))
+    // Fail loud on degenerate benchmark vectors, mirroring
+    // [[decontamSignals]]: a zero (or NaN-poisoned) norm makes EVERY
+    // corpus cosine NaN against that entry, and Spark's NaN ordering
+    // treats NaN as larger than any value — so `cos >= threshold` would
+    // PASS and the whole corpus would flag as contaminated with NaN
+    // evidence. The bench side is bounded, so the check is one tiny job.
+    // (NaN sorts LARGER than any value in Spark, so `bn > 0` is true for
+    // NaN — test it explicitly.)
+    val nBad = bench.filter(isnan(col("bn")) || col("bn") <= 0 || col("bn").isNull).count()
+    require(nBad == 0,
+      s"$nBad benchmark vector(s) have zero or NaN norm — refusing to decontaminate against them")
     val c = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     c.crossJoin(broadcast(bench))
@@ -1260,11 +1276,12 @@ object Similarity {
     val cn = sqrt(dot(col("embedding"), col("embedding")))
     val entries = bench.map { case (bid, bv) =>
       val bn = math.sqrt(bv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-      // Fail loud on a degenerate benchmark vector: its NaN cosine would
-      // win every row's array_max (NaN sorts LAST in Spark ordering) and
-      // silently disable flagging wholesale — where the batch form only
-      // drops the NaN pairs. A zero-norm eval item is a data bug either
-      // way; refuse it rather than diverge.
+      // Fail loud on a degenerate benchmark vector: its NaN cosine wins
+      // every row's array_max AND passes the threshold filter (NaN is
+      // larger than any value in Spark's ordering and comparisons), so
+      // the whole corpus would flag with NaN evidence. The batch form
+      // refuses the same way (its driver-side norm check), keeping the
+      // two forms equivalent on degenerate input too.
       require(bn > 0, s"benchmark vector $bid has zero norm")
       struct((dot(col("embedding"), typedLit(bv.toSeq)) / (cn * lit(bn))).as("cos"),
         lit(-bid).as("nbid"))

@@ -894,6 +894,17 @@ object TextAnalysis {
       s"pmi_ratio_ppm would overflow Long (N=$n, max c_xy=$maxC); rerun in DECIMAL(38,0)")
     val left = counts.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
     val right = counts.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    // The DENOMINATOR needs its own bound: the numerator guard alone
+    // admits two hot marginals whose product c_x·c_y wraps a Long
+    // silently (non-ANSI multiply) while DuckDB raises — a silent
+    // mis-ranking AND an engine divergence. Both marginal maxima come
+    // from the vocab-bounded tables — driver-cheap.
+    if (n > 0L) {
+      val maxCx = left.agg(max(col("c_x"))).collect()(0).getLong(0)
+      val maxCy = right.agg(max(col("c_y"))).collect()(0).getLong(0)
+      require(maxCx <= Long.MaxValue / math.max(maxCy, 1L),
+        s"marginal product would overflow Long (max c_x=$maxCx, max c_y=$maxCy); rerun in DECIMAL(38,0)")
+    }
     counts
       .join(broadcast(left), "x").join(broadcast(right), "y")
       .filter(col("c_xy") >= minCount)

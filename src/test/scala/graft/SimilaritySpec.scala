@@ -47,12 +47,20 @@ class SimilaritySpec extends SparkSpec {
     assert(viaBatch.nonEmpty, "fixture must flag something")
     assert(viaSignals == viaBatch,
       "literal-fold signals must equal the broadcast-join operator bitwise")
-    // A zero-norm benchmark vector must refuse loudly (its NaN cosine
-    // would otherwise win every array_max and silently disable flagging).
+    // A zero-norm benchmark vector must refuse loudly in BOTH forms: its
+    // NaN cosine is larger than any value in Spark's ordering AND
+    // comparisons, so it would win the argmax and pass the threshold —
+    // flagging the entire corpus with NaN evidence.
     val ex = intercept[IllegalArgumentException] {
       Similarity.decontamSignals(corpus, Seq((7L, Array(0f, 0f, 0f))))
     }
     assert(ex.getMessage.contains("zero norm"))
+    import spark.implicits._
+    val zeroBench = Seq((7L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontam(corpus, zeroBench)
+    }
+    assert(ex2.getMessage.contains("zero or NaN norm"))
   }
 
   test("cellBalance: exact load factors, hot cell surfaces, counts conserve the corpus") {
@@ -70,12 +78,15 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 250000L), (3L, 1L, 250000L)), got.toString)
     assert(got.map(_._2).sum == 16L, "every vector lands in exactly one cell")
     // A corpus with no low ids has zero seeds — must refuse, not emit
-    // NULL cells.
+    // NULL cells; a legitimately EMPTY corpus short-circuits to empty.
     val shifted = rows.map { case (i, e) => (i + 1000L, e) }
     val ex = intercept[IllegalArgumentException] {
       Similarity.cellBalance(shifted.toDF("vec_id", "embedding"), nCells = 4)
     }
     assert(ex.getMessage.contains("seed"))
+    val empty = rows.take(0).toDF("vec_id", "embedding")
+    assert(Similarity.assignSeedCells(empty, 4).collect().isEmpty,
+      "empty corpus yields an empty assignment, not an exception")
   }
 
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
