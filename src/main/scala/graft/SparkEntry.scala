@@ -440,11 +440,33 @@ object SparkEntry {
     // as vec_sq_search_fast, so the oracle replays it end to end.
     "vec_quant_error" -> ((s, d) =>
       graft.vector.SqIndex.quantErrorAudit(Tables.embeddings(s, d))),
-    // IVF cell-occupancy balance audit at the autoCells default (8 cells
-    // at sf0.01, 20 at sf0.1): load_ppm = n·cells·10⁶ DIV total, 10⁶ =
-    // balanced — the retrain/salt decision signal for the blocked family.
-    "vec_cell_balance" -> ((s, d) =>
-      Similarity.cellBalance(Tables.embeddings(s, d))),
+    // IVF cell-occupancy balance audit in its PRODUCTION form — the
+    // footer-only count over the physical layout's `cell=` partition
+    // column (`IvfIndex.cellBalance`): an indexed corpus already carries
+    // its assignment on disk, so the audit reads parquet metadata, not
+    // vectors — linear in files, flat in d, no re-assignment pass (the
+    // operator form's literal-centroid pass measured 20.9× wall at 100×
+    // data pre-cap; it stays registered below at the FIXED-1024 post-cap
+    // regime where it is linear, and as the unindexed-corpus fallback).
+    // The artifact builds at kmeansIters=0 (the naive-seed layout), so
+    // the on-disk assignment is the deterministic seed-cell rule the
+    // oracle replays; load_ppm = n·cells·10⁶ DIV total, 10⁶ = balanced —
+    // the retrain/salt decision signal. Centroid cells with zero
+    // surviving rows report 0 (a hollowed cell is what the audit is FOR).
+    "vec_cell_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = Similarity.autoCells(Similarity.memoCount(emb))
+      val dir = cachedArtifact("ivfbal", d)(p =>
+        graft.vector.IvfIndex.build(s, emb, p, nCells = cells, kmeansIters = 0))
+      graft.vector.IvfIndex.cellBalance(s, dir)
+    }),
+    // The operator (unindexed-corpus) form, pinned at the autoCells CAP
+    // boundary (1024 fixed cells — the regime where the directory is
+    // largest and the assignment pass is linear with a 1024·d constant):
+    // a second oracle binding of the load-factor arithmetic, at a cell
+    // count three decades above the default's 8/20.
+    "vec_cell_balance_cap" -> ((s, d) =>
+      Similarity.cellBalance(Tables.embeddings(s, d), nCells = 1024)),
     // Vector-tier point-delete lifecycle (takedown/GDPR), oracle-bound: the
     // cached IVF layout gets a deterministic tombstone set (every 41st
     // vec_id — including the query vector itself, so the nearest hit at
@@ -698,14 +720,19 @@ object SparkEntry {
     // (vocabulary richness vs document length) — the filter-agreement
     // audit, through the distributed average-rank engine (no per-source
     // single-reducer window; ties get the textbook tied-average rank).
-    // Integer signals ⇒ every rank and sum is exact; ρ is one shared
-    // double expression over the exact sums.
+    // Integer signals ⇒ every rank and sum is exact, and the registered
+    // emission stays integer END TO END (corr_sign + rho2_ppm by DECIMAL
+    // floor division over the exact sums): the earlier double-ρ emission
+    // was bitwise-identical across engines on this host yet hash-fragile
+    // by construction — a sqrt/÷ chain hangs the hash on cross-BUILD FP
+    // reproducibility of the oracle engine. The double ρ itself is
+    // RelationalSpec-pinned on the same sums.
     "doc_signal_corr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sig = Tables.documents(s, d).select(col("source"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("a"),
         col("n_chars").as("b"))
-      Relational.rankCorrelation(sig, "source", "a", "b")
+      Relational.rankCorrelationPpm(sig, "source", "a", "b")
     }),
     // Corpus-relative percentile selection per source ("keep the top 30%
     // by signal") — the generic gate whose LM-specific instance is the
@@ -2694,8 +2721,10 @@ object SparkEntry {
         |      FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, label, d2 AS dist_sq FROM d
         |WHERE d2 <= 1.45 ORDER BY vec_id""".stripMargin,
-    // Seed assignment + counts + BIGINT floor-div load factor; the cell
-    // count mirrors autoCells exactly as in the blocked-family oracles.
+    // The LAYOUT audit's oracle: the artifact builds at kmeansIters=0, so
+    // the on-disk `cell=` assignment IS the deterministic seed rule —
+    // replayed here — and centroid cells with no members surface as
+    // zero rows (LEFT JOIN from the centroid list, the layout semantics).
     "vec_cell_balance" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |nc AS (SELECT GREATEST(8, LEAST(1024,
@@ -2707,10 +2736,27 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY emb.vec_id
         |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
         |    FROM emb, cent) WHERE arn = 1),
-        |c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM asn GROUP BY cell),
+        |c AS (SELECT cent.cid AS cell, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors
+        |      FROM cent LEFT JOIN (SELECT cell, COUNT(*) AS n FROM asn GROUP BY cell) cnt
+        |        ON cent.cid = cnt.cell),
         |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM c)
         |SELECT cell, n_vectors,
         |  CAST((n_vectors * (SELECT n_cells FROM nc) * 1000000) // total AS BIGINT) AS load_ppm
+        |FROM c, tot ORDER BY cell""".stripMargin,
+    // Operator form at the fixed 1024-cell cap: seed assignment + counts +
+    // BIGINT floor-div load factor, nonempty cells only (the groupBy form).
+    "vec_cell_balance_cap" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 1024),
+        |asn AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT emb.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY emb.vec_id
+        |        ORDER BY ${l2sqSql("emb.e", "cent.ce")}, cent.cid) AS arn
+        |    FROM emb, cent) WHERE arn = 1),
+        |c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM asn GROUP BY cell),
+        |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM c)
+        |SELECT cell, n_vectors,
+        |  CAST((n_vectors * 1024 * 1000000) // total AS BIGINT) AS load_ppm
         |FROM c, tot ORDER BY cell""".stripMargin,
     "vec_knn_join" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -4029,8 +4075,12 @@ object SparkEntry {
     // Tied-average ranks in the declarative one-window form (2·avg_rank =
     // 2·#smaller + #equal + 1 — rank() gives 1+#smaller); the Spark side's
     // bucketed engine equals this bit-for-bit because ranks are integers
-    // and Long addition is associative. ρ's double expression is mirrored
-    // token-for-token.
+    // and Long addition is associative. Everything downstream of the rank
+    // sums is INTEGER arithmetic (HUGEINT here ≡ the Spark side's
+    // DECIMAL(38,0) — both exact): rank products cast wide BEFORE the
+    // multiply (a BIGINT r2a·r2b overflows past ~1.5·10⁹ rows per group),
+    // and ρ ships as sign + ρ²·10⁶ floor-divided — no sqrt, no division,
+    // nothing whose last bit depends on the oracle engine's FP build.
     "doc_signal_corr" ->
       """WITH s AS (SELECT * FROM (SELECT source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS a,
@@ -4043,21 +4093,28 @@ object SparkEntry {
         |      + COUNT(*) OVER (PARTITION BY source, b) + 1 AS r2b
         |  FROM s),
         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(r2a * r2b) AS DECIMAL(38,0)) AS s_ab,
-        |    CAST(SUM(r2a * r2a) AS DECIMAL(38,0)) AS s_aa,
-        |    CAST(SUM(r2b * r2b) AS DECIMAL(38,0)) AS s_bb
+        |    CAST(SUM(CAST(r2a AS HUGEINT) * CAST(r2b AS HUGEINT)) AS DECIMAL(38,0)) AS s_ab,
+        |    CAST(SUM(CAST(r2a AS HUGEINT) * CAST(r2a AS HUGEINT)) AS DECIMAL(38,0)) AS s_aa,
+        |    CAST(SUM(CAST(r2b AS HUGEINT) * CAST(r2b AS HUGEINT)) AS DECIMAL(38,0)) AS s_bb
         |  FROM r GROUP BY source),
         |d AS (SELECT source, n, s_ab, s_aa, s_bb,
-        |    CAST(n AS DOUBLE) AS nd,
-        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) AS srd
+        |    CAST(n AS HUGEINT) * CAST(s_ab AS HUGEINT)
+        |      - (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1))
+        |        * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1)) AS num,
+        |    CAST(n AS HUGEINT) * CAST(s_aa AS HUGEINT)
+        |      - (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1))
+        |        * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1)) AS den_a,
+        |    CAST(n AS HUGEINT) * CAST(s_bb AS HUGEINT)
+        |      - (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1))
+        |        * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1)) AS den_b
         |  FROM g)
         |SELECT source, n, s_ab, s_aa, s_bb,
-        |  CASE WHEN (nd * CAST(s_aa AS DOUBLE) - srd * srd) > 0
-        |        AND (nd * CAST(s_bb AS DOUBLE) - srd * srd) > 0
-        |    THEN (nd * CAST(s_ab AS DOUBLE) - srd * srd)
-        |      / (sqrt(nd * CAST(s_aa AS DOUBLE) - srd * srd)
-        |         * sqrt(nd * CAST(s_bb AS DOUBLE) - srd * srd))
-        |  END AS rho
+        |  CASE WHEN den_a > 0 AND den_b > 0 THEN
+        |    CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |  END AS corr_sign,
+        |  CASE WHEN den_a > 0 AND den_b > 0 THEN
+        |    CAST((num * num * 1000000) // (den_a * den_b) AS BIGINT)
+        |  END AS rho2_ppm
         |FROM d ORDER BY source""".stripMargin,
     // Tied-average-rank percentile in the declarative window form; the
     // ppm arithmetic is BIGINT floor division in both engines.

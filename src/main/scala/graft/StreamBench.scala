@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *  - `versionedCdc` — the transactional path: every micro-batch becomes
   *    one atomic dirty-bucket commit on the versioned store; throughput is
   *    commit/IO bound.
+  *  - `semanticDecontam` — the stateless map-only path: every row folds
+  *    against a literal 128-vector benchmark (the eval-suite scale) with
+  *    the threshold filter applied in-stream; throughput is codegen bound —
+  *    the ceiling the stateful flows are measured against.
   *
   * The sessionize flow also runs under the RocksDB state store (the
   * at-scale provider) with two extra numbers: the state footprint (state
@@ -172,6 +176,35 @@ object StreamBench {
       val n = q.recentProgress.length
       q.stop(); q.awaitTermination()
       results += "corpusIngestSkipReplayed" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
+    // ---- 2c. streaming semantic decontam (map-only literal-benchmark twin) -
+    // the newest stream/batch twin: benchmark = the first 128 corpus
+    // embeddings (eval-suite scale — the decontamSignals literal regime),
+    // corpus = synthetic deterministic 64-dim vectors off the rate source.
+    // Cos scatter keeps flags sparse (the decontam contract), so the number
+    // measures the per-row fold cost, not sink volume.
+    locally {
+      val bench = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 128)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val dim = bench.head._2.length
+      val vecs = rate(100000)
+        .select(col("value").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), " +
+            "i -> cast((pmod(value * 31 + i * 17, 97) - 48) / 10.0 as float))")
+            .as("embedding"))
+      val q = streaming.EventStream.semanticDecontamStream(vecs, bench)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("semdec-ckpt"))
+        .outputMode("append").start()
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "semanticDecontam" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
     }
 
     // ---- 3. versioned CDC commits ------------------------------------------

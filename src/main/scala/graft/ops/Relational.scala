@@ -962,7 +962,12 @@ object Relational {
     val bucket = when(col("_mx") === col("_mn"), lit(0L)).otherwise(
       least(lit(nBuckets - 1L),
         floor((vd - col("_mn")) / (col("_mx") - col("_mn")) * nBuckets))).cast("long")
-    val bucketed = df.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
+    // No broadcast hint on the stats side: it is one row PER GROUP, so a
+    // forced broadcast would collect group-cardinality rows to the driver
+    // regardless of size. AQE sees the aggregate's runtime size and
+    // broadcasts exactly when it is actually small (the common case);
+    // a billion-group input degrades to a distributed join, never an OOM.
+    val bucketed = df.join(stats, groupCol).withColumn("_rb", bucket)
       .drop("_mn", "_mx")
     val valCounts = bucketed.groupBy(g, col("_rb"), v.as("_rv"))
       .agg(count(lit(1)).as("_vc"))
@@ -1025,6 +1030,42 @@ object Relational {
       .orderBy(col(groupCol))
   }
 
+  /** [[rankCorrelation]] in the INTEGER-EXACT emission the hash oracle
+    * binds to: `corr_sign ∈ {−1,0,1}` and
+    * `rho2_ppm = num²·10⁶ DIV (denA·denB)` — ρ² in parts-per-million by
+    * pure DECIMAL(38,0) arithmetic over the exact rank sums, with
+    * num = n·ΣRaRb − (ΣR)², denA/denB the two variance terms and
+    * ΣR = n(n+1) identically. sign(num)·√(rho2_ppm/10⁶) reconstructs ρ to
+    * ~10⁻⁶; the double ρ itself stays on [[rankCorrelation]] (spec-pinned
+    * there) because a sqrt-bearing double is exactly the expression whose
+    * last bit drifts across engine BUILDS — cross-engine float
+    * reproducibility of sqrt/÷ chains is the one thing an integer hash
+    * contract must not stand on (the collocations/pct_ppm convention).
+    *
+    * Exactness bound: num ~ 4n⁴ per group, and the ppm step squares it —
+    * num²·10⁶ must fit DECIMAL(38,0), which holds to n ≈ 4·10³ rows per
+    * group and FAILS LOUD past it (ANSI decimal overflow), never silently
+    * wrong. Groups past that bound are audit-sampled or read through
+    * [[rankCorrelation]]'s double ρ (exact sums themselves are good to
+    * n ≈ 1.5·10⁹); the registered query's groups are source-bounded.
+    */
+  def rankCorrelationPpm(df: DataFrame, groupCol: String,
+      aCol: String, bCol: String, nBuckets: Int = 4096): DataFrame = {
+    val dec = "CAST(n AS DECIMAL(38,0))"
+    rankCorrelation(df, groupCol, aCol, bCol, nBuckets)
+      .withColumn("_srd", expr(s"$dec * ($dec + 1)"))
+      .withColumn("_num", expr(s"$dec * s_ab - _srd * _srd"))
+      .withColumn("_denA", expr(s"$dec * s_aa - _srd * _srd"))
+      .withColumn("_denB", expr(s"$dec * s_bb - _srd * _srd"))
+      .withColumn("corr_sign", expr(
+        """CASE WHEN _denA > 0 AND _denB > 0 THEN
+          |  CAST(CASE WHEN _num > 0 THEN 1 WHEN _num < 0 THEN -1 ELSE 0 END AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("rho2_ppm", expr(
+        "CASE WHEN _denA > 0 AND _denB > 0 THEN (_num * _num * 1000000) DIV (_denA * _denB) END"))
+      .drop("rho", "_srd", "_num", "_denA", "_denB")
+  }
+
   /** Per-row percentile rank of a signal within its group, as the exact
     * integer `pct_ppm` = ⌊avg_rank·10⁶/n⌋ = (2·avg_rank)·500000 DIV n —
     * pure Long floor division on [[withRank2]]'s doubled tied-average
@@ -1045,8 +1086,10 @@ object Relational {
       keepTopPpm: Long = 300000L, nBuckets: Int = 4096): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
     val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    // Same posture as withRank2's stats join: counts is group-bounded, not
+    // constant-bounded — let AQE pick broadcast from the runtime size.
     withRank2(base, groupCol, valueCol, "_r2", nBuckets)
-      .join(broadcast(counts), groupCol)
+      .join(counts, groupCol)
       .withColumn("pct_ppm", expr("(_r2 * 500000) DIV _n"))
       .withColumn("keep", col("pct_ppm") > lit(1000000L - keepTopPpm))
       .drop("_r2", "_n")

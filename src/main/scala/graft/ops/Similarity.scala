@@ -768,7 +768,14 @@ object Similarity {
     val counts = assignSeedCells(embeddings, cells)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .localCheckpoint() // two consumers: the total and the per-cell rows
-    val total = counts.agg(sum(col("n_vectors"))).collect()(0).getLong(0)
+    val totRow = counts.agg(sum(col("n_vectors"))).collect()(0)
+    // Empty corpus: SUM over zero rows is NULL, and there is no layout to
+    // audit — return the empty frame with the full schema (the
+    // assignSeedCells/clusterSample empty-input convention) instead of
+    // tripping an NPE on the total.
+    if (totRow.isNullAt(0))
+      return counts.withColumn("load_ppm", lit(null).cast("long")).orderBy(col("cell"))
+    val total = totRow.getLong(0)
     require(total <= Long.MaxValue / 1000000L / cells,
       s"load_ppm would overflow Long (total=$total, cells=$cells); rerun in DECIMAL(38,0)")
     counts
@@ -1242,8 +1249,17 @@ object Similarity {
     val nBad = bench.filter(isnan(col("bn")) || col("bn") <= 0 || col("bn").isNull).count()
     require(nBad == 0,
       s"$nBad benchmark vector(s) have zero or NaN norm — refusing to decontaminate against them")
+    // Corpus-side degenerate vectors get the OPPOSITE treatment from the
+    // benchmark's fail-loud: a zero/NaN-norm corpus embedding makes its own
+    // cosine NaN, which would PASS `cos >= threshold` under NaN-is-greatest
+    // ordering and silently flag (= delete from the training set) that row
+    // on undefined evidence. Decontamination must not drop data it cannot
+    // actually measure — degenerate corpus rows pass through UNFLAGGED (one
+    // extra map-side predicate; an upstream embedding-health gate is where
+    // they get surfaced, not here).
     val c = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+      .filter(!isnan(col("cn")) && col("cn") > 0)
     c.crossJoin(broadcast(bench))
       .withColumn("cos", dot(col("embedding"), col("be")) / (col("cn") * col("bn")))
       .filter(col("cos") >= threshold)
@@ -1286,7 +1302,12 @@ object Similarity {
       struct((dot(col("embedding"), typedLit(bv.toSeq)) / (cn * lit(bn))).as("cos"),
         lit(-bid).as("nbid"))
     }
-    vecs.withColumn("best", array_max(array(entries: _*)))
+    // Same corpus-side guard as the batch form (kept EQUIVALENT on
+    // degenerate input too): a zero/NaN-norm row's cosine is NaN and would
+    // pass the threshold under NaN-is-greatest — it must pass through
+    // unflagged, not get dropped from training data on undefined evidence.
+    vecs.filter(!isnan(cn) && cn > 0)
+      .withColumn("best", array_max(array(entries: _*)))
       .filter(col("best.cos") >= threshold)
       .select(col("vec_id"), (-col("best.nbid")).as("bench_id"),
         col("best.cos").as("cos_sim"))

@@ -193,6 +193,18 @@ object ScaleProbe {
           nCells = math.max(8, (emb.count() / 256).toInt))
         dir
       })
+    // IVF layout fixtures for the footer-only cell-balance audit: built
+    // once outside the timed sections at the registration's config
+    // (kmeansIters = 0 seed layout, autoCells-sized directory).
+    val ivfCache = scala.collection.mutable.Map[String, String]()
+    def ivfDir(tag: String, emb: DataFrame): String =
+      ivfCache.getOrElseUpdate(tag, {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-ivfbal-$tag").toString + "/idx"
+        graft.vector.IvfIndex.build(spark, emb, dir,
+          nCells = Similarity.autoCells(emb.count()), kmeansIters = 0)
+        dir
+      })
     def serveSearch(dir: String, kind: String, emb: DataFrame): Long = {
       val qv = emb.filter(col("vec_id") === 3L)
         .select("embedding").head.getSeq[Float](0)
@@ -310,11 +322,31 @@ object ScaleProbe {
       ("vec_quant_error",
         () => graft.vector.SqIndex.quantErrorAudit(emb1).count(),
         () => graft.vector.SqIndex.quantErrorAudit(embN).count()),
-      // cell-balance audit: map-only assignment + one cell-keyed count —
-      // linear scan, bounded (≤cells) output
+      // cell-balance audit, OPERATOR (unindexed-corpus) form at autoCells:
+      // the assignment is O(cells·d) per row and autoCells grows with the
+      // corpus, so below the 1024-cap this is the ~n²·d/256 regime — the
+      // documented 20.9×-at-100× number. Kept probed as the spec-tier
+      // cross-check; the REGISTERED production form is the layout audit
+      // below.
       ("vec_cell_balance",
         () => Similarity.cellBalance(emb1).count(),
         () => Similarity.cellBalance(embN).count()),
+      // operator form at the FIXED 1024-cell cap (the registered
+      // vec_cell_balance_cap config): post-cap the assignment is linear
+      // with a 1024·d constant — the regime a capped deployment sits in
+      ("vec_cell_balance_cap",
+        () => Similarity.cellBalance(emb1, nCells = 1024).count(),
+        () => Similarity.cellBalance(embN, nCells = 1024).count()),
+      // the REGISTERED production form: footer-only count over the
+      // physical layout's `cell=` partition column — no vector data read,
+      // no re-assignment; index built OUTSIDE the timed section (builds
+      // amortize — the vec_serve_build posture). Expect ~flat-to-linear
+      // wall (scales with file count, not vectors·cells).
+      ("vec_cell_balance_layout",
+        () => graft.vector.IvfIndex.cellBalance(spark,
+          ivfDir("1x", emb1)).count(),
+        () => graft.vector.IvfIndex.cellBalance(spark,
+          ivfDir("Nx", embN)).count()),
       // PMI collocations: one corpus-sized bigram count (map-side
       // combined, vocab²-bounded keyspace), everything downstream
       // vocab-sized ⇒ expect ~linear wall, ~flat shuffle
@@ -373,6 +405,7 @@ object ScaleProbe {
 
     // force the needed media caches and serve sidecars OUTSIDE the timed
     // sections (they'd otherwise materialize inside the first measure())
+    if (need("vec_cell_balance_layout")) { ivfDir("1x", emb1); ivfDir("Nx", embN); () }
     if (need("mm_phash_near")) { media1; mediaN }
     if (need("mm_audio_near")) { aud1; audN }
     if (need("mm_video_near")) { vid1; vidN }

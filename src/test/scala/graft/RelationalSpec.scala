@@ -238,6 +238,44 @@ class RelationalSpec extends SparkSpec {
     assert(r.isNullAt(5), "zero-variance signal must yield NULL rho")
   }
 
+  test("rankCorrelationPpm: integer emission equals BigInt floor arithmetic over brute rank sums") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 90).map { i =>
+      (if (i % 2 == 0) "g0" else "g1", (rng.nextInt(40) % 6).toLong,
+        (rng.nextInt(40) % 4).toLong)
+    } ++ (1 to 20).map(i => ("gconst", i.toLong, 5L)) // zero-variance group
+    def rank2(vs: Seq[Long]): Seq[Long] =
+      vs.map(v => 2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+    val got = Relational.rankCorrelationPpm(rows.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val (ra, rb) = (rank2(rs.map(_._2)), rank2(rs.map(_._3)))
+      val n = BigInt(rs.size)
+      val sab = ra.zip(rb).map { case (x, y) => BigInt(x) * y }.sum
+      val saa = ra.map(x => BigInt(x) * x).sum
+      val sbb = rb.map(x => BigInt(x) * x).sum
+      val srd = n * (n + 1)
+      val (num, denA, denB) = (n * sab - srd * srd, n * saa - srd * srd, n * sbb - srd * srd)
+      val row = got(g)
+      if (denA > 0 && denB > 0) {
+        // BigInt / truncates toward zero ≡ floor here (operands non-negative)
+        assert(row.getAs[Long]("corr_sign") == num.signum.toLong, s"group $g sign")
+        assert(BigInt(row.getAs[Long]("rho2_ppm")) == num * num * 1000000 / (denA * denB),
+          s"group $g rho2_ppm")
+        // and the ppm form is consistent with the spec-pinned double ρ:
+        // ρ² rounds to rho2_ppm within one ulp of the floor division
+        val rho = (n * sab - srd * srd).toDouble /
+          (math.sqrt((n * saa - srd * srd).toDouble) * math.sqrt((n * sbb - srd * srd).toDouble))
+        assert(math.abs(rho * rho * 1e6 - row.getAs[Long]("rho2_ppm").toDouble) <= 1.0,
+          s"group $g ppm ≈ ρ²·10⁶")
+      } else {
+        assert(row.isNullAt(row.fieldIndex("corr_sign")), s"group $g degenerate sign NULL")
+        assert(row.isNullAt(row.fieldIndex("rho2_ppm")), s"group $g degenerate ppm NULL")
+      }
+    }
+  }
+
   test("percentileRanks: exact ppm arithmetic, boundary ties move together, nulls drop") {
     import spark.implicits._
     // values [10, 20, 20, 30] in one group: avg ranks 1 / 2.5 / 2.5 / 4 →

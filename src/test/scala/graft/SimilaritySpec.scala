@@ -63,6 +63,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ex2.getMessage.contains("zero or NaN norm"))
   }
 
+  test("degenerate CORPUS vectors pass through unflagged (never deleted on NaN evidence) — both forms") {
+    import spark.implicits._
+    // A zero-norm corpus row's cosine is NaN against every benchmark;
+    // under NaN-is-greatest ordering it would pass any threshold and be
+    // flagged (= dropped from training data) on undefined evidence. Both
+    // forms must leave it alone and stay bitwise-equivalent.
+    val bench = Seq((0L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2f, 0f, 0f)),   // cos 1 → flagged
+      (11L, Seq(0f, 0f, 0f)),   // zero norm → must NOT flag
+      (12L, Seq(0f, 5f, 0f)))   // orthogonal → not flagged
+      .toDF("vec_id", "embedding")
+    val viaBatch = Similarity.semanticDecontam(corpus, bench, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(viaBatch.map(_._1) == List(10L), s"only the real match flags (got $viaBatch)")
+    val viaSignals = Similarity.decontamSignals(corpus,
+        Seq((0L, Array(1f, 0f, 0f))), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toList
+    assert(viaSignals == viaBatch, "the streaming-twin form agrees on degenerate input")
+  }
+
   test("cellBalance: exact load factors, hot cell surfaces, counts conserve the corpus") {
     import spark.implicits._
     // 4 seeds at unit corners; 12 extra vectors huddle around seed 0 →
@@ -87,6 +108,11 @@ class SimilaritySpec extends SparkSpec {
     val empty = rows.take(0).toDF("vec_id", "embedding")
     assert(Similarity.assignSeedCells(empty, 4).collect().isEmpty,
       "empty corpus yields an empty assignment, not an exception")
+    // …and the balance audit over it returns the empty frame with its full
+    // schema (no NPE on the NULL sum-of-counts).
+    val emptyAudit = Similarity.cellBalance(empty, nCells = 4)
+    assert(emptyAudit.columns.toSeq == Seq("cell", "n_vectors", "load_ppm"))
+    assert(emptyAudit.collect().isEmpty, "empty corpus audits to an empty frame")
   }
 
   test("MAD outlier audit flags the corrupted vector; zero-MAD dims never flag") {
