@@ -264,6 +264,36 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.tripletMineFor(Similarity.anchorSample(emb), emb)
     }),
+    // The LAYOUT-BACKED mining forms over the kmeansIters=0 artifact (the
+    // vec_cell_balance layout): corpus cells come off disk — no per-call
+    // O(n·cells·d) assignment pass, and the anchors' probed-cell union
+    // statically prunes the partitioned scan. The on-disk assignment IS
+    // the seed rule, so these bind to the SAME oracles as the two-table
+    // forms: indexed ≡ operator is driver-checked, not just spec-pinned.
+    // This is the production mining shape on an indexed corpus — the 100×
+    // probe measured the two-table forms at 17-23× wall (the unindexed
+    // assignment term); these stay bounded by probed-cell row volume.
+    "vec_triplets_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfbal", d)(p =>
+        graft.vector.IvfIndex.build(s, emb, p,
+          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
+      graft.vector.IvfIndex.tripletMine(s, dir, Similarity.anchorSample(emb))
+    }),
+    "vec_hard_negatives_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfbal", d)(p =>
+        graft.vector.IvfIndex.build(s, emb, p,
+          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
+      graft.vector.IvfIndex.hardNegatives(s, dir, Similarity.anchorSample(emb))
+    }),
+    "vec_label_audit_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = cachedArtifact("ivfbal", d)(p =>
+        graft.vector.IvfIndex.build(s, emb, p,
+          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
+      graft.vector.IvfIndex.knnLabelAudit(s, dir, Similarity.anchorSample(emb))
+    }),
     // PROBE-ALL triplet mining over the same bounded anchor sample:
     // candidacy is total (nProbe covers every cell), so each anchor's
     // mined positive/negative is the GLOBALLY hardest — the brute FaceNet
@@ -2006,7 +2036,20 @@ object SparkEntry {
         |ORDER BY strftime(i.created_at, $fmtTs) DESC, i.email_id LIMIT 50""".stripMargin,
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracles
+    // The layout-backed mining registrations run over the kmeansIters = 0
+    // artifact, whose on-disk assignment IS the seed rule the two-table
+    // oracles replay — so the indexed entries bind to the SAME SQL, making
+    // "index-backed ≡ operator form" itself a driver-checked equality, not
+    // just a spec assertion.
+    base ++ crmOracle ++ Map(
+      "vec_triplets_indexed" -> base("vec_triplets"),
+      "vec_hard_negatives_indexed" -> base("vec_hard_negatives"),
+      "vec_label_audit_indexed" -> base("vec_label_audit"))
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -5342,5 +5385,5 @@ object SparkEntry {
         |  (frame_no * 1000) // 24 AS frame_ts_ms,
         |  (frame_no * n) // frames AS byte_off
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
-  ) ++ crmOracle
+  )
 }

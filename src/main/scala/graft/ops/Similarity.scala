@@ -424,15 +424,44 @@ object Similarity {
       nCells: Int = 0, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
     val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
+    val sortedCells = seedProbeExpr(corpus, cells)
+    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    hardNegativesOn(anchors, assigned, sortedCells, probes, k, maxCellRows)
+  }
+
+  /** The (distance, cid)-sorted probe-list expression against the SEED
+    * centroids (`vec_id < cells`) — the literal-centroid driver artifact
+    * every blocked operator shares, factored so layout-backed forms can
+    * swap in sidecar centroids ([[centroidProbeExpr]]) without touching
+    * the mining pipelines.
+    */
+  private def seedProbeExpr(corpus: DataFrame, cells: Int): org.apache.spark.sql.Column = {
     val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    centroidProbeExpr(cents)
+  }
+
+  /** The same probe-list expression from EXPLICIT (cid, centroid) pairs —
+    * e.g. an IVF layout's centroid sidecar.
+    */
+  private[graft] def centroidProbeExpr(cents: Array[(Int, Seq[Float])]): org.apache.spark.sql.Column = {
     val centStructs = cents.map { case (cid, v) =>
       struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
     }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
-      col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+  }
+
+  /** [[hardNegativesFor]]'s pipeline over a PRE-ASSIGNED corpus — the core
+    * shared with the layout-backed form ([[graft.vector.IvfIndex.hardNegatives]]),
+    * where the `cell` column comes off disk and this never pays the
+    * O(n·cells·d) literal-centroid assignment pass. `assigned` needs
+    * (c_vec_id, c_emb, c_label, cell); `sortedCells` is the probe
+    * expression used on the ANCHOR side only.
+    */
+  private[graft] def hardNegativesOn(anchors: DataFrame, assigned: DataFrame,
+      sortedCells: org.apache.spark.sql.Column, probes: Int, k: Int, maxCellRows: Long): DataFrame = {
     // Hot-cell salting, the knnJoinSalted pattern verbatim: a label-skewed
     // corpus (one dominant class = one dense region) concentrates in few
     // cells; salting bounds every join task at ~maxCellRows corpus rows
@@ -450,8 +479,10 @@ object Similarity {
         col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
-    val labels = corpus.select(col("vec_id").as("c_vec_id"),
-      col("label").as("neg_label"))
+    // Neighbor labels re-join by id AFTER the top-k; every surviving
+    // c_vec_id came from `assigned`, so the label side projects from it
+    // (column pruning reduces this to the corpus id/label scan).
+    val labels = assigned.select(col("c_vec_id"), col("c_label").as("neg_label"))
     q.join(c, Seq("cell", "salt"))
       .filter(col("q_label") =!= col("c_label"))
       .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
@@ -548,15 +579,18 @@ object Similarity {
       maxCellRows: Long = 1000000L): DataFrame = {
     val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
-    val cents = corpus.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val sortedCells = seedProbeExpr(corpus, cells)
     val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
       col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    tripletMineOn(anchors, assigned, sortedCells, probes, maxCellRows)
+  }
+
+  /** [[tripletMineFor]]'s pipeline over a PRE-ASSIGNED corpus — shared
+    * with the layout-backed [[graft.vector.IvfIndex.tripletMine]] (the
+    * [[hardNegativesOn]] arrangement).
+    */
+  private[graft] def tripletMineOn(anchors: DataFrame, assigned: DataFrame,
+      sortedCells: org.apache.spark.sql.Column, probes: Int, maxCellRows: Long): DataFrame = {
     val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
       .collect().map { r =>
         r.getLong(0) -> math.max(1L, (r.getLong(1) + maxCellRows - 1) / maxCellRows).toInt
@@ -848,19 +882,21 @@ object Similarity {
     // same fixed-cell hazard at growing corpus size)
     val cells = if (nCells > 0) nCells else autoCells(memoCount(corpus))
     val probes = if (nProbe > 0) nProbe else autoProbe(cells)
-    val cents = corpus.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    val c = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
-      element_at(sortedCells, 1).cast("long").as("cell"))
+    val sortedCells = seedProbeExpr(corpus, cells)
+    val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"), element_at(sortedCells, 1).cast("long").as("cell"))
+    knnLabelAuditOn(anchors, assigned, sortedCells, probes, k)
+  }
+
+  /** [[knnLabelAuditFor]]'s pipeline over a PRE-ASSIGNED corpus — shared
+    * with the layout-backed [[graft.vector.IvfIndex.knnLabelAudit]].
+    */
+  private[graft] def knnLabelAuditOn(anchors: DataFrame, assigned: DataFrame,
+      sortedCells: org.apache.spark.sql.Column, probes: Int, k: Int): DataFrame = {
+    val c = assigned.select(col("c_vec_id"), col("c_emb"), col("cell"))
     val q = anchors.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
       col("label").as("q_label"), explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
-    val labels = corpus.select(col("vec_id").as("c_vec_id"),
-      col("label").as("n_label"))
+    val labels = assigned.select(col("c_vec_id"), col("c_label").as("n_label"))
     val topk = q.join(c, "cell")
       .filter(col("q_vec_id") =!= col("c_vec_id"))
       .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))

@@ -297,6 +297,27 @@ object ScaleProbe {
       ("vec_label_audit_anchored",
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(emb1), emb1).count(),
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(embN), embN).count()),
+      // the LAYOUT-BACKED mining forms: corpus cells come off disk (index
+      // built OUTSIDE the timed section — builds amortize), probed-cell
+      // union prunes the scan statically. The cost term that makes the
+      // two-table forms super-linear on an unindexed corpus — the
+      // per-call O(n·cells·d) assignment — is gone; expect the per-batch
+      // wall to track probed-cell row volume, not corpus size.
+      ("vec_triplets_indexed",
+        () => graft.vector.IvfIndex.tripletMine(spark,
+          ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
+        () => graft.vector.IvfIndex.tripletMine(spark,
+          ivfDir("Nx", embN), Similarity.anchorSample(embN)).count()),
+      ("vec_hard_negatives_indexed",
+        () => graft.vector.IvfIndex.hardNegatives(spark,
+          ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
+        () => graft.vector.IvfIndex.hardNegatives(spark,
+          ivfDir("Nx", embN), Similarity.anchorSample(embN)).count()),
+      ("vec_label_audit_indexed",
+        () => graft.vector.IvfIndex.knnLabelAudit(spark,
+          ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
+        () => graft.vector.IvfIndex.knnLabelAudit(spark,
+          ivfDir("Nx", embN), Similarity.anchorSample(embN)).count()),
       // the registered PROBE-ALL exact tier: candidacy = anchors × corpus
       // (linear in n for fixed anchors, cell-keyed tasks) — the cost of
       // global FaceNet-hardest arms, bounded by the anchor budget
@@ -405,7 +426,10 @@ object ScaleProbe {
 
     // force the needed media caches and serve sidecars OUTSIDE the timed
     // sections (they'd otherwise materialize inside the first measure())
-    if (need("vec_cell_balance_layout")) { ivfDir("1x", emb1); ivfDir("Nx", embN); () }
+    if (Seq("vec_cell_balance_layout", "vec_triplets_indexed",
+        "vec_hard_negatives_indexed", "vec_label_audit_indexed").exists(need)) {
+      ivfDir("1x", emb1); ivfDir("Nx", embN); ()
+    }
     if (need("mm_phash_near")) { media1; mediaN }
     if (need("mm_audio_near")) { aud1; audN }
     if (need("mm_video_near")) { vid1; vidN }

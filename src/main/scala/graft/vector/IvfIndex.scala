@@ -68,6 +68,31 @@ object IvfIndex {
   /** Deterministic fallback ingest day for batches that don't carry one. */
   val DefaultIngestDate: java.sql.Date = java.sql.Date.valueOf("2024-01-01")
 
+  /** File-size bound for cell-partitioned writes: ~4M rows ≈ 1 GB at
+    * d = 64 float — a giant cell rolls into scan-parallel files instead of
+    * one monolith.
+    */
+  val MaxRecordsPerCellFile: Long = 4L * 1000 * 1000
+
+  /** Cell-partitioned write with a BOUNDED file count. A bare
+    * `partitionBy(cell, ingest_date)` write emits one file per (writer
+    * task × touched cell): files = tasks·cells — measured 72,428 files on
+    * the 100× scale probe (93 tasks × 782 cells), and a 1000-task cluster
+    * writing a capped 1024-cell corpus would emit ~10⁶ files, poisoning
+    * every later listing/footer pass (the layout cellBalance audit read
+    * 41× slower on exactly this). Repartitioning by the partition key
+    * first puts each (cell, ingest_date) wholly in ONE task → exactly one
+    * file per directory, rolled at [[MaxRecordsPerCellFile]] so a hot
+    * cell still splits for scan parallelism. The repartition is one
+    * corpus shuffle at build/compact/retrain (batch-sized on append) —
+    * the standard price of a bounded-file partitioned layout, paid at
+    * write time where it amortizes, not at every read.
+    */
+  private[vector] def writeCells(df: DataFrame, path: String, mode: SaveMode): Unit =
+    df.repartition(col("cell"), col("ingest_date"))
+      .write.mode(mode).option("maxRecordsPerFile", MaxRecordsPerCellFile)
+      .partitionBy("cell", "ingest_date").parquet(path)
+
   /** Distance to the ASSIGNED (nearest) centroid is just the min over the
     * literal centroid array — one more codegen column on the assignment
     * scan, no join.
@@ -103,11 +128,10 @@ object IvfIndex {
     val assigned = assign(embeddings, centroids)
     cellRadii(assigned, centroids)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
-    assigned
+    writeCells(assigned
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
-        lit(ingestDate).as("ingest_date"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
-      .parquet(s"$path/vectors")
+        lit(ingestDate).as("ingest_date")),
+      s"$path/vectors", SaveMode.Overwrite)
   }
 
   /** Assign a new (vec_id, label, embedding) batch against the EXISTING
@@ -165,11 +189,10 @@ object IvfIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
     fs.delete(radiiPath, true)
     fs.rename(tmpPath, radiiPath)
-    dated
+    writeCells(dated
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
-        col("ingest_date"))
-      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
-      .parquet(s"$path/vectors")
+        col("ingest_date")),
+      s"$path/vectors", SaveMode.Append)
   }
 
   /** Logical point deletes — takedown/GDPR removal for the vector tier,
@@ -247,11 +270,10 @@ object IvfIndex {
       val assigned = assign(resident, centroidsDf).localCheckpoint(true)
       cellRadii(assigned, centroidsDf)
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$fresh/radii")
-      assigned
+      writeCells(assigned
         .select(col("vec_id"), col("label"), col("embedding"),
-          col("cid").as("cell"), col("ingest_date"))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
-        .parquet(s"$fresh/vectors")
+          col("cid").as("cell"), col("ingest_date")),
+        s"$fresh/vectors", SaveMode.ErrorIfExists)
     }
     stats
   }
@@ -289,9 +311,8 @@ object IvfIndex {
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
     graft.sources.CompactSwap.rewrite(spark, path, "vectors") { fresh =>
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy("cell", "ingest_date")
-        .parquet(fresh)
+      writeCells(dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors")),
+        fresh, SaveMode.ErrorIfExists)
     }
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -317,11 +338,17 @@ object IvfIndex {
     val cells = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long").as("cell")).distinct()
     // The partition column discovers as int; normalize to long so the
-    // audit's schema matches the operator form's.
-    val counts = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/vectors")
-          .select(col("vec_id"), col("cell").cast("long").as("cell")))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    // audit's schema matches the operator form's. With no tombstone log,
+    // the count groups ONLY the partition column — the scan's ReadSchema
+    // is empty (row counts come from parquet row-group metadata, no data
+    // pages decoded); only a pending tombstone fold needs the vec_id
+    // column for its anti-join.
+    val base = spark.read.parquet(s"$path/vectors")
+    val counts = (tombstones(spark, path) match {
+      case Some(t) => base.select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => base.select(col("cell").cast("long").as("cell"))
+    }).groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
     val full = cells.join(counts, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
       .localCheckpoint() // two consumers: the total and the per-cell rows
@@ -333,6 +360,78 @@ object IvfIndex {
         if (total == 0) lit(0L)
         else expr(s"(n_vectors * ${nCells}L * 1000000L) DIV ${total}L"))
       .orderBy(col("cell"))
+  }
+
+  /** Shared front half of the LAYOUT-BACKED mining family
+    * ([[hardNegatives]]/[[tripletMine]]/[[knnLabelAudit]]): probe
+    * expression from the centroid sidecar, resident corpus (tombstones
+    * folded) in the mining column convention, statically pruned to the
+    * anchors' probed-cell union — a bounded-anchor batch reads ONLY its
+    * probed `cell=` directories off disk.
+    *
+    * This is the production shape the two-table `Similarity.*For` forms
+    * approximate on an UNINDEXED corpus: those must literal-centroid
+    * assign every corpus row per call — O(n·cells·d) compute, the term
+    * the 100× probe measured at 17-23× wall — while an indexed corpus
+    * already carries `cell` on disk, so the per-batch cost here is the
+    * probed cells' row volume (≈ anchors·nProbe·occupancy) plus one
+    * footer-bounded salt count. Outputs are IDENTICAL to the two-table
+    * forms whenever the layout's assignment matches their seed rule
+    * (kmeansIters = 0 at the same cell count — `SimilaritySpec` pins it);
+    * on a TRAINED layout the same contract holds against the trained
+    * cells (better-balanced candidacy, same semantics).
+    */
+  private def miningFront(spark: SparkSession, path: String, anchors: DataFrame,
+      nProbe: Int): (org.apache.spark.sql.Column, DataFrame, Int) = {
+    recover(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("int").as("cid"), col("c_embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, s"no centroid sidecar under $path — not a built index")
+    val sortedCells = graft.ops.Similarity.centroidProbeExpr(cents)
+    val probes = math.min(cents.length,
+      if (nProbe > 0) nProbe else graft.ops.Similarity.autoProbe(cents.length))
+    // Bounded anchors ⇒ one tiny job computes the probed-cell union, which
+    // prunes the partitioned scan statically (only probed directories read).
+    val probed = anchors
+      .select(explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    val resident = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
+      .select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
+        col("label").as("c_label"), col("cell").cast("long").as("cell"))
+      .filter(col("cell").isin(probed: _*))
+    (sortedCells, resident, probes)
+  }
+
+  /** Hard-negative mining for an anchor batch against the INDEXED corpus —
+    * `Similarity.hardNegativesFor` riding the physical layout (see
+    * [[miningFront]] for the cost contract).
+    */
+  def hardNegatives(spark: SparkSession, path: String, anchors: DataFrame,
+      k: Int = 5, nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
+    val (sortedCells, resident, probes) = miningFront(spark, path, anchors, nProbe)
+    graft.ops.Similarity.hardNegativesOn(anchors, resident, sortedCells,
+      probes, k, maxCellRows)
+  }
+
+  /** Triplet mining (hardest positive + hardest negative per anchor)
+    * against the INDEXED corpus — `Similarity.tripletMineFor` riding the
+    * physical layout.
+    */
+  def tripletMine(spark: SparkSession, path: String, anchors: DataFrame,
+      nProbe: Int = 0, maxCellRows: Long = 1000000L): DataFrame = {
+    val (sortedCells, resident, probes) = miningFront(spark, path, anchors, nProbe)
+    graft.ops.Similarity.tripletMineOn(anchors, resident, sortedCells,
+      probes, maxCellRows)
+  }
+
+  /** Leave-one-out kNN label audit for an anchor batch against the INDEXED
+    * corpus — `Similarity.knnLabelAuditFor` riding the physical layout.
+    */
+  def knnLabelAudit(spark: SparkSession, path: String, anchors: DataFrame,
+      k: Int = 5, nProbe: Int = 0): DataFrame = {
+    val (sortedCells, resident, probes) = miningFront(spark, path, anchors, nProbe)
+    graft.ops.Similarity.knnLabelAuditOn(anchors, resident, sortedCells, probes, k)
   }
 
   /** Retention: physically drop `ingest_date=` directories older than the

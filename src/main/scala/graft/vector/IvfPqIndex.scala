@@ -72,12 +72,11 @@ object IvfPqIndex {
     // cell × ingest_date layout: probe pruning composes with retention,
     // exactly like IvfIndex (reference retention applies to ALL vectors,
     // faiss_manager.py:151-172).
-    residuals
+    IvfIndex.writeCells(residuals
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
         PqIndex.codesExpr(books, col("pq_embedding")).as("codes"),
-        lit(ingestDate).as("ingest_date"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
-      .parquet(s"$path/vectors")
+        lit(ingestDate).as("ingest_date")),
+      s"$path/vectors", SaveMode.Overwrite)
   }
 
   /** Retention: drop beyond-window `ingest_date=` directories inside every
@@ -123,14 +122,13 @@ object IvfPqIndex {
     val dated =
       if (batch.columns.contains("ingest_date")) batch
       else batch.withColumn("ingest_date", lit(ingestDate))
-    dated
+    IvfIndex.writeCells(dated
       .withColumn("cell", nearest)
       .withColumn("pq_embedding",
         zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"), col("ingest_date"))
-      .write.mode(SaveMode.Append).partitionBy("cell", "ingest_date")
-      .parquet(s"$path/vectors")
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"), col("ingest_date")),
+      s"$path/vectors", SaveMode.Append)
   }
 
   /** Probe-pruned ADC search + exact re-rank. Per probed cell the ADC LUT

@@ -228,8 +228,9 @@ object ServeIndex {
         withRes.withColumn("codes", PqIndex.codesExpr(books, col("pq_embedding")))
           .drop("pq_embedding").drop("ann_emb")
       }
-    vectors.write.mode(SaveMode.Overwrite).partitionBy("cell", "ingest_date")
-      .parquet(s"$staging/vectors")
+    // bounded-file cell write (the IvfIndex.writeCells rationale: a bare
+    // partitionBy emits tasks×cells files — 72k measured at the 100× probe)
+    IvfIndex.writeCells(vectors, s"$staging/vectors", SaveMode.Overwrite)
     Seq((kind, anchor)).toDF("kind", "watermark")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
     val live = new org.apache.hadoop.fs.Path(sidecarPath(indexPath))

@@ -19,6 +19,55 @@ class IvfIndexSpec extends SparkSpec {
     assert(physical == logical)
   }
 
+  test("layout-backed mining equals the two-table operator forms on the seed layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmine").toString + "/ivf"
+    val emb = Tables.embeddings(spark, sf)
+    val cells = Similarity.autoCells(emb.count())
+    IvfIndex.build(spark, emb, dir, nCells = cells, kmeansIters = 0)
+    val anchors = Similarity.anchorSample(emb, 64)
+    val viaIdx = IvfIndex.tripletMine(spark, dir, anchors).collect().toSeq
+    assert(viaIdx.nonEmpty, "fixture must mine triplets")
+    assert(viaIdx == Similarity.tripletMineFor(anchors, emb).collect().toSeq,
+      "tripletMine: indexed ≡ two-table bitwise")
+    assert(IvfIndex.hardNegatives(spark, dir, anchors).collect().toSeq ==
+      Similarity.hardNegativesFor(anchors, emb).collect().toSeq,
+      "hardNegatives: indexed ≡ two-table bitwise")
+    assert(IvfIndex.knnLabelAudit(spark, dir, anchors).collect().toSeq ==
+      Similarity.knnLabelAuditFor(anchors, emb).collect().toSeq,
+      "knnLabelAudit: indexed ≡ two-table bitwise")
+    // tombstoned ids must vanish from mined candidates immediately
+    IvfIndex.delete(spark, dir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val afterDel = IvfIndex.hardNegatives(spark, dir, anchors).collect()
+    assert(afterDel.nonEmpty &&
+      afterDel.forall(_.getAs[Long]("c_vec_id") % 7 != 0),
+      "tombstoned ids must not be mined as negatives")
+  }
+
+  test("cell-partitioned writes emit one bounded file per (cell, ingest_date) directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffiles").toString + "/ivf"
+    // a multi-partition writer is exactly the config that exploded to
+    // tasks×cells files before the repartition-by-partition-key write
+    val emb = Tables.embeddings(spark, sf).repartition(8)
+    IvfIndex.build(spark, emb, dir, kmeansIters = 0)
+    def dateDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ingest_date=")))
+    assert(dateDirs.nonEmpty)
+    dateDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$d holds $n files — expected exactly one per directory")
+    }
+    // an append adds at most one file per touched directory, not one per task
+    IvfIndex.appendBatch(spark,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+        .repartition(8), dir)
+    dateDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"$d holds $n files after one append — expected ≤ 2")
+    }
+  }
+
   test("probe scan is partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString + "/ivf"
     val emb = Tables.embeddings(spark, sf)
