@@ -51,7 +51,11 @@ object InvertedIndex {
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val postings = postingsOf(docs, nBuckets).localCheckpoint(true)
-    postings.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+    // bucket-aligned repartition: one file per bucket directory instead of
+    // tasks × buckets (the IvfIndex.writeCells / SnapshotStore.init
+    // rationale; 64 buckets ≥ the core count, so write parallelism holds)
+    postings.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$path/postings")
     postings.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("dl"))
@@ -80,7 +84,8 @@ object InvertedIndex {
     postings.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("dl"))
       .write.mode(SaveMode.Append).parquet(s"$path/doclens")
-    postings.write.mode(SaveMode.Append).partitionBy("bucket")
+    postings.repartition(col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(s"$path/postings")
   }
 
@@ -142,6 +147,7 @@ object InvertedIndex {
     // burned — conservative failure, like the LshIndex/PhashIndex order.
     graft.sources.CompactSwap.rewrite(spark, path, "postings") { fresh =>
       dropTombstoned(spark, path, spark.read.parquet(s"$path/postings"))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(fresh)
     }
     graft.sources.CompactSwap.rewrite(spark, path, "doclens") { fresh =>

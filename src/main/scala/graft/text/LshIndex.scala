@@ -33,13 +33,25 @@ import graft.ops.Dedup
   */
 object LshIndex {
 
+  /** Bounded-file band write (the `IvfIndex.writeCells` rationale, adapted
+    * to a LOW-cardinality partition column): a bare `partitionBy(band_id)`
+    * emits one file per writer task × band (tasks×4 files), while a plain
+    * `repartition(band_id)` would funnel the corpus-sized table through 4
+    * tasks. The composite key — band_id plus an 8-way sub-key off the
+    * band_key — keeps 4·8 = 32 write-parallel units AND bounds each band
+    * directory at ≤ 8 files (a directory's files = the distinct tasks
+    * among its 8 sub-keys).
+    */
+  private def bandPartitioned(bands: DataFrame): DataFrame =
+    bands.repartition(col("band_id"), pmod(crc32(col("band_key")), lit(8)))
+
   /** Derive and persist every index table for the corpus. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val sh = Dedup.shingles(docs).localCheckpoint(true)
     sh.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sizes")
-    Dedup.bandKeys(Dedup.minhashWide(sh))
+    bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Overwrite).partitionBy("band_id").parquet(s"$path/bands")
     Dedup.winnowFingerprints(docs)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
@@ -74,7 +86,7 @@ object LshIndex {
     Dedup.winnowFingerprints(batch)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .write.mode(SaveMode.Append).parquet(s"$path/winnow")
-    Dedup.bandKeys(Dedup.minhashWide(sh))
+    bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
   }
 
@@ -131,9 +143,9 @@ object LshIndex {
     def rewrite(table: String, partitioned: Boolean): Unit =
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
         val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-        val w = kept.write.mode(SaveMode.ErrorIfExists)
-        if (partitioned) w.partitionBy("band_id").parquet(fresh)
-        else w.parquet(fresh)
+        if (partitioned) bandPartitioned(kept).write.mode(SaveMode.ErrorIfExists)
+          .partitionBy("band_id").parquet(fresh)
+        else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
       }
     rewrite("shingles", partitioned = false)
     rewrite("sizes", partitioned = false)
