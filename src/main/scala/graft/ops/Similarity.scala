@@ -1325,6 +1325,14 @@ object Similarity {
   def decontamSignals(vecs: DataFrame, bench: Seq[(Long, Array[Float])],
       threshold: Double = 0.35): DataFrame = {
     require(bench.nonEmpty, "decontamSignals needs a non-empty benchmark")
+    // The row norm is HOISTED into a named column rather than inlined into
+    // every entry's cosine: inlined, the generated projection carried one
+    // `sqrt(vec_dot(embedding, embedding))` subtree PER benchmark vector —
+    // at the 128-entry eval-suite scale that doubles the per-row flop
+    // count if common-subexpression elimination ever declines, and bloats
+    // the codegen'd method the JIT has to chew. Same double arithmetic,
+    // bitwise-identical cosines (the spec's literal ≡ batch assert pins
+    // it).
     val cn = sqrt(dot(col("embedding"), col("embedding")))
     val entries = bench.map { case (bid, bv) =>
       val bn = math.sqrt(bv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
@@ -1335,14 +1343,15 @@ object Similarity {
       // refuses the same way (its driver-side norm check), keeping the
       // two forms equivalent on degenerate input too.
       require(bn > 0, s"benchmark vector $bid has zero norm")
-      struct((dot(col("embedding"), typedLit(bv.toSeq)) / (cn * lit(bn))).as("cos"),
+      struct((dot(col("embedding"), typedLit(bv.toSeq)) / (col("_cn") * lit(bn))).as("cos"),
         lit(-bid).as("nbid"))
     }
     // Same corpus-side guard as the batch form (kept EQUIVALENT on
     // degenerate input too): a zero/NaN-norm row's cosine is NaN and would
     // pass the threshold under NaN-is-greatest — it must pass through
     // unflagged, not get dropped from training data on undefined evidence.
-    vecs.filter(!isnan(cn) && cn > 0)
+    vecs.withColumn("_cn", cn)
+      .filter(!isnan(col("_cn")) && col("_cn") > 0)
       .withColumn("best", array_max(array(entries: _*)))
       .filter(col("best.cos") >= threshold)
       .select(col("vec_id"), (-col("best.nbid")).as("bench_id"),

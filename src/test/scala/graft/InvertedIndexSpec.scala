@@ -16,6 +16,18 @@ class InvertedIndexSpec extends SparkSpec {
     dir
   }
 
+  test("posting writes are file-bounded: one file per bucket directory from a multi-task writer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-files").toString + "/idx"
+    InvertedIndex.build(spark, Tables.documents(spark, sf).repartition(16), dir, nBuckets = 16)
+    val bucketDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$d holds $n files — expected exactly one per bucket")
+    }
+  }
+
   test("index-served search equals the scan-based definition on several term sets") {
     val docs = Tables.documents(spark, sf)
     for (terms <- Seq(Seq("spark", "join"), Seq("table"), Seq("fast", "table", "scan"))) {

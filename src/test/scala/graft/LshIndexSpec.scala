@@ -12,6 +12,18 @@ class LshIndexSpec extends SparkSpec {
         when(col("doc_id") % 20 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" zz yy xx"))).as("text"))
 
+  test("band writes are file-bounded: ≤ 8 files per band directory from a multi-task writer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-files").toString + "/idx"
+    LshIndex.build(spark, Tables.documents(spark, sf).repartition(16), dir)
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band_id="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 8, s"$d holds $n files — the composite sub-key bounds it at 8")
+    }
+  }
+
   test("batch-vs-index dedup equals recomputing minhash pairs over the union") {
     val docs = Tables.documents(spark, sf)
     val batch = fixtureBatch(docs)
