@@ -35,6 +35,13 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.knnLabelAudit(spark, dir, anchors).collect().toSeq ==
       Similarity.knnLabelAuditFor(anchors, emb).collect().toSeq,
       "knnLabelAudit: indexed ≡ two-table bitwise")
+    // the corpus scan must be statically pruned to the anchors' probed
+    // cells (the point of riding the layout — a small batch reads only
+    // its probed directories)
+    val plan = IvfIndex.hardNegatives(spark, dir, anchors)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"mining scan should carry cell partition filters:\n${plan.take(2000)}")
     // tombstoned ids must vanish from mined candidates immediately
     IvfIndex.delete(spark, dir,
       emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
