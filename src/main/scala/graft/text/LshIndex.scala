@@ -198,25 +198,39 @@ object LshIndex {
     val bSh = Dedup.shingles(batch).localCheckpoint(true)
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
     val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // BROADCAST DISCIPLINE: the batch side is bounded BY CONTRACT (a
+    // delivery batch — the semanticDecontam benchmark-side rationale), so
+    // every join against a resident table hints the batch-derived side.
+    // Without the hints AQE sometimes picks sort-merge once the resident
+    // side grows (measured at the 10×-resident probe: the FULL resident
+    // shingle table — 2.6M records — crossed the shuffle for one 500-doc
+    // batch). With them, resident tables only ever stream map-locally:
+    // per-batch cost is column-pruned resident SCANS, never resident
+    // shuffles — the property that makes a daily gate affordable at
+    // 100 TB resident.
+    //
     // tombstoned residents drop out of the candidate side; every later
     // join (shingles/sizes/hashes) is keyed by surviving candidates, so
     // one anti-join covers the whole near-dup path
     val rBands = dropTombstoned(spark, path, spark.read.parquet(s"$path/bands"))
-    val cand = bBands.as("b").join(rBands.as("r"),
+    val cand = bBands.as("b").hint("broadcast").join(rBands.as("r"),
         col("b.band_id") === col("r.band_id") && col("b.band_key") === col("r.band_key") &&
           col("b.doc_id") =!= col("r.doc_id"))
       .groupBy(col("b.doc_id").as("batch_doc_id"), col("r.doc_id").as("resident_doc_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
     val rSh = spark.read.parquet(s"$path/shingles")
     val inter = cand
-      .join(bSh.as("sa"), col("batch_doc_id") === col("sa.doc_id"))
+      .join(bSh.as("sa").hint("broadcast"), col("batch_doc_id") === col("sa.doc_id"))
+      .hint("broadcast")
       .join(rSh.as("sb"),
         col("resident_doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"))
       .agg(count(lit(1)).as("n_inter"))
     val rSizes = spark.read.parquet(s"$path/sizes")
     val scored = inter
-      .join(bSizes.select(col("doc_id").as("batch_doc_id"), col("n_sh").as("na")), "batch_doc_id")
+      .join(bSizes.select(col("doc_id").as("batch_doc_id"), col("n_sh").as("na"))
+        .hint("broadcast"), "batch_doc_id")
+      .hint("broadcast")
       .join(rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb")),
         "resident_doc_id")
       .withColumn("jaccard",
@@ -225,7 +239,8 @@ object LshIndex {
     val rHashes = spark.read.parquet(s"$path/hashes")
     val bHashes = batch.select(col("doc_id").as("batch_doc_id"), md5(col("text")).as("b_hash"))
     scored
-      .join(bHashes, "batch_doc_id")
+      .join(bHashes.hint("broadcast"), "batch_doc_id")
+      .hint("broadcast")
       .join(rHashes.select(col("doc_id").as("resident_doc_id"), col("text_hash").as("r_hash")),
         "resident_doc_id")
       .select(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"),
@@ -259,11 +274,19 @@ object LshIndex {
     // Resident exact tier FIRST, straight off the hashes sidecar: catches
     // every verbatim re-offer — including docs too short to shingle, which
     // the LSH report below cannot see — and spares them the LSH pipeline.
+    // Shape: the RESIDENT side streams map-locally against the broadcast
+    // batch hashes (inner join + distinct on the batch-bounded result) —
+    // equivalent to the previous candidates-semi-join-residents form, but
+    // nothing corpus-sized is ever shuffled (the old form also paid a
+    // full corpus-hash distinct per batch, pure waste under semi-join
+    // set semantics).
     val residentHashes = dropTombstoned(spark, path, spark.read.parquet(s"$path/hashes"))
-      .select(col("text_hash").as("h")).distinct()
-    val exactDups = candidates
+      .select(col("text_hash").as("h"))
+    val batchHashes = candidates
       .select(col("doc_id"), md5(col("text")).as("h"))
-      .join(residentHashes, Seq("h"), "left_semi")
+    val exactDups = residentHashes
+      .join(batchHashes.hint("broadcast"), "h")
+      .select(col("doc_id")).distinct()
       .select(col("doc_id"), lit("exact_dup").as("verdict"))
       .localCheckpoint(true)
     val rest = candidates.join(exactDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -278,9 +301,10 @@ object LshIndex {
     // ≥ w+k−1 tokens forces shared fingerprints. Resident fps with
     // df > winnowMaxDf drop first (the MOSS boilerplate cap — same bound
     // as `Dedup.winnowDupPairs`), so one corpus-wide footer cannot make
-    // the probe join quadratic. The df aggregation scans the resident fp
-    // table once per batch — the same cost class as the shingle-verify
-    // tier, and map-side combined. Legacy layouts predate the winnow
+    // the probe join quadratic. The resident fp table is scanned once per
+    // batch MAP-LOCALLY (filtered against the broadcast batch fp set —
+    // the df cap then aggregates the batch-bounded slice, never the
+    // corpus keyspace). Legacy layouts predate the winnow
     // table (`compact` tolerates that too): residents written before it
     // simply have no fingerprints, so the tier degrades to an empty
     // resident side rather than throwing — from this batch on,
@@ -299,9 +323,22 @@ object LshIndex {
           spark.read.parquet(s"$path/winnow")
         else spark.range(0).select(col("id").as("doc_id"), lit("").as("fp"))
       val rFp = dropTombstoned(spark, path, resident)
-      val rare = rFp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      // Only fingerprints the BATCH carries can form pairs, and their
+      // resident df is unchanged by the restriction — so the resident fp
+      // table is first filtered map-locally against the broadcast batch
+      // fp set, and the df cap aggregates over that batch-bounded slice
+      // instead of the whole corpus keyspace. Identical output; the old
+      // form shuffled the full resident fp table per batch for the df
+      // count. localCheckpoint: two consumers (the df cap and the pair
+      // join) of one resident scan.
+      val bFpSet = bFp.select(col("fp")).distinct()
+      val rMatched = rFp.join(bFpSet.hint("broadcast"), "fp")
+        .select(col("fp"), col("doc_id").as("r_doc_id"))
+        .localCheckpoint(true)
+      val rare = rMatched.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= winnowMaxDf).select(col("fp"))
-      bFp.join(rFp.join(rare, "fp").select(col("fp"), col("doc_id").as("r_doc_id")), "fp")
+      bFp.hint("broadcast")
+        .join(rMatched.join(rare.hint("broadcast"), "fp"), "fp")
         .groupBy(col("b_doc_id"), col("r_doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= winnowMinShared)

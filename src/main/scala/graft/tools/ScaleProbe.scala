@@ -193,6 +193,30 @@ object ScaleProbe {
           nCells = math.max(8, (emb.count() / 256).toInt))
         dir
       })
+    // LSH index fixtures for the incremental-gate probe: built once
+    // outside the timed sections (build amortizes; the registered
+    // doc_incr_dedup_build entry is what times builds).
+    val lshCache = scala.collection.mutable.Map[String, String]()
+    def lshDir(tag: String, docs: DataFrame): String =
+      lshCache.getOrElseUpdate(tag, {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-lsh-$tag").toString + "/idx"
+        graft.text.LshIndex.build(spark, docs, dir)
+        dir
+      })
+    // A FIXED daily-crawl delivery against a growing resident corpus:
+    // 250 re-offers of 1x docs (fresh ids, verbatim text — must match
+    // their resident originals at any resident size) + 250 novel docs.
+    // Derived from docs1 in BOTH arms so the batch itself never grows.
+    def gateBatch(): DataFrame = {
+      val base = docs1.filter(col("doc_id") % 10 === 3)
+        .orderBy(col("doc_id")).limit(500)
+      // offset above ANY replica id (amplification adds r·10⁷, r ≤ 127)
+      base.select((col("doc_id") + 10000000000L).as("doc_id"),
+        when(col("doc_id") % 20 === 3, col("text"))
+          .otherwise(concat(col("text"), lit(" qq ww ee rr tt yy uu"))).as("text"))
+    }
+
     // IVF layout fixtures for the footer-only cell-balance audit: built
     // once outside the timed sections at the registration's config
     // (kmeansIters = 0 seed layout, autoCells-sized directory).
@@ -324,6 +348,17 @@ object ScaleProbe {
       ("vec_triplets_exact",
         () => Similarity.tripletMineFor(Similarity.anchorSample(emb1), emb1, nProbe = 1024).count(),
         () => Similarity.tripletMineFor(Similarity.anchorSample(embN), embN, nProbe = 1024).count()),
+      // incremental LSH dedup gate vs RESIDENT size: index built outside
+      // the timed section; the timed call gates a FIXED 500-doc delivery
+      // (half verbatim re-offers of 1x docs, half perturbed-novel). The
+      // batch derives map-side and BROADCASTS, so the per-batch cost is
+      // one column-pruned scan of the resident band table plus the
+      // candidate-keyed shingle verify — IO grows with residents (the
+      // documented gate constant), candidates and output stay flat (the
+      // re-offers match their originals at any resident size).
+      ("doc_incr_dedup_gate",
+        () => graft.text.LshIndex.dedupBatch(spark, lshDir("1x", docs1), gateBatch()).count(),
+        () => graft.text.LshIndex.dedupBatch(spark, lshDir("Nx", docsN), gateBatch()).count()),
       // per-doc gram novelty: ONE gram-keyed df aggregation — linear
       ("doc_novelty",
         () => graft.ops.TextAnalysis.docNovelty(docs1).count(),
@@ -426,6 +461,7 @@ object ScaleProbe {
 
     // force the needed media caches and serve sidecars OUTSIDE the timed
     // sections (they'd otherwise materialize inside the first measure())
+    if (need("doc_incr_dedup_gate")) { lshDir("1x", docs1); lshDir("Nx", docsN); () }
     if (Seq("vec_cell_balance_layout", "vec_triplets_indexed",
         "vec_hard_negatives_indexed", "vec_label_audit_indexed").exists(need)) {
       ivfDir("1x", emb1); ivfDir("Nx", embN); ()

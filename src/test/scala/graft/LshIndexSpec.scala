@@ -12,6 +12,16 @@ class LshIndexSpec extends SparkSpec {
         when(col("doc_id") % 20 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" zz yy xx"))).as("text"))
 
+  test("gate plan: batch side broadcasts everywhere — resident tables are never sort-merge joined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-plan").toString + "/idx"
+    val docs = Tables.documents(spark, sf)
+    LshIndex.build(spark, docs, dir)
+    val plan = LshIndex.dedupBatch(spark, dir, fixtureBatch(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"a bounded delivery batch must broadcast against every resident table:\n${plan.take(3000)}")
+  }
+
   test("band writes are file-bounded: ≤ 8 files per band directory from a multi-task writer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-files").toString + "/idx"
     LshIndex.build(spark, Tables.documents(spark, sf).repartition(16), dir)
