@@ -37,6 +37,22 @@ object SparkEntry {
       dir
     })
 
+  /** The shared seed-rule IVF layout (kmeansIters = 0 at the autoCells
+    * default) that `vec_cell_balance` and the three `*_indexed` mining
+    * registrations all serve from. ONE builder so the config can never
+    * drift between them — their oracles replay exactly this seed
+    * assignment, so a divergent copy would hash-mismatch confusingly.
+    * Cache-keyed per sf dir; whichever query runs first pays the build
+    * (alphabetically `vec_cell_balance` in a full run — the documented
+    * cachedArtifact convention).
+    */
+  private def ivfBalDir(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    cachedArtifact("ivfbal", d)(p =>
+      graft.vector.IvfIndex.build(s, emb, p,
+        nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
+  }
+
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.2-2.8) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -273,27 +289,15 @@ object SparkEntry {
     // This is the production mining shape on an indexed corpus — the 100×
     // probe measured the two-table forms at 17-23× wall (the unindexed
     // assignment term); these stay bounded by probed-cell row volume.
-    "vec_triplets_indexed" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dir = cachedArtifact("ivfbal", d)(p =>
-        graft.vector.IvfIndex.build(s, emb, p,
-          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
-      graft.vector.IvfIndex.tripletMine(s, dir, Similarity.anchorSample(emb))
-    }),
-    "vec_hard_negatives_indexed" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dir = cachedArtifact("ivfbal", d)(p =>
-        graft.vector.IvfIndex.build(s, emb, p,
-          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
-      graft.vector.IvfIndex.hardNegatives(s, dir, Similarity.anchorSample(emb))
-    }),
-    "vec_label_audit_indexed" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dir = cachedArtifact("ivfbal", d)(p =>
-        graft.vector.IvfIndex.build(s, emb, p,
-          nCells = Similarity.autoCells(Similarity.memoCount(emb)), kmeansIters = 0))
-      graft.vector.IvfIndex.knnLabelAudit(s, dir, Similarity.anchorSample(emb))
-    }),
+    "vec_triplets_indexed" -> ((s, d) =>
+      graft.vector.IvfIndex.tripletMine(s, ivfBalDir(s, d),
+        Similarity.anchorSample(Tables.embeddings(s, d)))),
+    "vec_hard_negatives_indexed" -> ((s, d) =>
+      graft.vector.IvfIndex.hardNegatives(s, ivfBalDir(s, d),
+        Similarity.anchorSample(Tables.embeddings(s, d)))),
+    "vec_label_audit_indexed" -> ((s, d) =>
+      graft.vector.IvfIndex.knnLabelAudit(s, ivfBalDir(s, d),
+        Similarity.anchorSample(Tables.embeddings(s, d)))),
     // PROBE-ALL triplet mining over the same bounded anchor sample:
     // candidacy is total (nProbe covers every cell), so each anchor's
     // mined positive/negative is the GLOBALLY hardest — the brute FaceNet
@@ -483,13 +487,8 @@ object SparkEntry {
     // oracle replays; load_ppm = n·cells·10⁶ DIV total, 10⁶ = balanced —
     // the retrain/salt decision signal. Centroid cells with zero
     // surviving rows report 0 (a hollowed cell is what the audit is FOR).
-    "vec_cell_balance" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cells = Similarity.autoCells(Similarity.memoCount(emb))
-      val dir = cachedArtifact("ivfbal", d)(p =>
-        graft.vector.IvfIndex.build(s, emb, p, nCells = cells, kmeansIters = 0))
-      graft.vector.IvfIndex.cellBalance(s, dir)
-    }),
+    "vec_cell_balance" -> ((s, d) =>
+      graft.vector.IvfIndex.cellBalance(s, ivfBalDir(s, d))),
     // The operator (unindexed-corpus) form, pinned at the autoCells CAP
     // boundary (1024 fixed cells — the regime where the directory is
     // largest and the assignment pass is linear with a 1024·d constant):

@@ -1043,11 +1043,16 @@ object Relational {
     * contract must not stand on (the collocations/pct_ppm convention).
     *
     * Exactness bound: num ~ 4n⁴ per group, and the ppm step squares it —
-    * num²·10⁶ must fit DECIMAL(38,0), which holds to n ≈ 4·10³ rows per
-    * group and FAILS LOUD past it (ANSI decimal overflow), never silently
-    * wrong. Groups past that bound are audit-sampled or read through
-    * [[rankCorrelation]]'s double ρ (exact sums themselves are good to
-    * n ≈ 1.5·10⁹); the registered query's groups are source-bounded.
+    * num²·10⁶ must fit DECIMAL(38,0), which holds to n ≈ 7·10³ rows per
+    * group (16n⁸·10⁶ ≤ 10³⁸) and FAILS LOUD past it via an explicit
+    * `raise_error` guard — NOT by trusting the engine's overflow mode:
+    * non-ANSI Spark nulls a decimal overflow silently, and a NULL here is
+    * exactly the zero-variance encoding, so a perfectly correlated large
+    * group would misreport as "nothing to correlate" (the cellBalance /
+    * collocations require-guard convention). Groups past the bound are
+    * audit-sampled or read through [[rankCorrelation]]'s double ρ (the
+    * exact sums themselves are good to n ≈ 1.5·10⁹); the registered
+    * query's groups are source-bounded.
     */
   def rankCorrelationPpm(df: DataFrame, groupCol: String,
       aCol: String, bCol: String, nBuckets: Int = 4096): DataFrame = {
@@ -1062,7 +1067,11 @@ object Relational {
           |  CAST(CASE WHEN _num > 0 THEN 1 WHEN _num < 0 THEN -1 ELSE 0 END AS BIGINT)
           |END""".stripMargin))
       .withColumn("rho2_ppm", expr(
-        "CASE WHEN _denA > 0 AND _denB > 0 THEN (_num * _num * 1000000) DIV (_denA * _denB) END"))
+        """CASE WHEN _denA > 0 AND _denB > 0 THEN
+          |  CASE WHEN n > 7000 THEN CAST(raise_error(
+          |      'rankCorrelationPpm: a group exceeds the DECIMAL(38,0)-exact bound (n > 7000) - audit-sample the group or read rankCorrelation rho, whose exact sums hold to ~1.5e9 rows') AS BIGINT)
+          |  ELSE (_num * _num * 1000000) DIV (_denA * _denB) END
+          |END""".stripMargin))
       .drop("rho", "_srd", "_num", "_denA", "_denB")
   }
 

@@ -55,7 +55,9 @@ object InvertedIndex {
     // tasks × buckets (the IvfIndex.writeCells / SnapshotStore.init
     // rationale; 64 buckets ≥ the core count, so write parallelism holds)
     postings.repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+      .partitionBy("bucket")
       .parquet(s"$path/postings")
     postings.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("dl"))
@@ -85,7 +87,9 @@ object InvertedIndex {
       .agg(sum(col("tf")).as("dl"))
       .write.mode(SaveMode.Append).parquet(s"$path/doclens")
     postings.repartition(col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+      .partitionBy("bucket")
       .parquet(s"$path/postings")
   }
 
@@ -148,7 +152,9 @@ object InvertedIndex {
     graft.sources.CompactSwap.rewrite(spark, path, "postings") { fresh =>
       dropTombstoned(spark, path, spark.read.parquet(s"$path/postings"))
         .repartition(col("bucket"))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket").parquet(fresh)
+        .write.mode(SaveMode.ErrorIfExists)
+        .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+        .partitionBy("bucket").parquet(fresh)
     }
     graft.sources.CompactSwap.rewrite(spark, path, "doclens") { fresh =>
       dropTombstoned(spark, path, spark.read.parquet(s"$path/doclens"))

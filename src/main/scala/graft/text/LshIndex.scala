@@ -45,6 +45,11 @@ object LshIndex {
   private def bandPartitioned(bands: DataFrame): DataFrame =
     bands.repartition(col("band_id"), pmod(crc32(col("band_key")), lit(8)))
 
+  /** Broadcast-row cap for the gate's candidate-derived join sides (~a few
+    * hundred MB at gate row widths); past it the joins distribute.
+    */
+  private val MaxGateBroadcastRows = 5L * 1000 * 1000
+
   /** Derive and persist every index table for the corpus. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val sh = Dedup.shingles(docs).localCheckpoint(true)
@@ -52,7 +57,9 @@ object LshIndex {
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sizes")
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
-      .write.mode(SaveMode.Overwrite).partitionBy("band_id").parquet(s"$path/bands")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+      .partitionBy("band_id").parquet(s"$path/bands")
     Dedup.winnowFingerprints(docs)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/winnow")
@@ -87,7 +94,9 @@ object LshIndex {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .write.mode(SaveMode.Append).parquet(s"$path/winnow")
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
-      .write.mode(SaveMode.Append).partitionBy("band_id").parquet(s"$path/bands")
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+      .partitionBy("band_id").parquet(s"$path/bands")
   }
 
   /** Logical deletes — a doc retracted from the corpus must stop matching
@@ -144,6 +153,7 @@ object LshIndex {
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
         val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
         if (partitioned) bandPartitioned(kept).write.mode(SaveMode.ErrorIfExists)
+          .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
           .partitionBy("band_id").parquet(fresh)
         else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
       }
@@ -218,19 +228,32 @@ object LshIndex {
           col("b.doc_id") =!= col("r.doc_id"))
       .groupBy(col("b.doc_id").as("batch_doc_id"), col("r.doc_id").as("resident_doc_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // CANDIDATE-derived sides are NOT batch-bounded in the adversarial
+    // case: one hot band_key shared with many residents multiplies the
+    // pair count past any contract (nothing df-caps bands the way
+    // winnowMaxDf caps fingerprints). Their broadcasts are therefore
+    // SIZE-GUARDED: the widest side materializes once (localCheckpoint —
+    // it feeds the guard count AND the verify join) and broadcasts only
+    // under the row cap; past it the joins distribute — slower, never a
+    // forced-broadcast OOM cliff. The raw batch tables above keep their
+    // unconditional hints: those ARE contract-bounded.
     val rSh = spark.read.parquet(s"$path/shingles")
-    val inter = cand
+    val candShingled = cand
       .join(bSh.as("sa").hint("broadcast"), col("batch_doc_id") === col("sa.doc_id"))
-      .hint("broadcast")
+      .localCheckpoint(true)
+    val candSmall = candShingled.count() <= MaxGateBroadcastRows
+    def guarded(df: DataFrame): DataFrame = if (candSmall) df.hint("broadcast") else df
+    val inter = guarded(candShingled)
       .join(rSh.as("sb"),
         col("resident_doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"))
       .agg(count(lit(1)).as("n_inter"))
     val rSizes = spark.read.parquet(s"$path/sizes")
-    val scored = inter
+    // downstream sides only shrink (inter ≤ candidate pairs ≤ candShingled
+    // rows; scored is jaccard-filtered), so one guard decision covers all
+    val scored = guarded(inter
       .join(bSizes.select(col("doc_id").as("batch_doc_id"), col("n_sh").as("na"))
-        .hint("broadcast"), "batch_doc_id")
-      .hint("broadcast")
+        .hint("broadcast"), "batch_doc_id"))
       .join(rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb")),
         "resident_doc_id")
       .withColumn("jaccard",
@@ -238,9 +261,7 @@ object LshIndex {
       .filter(col("jaccard") >= jaccardThreshold)
     val rHashes = spark.read.parquet(s"$path/hashes")
     val bHashes = batch.select(col("doc_id").as("batch_doc_id"), md5(col("text")).as("b_hash"))
-    scored
-      .join(bHashes.hint("broadcast"), "batch_doc_id")
-      .hint("broadcast")
+    guarded(scored.join(bHashes.hint("broadcast"), "batch_doc_id"))
       .join(rHashes.select(col("doc_id").as("resident_doc_id"), col("text_hash").as("r_hash")),
         "resident_doc_id")
       .select(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"),

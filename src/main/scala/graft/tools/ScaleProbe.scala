@@ -428,8 +428,14 @@ object ScaleProbe {
           col("text"))).count()),
       // Spearman audit through the bucketed rank engine: two rank passes
       // + one value-keyed join-back per signal — linear shuffle volume,
-      // no per-group single-reducer window
-      ("doc_signal_corr",
+      // no per-group single-reducer window. Named for the ENGINE, not the
+      // registered query: doc_signal_corr now registers the
+      // rankCorrelationPpm emission, which adds only O(groups) integer
+      // arithmetic on top of this (and fail-louds past its n≈7000-per-
+      // group DECIMAL-exactness bound — these corpus/4-sized probe groups
+      // are deliberately the DOUBLE-ρ regime, so the engine itself is
+      // what this row measures).
+      ("rank_corr_engine",
         () => graft.ops.Relational.rankCorrelation(docs1.select(
           (col("doc_id") % 4).as("g"),
           size(array_distinct(split(col("text"), " "))).cast("long").as("a"),

@@ -353,6 +353,10 @@ object IvfIndex {
       .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
       .localCheckpoint() // two consumers: the total and the per-cell rows
     val nCells = full.count()
+    // Fail loud on an empty centroid sidecar (the miningFront convention):
+    // without it the NULL sum below NPEs and the overflow require divides
+    // by zero — an unbuilt/corrupt layout should say so, not crash cryptically.
+    require(nCells > 0, s"no centroid sidecar rows under $path — not a built index")
     val total = full.agg(sum(col("n_vectors"))).collect()(0).getLong(0)
     require(total == 0 || total <= Long.MaxValue / 1000000L / nCells,
       s"load_ppm would overflow Long (total=$total, cells=$nCells)")

@@ -24,7 +24,9 @@ class InvertedIndexSpec extends SparkSpec {
     assert(bucketDirs.nonEmpty)
     bucketDirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
-      assert(n == 1, s"$d holds $n files — expected exactly one per bucket")
+      // exactly one at this scale; at corpus scale maxRecordsPerFile rolls
+      // a hot bucket into more (bounded-SIZE, not unbounded-count)
+      assert(n == 1, s"$d holds $n files — expected one per bucket below the roll size")
     }
   }
 

@@ -238,6 +238,23 @@ class RelationalSpec extends SparkSpec {
     assert(r.isNullAt(5), "zero-variance signal must yield NULL rho")
   }
 
+  test("rankCorrelationPpm fails loud past the DECIMAL-exactness bound instead of nulling") {
+    import spark.implicits._
+    // 7100 > the n≈7000 bound where num²·10⁶ exceeds DECIMAL(38,0). Under
+    // non-ANSI Spark the overflow would NULL silently — and NULL is the
+    // zero-variance encoding, so a perfectly correlated big group would
+    // misreport as "nothing to correlate". The raise_error guard must
+    // throw regardless of the engine's overflow mode.
+    val big = (1 to 7100).map(i => ("g", i.toLong, (i * 2).toLong)).toDF("g", "a", "b")
+    val ex = intercept[Exception] {
+      Relational.rankCorrelationPpm(big, "g", "a", "b").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rankCorrelationPpm")),
+      s"expected the explicit exactness-bound error, got: $ex")
+  }
+
   test("rankCorrelationPpm: integer emission equals BigInt floor arithmetic over brute rank sums") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
