@@ -207,6 +207,32 @@ object StreamBench {
       results += "semanticDecontam" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
     }
 
+    // ---- 2d. the same decontam through the BROADCAST batch operator --------
+    // per micro-batch (foreachBatch → Similarity.semanticDecontam): the
+    // benchmark-past-literal-regime form. Same fixture as 2c so the two
+    // lines bracket the literal-vs-broadcast crossover at the eval-suite
+    // scale (128 vectors — the literal fold's home turf; the broadcast
+    // form's fixed per-batch overhead is the price being measured).
+    locally {
+      val benchDf = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 128)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val dim = benchDf.select(size(col("embedding"))).head.getInt(0)
+      val vecs = rate(100000)
+        .select(col("value").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), " +
+            "i -> cast((pmod(value * 31 + i * 17, 97) - 48) / 10.0 as float))")
+            .as("embedding"))
+      val q = streaming.EventStream.semanticDecontamIngest(vecs, benchDf,
+        tmp("semdecb-out") + "/flags", tmp("semdecb-ckpt"))
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "semanticDecontamBroadcast" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
     // ---- 3. versioned CDC commits ------------------------------------------
     locally {
       val storePath = tmp("vstore") + "/store"

@@ -132,15 +132,19 @@ private[multimodal] object Hash64Index {
     require(dupId.isEmpty,
       s"ingest batch carries duplicate doc_id ${dupId.headOption.map(_.get(0)).orNull}" +
         " — collapse to one row per key before dedupIngest")
-    val clash = ids
-      .join(residentHashes.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // Resident-side streamed (the r11 LshIndex.dedupBatch inversion): the
+    // batch is bounded by contract and BROADCASTS; with the batch on the
+    // left of a semi-join the corpus-sized hash table would sit on the
+    // build side and shuffle per batch once past broadcast size.
+    val clash = residentHashes.select(col("doc_id"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,
       s"batch doc_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
         "ingest requires batch ids disjoint from the resident corpus")
     val bHashes = batchHashes.localCheckpoint(true)
     val undecodable = ids
-      .join(bHashes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(bHashes.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("undecodable").as("verdict"))
     val batchLosers = bHashes
       .groupBy(col(hashCol))
@@ -149,30 +153,59 @@ private[multimodal] object Hash64Index {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
-    val candidates = bHashes.join(batchLosers.select("doc_id"), Seq("doc_id"), "left_anti")
+    val candidates = bHashes
+      .join(broadcast(batchLosers.select("doc_id")), Seq("doc_id"), "left_anti")
     // tombstoned residents stop vetoing offers; the id clash gate above
     // still reads them raw (deleted ids stay burned until compact)
     val probes = dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
-    val nearDups = candidates
-      .select(col("doc_id"), col(hashCol), explode(flipsOf(col(hashCol))).as("probe"))
+    // Probe tier, resident-streamed: the exploded batch side (batch × 65
+    // probes) is contract-bounded and broadcasts, so the corpus-sized
+    // probes table scans map-locally. The HIT set is candidate-derived —
+    // NOT batch-bounded in the adversarial case (one hot probe key shared
+    // with many residents multiplies rows) — so its broadcast into the
+    // hash-fetch join is SIZE-GUARDED (the LshIndex candShingled
+    // convention): rows are fixed-width here (two int64 ids + the 64-char
+    // hash ≈ 150 B incl. object overhead), so rows × width is an honest
+    // byte measure; past the cap the join distributes — slower, never a
+    // forced-broadcast OOM cliff.
+    val hits = broadcast(candidates
+        .select(col("doc_id"), col(hashCol), explode(flipsOf(col(hashCol))).as("probe")))
       .join(probes.select(col("probe"), col("doc_id").as("r_doc_id")), "probe")
+      .select(col("doc_id"), col(hashCol), col("r_doc_id"))
+      .localCheckpoint(true)
+    val hitsSmall = hits.count() * HitRowBytes <= MaxHitBroadcastBytes
+    val hitsSide = if (hitsSmall) broadcast(hits) else hits
+    val nearDups = hitsSide
       .join(residentHashes.select(col("doc_id").as("r_doc_id"),
         col(hashCol).as("r_hash")), "r_doc_id")
       .filter(hamming(col(hashCol), col("r_hash")) <= maxHamming)
       .select(col("doc_id")).distinct()
       .select(col("doc_id"), lit("near_dup").as("verdict"))
       .localCheckpoint(true)
-    val keep = candidates.join(nearDups.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keep = candidates
+      .join(broadcast(nearDups.select("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // two consumers below; appends must not re-derive
     keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
     keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
       .write.mode(SaveMode.Append).parquet(s"$path/probes")
     ids
-      .join(undecodable.unionByName(batchLosers).unionByName(nearDups),
+      .join(broadcast(undecodable.unionByName(batchLosers).unionByName(nearDups)),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
       .orderBy(col("doc_id"))
   }
+
+  /** Estimated bytes per probe-hit row: two int64 ids + the 64-char hash
+    * string + object headers — fixed-width, so rows × this is an honest
+    * size measure for the broadcast guard.
+    */
+  private val HitRowBytes = 150L
+
+  /** Broadcast cap for the candidate-derived probe-hit side (the
+    * LshIndex.MaxGateBroadcastBytes rationale — explicit hints bypass
+    * autoBroadcastJoinThreshold, so the guard is the OOM backstop).
+    */
+  private val MaxHitBroadcastBytes = 128L * 1024 * 1024
 }
 
 /** Persisted perceptual ingest gate for the AUDIO modality — the fourth

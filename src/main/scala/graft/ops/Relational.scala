@@ -1053,6 +1053,15 @@ object Relational {
     * audit-sampled or read through [[rankCorrelation]]'s double ρ (the
     * exact sums themselves are good to n ≈ 1.5·10⁹); the registered
     * query's groups are source-bounded.
+    *
+    * Emission types: ALL output columns are BIGINT (or the group key).
+    * The rank sums stay DECIMAL(38,0) through the shuffle and the ppm
+    * arithmetic, then cast to BIGINT at the projection — exact here
+    * because Σ(2R)² ≤ 4n³ ≈ 1.4·10¹² under the same n ≤ 7000 guard
+    * (and would hold to n ≈ 1.3·10⁶ on its own). An int64/utf8-only
+    * surface is the hash-oracle convention: DECIMAL output is the one
+    * column class whose canonicalization differs across readers, and it
+    * kept an otherwise value-equal emission hash-red for two rounds.
     */
   def rankCorrelationPpm(df: DataFrame, groupCol: String,
       aCol: String, bCol: String, nBuckets: Int = 4096): DataFrame = {
@@ -1072,8 +1081,22 @@ object Relational {
           |      'rankCorrelationPpm: a group exceeds the DECIMAL(38,0)-exact bound (n > 7000) - audit-sample the group or read rankCorrelation rho, whose exact sums hold to ~1.5e9 rows') AS BIGINT)
           |  ELSE (_num * _num * 1000000) DIV (_denA * _denB) END
           |END""".stripMargin))
+      // The BIGINT emission gets its OWN fail-loud bound rather than
+      // leaning on the n > 7000 guard above: that guard is nested under
+      // the non-zero-variance branch, so a huge constant-signal group
+      // would reach these casts without tripping it — and a non-ANSI
+      // decimal→long overflow is a silent NULL. 4n³ ≤ Long.Max ⇔
+      // n ≤ 1.3·10⁶.
+      .withColumn("s_ab", sumToLong("s_ab"))
+      .withColumn("s_aa", sumToLong("s_aa"))
+      .withColumn("s_bb", sumToLong("s_bb"))
       .drop("rho", "_srd", "_num", "_denA", "_denB")
   }
+
+  private def sumToLong(c: String) = expr(
+    s"""CASE WHEN n > 1300000 THEN CAST(raise_error(
+       |    'rankCorrelationPpm: a group exceeds the BIGINT-exact rank-sum bound (n > 1.3e6) - read rankCorrelation, whose DECIMAL sums hold to ~1.5e9 rows') AS BIGINT)
+       |  ELSE CAST($c AS BIGINT) END""".stripMargin)
 
   /** Per-row percentile rank of a signal within its group, as the exact
     * integer `pct_ppm` = ⌊avg_rank·10⁶/n⌋ = (2·avg_rank)·500000 DIV n —

@@ -215,6 +215,33 @@ object EventStream {
       threshold: Double = 0.35): DataFrame =
     graft.ops.Similarity.decontamSignals(vecs, bench, threshold)
 
+  /** [[semanticDecontamStream]]'s BROADCAST-operator twin for benchmarks
+    * past the literal-fold regime: each micro-batch runs the batch operator
+    * [[graft.ops.Similarity.semanticDecontam]] — the benchmark broadcasts,
+    * the micro-batch scans map-locally — and appends the flagged rows
+    * (vec_id, bench_id, cos_sim) to `outPath`. Regime boundary (the
+    * decontamSignals literal-size cap): the literal fold embeds the
+    * benchmark in the codegen'd plan — cheapest per row, but plan size and
+    * JIT cost grow with the benchmark, fine to ~10³ vectors; this form
+    * pays a fixed per-micro-batch broadcast + job overhead and is flat in
+    * plan size, so it wins once the benchmark outgrows the plan (or
+    * changes without wanting a query restart — the benchmark is re-read
+    * per batch only via the DataFrame the caller passed). StreamBench
+    * records both forms at the same fixture.
+    */
+  def semanticDecontamIngest(vecs: DataFrame, benchmark: DataFrame,
+      outPath: String, checkpoint: String,
+      threshold: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.semanticDecontam(batch, benchmark, threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Streaming CCNet LM scoring: score a document stream against a model
     * persisted by `NgramLm.buildAt` (trained OFFLINE on the static
     * reference slice — the CCNet posture). The model attaches as literal

@@ -78,8 +78,15 @@ object InvertedIndex {
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     recover(spark, path)
     val nBuckets = meta(spark, path)
+    // Id gate, resident-side streamed (the r11 LshIndex.dedupBatch
+    // inversion): the batch is bounded by contract and broadcasts; with
+    // the batch on the left of the semi-join the corpus-sized doclens
+    // table would sit on the build side and shuffle per append once past
+    // broadcast size.
     val resident = spark.read.parquet(s"$path/doclens").select(col("doc_id"))
-    val clash = batch.select(col("doc_id")).join(resident, Seq("doc_id"), "left_semi").count()
+    val clash = resident
+      .join(broadcast(batch.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .select(countDistinct(col("doc_id"))).head.getLong(0)
     require(clash == 0L,
       s"appendBatch: $clash batch doc_id(s) already indexed — replay or id collision")
     val postings = postingsOf(batch, nBuckets).localCheckpoint(true)

@@ -45,10 +45,26 @@ object LshIndex {
   private def bandPartitioned(bands: DataFrame): DataFrame =
     bands.repartition(col("band_id"), pmod(crc32(col("band_key")), lit(8)))
 
-  /** Broadcast-row cap for the gate's candidate-derived join sides (~a few
-    * hundred MB at gate row widths); past it the joins distribute.
+  /** Broadcast-BYTE cap for the gate's candidate-derived join sides.
+    * Explicit `hint("broadcast")` bypasses autoBroadcastJoinThreshold
+    * entirely, so this guard is the only thing between a hot-band pair
+    * explosion and a driver/executor OOM — and a ROW cap stands on an
+    * assumed row width that the data controls (the shingle string
+    * dominates; the r11 cap of 5M rows already meant ~0.5 GB at ~100 B/row
+    * — near the cliff it existed to prevent). The guard therefore sums
+    * MEASURED bytes (fixed-width columns + actual string lengths + per-row
+    * object overhead) in the same single pass that previously only counted
+    * rows. 128 MB measured ≈ a few hundred MB as an in-memory broadcast
+    * relation (row objects inflate 2–4×): comfortably inside default 1–4 GB
+    * driver/executor headroom; past it the joins distribute — slower,
+    * never a cliff.
     */
-  private val MaxGateBroadcastRows = 5L * 1000 * 1000
+  private val MaxGateBroadcastBytes = 128L * 1024 * 1024
+
+  /** Per-row overhead estimate for the broadcast-size guard: three int64
+    * pair/count columns + one int64 doc id + string/object headers.
+    */
+  private val GateRowOverheadBytes = 48L
 
   /** Derive and persist every index table for the corpus. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
@@ -233,15 +249,18 @@ object LshIndex {
     // pair count past any contract (nothing df-caps bands the way
     // winnowMaxDf caps fingerprints). Their broadcasts are therefore
     // SIZE-GUARDED: the widest side materializes once (localCheckpoint —
-    // it feeds the guard count AND the verify join) and broadcasts only
-    // under the row cap; past it the joins distribute — slower, never a
-    // forced-broadcast OOM cliff. The raw batch tables above keep their
-    // unconditional hints: those ARE contract-bounded.
+    // it feeds the guard measurement AND the verify join) and broadcasts
+    // only under the measured-byte cap; past it the joins distribute —
+    // slower, never a forced-broadcast OOM cliff. The raw batch tables
+    // above keep their unconditional hints: those ARE contract-bounded.
     val rSh = spark.read.parquet(s"$path/shingles")
     val candShingled = cand
       .join(bSh.as("sa").hint("broadcast"), col("batch_doc_id") === col("sa.doc_id"))
       .localCheckpoint(true)
-    val candSmall = candShingled.count() <= MaxGateBroadcastRows
+    val candBytes = candShingled.agg(coalesce(
+        sum(length(col("sa.shingle")).cast("long") + lit(GateRowOverheadBytes)),
+        lit(0L)).as("b")).head.getAs[Long]("b")
+    val candSmall = candBytes <= MaxGateBroadcastBytes
     def guarded(df: DataFrame): DataFrame = if (candSmall) df.hint("broadcast") else df
     val inter = guarded(candShingled)
       .join(rSh.as("sb"),

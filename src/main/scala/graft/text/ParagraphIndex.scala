@@ -68,12 +68,23 @@ object ParagraphIndex {
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame): DataFrame = {
     recover(spark, path)
     val ls = lines(batch).localCheckpoint(true) // consumed by winners + mark + rebuild
-    val batchWin = winners(ls)
+    val batchWin = winners(ls).localCheckpoint(true) // consumed by mark + append
+    // Resident-side streamed (the r11 LshIndex.dedupBatch inversion): a
+    // left-outer join with the corpus-sized hash table on the RIGHT can
+    // only broadcast the resident side — so past broadcast size AQE
+    // sort-merges and the FULL resident table crosses the shuffle for one
+    // shard. Instead the residents scan map-locally against the broadcast
+    // batch-norm set first; the surviving slice is ≤ one row per distinct
+    // batch norm (the hashes table is norm-unique), i.e. batch-bounded,
+    // and THAT broadcasts into the outer join. Checkpointed: it feeds the
+    // mark join and the append anti-join — one resident scan, not two.
     val resident = spark.read.parquet(s"$path/hashes")
       .select(col("norm"), col("first_doc").as("r_doc"), col("first_pos").as("r_pos"))
+      .join(broadcast(batchWin.select(col("norm"))), Seq("norm"), "left_semi")
+      .localCheckpoint(true)
     val marked = ls
-      .join(batchWin, Seq("norm"), "left")
-      .join(resident, Seq("norm"), "left")
+      .join(broadcast(batchWin), Seq("norm"), "left")
+      .join(broadcast(resident), Seq("norm"), "left")
       .withColumn("keep",
         when(col("norm") === "", true)
           .when(col("r_doc").isNotNull,
@@ -90,7 +101,10 @@ object ParagraphIndex {
           .as("dedup_text"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true) // materialize BEFORE the append mutates the index
-    batchWin.join(resident.select(col("norm")), Seq("norm"), "left_anti")
+    // anti-join against the batch-bounded resident slice — equivalent to
+    // anti-joining the full table (the semi-join filter above already
+    // restricted to batch norms) without a second resident scan
+    batchWin.join(broadcast(resident.select(col("norm"))), Seq("norm"), "left_anti")
       .write.mode(SaveMode.Append).parquet(s"$path/hashes")
     out
   }

@@ -217,6 +217,99 @@ object ScaleProbe {
           .otherwise(concat(col("text"), lit(" qq ww ee rr tt yy uu"))).as("text"))
     }
 
+    // SIBLING ingest-gate fixtures — DEDICATED index dirs (the gates
+    // MUTATE their index on ingest, so they must not share the
+    // mining/layout fixtures); built outside the timed sections like
+    // lshDir. One fixed delivery per gate: half verbatim/signal-identical
+    // re-offers of 1x items (must match their resident originals at ANY
+    // resident size), half novel.
+    val gateDirCache = scala.collection.mutable.Map[String, String]()
+    def gateDir(key: String)(build: String => Unit): String =
+      gateDirCache.getOrElseUpdate(key, {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-gate-$key").toString + "/idx"
+        build(dir)
+        dir
+      })
+    def ivfGateDir(tag: String, emb: DataFrame): String = gateDir(s"ivf-$tag")(d =>
+      graft.vector.IvfIndex.build(spark, emb, d,
+        nCells = Similarity.autoCells(emb.count()), kmeansIters = 0))
+    def parGateDir(tag: String, docs: DataFrame): String = gateDir(s"par-$tag")(d =>
+      graft.text.ParagraphIndex.build(spark, lined(docs), d))
+    def withSource(d: DataFrame): DataFrame =
+      d.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+    def invGateDir(tag: String, docs: DataFrame): String = gateDir(s"inv-$tag")(d =>
+      graft.text.InvertedIndex.build(spark, withSource(docs), d))
+    def phashGateDir(tag: String, m: org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow]): String =
+      gateDir(s"phash-$tag")(d => graft.multimodal.PhashIndex.build(spark, m, d))
+    def audioGateDir(tag: String, m: org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow]): String =
+      gateDir(s"audio-$tag")(d => graft.multimodal.AudioHashIndex.build(spark, m, d))
+    def videoGateDir(tag: String, m: org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow]): String =
+      gateDir(s"video-$tag")(d => graft.multimodal.VideoHashIndex.build(spark, m, d))
+    // FIXED vector delivery: verbatim re-offers have cos = 1 with their
+    // resident originals (identical embedding ⇒ identical probe cells —
+    // candidacy guaranteed at any resident size); the novel half is
+    // NEGATED (cos = −1 with the original; a near-dup would need a
+    // resident at cos ≤ −0.95 — antipodal pairs the generator doesn't
+    // produce). Note a doubled/scaled vector would NOT be novel here:
+    // cosine is scale-invariant.
+    def vecGateBatch(): DataFrame = {
+      val base = emb1.filter(col("vec_id") % 10 === 3)
+        .orderBy(col("vec_id")).limit(500)
+      base.select((col("vec_id") + 10000000000L).as("vec_id"), col("label"),
+        when(col("vec_id") % 20 === 3, col("embedding"))
+          .otherwise(transform(col("embedding"), x => -x)).as("embedding"))
+    }
+    // Perceptual-gate deliveries: re-offers re-render the EXACT resident
+    // pixels/samples/frames under fresh ids (hash-identical ⇒ Hamming 0);
+    // novel items render from a shifted src (uncorrelated bits — far past
+    // the radius-2 gate). Id offsets clear every amplification replica
+    // (r·10⁷, r ≤ 127) and the fixtures' bumped-twin offsets.
+    def phashGateBatch() = {
+      import graft.multimodal.{Multimodal, PngCodec}
+      docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 7 == 0).map { id =>
+        def px(src: Long): Array[Int] = Array.tabulate(256) { p =>
+          ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt
+        }
+        if (id % 2 == 0)
+          Multimodal.MediaRow(id + 10000000000L, "image", PngCodec.encodeGray(px(id), 16, 16))
+        else
+          Multimodal.MediaRow(id + 20000000000L, "image",
+            PngCodec.encodeGray(px(id + 999983L), 16, 16))
+      }
+    }
+    def audioGateBatch() = {
+      import graft.multimodal.{Multimodal, WavCodec}
+      docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 11 == 0).map { id =>
+        def samples(src: Long): Array[Int] = Array.tabulate(576) { i =>
+          (((src * 37L + i.toLong * 11L) % 4096L) - 2048L).toInt
+        }
+        if (id % 2 == 0)
+          Multimodal.MediaRow(id + 10000000000L, "audio",
+            WavCodec.encodePcm16(samples(id), 8000, 1))
+        else
+          Multimodal.MediaRow(id + 20000000000L, "audio",
+            WavCodec.encodePcm16(samples(id + 999983L), 8000, 1))
+      }
+    }
+    def videoGateBatch() = {
+      import graft.multimodal.{AviCodec, Multimodal}
+      docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 17 == 0).map { id =>
+        def frames(src: Long): Array[Array[Int]] = Array.tabulate(18) { f =>
+          Array.tabulate(144) { p =>
+            val x = p % 12; val y = p / 12
+            ((src * 31L + f.toLong * f * 7L + x * 5L + y * 3L) % 256L).toInt
+          }
+        }
+        if (id % 2 == 0)
+          Multimodal.MediaRow(id + 10000000000L, "video",
+            AviCodec.encodeGray(frames(id), 12, 12))
+        else
+          Multimodal.MediaRow(id + 20000000000L, "video",
+            AviCodec.encodeGray(frames(id + 999983L), 12, 12))
+      }
+    }
+
     // IVF layout fixtures for the footer-only cell-balance audit: built
     // once outside the timed sections at the registration's config
     // (kmeansIters = 0 seed layout, autoCells-sized directory).
@@ -359,6 +452,46 @@ object ScaleProbe {
       ("doc_incr_dedup_gate",
         () => graft.text.LshIndex.dedupBatch(spark, lshDir("1x", docs1), gateBatch()).count(),
         () => graft.text.LshIndex.dedupBatch(spark, lshDir("Nx", docsN), gateBatch()).count()),
+      // the FIVE SIBLING ingest gates, same posture as doc_incr_dedup_gate
+      // (fixed delivery, resident index built outside the timed section):
+      // the r11 LSH probe caught an AQE sort-merge flip that shuffled the
+      // full resident table per batch; these rows keep the same join shape
+      // honest on every gate after the r12 broadcast inversion (resident
+      // tables stream map-locally against broadcast batch sides). Expect
+      // flat-to-slow-growing wall + flat shufWrite; maxTaskRead grows with
+      // residents (the scan term — the documented gate constant). NOTE:
+      // these gates MUTATE their index (survivors append), so each row is
+      // one-shot per probe run on its dedicated fixture dir.
+      ("vec_incr_dedup_gate",
+        () => graft.vector.IvfIndex.dedupIngest(spark,
+          ivfGateDir("1x", emb1), vecGateBatch()).count(),
+        () => graft.vector.IvfIndex.dedupIngest(spark,
+          ivfGateDir("Nx", embN), vecGateBatch()).count()),
+      ("mm_phash_gate",
+        () => graft.multimodal.PhashIndex.dedupIngest(spark,
+          phashGateDir("1x", media1), phashGateBatch()).count(),
+        () => graft.multimodal.PhashIndex.dedupIngest(spark,
+          phashGateDir("Nx", mediaN), phashGateBatch()).count()),
+      ("mm_audio_gate",
+        () => graft.multimodal.AudioHashIndex.dedupIngest(spark,
+          audioGateDir("1x", aud1), audioGateBatch()).count(),
+        () => graft.multimodal.AudioHashIndex.dedupIngest(spark,
+          audioGateDir("Nx", audN), audioGateBatch()).count()),
+      ("mm_video_gate",
+        () => graft.multimodal.VideoHashIndex.dedupIngest(spark,
+          videoGateDir("1x", vid1), videoGateBatch()).count(),
+        () => graft.multimodal.VideoHashIndex.dedupIngest(spark,
+          videoGateDir("Nx", vidN), videoGateBatch()).count()),
+      ("doc_par_gate",
+        () => graft.text.ParagraphIndex.ingestBatch(spark,
+          parGateDir("1x", docs1), lined(gateBatch())).count(),
+        () => graft.text.ParagraphIndex.ingestBatch(spark,
+          parGateDir("Nx", docsN), lined(gateBatch())).count()),
+      ("doc_inverted_append",
+        () => { graft.text.InvertedIndex.appendBatch(spark,
+          withSource(gateBatch()), invGateDir("1x", docs1)); 500L },
+        () => { graft.text.InvertedIndex.appendBatch(spark,
+          withSource(gateBatch()), invGateDir("Nx", docsN)); 500L }),
       // per-doc gram novelty: ONE gram-keyed df aggregation — linear
       ("doc_novelty",
         () => graft.ops.TextAnalysis.docNovelty(docs1).count(),
@@ -468,6 +601,12 @@ object ScaleProbe {
     // force the needed media caches and serve sidecars OUTSIDE the timed
     // sections (they'd otherwise materialize inside the first measure())
     if (need("doc_incr_dedup_gate")) { lshDir("1x", docs1); lshDir("Nx", docsN); () }
+    if (need("vec_incr_dedup_gate")) { ivfGateDir("1x", emb1); ivfGateDir("Nx", embN); () }
+    if (need("mm_phash_gate")) { phashGateDir("1x", media1); phashGateDir("Nx", mediaN); () }
+    if (need("mm_audio_gate")) { audioGateDir("1x", aud1); audioGateDir("Nx", audN); () }
+    if (need("mm_video_gate")) { videoGateDir("1x", vid1); videoGateDir("Nx", vidN); () }
+    if (need("doc_par_gate")) { parGateDir("1x", docs1); parGateDir("Nx", docsN); () }
+    if (need("doc_inverted_append")) { invGateDir("1x", docs1); invGateDir("Nx", docsN); () }
     if (Seq("vec_cell_balance_layout", "vec_triplets_indexed",
         "vec_hard_negatives_indexed", "vec_label_audit_indexed").exists(need)) {
       ivfDir("1x", emb1); ivfDir("Nx", embN); ()

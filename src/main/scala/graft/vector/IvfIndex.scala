@@ -74,22 +74,35 @@ object IvfIndex {
     */
   val MaxRecordsPerCellFile: Long = 4L * 1000 * 1000
 
-  /** Cell-partitioned write with a BOUNDED file count. A bare
-    * `partitionBy(cell, ingest_date)` write emits one file per (writer
-    * task × touched cell): files = tasks·cells — measured 72,428 files on
-    * the 100× scale probe (93 tasks × 782 cells), and a 1000-task cluster
-    * writing a capped 1024-cell corpus would emit ~10⁶ files, poisoning
-    * every later listing/footer pass (the layout cellBalance audit read
-    * 41× slower on exactly this). Repartitioning by the partition key
-    * first puts each (cell, ingest_date) wholly in ONE task → exactly one
-    * file per directory, rolled at [[MaxRecordsPerCellFile]] so a hot
-    * cell still splits for scan parallelism. The repartition is one
-    * corpus shuffle at build/compact/retrain (batch-sized on append) —
+  /** Write-parallel units per (cell, ingest_date) directory — and the
+    * file-count bound per directory (a directory's files = the distinct
+    * writer tasks among its sub-keys, ≤ this).
+    */
+  val CellWriteSubKeys: Int = 8
+
+  /** Cell-partitioned write with a BOUNDED file count AND parallel hot-cell
+    * writes. A bare `partitionBy(cell, ingest_date)` write emits one file
+    * per (writer task × touched cell): files = tasks·cells — measured
+    * 72,428 files on the 100× scale probe (93 tasks × 782 cells), and a
+    * 1000-task cluster writing a capped 1024-cell corpus would emit ~10⁶
+    * files, poisoning every later listing/footer pass (the layout
+    * cellBalance audit read 41× slower on exactly this). But repartitioning
+    * by the partition key ALONE over-corrects: each (cell, ingest_date)
+    * lands wholly in ONE task, so a skewed hot cell serializes its whole
+    * write through a single writer — and `compact`/`retrain` push the full
+    * corpus through this path (the `LshIndex.bandPartitioned` lesson,
+    * where 4 bands would have meant 4 tasks). The composite key — the
+    * partition columns plus a [[CellWriteSubKeys]]-way crc32 sub-key off
+    * `vec_id` — keeps hot cells write-parallel while bounding each
+    * directory at ≤ [[CellWriteSubKeys]] files, each rolled at
+    * [[MaxRecordsPerCellFile]] for scan parallelism. The repartition is
+    * one corpus shuffle at build/compact/retrain (batch-sized on append) —
     * the standard price of a bounded-file partitioned layout, paid at
     * write time where it amortizes, not at every read.
     */
-  private[vector] def writeCells(df: DataFrame, path: String, mode: SaveMode): Unit =
-    df.repartition(col("cell"), col("ingest_date"))
+  private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode): Unit =
+    df.repartition(col("cell"), col("ingest_date"),
+        pmod(crc32(col("vec_id").cast("string")), lit(CellWriteSubKeys)))
       .write.mode(mode).option("maxRecordsPerFile", MaxRecordsPerCellFile)
       .partitionBy("cell", "ingest_date").parquet(path)
 
@@ -619,9 +632,17 @@ object IvfIndex {
     require(fs.exists(vecPath),
       s"no IVF layout at $path — build(...) the index before dedupIngest")
     // One resident read serves both the disjointness gate and the cell join.
+    // Join posture throughout (the r11 LshIndex.dedupBatch inversion): the
+    // batch is bounded BY CONTRACT (a delivery), so every batch-derived
+    // side carries an explicit broadcast hint and RESIDENT tables only ever
+    // stream map-locally — per-batch cost is column-pruned resident scans,
+    // never resident shuffles. Left unhinted, AQE mis-sizing flips these to
+    // sort-merge and the full resident corpus crosses the shuffle for one
+    // batch (measured on the text gate: 2.6M records for a 500-doc batch).
     val residentVectors = spark.read.parquet(s"$path/vectors")
-    val clash = batch.select(col("vec_id"))
-      .join(residentVectors.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val batchIds = batch.select(col("vec_id")).localCheckpoint(true)
+    val clash = residentVectors.select(col("vec_id"))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,
       s"batch vec_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
@@ -633,7 +654,8 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
-    val candidates = batch.join(batchLosers.select("vec_id"), Seq("vec_id"), "left_anti")
+    val candidates = batch
+      .join(broadcast(batchLosers.select("vec_id")), Seq("vec_id"), "left_anti")
     val probed = candidates
       .select(col("vec_id"), col("embedding"),
         explode(probeCellsExpr(spark, path, nProbe)).as("cell"))
@@ -642,7 +664,10 @@ object IvfIndex {
     val resident = dropTombstoned(spark, path, residentVectors)
       .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
         col("cell").cast("long").as("cell"))
-    val nearDups = probed.join(resident, "cell")
+    // probed ≤ batch × nProbe rows — contract-bounded; broadcasting it also
+    // sidesteps the low-cardinality `cell` key (a shuffle on cell would
+    // funnel hot cells through single reducers).
+    val nearDups = broadcast(probed).join(resident, "cell")
       .withColumn("cos", dot(col("embedding"), col("r_emb")) /
         (sqrt(dot(col("embedding"), col("embedding"))) *
           sqrt(dot(col("r_emb"), col("r_emb")))))
@@ -650,11 +675,12 @@ object IvfIndex {
       .select(col("vec_id")).distinct()
       .select(col("vec_id"), lit("near_dup").as("verdict"))
       .localCheckpoint(true)
-    val keep = candidates.join(nearDups.select("vec_id"), Seq("vec_id"), "left_anti")
+    val keep = candidates
+      .join(broadcast(nearDups.select("vec_id")), Seq("vec_id"), "left_anti")
     appendBatch(spark, keep.select(col("vec_id"), col("label"), col("embedding")),
       path, ingestDate)
-    batch.select(col("vec_id"))
-      .join(batchLosers.unionByName(nearDups), Seq("vec_id"), "left")
+    batchIds
+      .join(broadcast(batchLosers.unionByName(nearDups)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
       .orderBy(col("vec_id"))
   }

@@ -293,6 +293,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rankCorrelationPpm: every emitted column is int64 or string (hash-surface pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // r10/r11 lesson: a value-equal DECIMAL output column still hash-reds
+    // across the oracle driver's readers. The registered surface must be
+    // int64/utf8 only — the rank sums cast to BIGINT at the projection.
+    val d = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 5L)).toDF("g", "a", "b")
+    val schema = Relational.rankCorrelationPpm(d, "g", "a", "b").schema
+    schema.fields.foreach { f =>
+      assert(f.dataType == LongType || f.dataType == StringType,
+        s"column ${f.name} has non-int64/utf8 type ${f.dataType}")
+    }
+    assert(schema.fieldNames.toSet ==
+      Set("g", "n", "s_ab", "s_aa", "s_bb", "corr_sign", "rho2_ppm"))
+  }
+
   test("percentileRanks: exact ppm arithmetic, boundary ties move together, nulls drop") {
     import spark.implicits._
     // values [10, 20, 20, 30] in one group: avg ranks 1 / 2.5 / 2.5 / 4 →
