@@ -74,11 +74,18 @@ object IvfIndex {
     */
   val MaxRecordsPerCellFile: Long = 4L * 1000 * 1000
 
-  /** Write-parallel units per (cell, ingest_date) directory — and the
+  /** Max write-parallel units per (cell, ingest_date) directory — and the
     * file-count bound per directory (a directory's files = the distinct
     * writer tasks among its sub-keys, ≤ this).
     */
   val CellWriteSubKeys: Int = 8
+
+  /** Rows per writer task within one (cell, ingest_date): a cell at or
+    * below this writes ONE file; past it, ceil(n/this) parallel writers up
+    * to [[CellWriteSubKeys]]. At the [[MaxRecordsPerCellFile]] 4M-row/1GB
+    * bound, 1M rows ≈ 250 MB per writer task.
+    */
+  val CellWriteRowsPerTask: Long = 1L * 1000 * 1000
 
   /** Cell-partitioned write with a BOUNDED file count AND parallel hot-cell
     * writes. A bare `partitionBy(cell, ingest_date)` write emits one file
@@ -90,21 +97,43 @@ object IvfIndex {
     * by the partition key ALONE over-corrects: each (cell, ingest_date)
     * lands wholly in ONE task, so a skewed hot cell serializes its whole
     * write through a single writer — and `compact`/`retrain` push the full
-    * corpus through this path (the `LshIndex.bandPartitioned` lesson,
-    * where 4 bands would have meant 4 tasks). The composite key — the
-    * partition columns plus a [[CellWriteSubKeys]]-way crc32 sub-key off
-    * `vec_id` — keeps hot cells write-parallel while bounding each
-    * directory at ≤ [[CellWriteSubKeys]] files, each rolled at
+    * corpus through this path (the `LshIndex.bandPartitioned` lesson).
+    *
+    * The sub-key is COUNT-AWARE, not constant: a constant k-way crc32 salt
+    * k-tuples the file count of every SMALL cell too (measured: 5,983
+    * files over 782 ~256-row cells on the 100× layout — ~8× the metadata
+    * for every later scan, for zero write-parallelism benefit), so the
+    * width comes from a driver-side hot-cell map — cells are a
+    * driver-bounded design quantity throughout this index (centroids
+    * attach as literals) — built by one column-pruned, map-side-combined
+    * counts pass at write time. The map usually carries NOTHING (no cell
+    * past [[CellWriteRowsPerTask]]) and the sub-key degenerates to 0:
+    * exactly one file per directory. Hot cells get ceil(n/rowsPerTask)
+    * writers capped at [[CellWriteSubKeys]], each file rolled at
     * [[MaxRecordsPerCellFile]] for scan parallelism. The repartition is
     * one corpus shuffle at build/compact/retrain (batch-sized on append) —
     * the standard price of a bounded-file partitioned layout, paid at
     * write time where it amortizes, not at every read.
     */
-  private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode): Unit =
-    df.repartition(col("cell"), col("ingest_date"),
-        pmod(crc32(col("vec_id").cast("string")), lit(CellWriteSubKeys)))
+  private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode,
+      rowsPerTask: Long = CellWriteRowsPerTask): Unit = {
+    val hot = df.groupBy(col("cell"), col("ingest_date"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > rowsPerTask)
+      .collect().map { r =>
+        val w = math.min(CellWriteSubKeys.toLong,
+          (r.getAs[Long]("_n") + rowsPerTask - 1) / rowsPerTask)
+        s"${r.get(0)}|${r.get(1)}" -> w
+      }.toMap
+    val width =
+      if (hot.isEmpty) lit(1L)
+      else coalesce(element_at(typedLit(hot),
+        concat_ws("|", col("cell"), col("ingest_date"))), lit(1L))
+    df.withColumn("_sk", pmod(crc32(col("vec_id").cast("string")), width))
+      .repartition(col("cell"), col("ingest_date"), col("_sk"))
+      .drop("_sk")
       .write.mode(mode).option("maxRecordsPerFile", MaxRecordsPerCellFile)
       .partitionBy("cell", "ingest_date").parquet(path)
+  }
 
   /** Distance to the ASSIGNED (nearest) centroid is just the min over the
     * literal centroid array — one more codegen column on the assignment
@@ -659,11 +688,21 @@ object IvfIndex {
     val probed = candidates
       .select(col("vec_id"), col("embedding"),
         explode(probeCellsExpr(spark, path, nProbe)).as("cell"))
+    // Bounded batch ⇒ one tiny job computes the probed-cell union, which
+    // statically prunes the partitioned resident scan to the probed
+    // directories (the miningFront convention). Without it the cosine
+    // tier streams the FULL resident table per batch — the join on `cell`
+    // discards non-probed rows anyway, but only after reading them: the
+    // 100× resident probe measured the unpruned scan at 4.7× wall on a
+    // fixed batch, all of it scan time (shuffle/output flat).
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
     // tombstoned residents stop matching as dup candidates; the id-clash
     // gate above still reads them (deleted ids stay burned until compact)
     val resident = dropTombstoned(spark, path, residentVectors)
       .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
         col("cell").cast("long").as("cell"))
+      .filter(col("cell").isin(probedCells: _*))
     // probed ≤ batch × nProbe rows — contract-bounded; broadcasting it also
     // sidesteps the low-cardinality `cell` key (a shuffle on cell would
     // funnel hot cells through single reducers).

@@ -51,7 +51,7 @@ class IvfIndexSpec extends SparkSpec {
       "tombstoned ids must not be mined as negatives")
   }
 
-  test("cell-partitioned writes: ≤ CellWriteSubKeys bounded files per directory, hot cells write in parallel") {
+  test("cell-partitioned writes: one file per small-cell directory, hot cells write in parallel") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivffiles").toString + "/ivf"
     val k = IvfIndex.CellWriteSubKeys
     // a multi-partition writer is exactly the config that exploded to
@@ -62,37 +62,40 @@ class IvfIndexSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ingest_date=")))
     assert(dateDirs.nonEmpty)
+    // every cell here is far below CellWriteRowsPerTask ⇒ the count-aware
+    // sub-key degenerates to 0 and each directory holds EXACTLY one file
+    // (a constant sub-key would 8× the metadata of every later scan)
     dateDirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
-      assert(n >= 1 && n <= k, s"$d holds $n files — expected 1..$k per directory")
+      assert(n == 1, s"$d holds $n files — expected exactly one per directory")
     }
-    // an append adds at most CellWriteSubKeys files per touched directory,
-    // not one per writer task
+    // an append adds at most one file per touched directory, not one per task
     IvfIndex.appendBatch(spark,
       emb.select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
         .repartition(8), dir)
     dateDirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
-      assert(n <= 2 * k, s"$d holds $n files after one append — expected ≤ ${2 * k}")
+      assert(n <= 2, s"$d holds $n files after one append — expected ≤ 2")
     }
-    // A SKEWED cell must not serialize through one writer: repartitioning
-    // by the bare partition key put each cell wholly in one task (the r11
-    // funnel — compact/retrain push the whole corpus through this path).
-    // With the crc32(vec_id) sub-key a hot cell spreads across up to k
-    // writer tasks, observable as >1 file in its directory (each task
-    // writes its own file; rows ≪ MaxRecordsPerCellFile so file count =
-    // distinct writer tasks).
-    // AQE byte-coalescing folds this small fixture's 8 sub-key partitions
-    // back into one task (correct at this size — a REAL hot cell's bytes
-    // exceed the advisory target and keep their tasks); disable it here so
-    // the sub-key mechanism itself is observable at fixture scale.
+    // A SKEWED cell past the per-task row bound must NOT serialize through
+    // one writer: repartitioning by the bare partition key put each cell
+    // wholly in one task (the r11 funnel — compact/retrain push the whole
+    // corpus through this path). The count-aware crc32(vec_id) sub-key
+    // spreads it across ceil(n/rowsPerTask) ≤ k writer tasks, observable
+    // as >1 file in its directory (rows ≪ MaxRecordsPerCellFile so file
+    // count = distinct writer tasks). The bound is a parameter here so the
+    // mechanism is testable at fixture scale; production uses the 1M-row
+    // default. AQE byte-coalescing could still legitimately fold tiny
+    // sub-partitions into one task at this size — disable it so the
+    // mechanism itself is observable.
     val skewDir = java.nio.file.Files.createTempDirectory("graft-ivfskew").toString + "/ivf"
     val hot = emb.limit(2000).select(col("vec_id"), col("label"), col("embedding"),
       lit(0L).as("cell"), lit(IvfIndex.DefaultIngestDate).as("ingest_date"))
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prev = spark.conf.get(coalesceKey, "true")
     spark.conf.set(coalesceKey, "false")
-    try IvfIndex.writeCells(hot, s"$skewDir/vectors", org.apache.spark.sql.SaveMode.Overwrite)
+    try IvfIndex.writeCells(hot, s"$skewDir/vectors",
+      org.apache.spark.sql.SaveMode.Overwrite, rowsPerTask = 100L)
     finally spark.conf.set(coalesceKey, prev)
     val hotFiles = new java.io.File(s"$skewDir/vectors/cell=0/ingest_date=${IvfIndex.DefaultIngestDate}")
       .listFiles().count(_.getName.endsWith(".parquet"))
