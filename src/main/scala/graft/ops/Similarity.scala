@@ -1317,10 +1317,17 @@ object Similarity {
     * pre-folded on the driver in the identical element order. Row-local ⇒
     * legal mid-stream with zero state and no watermark.
     *
-    * Literal-size cap: one fold per benchmark vector embeds the benchmark
-    * in the plan — fine to ~10³ vectors (the eval-suite scale); past that
-    * the broadcast-join batch form is the right tool (the NgramLm
-    * literal-vs-broadcast boundary).
+    * Literal-size cap, MEASURED (r12 StreamBench, same fixture for both
+    * forms): at 128 vectors × 64 dims the generated projection already
+    * exceeds JIT-friendly method size and this form sustains ~6k rows/s
+    * against the broadcast batch operator's ~98k — the literal fold's
+    * honest home regime is ~10¹ benchmark entries, not the ~10³ the plan
+    * size alone would suggest. Its remaining advantage is structural:
+    * row-local and stateless, so it is legal MID-STREAM (inside any
+    * transform chain, no sink required), where the broadcast form needs a
+    * foreachBatch boundary (`EventStream.semanticDecontamIngest`). Past a
+    * handful of entries, prefer the broadcast form whenever a micro-batch
+    * boundary is available.
     */
   def decontamSignals(vecs: DataFrame, bench: Seq[(Long, Array[Float])],
       threshold: Double = 0.35): DataFrame = {

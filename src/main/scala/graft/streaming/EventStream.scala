@@ -219,15 +219,15 @@ object EventStream {
     * past the literal-fold regime: each micro-batch runs the batch operator
     * [[graft.ops.Similarity.semanticDecontam]] — the benchmark broadcasts,
     * the micro-batch scans map-locally — and appends the flagged rows
-    * (vec_id, bench_id, cos_sim) to `outPath`. Regime boundary (the
-    * decontamSignals literal-size cap): the literal fold embeds the
-    * benchmark in the codegen'd plan — cheapest per row, but plan size and
-    * JIT cost grow with the benchmark, fine to ~10³ vectors; this form
-    * pays a fixed per-micro-batch broadcast + job overhead and is flat in
-    * plan size, so it wins once the benchmark outgrows the plan (or
-    * changes without wanting a query restart — the benchmark is re-read
-    * per batch only via the DataFrame the caller passed). StreamBench
-    * records both forms at the same fixture.
+    * (vec_id, bench_id, cos_sim) to `outPath`. Regime boundary, MEASURED
+    * (r12 StreamBench, same 128-vector fixture for both forms): this form
+    * sustained ~98k rows/s against the literal fold's ~6k — a 128-entry
+    * generated projection already exceeds JIT-friendly method size, so
+    * the literal fold's honest home regime is ~10¹ entries. Prefer THIS
+    * form whenever a micro-batch boundary is available (it also lets the
+    * benchmark change without a query restart — re-read per batch via the
+    * DataFrame the caller passed); the literal fold's remaining advantage
+    * is structural — row-local mid-stream legality with no sink required.
     */
   def semanticDecontamIngest(vecs: DataFrame, benchmark: DataFrame,
       outPath: String, checkpoint: String,
