@@ -48,12 +48,25 @@ private[multimodal] object Hash64Index {
 
   /** Create the index from the initial corpus's hash table (one row per
     * decodable doc: doc_id, `hashCol`, any extra columns to persist).
+    *
+    * The probes table CARRIES the resident hash (`r_hash`) alongside each
+    * probe row (r12): the gate's Hamming filter then runs directly on the
+    * probe-join output — no second corpus-sized join back to `hashes`, no
+    * candidate-derived intermediate to checkpoint and size-guard. Storage
+    * trade: ~2× the probes table width (two 64-char strings per row vs
+    * one) for strictly fewer per-batch jobs — metadata tables are dwarfed
+    * by the media payloads they index. Legacy two-column layouts stay
+    * readable: the gate falls back to the join form when `r_hash` is
+    * absent (the winnow missing-table precedent), and appends then keep
+    * the LEGACY schema — mixing widths inside one parquet directory would
+    * leave new rows' hashes invisible to non-merging readers.
     */
   def build(spark: SparkSession, hashes: DataFrame, hashCol: String,
       path: String): Unit = {
     val h = hashes.localCheckpoint(true)
     h.write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
-    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
+    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+        col(hashCol).as("r_hash"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
   }
 
@@ -158,26 +171,36 @@ private[multimodal] object Hash64Index {
     // tombstoned residents stop vetoing offers; the id clash gate above
     // still reads them raw (deleted ids stay burned until compact)
     val probes = dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
+    val probesCarryHash = probes.columns.contains("r_hash")
     // Probe tier, resident-streamed: the exploded batch side (batch × 65
     // probes) is contract-bounded and broadcasts, so the corpus-sized
-    // probes table scans map-locally. The HIT set is candidate-derived —
-    // NOT batch-bounded in the adversarial case (one hot probe key shared
-    // with many residents multiplies rows) — so its broadcast into the
-    // hash-fetch join is SIZE-GUARDED (the LshIndex candShingled
-    // convention): rows are fixed-width here (two int64 ids + the 64-char
-    // hash ≈ 150 B incl. object overhead), so rows × width is an honest
-    // byte measure; past the cap the join distributes — slower, never a
-    // forced-broadcast OOM cliff.
-    val hits = broadcast(candidates
-        .select(col("doc_id"), col(hashCol), explode(flipsOf(col(hashCol))).as("probe")))
-      .join(probes.select(col("probe"), col("doc_id").as("r_doc_id")), "probe")
-      .select(col("doc_id"), col(hashCol), col("r_doc_id"))
-      .localCheckpoint(true)
-    val hitsSmall = hits.count() * HitRowBytes <= MaxHitBroadcastBytes
-    val hitsSide = if (hitsSmall) broadcast(hits) else hits
-    val nearDups = hitsSide
-      .join(residentHashes.select(col("doc_id").as("r_doc_id"),
-        col(hashCol).as("r_hash")), "r_doc_id")
+    // probes table scans map-locally. On a hash-carrying layout (see
+    // [[build]]) the Hamming filter runs RIGHT ON the probe-join output —
+    // one map-local pass, nothing candidate-derived to materialize.
+    val exploded = broadcast(candidates
+      .select(col("doc_id"), col(hashCol), explode(flipsOf(col(hashCol))).as("probe")))
+    val hamMatched =
+      if (probesCarryHash)
+        exploded.join(probes.select(col("probe"), col("r_hash")), "probe")
+      else {
+        // Legacy layout fallback (probes lack r_hash): fetch hashes via a
+        // second join. The HIT set is candidate-derived — NOT batch-bounded
+        // in the adversarial case (one hot probe key shared with many
+        // residents multiplies rows) — so its broadcast is SIZE-GUARDED
+        // (the LshIndex candShingled convention): rows are fixed-width
+        // (two int64 ids + the 64-char hash ≈ 150 B incl. object
+        // overhead), so rows × width is an honest byte measure; past the
+        // cap the join distributes — slower, never an OOM cliff.
+        val hits = exploded
+          .join(probes.select(col("probe"), col("doc_id").as("r_doc_id")), "probe")
+          .select(col("doc_id"), col(hashCol), col("r_doc_id"))
+          .localCheckpoint(true)
+        val hitsSmall = hits.count() * HitRowBytes <= MaxHitBroadcastBytes
+        val hitsSide = if (hitsSmall) broadcast(hits) else hits
+        hitsSide.join(residentHashes.select(col("doc_id").as("r_doc_id"),
+          col(hashCol).as("r_hash")), "r_doc_id")
+      }
+    val nearDups = hamMatched
       .filter(hamming(col(hashCol), col("r_hash")) <= maxHamming)
       .select(col("doc_id")).distinct()
       .select(col("doc_id"), lit("near_dup").as("verdict"))
@@ -186,7 +209,12 @@ private[multimodal] object Hash64Index {
       .join(broadcast(nearDups.select("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // two consumers below; appends must not re-derive
     keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
-    keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
+    // append in the LAYOUT's schema: widening a legacy directory in place
+    // would leave the new rows' r_hash invisible to non-merging readers
+    (if (probesCarryHash)
+       keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+         col(hashCol).as("r_hash"))
+     else keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id")))
       .write.mode(SaveMode.Append).parquet(s"$path/probes")
     ids
       .join(broadcast(undecodable.unionByName(batchLosers).unionByName(nearDups)),

@@ -116,14 +116,17 @@ object IvfIndex {
     * write time where it amortizes, not at every read.
     */
   private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode,
-      rowsPerTask: Long = CellWriteRowsPerTask): Unit = {
-    val hot = df.groupBy(col("cell"), col("ingest_date"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > rowsPerTask)
-      .collect().map { r =>
-        val w = math.min(CellWriteSubKeys.toLong,
-          (r.getAs[Long]("_n") + rowsPerTask - 1) / rowsPerTask)
-        s"${r.get(0)}|${r.get(1)}" -> w
-      }.toMap
+      rowsPerTask: Long = CellWriteRowsPerTask,
+      knownCounts: Option[Seq[(String, Long)]] = None): Unit = {
+    // Callers that already run a radii aggregation pass their counts in
+    // (cellRadiiCounts — the counts then cost nothing); only compact,
+    // which has no such pass, pays the one extra column-pruned job.
+    val counts = knownCounts.getOrElse(
+      df.groupBy(col("cell"), col("ingest_date")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => s"${r.get(0)}|${r.get(1)}" -> r.getAs[Long]("_n")).toSeq)
+    val hot = counts.filter(_._2 > rowsPerTask).map { case (k, n) =>
+      k -> math.min(CellWriteSubKeys.toLong, (n + rowsPerTask - 1) / rowsPerTask)
+    }.toMap
     val width =
       if (hot.isEmpty) lit(1L)
       else coalesce(element_at(typedLit(hot),
@@ -145,11 +148,26 @@ object IvfIndex {
   }
 
   /** Per-cell covering radius (max member↔centroid distance) — the tiny
-    * sidecar that makes `rangeSearch` exact under cell pruning.
+    * sidecar that makes `rangeSearch` exact under cell pruning — PLUS the
+    * per-(cell, date) row counts, in ONE pass over the assignment: the
+    * counts feed [[writeCells]]'s hot-cell width map, so the bounded-file
+    * write's count pass costs nothing wherever a radii pass already runs
+    * (build/appendBatch/retrain — every writeCells site except compact).
+    * Both outputs are cells×dates-bounded and collect driver-side (the
+    * appendBatch radii-merge precedent).
     */
-  private def cellRadii(assigned: DataFrame, centroids: DataFrame): DataFrame =
-    assigned.withColumn("cd", nearestDist(centroids))
-      .groupBy(col("cid")).agg(max(col("cd")).as("radius"))
+  private def cellRadiiCounts(assigned: DataFrame, centroids: DataFrame,
+      dateCol: org.apache.spark.sql.Column): (Map[Long, Double], Seq[(String, Long)]) = {
+    val rows = assigned.withColumn("cd", nearestDist(centroids))
+      .groupBy(col("cid"), dateCol.as("_d"))
+      .agg(max(col("cd")).as("radius"), count(lit(1)).as("n_rows"))
+      .collect()
+    val radii = rows.groupBy(_.getAs[Long]("cid"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Double]("radius")).max }
+    val counts = rows.map(r =>
+      s"${r.getAs[Long]("cid")}|${r.get(1)}" -> r.getAs[Long]("n_rows")).toSeq
+    (radii, counts)
+  }
 
   /** Build the physical index: k-means centroids (deterministic seeds,
     * `kmeansIters` Lloyd rounds — 0 reproduces the naive-seed layout),
@@ -168,12 +186,14 @@ object IvfIndex {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val assigned = assign(embeddings, centroids)
-    cellRadii(assigned, centroids)
+    val (radii, counts) = cellRadiiCounts(assigned, centroids, lit(ingestDate))
+    import spark.implicits._
+    radii.toSeq.sorted.toDF("cid", "radius")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
     writeCells(assigned
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         lit(ingestDate).as("ingest_date")),
-      s"$path/vectors", SaveMode.Overwrite)
+      s"$path/vectors", SaveMode.Overwrite, knownCounts = Some(counts))
   }
 
   /** Assign a new (vec_id, label, embedding) batch against the EXISTING
@@ -214,8 +234,8 @@ object IvfIndex {
     // contract every sidecar-merging store (e.g. a FAISS index file) has.
     // The swap below goes through a temp dir + rename so a concurrent
     // READER never observes a half-written sidecar.
-    val batchRadii = cellRadii(dated, centroids).collect()
-      .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("radius")).toMap
+    val (batchRadii, batchCounts) =
+      cellRadiiCounts(dated, centroids, col("ingest_date"))
     val radiiPath = new org.apache.hadoop.fs.Path(s"$path/radii")
     val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
@@ -234,7 +254,7 @@ object IvfIndex {
     writeCells(dated
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         col("ingest_date")),
-      s"$path/vectors", SaveMode.Append)
+      s"$path/vectors", SaveMode.Append, knownCounts = Some(batchCounts))
   }
 
   /** Logical point deletes — takedown/GDPR removal for the vector tier,
@@ -310,12 +330,13 @@ object IvfIndex {
       centroidsDf.coalesce(1).write.mode(SaveMode.ErrorIfExists)
         .parquet(s"$fresh/centroids")
       val assigned = assign(resident, centroidsDf).localCheckpoint(true)
-      cellRadii(assigned, centroidsDf)
+      val (radii, counts) = cellRadiiCounts(assigned, centroidsDf, col("ingest_date"))
+      radii.toSeq.sorted.toDF("cid", "radius")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$fresh/radii")
       writeCells(assigned
         .select(col("vec_id"), col("label"), col("embedding"),
           col("cid").as("cell"), col("ingest_date")),
-        s"$fresh/vectors", SaveMode.ErrorIfExists)
+        s"$fresh/vectors", SaveMode.ErrorIfExists, knownCounts = Some(counts))
     }
     stats
   }

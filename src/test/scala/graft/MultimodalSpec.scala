@@ -378,6 +378,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
   }
 
+  test("phash gate on a LEGACY probes layout (no r_hash): fallback join, appends keep the legacy schema") {
+    import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def png(src: Long, filter: Int = 0): Array[Byte] =
+      PngCodec.encodeGray(Array.tabulate(1024) { p =>
+        var h = src * 1000003L + p
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        (h & 0xFF).toInt
+      }, 32, 32, filterType = filter)
+    def img(id: Long, src: Long, filter: Int = 0) =
+      Multimodal.MediaRow(id, "image", png(src, filter))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phlegacy").toString + "/ph"
+    PhashIndex.build(spark, (0L until 10L).map(i => img(i, i)).toDS(), dir)
+    // rewrite probes down to the PRE-r12 two-column layout
+    val legacy = spark.read.parquet(s"$dir/probes").select("probe", "doc_id")
+      .localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(s"$dir/probes")
+    // re-encoded resident dies via the fallback join; fresh pixels ingest
+    val v = PhashIndex.dedupIngest(spark, dir,
+      Seq(img(100L, 4L, filter = 1), img(101L, 77L)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(100L -> "near_dup", 101L -> "ingested"), s"got $v")
+    // the survivor's probe rows appended in the LEGACY schema — a widened
+    // append would leave r_hash invisible to non-merging readers
+    val cols = spark.read.parquet(s"$dir/probes").columns.toSet
+    assert(cols == Set("probe", "doc_id"), s"legacy layout widened in place: $cols")
+    // and the appended rows gate the NEXT batch through the same fallback
+    val v2 = PhashIndex.dedupIngest(spark, dir, Seq(img(102L, 77L)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(102L) == "near_dup", s"appended legacy rows must veto, got $v2")
+  }
+
   test("phash ingest fails fast on a within-batch duplicate doc_id") {
     import graft.multimodal.{Multimodal, PhashIndex, PngCodec}
     import spark.implicits._
