@@ -53,11 +53,17 @@ object LshIndex {
     * dominates; the r11 cap of 5M rows already meant ~0.5 GB at ~100 B/row
     * — near the cliff it existed to prevent). The guard therefore sums
     * MEASURED bytes (fixed-width columns + actual string lengths + per-row
-    * object overhead) in the same single pass that previously only counted
-    * rows. 128 MB measured ≈ a few hundred MB as an in-memory broadcast
-    * relation (row objects inflate 2–4×): comfortably inside default 1–4 GB
-    * driver/executor headroom; past it the joins distribute — slower,
-    * never a cliff.
+    * object overhead) — one exact string-scan job over the CHECKPOINTED
+    * candidate set. A sampled-width shortcut (count × mean of the first
+    * 10⁴ rows) was tried and reverted: `limit` drains the first
+    * partitions of a band-clustered set, so the sampled mean can be
+    * systematically LOW exactly in the hot-band blowup this guard is the
+    * sole backstop for — an under-estimate here re-opens the
+    * forced-broadcast OOM cliff, and ~0.3 s of job time per gate call is
+    * the wrong thing to optimize against that. 128 MB measured ≈ a few
+    * hundred MB as an in-memory broadcast relation (row objects inflate
+    * 2–4×): comfortably inside default 1–4 GB driver/executor headroom;
+    * past it the joins distribute — slower, never a cliff.
     */
   private val MaxGateBroadcastBytes = 128L * 1024 * 1024
 

@@ -261,52 +261,63 @@ object ScaleProbe {
           .otherwise(transform(col("embedding"), x => -x)).as("embedding"))
     }
     // Perceptual-gate deliveries: re-offers re-render the EXACT resident
-    // pixels/samples/frames under fresh ids (hash-identical ⇒ Hamming 0);
-    // novel items render from a shifted src (uncorrelated bits — far past
-    // the radius-2 gate). Id offsets clear every amplification replica
+    // pixels/samples/frames under fresh ids (hash-identical ⇒ Hamming 0).
+    // Novel items render from a DIFFERENT COEFFICIENT FAMILY, not a
+    // shifted src: the resident generators are periodic in src (pixels
+    // depend on src mod 256, samples on src mod 4096), so any src offset
+    // lands back on existing resident content — a +999983 "novel" shift
+    // is +47 mod 256, i.e. a verbatim resident re-offer in disguise (the
+    // r12 self-review catch: the first probe run's "novel" halves were
+    // 100% hash-identical to residents and the ingest/append path never
+    // ran). Different multipliers give patterns outside the resident
+    // family entirely. Id offsets clear every amplification replica
     // (r·10⁷, r ≤ 127) and the fixtures' bumped-twin offsets.
     def phashGateBatch() = {
       import graft.multimodal.{Multimodal, PngCodec}
       docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 7 == 0).map { id =>
-        def px(src: Long): Array[Int] = Array.tabulate(256) { p =>
-          ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt
+        def px(src: Long, novel: Boolean): Array[Int] = Array.tabulate(256) { p =>
+          (if (novel) ((src * 53 + (p % 16) * 11 + (p / 16) * 5 + 3) % 256).toInt
+           else ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt)
         }
         if (id % 2 == 0)
-          Multimodal.MediaRow(id + 10000000000L, "image", PngCodec.encodeGray(px(id), 16, 16))
+          Multimodal.MediaRow(id + 10000000000L, "image",
+            PngCodec.encodeGray(px(id, novel = false), 16, 16))
         else
           Multimodal.MediaRow(id + 20000000000L, "image",
-            PngCodec.encodeGray(px(id + 999983L), 16, 16))
+            PngCodec.encodeGray(px(id, novel = true), 16, 16))
       }
     }
     def audioGateBatch() = {
       import graft.multimodal.{Multimodal, WavCodec}
       docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 11 == 0).map { id =>
-        def samples(src: Long): Array[Int] = Array.tabulate(576) { i =>
-          (((src * 37L + i.toLong * 11L) % 4096L) - 2048L).toInt
+        def samples(src: Long, novel: Boolean): Array[Int] = Array.tabulate(576) { i =>
+          (if (novel) (((src * 53L + i.toLong * 23L + 7L) % 4096L) - 2048L).toInt
+           else (((src * 37L + i.toLong * 11L) % 4096L) - 2048L).toInt)
         }
         if (id % 2 == 0)
           Multimodal.MediaRow(id + 10000000000L, "audio",
-            WavCodec.encodePcm16(samples(id), 8000, 1))
+            WavCodec.encodePcm16(samples(id, novel = false), 8000, 1))
         else
           Multimodal.MediaRow(id + 20000000000L, "audio",
-            WavCodec.encodePcm16(samples(id + 999983L), 8000, 1))
+            WavCodec.encodePcm16(samples(id, novel = true), 8000, 1))
       }
     }
     def videoGateBatch() = {
       import graft.multimodal.{AviCodec, Multimodal}
       docs1.select(col("doc_id")).as[Long].filter((id: Long) => id % 17 == 0).map { id =>
-        def frames(src: Long): Array[Array[Int]] = Array.tabulate(18) { f =>
+        def frames(src: Long, novel: Boolean): Array[Array[Int]] = Array.tabulate(18) { f =>
           Array.tabulate(144) { p =>
             val x = p % 12; val y = p / 12
-            ((src * 31L + f.toLong * f * 7L + x * 5L + y * 3L) % 256L).toInt
+            (if (novel) ((src * 29L + f.toLong * f * 11L + x * 7L + y * 5L + 3L) % 256L).toInt
+             else ((src * 31L + f.toLong * f * 7L + x * 5L + y * 3L) % 256L).toInt)
           }
         }
         if (id % 2 == 0)
           Multimodal.MediaRow(id + 10000000000L, "video",
-            AviCodec.encodeGray(frames(id), 12, 12))
+            AviCodec.encodeGray(frames(id, novel = false), 12, 12))
         else
           Multimodal.MediaRow(id + 20000000000L, "video",
-            AviCodec.encodeGray(frames(id + 999983L), 12, 12))
+            AviCodec.encodeGray(frames(id, novel = true), 12, 12))
       }
     }
 

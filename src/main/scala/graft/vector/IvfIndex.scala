@@ -119,8 +119,11 @@ object IvfIndex {
       rowsPerTask: Long = CellWriteRowsPerTask,
       knownCounts: Option[Seq[(String, Long)]] = None): Unit = {
     // Callers that already run a radii aggregation pass their counts in
-    // (cellRadiiCounts — the counts then cost nothing); only compact,
-    // which has no such pass, pays the one extra column-pruned job.
+    // (cellRadiiCounts — the counts then cost nothing); IvfPqIndex.build
+    // derives them from its checkpointed residuals. The remaining fallback
+    // users (compact here; IvfPqIndex.appendBatch / ServeIndex.build via
+    // checkpointed inputs) pay one column-pruned agg over MATERIALIZED
+    // rows — never a re-derivation of an assignment/encode projection.
     val counts = knownCounts.getOrElse(
       df.groupBy(col("cell"), col("ingest_date")).agg(count(lit(1)).as("_n"))
         .collect().map(r => s"${r.get(0)}|${r.get(1)}" -> r.getAs[Long]("_n")).toSeq)

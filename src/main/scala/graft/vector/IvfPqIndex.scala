@@ -72,11 +72,16 @@ object IvfPqIndex {
     // cell × ingest_date layout: probe pruning composes with retention,
     // exactly like IvfIndex (reference retention applies to ALL vectors,
     // faiss_manager.py:151-172).
+    // counts for the bounded-file write come from the CHECKPOINTED
+    // residuals (one cells-bounded agg, no re-derivation of the codes
+    // expression — writeCells' fallback would re-run the full projection)
+    val counts = residuals.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => s"${r.get(0)}|$ingestDate" -> r.getAs[Long]("_n")).toSeq
     IvfIndex.writeCells(residuals
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
         PqIndex.codesExpr(books, col("pq_embedding")).as("codes"),
         lit(ingestDate).as("ingest_date")),
-      s"$path/vectors", SaveMode.Overwrite)
+      s"$path/vectors", SaveMode.Overwrite, knownCounts = Some(counts))
   }
 
   /** Retention: drop beyond-window `ingest_date=` directories inside every
@@ -122,13 +127,17 @@ object IvfPqIndex {
     val dated =
       if (batch.columns.contains("ingest_date")) batch
       else batch.withColumn("ingest_date", lit(ingestDate))
-    IvfIndex.writeCells(dated
+    // checkpointed so writeCells' counts pass reads materialized rows
+    // instead of re-running the centroid assignment + codes projection
+    // over the batch a second time (batch-bounded memory)
+    val encoded = dated
       .withColumn("cell", nearest)
       .withColumn("pq_embedding",
         zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b))
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"), col("ingest_date")),
-      s"$path/vectors", SaveMode.Append)
+        PqIndex.codesExpr(books, col("pq_embedding")).as("codes"), col("ingest_date"))
+      .localCheckpoint(true)
+    IvfIndex.writeCells(encoded, s"$path/vectors", SaveMode.Append)
   }
 
   /** Probe-pruned ADC search + exact re-rank. Per probed cell the ADC LUT

@@ -229,8 +229,13 @@ object ServeIndex {
           .drop("pq_embedding").drop("ann_emb")
       }
     // bounded-file cell write (the IvfIndex.writeCells rationale: a bare
-    // partitionBy emits tasks×cells files — 72k measured at the 100× probe)
-    IvfIndex.writeCells(vectors, s"$staging/vectors", SaveMode.Overwrite)
+    // partitionBy emits tasks×cells files — 72k measured at the 100× probe).
+    // Checkpointed so writeCells' counts pass reads materialized rows
+    // instead of re-running the assignment/encode projection (the pq
+    // branch already checkpoints corpus-sized intermediates here; the
+    // serve window is retention-bounded).
+    IvfIndex.writeCells(vectors.localCheckpoint(true),
+      s"$staging/vectors", SaveMode.Overwrite)
     Seq((kind, anchor)).toDF("kind", "watermark")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
     val live = new org.apache.hadoop.fs.Path(sidecarPath(indexPath))

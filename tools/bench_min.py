@@ -31,10 +31,12 @@ def main() -> None:
         "queries": qs,
         "sf": caps[0].get("sf"),
         "provenance": (
-            f"per-query min of {len(caps)} idle captures (r12 convention: "
-            "the host's 1.29x same-HEAD spread makes single captures a coin "
-            "flip; raw captures kept alongside); compare cross-round "
-            "min-to-min only"
+            f"per-query min of {len(caps)} same-HEAD captures at start-loads "
+            + "/".join(f"{c.get('load_avg_start')}" for c in caps)
+            + " (r12 convention: the host's 1.29x same-HEAD spread makes "
+            "single captures a coin flip, and its load average demonstrably "
+            "under-describes scheduling state; raw captures kept alongside "
+            "with their own load fields); compare cross-round min-to-min only"
         ),
         "captures": [
             {
