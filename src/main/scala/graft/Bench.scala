@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // sidecar point-lookups push batch-key In predicates to parquet
+      // as OR-of-eq up to 1000 keys (page/row-group exact; see KeyedSidecar)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

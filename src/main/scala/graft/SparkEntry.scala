@@ -578,7 +578,11 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft-q-lsh").toString + "/lsh"
       graft.text.LshIndex.build(s, Tables.documents(s, d), dir)
       artifactCache.putIfAbsent(s"lsh|$d", dir)
-      s.read.parquet(s"$dir/sizes").orderBy(col("doc_id"))
+      // project the oracle-bound columns: the r13 sidecar layout adds a
+      // bucket partition column and carries text_hash (md5 — not oracle
+      // material here; the hash pipeline is pinned by the query twin)
+      s.read.parquet(s"$dir/sizes").select(col("doc_id"), col("n_sh"))
+        .orderBy(col("doc_id"))
     }),
     // Incremental ingestion dedup QUERY: an arriving batch (every 10th doc
     // re-offered — half verbatim, half with a trailing perturbation)

@@ -43,11 +43,30 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "20").toInt
+    // Resident-curve knobs (r13, VERDICT #4): REPS amplifies the RESIDENT
+    // index corpora (ScaleProbe.amplifyDocs — growth, not duplication) for
+    // the index-gated flows, so the same recording run at 1/10/100 gives
+    // the streaming twins' sustained-throughput-vs-resident-size curve
+    // under real micro-batch re-planning (per-batch AQE context differs
+    // from the batch operators the twins call). FLOWS filters which flows
+    // run (comma-separated), so a curve run doesn't pay for the rest.
+    val residentReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt
+    val onlyFlows = sys.env.get("SPARK_GRAFT_STREAM_FLOWS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(flow: String): Boolean = onlyFlows.forall(_.contains(flow))
+    def residentDocs(spark: SparkSession): DataFrame = {
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      if (residentReps <= 1) d
+      else graft.tools.ScaleProbe.amplifyDocs(d, residentReps)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // sidecar point-lookups push batch-key In predicates to parquet
+      // as OR-of-eq up to 1000 keys (page/row-group exact; see KeyedSidecar)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,7 +102,7 @@ object StreamBench {
         .getOrElse((0L, 0L))
 
     // ---- 1. stateful sessionization ----------------------------------------
-    locally {
+    if (want("sessionize")) locally {
       val q = streaming.EventStream.sessionize(sessionEvents())
         .writeStream.format("noop")
         .option("checkpointLocation", tmp("sess-ckpt"))
@@ -99,7 +118,7 @@ object StreamBench {
     }
 
     // ---- 1b. sessionize under RocksDB: state footprint + checkpoint recovery
-    locally {
+    if (want("sessionizeRocks")) locally {
       val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -136,12 +155,13 @@ object StreamBench {
     }
 
     // ---- 2. LSH dedup-gated corpus ingest ----------------------------------
-    locally {
+    if (want("corpusIngest")) locally {
       val indexPath = tmp("lsh-idx") + "/idx"
       val verdictPath = tmp("lsh-verd") + "/v"
-      text.LshIndex.build(spark, Tables.documents(spark, sfDir), indexPath)
+      text.LshIndex.build(spark, residentDocs(spark), indexPath)
+      // id offset clears every amplification replica (r·10⁷, r ≤ 127)
       val docs = rate(2000)
-        .select((col("value") + 50000000L).as("doc_id"),
+        .select((col("value") + 10000000000L).as("doc_id"),
           array_join(transform(sequence(lit(0), lit(29)),
             i => concat(lit("tok"), pmod(col("value") * 7 + i * 13, lit(997)))), " ")
             .as("text"))
@@ -159,12 +179,12 @@ object StreamBench {
     // quantifies the idempotent-replay option's per-micro-batch cost (one
     // footer-stats read of the verdict log's batch_id column) against the
     // fail-loud default above — same source, same gate, same window
-    locally {
+    if (want("corpusIngestSkipReplayed")) locally {
       val indexPath = tmp("lsh-idx2") + "/idx"
       val verdictPath = tmp("lsh-verd2") + "/v"
-      text.LshIndex.build(spark, Tables.documents(spark, sfDir), indexPath)
+      text.LshIndex.build(spark, residentDocs(spark), indexPath)
       val docs = rate(2000)
-        .select((col("value") + 60000000L).as("doc_id"),
+        .select((col("value") + 20000000000L).as("doc_id"),
           array_join(transform(sequence(lit(0), lit(29)),
             i => concat(lit("tok"), pmod(col("value") * 7 + i * 13, lit(997)))), " ")
             .as("text"))
@@ -184,7 +204,7 @@ object StreamBench {
     // corpus = synthetic deterministic 64-dim vectors off the rate source.
     // Cos scatter keeps flags sparse (the decontam contract), so the number
     // measures the per-row fold cost, not sink volume.
-    locally {
+    if (want("semanticDecontam")) locally {
       val bench = Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") < 128)
         .select(col("vec_id"), col("embedding")).collect()
@@ -213,7 +233,7 @@ object StreamBench {
     // lines bracket the literal-vs-broadcast crossover at the eval-suite
     // scale (128 vectors — the literal fold's home turf; the broadcast
     // form's fixed per-batch overhead is the price being measured).
-    locally {
+    if (want("semanticDecontamBroadcast")) locally {
       val benchDf = Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") < 128)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
@@ -233,8 +253,45 @@ object StreamBench {
       results += "semanticDecontamBroadcast" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
     }
 
+    // ---- 2e. perceptual-hash media ingest (r13, VERDICT #4) -----------------
+    // the IMAGE twin through the same resident-curve knob: resident =
+    // the mm fixture family rendered over the (amplified) doc ids,
+    // stream = fresh ids alternating verbatim-pattern re-offers and a
+    // different coefficient family (the ScaleProbe novel rule — the
+    // resident generators are periodic in src, so only a different
+    // family is genuinely novel). Throughput is probe-join bound.
+    if (want("mediaIngest")) locally {
+      import graft.multimodal.{Multimodal, PngCodec}
+      val indexPath = tmp("phash-idx") + "/idx"
+      val verdictPath = tmp("phash-verd") + "/v"
+      def px(src: Long, novel: Boolean): Array[Int] = Array.tabulate(256) { p =>
+        (if (novel) ((src * 53 + (p % 16) * 11 + (p / 16) * 5 + 3) % 256).toInt
+         else ((src * 31 + (p % 16) * 7 + (p / 16) * 13) % 256).toInt)
+      }
+      val resident = residentDocs(spark).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 7 == 0)
+        .map(id => Multimodal.MediaRow(id, "image",
+          PngCodec.encodeGray(px(id, novel = false), 16, 16)))
+      graft.multimodal.PhashIndex.build(spark, resident, indexPath)
+      val media = rate(500)
+        .select((col("value") + 30000000000L).as("doc_id"), col("value"))
+        .as[(Long, Long)]
+        .map { case (id, v) =>
+          Multimodal.MediaRow(id, "image",
+            PngCodec.encodeGray(px(v * 7, novel = v % 2 == 1), 16, 16))
+        }.toDF()
+      val q = streaming.EventStream.mediaIngest(media, indexPath, verdictPath,
+        tmp("phash-ckpt"))
+      Thread.sleep(runSec * 1000L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+      val n = q.recentProgress.length
+      q.stop(); q.awaitTermination()
+      results += "mediaIngest" -> ((rows, if (secs > 0) secs else runSec.toDouble, n))
+    }
+
     // ---- 3. versioned CDC commits ------------------------------------------
-    locally {
+    if (want("versionedCdc")) locally {
       val storePath = tmp("vstore") + "/store"
       sources.VersionedStore.init(spark,
         Tables.documents(spark, sfDir), storePath, nBuckets = 64)

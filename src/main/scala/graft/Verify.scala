@@ -15,10 +15,32 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // sidecar point-lookups push batch-key In predicates to parquet
+      // as OR-of-eq up to 1000 keys (page/row-group exact; see KeyedSidecar)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Out-dir hygiene (r12 verdict #3): a renamed/retired query would
+    // otherwise leave its stale result directory behind, and check.py
+    // reports it as a phantom "no oracle" row. Sweep children that are
+    // not in the live registry BEFORE writing — but only in full runs:
+    // a filtered dev run (SPARK_GRAFT_ONLY) reuses a shared out-dir and
+    // must not delete its siblings' fresh results.
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet + "oracle_sql.json"
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filterNot(f => live.contains(f.getName))
+        .foreach { f =>
+          System.err.println(s"[verify] removing stale out-dir entry ${f.getName}")
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   * hash derivation differs, and the thin wrappers ([[PhashIndex]],
   * [[AudioHashIndex]]) own that.
   *
-  * Layout:
-  *   path/hashes — one row per resident: (doc_id, <hashCol>, extras…) —
-  *     the id gate's authority, written FIRST on append so an
-  *     at-least-once replay trips the disjointness gate instead of
+  * Layout (since r13 both tables are [[graft.sources.KeyedSidecar]]s —
+  * bucketed by key, key-sorted files — so per-batch reads point-prune to
+  * the batch's keys instead of scanning the resident corpus; legacy flat
+  * layouts stay readable and appendable, writes match the resident shape):
+  *   path/hashes — one row per resident: (doc_id, <hashCol>, extras…),
+  *     keyed by doc_id — the id gate's authority, written FIRST on append
+  *     so an at-least-once replay trips the disjointness gate instead of
   *     double-appending derived rows (the LshIndex crash-ordering
   *     contract).
-  *   path/probes — (probe, doc_id): each resident's hash plus its 64
-  *     one-bit flips — the Manku radius-2 probe family, PERSISTED so an
-  *     arriving batch only expands its own side.
+  *   path/probes — (probe, doc_id, r_hash), keyed by probe: each
+  *     resident's hash plus its 64 one-bit flips — the Manku radius-2
+  *     probe family, PERSISTED so an arriving batch only expands its own
+  *     side — CARRYING the resident hash (r12) so the Hamming filter runs
+  *     right on the probe join. Legacy two-column (probe, doc_id) layouts
+  *     remain supported: the gate falls back to a size-guarded join back
+  *     to `hashes`, and appends keep the legacy schema.
   *
   * Gate tiers per batch: id disjointness (fail fast), within-batch
   * identical hash keeps min-id (`batch_dup`), probe-join + exact Hamming
@@ -63,11 +70,13 @@ private[multimodal] object Hash64Index {
     */
   def build(spark: SparkSession, hashes: DataFrame, hashCol: String,
       path: String): Unit = {
+    import graft.sources.KeyedSidecar
     val h = hashes.localCheckpoint(true)
-    h.write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
-    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
-        col(hashCol).as("r_hash"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
+    KeyedSidecar.write(h, "doc_id", s"$path/hashes", SaveMode.Overwrite)
+    KeyedSidecar.write(
+      h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+        col(hashCol).as("r_hash")),
+      "probe", s"$path/probes", SaveMode.Overwrite)
   }
 
   private def recover(spark: SparkSession, path: String): Unit =
@@ -107,13 +116,15 @@ private[multimodal] object Hash64Index {
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    def rewrite(table: String): Unit =
+    def rewrite(table: String, key: String): Unit =
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
-        dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-          .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+        val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
+        if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/$table"))
+          graft.sources.KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
+        else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
       }
-    rewrite("probes")
-    rewrite("hashes")
+    rewrite("probes", "probe")
+    rewrite("hashes", "doc_id")
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -148,8 +159,13 @@ private[multimodal] object Hash64Index {
     // Resident-side streamed (the r11 LshIndex.dedupBatch inversion): the
     // batch is bounded by contract and BROADCASTS; with the batch on the
     // left of a semi-join the corpus-sized hash table would sit on the
-    // build side and shuffle per batch once past broadcast size.
-    val clash = residentHashes.select(col("doc_id"))
+    // build side and shuffle per batch once past broadcast size. Since
+    // r13 the hashes table is doc_id-keyed, so the gate read point-prunes
+    // to the batch's id buckets/pages on big corpora (the semi-join
+    // enforces the restriction on small/legacy fallbacks).
+    val clash = graft.sources.KeyedSidecar
+      .lookup(spark, s"$path/hashes", "doc_id", ids)
+      .select(col("doc_id"))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,
@@ -169,8 +185,14 @@ private[multimodal] object Hash64Index {
     val candidates = bHashes
       .join(broadcast(batchLosers.select("doc_id")), Seq("doc_id"), "left_anti")
     // tombstoned residents stop vetoing offers; the id clash gate above
-    // still reads them raw (deleted ids stay burned until compact)
-    val probes = dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
+    // still reads them raw (deleted ids stay burned until compact).
+    // r13: the probes table is probe-keyed, so the read point-prunes to
+    // the batch's own probe family (batch × 65 keys — bounded) instead of
+    // scanning every resident probe row per batch.
+    val batchProbeKeys = bHashes
+      .select(explode(flipsOf(col(hashCol))).as("probe"))
+    val probes = dropTombstoned(spark, path, graft.sources.KeyedSidecar
+      .lookup(spark, s"$path/probes", "probe", batchProbeKeys))
     val probesCarryHash = probes.columns.contains("r_hash")
     // Probe tier, resident-streamed: the exploded batch side (batch × 65
     // probes) is contract-bounded and broadcasts, so the corpus-sized
@@ -208,14 +230,23 @@ private[multimodal] object Hash64Index {
     val keep = candidates
       .join(broadcast(nearDups.select("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // two consumers below; appends must not re-derive
-    keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
-    // append in the LAYOUT's schema: widening a legacy directory in place
-    // would leave the new rows' r_hash invisible to non-merging readers
-    (if (probesCarryHash)
-       keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
-         col(hashCol).as("r_hash"))
-     else keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id")))
-      .write.mode(SaveMode.Append).parquet(s"$path/probes")
+    // appends in the LAYOUT's schema AND shape: bucketed sidecars extend
+    // bucketed (flat appends into a partitioned dir break discovery),
+    // legacy flat tables stay flat, and legacy probes keep two columns
+    // (widening in place would leave new rows' r_hash invisible to
+    // non-merging readers)
+    import graft.sources.KeyedSidecar
+    if (KeyedSidecar.isBucketed(spark, s"$path/hashes"))
+      KeyedSidecar.write(keep, "doc_id", s"$path/hashes", SaveMode.Append)
+    else keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    val probeRows =
+      if (probesCarryHash)
+        keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+          col(hashCol).as("r_hash"))
+      else keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
+    if (KeyedSidecar.isBucketed(spark, s"$path/probes"))
+      KeyedSidecar.write(probeRows, "probe", s"$path/probes", SaveMode.Append)
+    else probeRows.write.mode(SaveMode.Append).parquet(s"$path/probes")
     ids
       .join(broadcast(undecodable.unionByName(batchLosers).unionByName(nearDups)),
         Seq("doc_id"), "left")

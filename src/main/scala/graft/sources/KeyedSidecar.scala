@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed, key-sorted sidecar tables with batch-prunable point lookups —
+  * the r13 fix for the ingest gates' per-batch O(resident) scan term.
+  *
+  * Every persisted ingest gate in this engine (LSH text, IVF vectors,
+  * perceptual hashes, paragraph norms, inverted-index doclens) consults
+  * resident METADATA per arriving batch: "which of THESE ids/hashes/norms/
+  * probes already exist?". The r12 inversions made those consultations
+  * shuffle-free (resident tables stream map-locally against broadcast
+  * batch sides), but the resident side was still READ in full per batch —
+  * per-batch cost grew linearly with the resident corpus (measured: the
+  * vec gate at 2.5× wall, the text gate at 1.8×, per 100× residents), and
+  * cumulative ingest cost over a corpus lifetime was quadratic.
+  *
+  * The fix is the `InvertedIndex` term-bucket idea generalized: the batch's
+  * key set is BOUNDED (a delivery), so
+  *
+  *   - layout: sidecars partition by `_kb = pmod(hash(key), 64)` and sort
+  *     by key inside each bucket file, written with small parquet pages
+  *     (4096 rows) so page-level column-index stats have point-lookup
+  *     granularity;
+  *   - lookup: the batch's distinct keys collect ONCE (they are bounded by
+  *     contract; a cap guards the adversarial case) and the resident scan
+  *     prunes to the touched `_kb` directories PLUS a pushed key predicate
+  *     — Spark pushes `In` to parquet as OR-of-eq under
+  *     `spark.sql.parquet.pushdown.inFilterThreshold` (raised to 1000 in
+  *     this engine's session builders) and as a min/max range above it, so
+  *     sorted pages prune either way. Per-batch read bytes become
+  *     O(batch keys × page size), independent of resident size.
+  *
+  * Size-adaptive: below [[MinPruneBytes]] of on-disk resident data the
+  * lookup returns the plain full scan — at that size the scan is cheaper
+  * than the key-collect job, so small corpora (and this repo's bench
+  * fixtures) pay ZERO extra jobs and keep their r12 plans bit-for-bit.
+  * Legacy layouts (no `_kb` directories) read unpruned, so old indexes
+  * stay servable.
+  *
+  * Correctness note: pruning is a pure RESTRICTION — a resident row whose
+  * key is not in the batch's key set cannot join/match anything — and the
+  * key predicate re-evaluates post-scan (parquet pushdown is best-effort),
+  * so a pruned lookup is semantically identical to the full scan it
+  * replaces. Bucket placement uses Spark's own `hash()` on BOTH the write
+  * and lookup sides (the `InvertedIndex.termBuckets` rule: build and query
+  * can never disagree on the modulus placement).
+  */
+object KeyedSidecar {
+
+  /** Bucket-count: 64 directories keeps writes one-file-per-bucket at
+    * this repo's scales while giving dir-level pruning headroom; at
+    * cluster scale the knob would grow with the table (a layout
+    * parameter, like `InvertedIndex.nBuckets`).
+    */
+  val NumBuckets = 64
+
+  /** The partition column name. Underscore-prefixed to stay out of the
+    * way of payload columns; lookups drop it before returning.
+    */
+  val BucketCol = "_kb"
+
+  /** Past this many distinct batch keys the "batch" is corpus-scale and a
+    * proportionate full scan beats literal pruning (and a plan carrying
+    * millions of literals). Lookups fall back to the full scan.
+    */
+  val MaxLookupKeys = 100000
+
+  /** Resident tables smaller than this on disk are cheaper to scan in
+    * full than to key-collect against — the lookup skips pruning (and its
+    * one collect job) entirely, which keeps small-corpus gate calls at
+    * their r12 job counts.
+    */
+  val MinPruneBytes: Long = 32L * 1024 * 1024
+
+  /** Parquet page row bound for sidecar writes: pages are the column-index
+    * pruning granule, so small pages = fine-grained point-lookup skipping.
+    * 4096 rows ≈ 32 KB for an int64 key column — header overhead stays
+    * trivial while a 500-key batch touches ≤ 500 × 4096 rows of a sorted
+    * table no matter how large the resident corpus grows.
+    */
+  val PageRowLimit = 4096
+
+  /** ~1 GB row bound per file (the `IvfIndex.MaxRecordsPerCellFile`
+    * rationale, restated locally to keep this package dependency-free).
+    */
+  val MaxRecordsPerFile: Long = 4L * 1000 * 1000
+
+  def bucketOf(key: Column): Column = pmod(hash(key), lit(NumBuckets))
+
+  /** Write (Overwrite) or append a sidecar: bucket-partitioned, key-sorted
+    * within each file, small pages. One shuffle of the written rows — the
+    * standard price of a bounded partitioned layout, batch-sized on
+    * appends. The sort lists `_kb` first so the writer's required
+    * partition ordering is already satisfied and the key order inside
+    * each file survives (a writer-inserted partition sort would not
+    * preserve it).
+    */
+  def write(df: DataFrame, keyCol: String, path: String, mode: SaveMode): Unit =
+    df.drop(BucketCol).withColumn(BucketCol, bucketOf(col(keyCol)))
+      .repartition(col(BucketCol))
+      .sortWithinPartitions(col(BucketCol), col(keyCol))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", PageRowLimit.toString)
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .partitionBy(BucketCol).parquet(path)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether a table on disk carries the bucketed layout. Appends MUST
+    * match the resident layout (mixed flat-files-plus-partition-dirs
+    * inside one table break partition discovery), so writers branch on
+    * this — the Hash64Index legacy-append precedent.
+    */
+  def isBucketed(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(spark, path)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(BucketCol + "="))
+  }
+
+  /** On-disk byte size of the table (driver metadata walk — bounded by
+    * file count; a production deployment would serve this from table
+    * stats instead).
+    */
+  private def tableBytes(spark: SparkSession, path: String): Long =
+    fsOf(spark, path).getContentSummary(new Path(path)).getLength
+
+  /** Point-lookup scan: the sidecar restricted to the batch's key set,
+    * pruned as far as the layout allows. `keys` must be a frame whose
+    * `keyCol` values are exactly the keys the caller will join/filter on
+    * — it is only EVALUATED (one distinct+collect job) when the resident
+    * table is big enough for pruning to pay. Returns the full scan when
+    * the table is small, the layout is legacy (unbucketed), or the batch
+    * key set exceeds [[MaxLookupKeys]]; always drops [[BucketCol]].
+    * Either way the result is semantically the full table as far as
+    * joins on `keyCol` (or on a superset of columns including it) are
+    * concerned — restriction to keys the batch does not carry is
+    * invisible to them.
+    */
+  def lookup(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): DataFrame =
+    lookup(spark, path, keyCol, keys, MinPruneBytes)
+
+  /** [[lookup]] with an explicit prune threshold — tests pass 0 to
+    * exercise the pruned path on small fixtures.
+    */
+  private[graft] def lookup(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, minPruneBytes: Long): DataFrame = {
+    val base = spark.read.parquet(path)
+    val bucketed = base.columns.contains(BucketCol)
+    def plain = if (bucketed) base.drop(BucketCol) else base
+    if (tableBytes(spark, path) < minPruneBytes) return plain
+    val collected = keys
+      .select(col(keyCol), bucketOf(col(keyCol)).cast("int").as("_b"))
+      .distinct().limit(MaxLookupKeys + 1).collect()
+    if (collected.length > MaxLookupKeys) return plain
+    if (collected.isEmpty) return plain.limit(0)
+    val ks: Array[Any] = collected.map(_.get(0))
+    val kf = col(keyCol).isin(ks: _*)
+    if (bucketed) {
+      val buckets: Array[Any] = collected.map(_.getInt(1): Any).distinct
+      base.filter(col(BucketCol).isin(buckets: _*) && kf).drop(BucketCol)
+    } else base.filter(kf)
+  }
+}

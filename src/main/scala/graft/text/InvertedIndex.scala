@@ -59,9 +59,11 @@ object InvertedIndex {
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
       .partitionBy("bucket")
       .parquet(s"$path/postings")
-    postings.groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("tf")).as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    // doc_id-keyed sidecar (r13): the append id-gate point-prunes to the
+    // batch's id buckets/pages instead of scanning every resident doclen
+    graft.sources.KeyedSidecar.write(
+      postings.groupBy(col("doc_id"), col("source")).agg(sum(col("tf")).as("dl")),
+      "doc_id", s"$path/doclens", SaveMode.Overwrite)
     spark.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
@@ -83,16 +85,22 @@ object InvertedIndex {
     // the batch on the left of the semi-join the corpus-sized doclens
     // table would sit on the build side and shuffle per append once past
     // broadcast size.
-    val resident = spark.read.parquet(s"$path/doclens").select(col("doc_id"))
+    val batchIds = batch.select(col("doc_id")).distinct()
+    val resident = graft.sources.KeyedSidecar
+      .lookup(spark, s"$path/doclens", "doc_id", batchIds)
+      .select(col("doc_id"))
     val clash = resident
-      .join(broadcast(batch.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       .select(countDistinct(col("doc_id"))).head.getLong(0)
     require(clash == 0L,
       s"appendBatch: $clash batch doc_id(s) already indexed — replay or id collision")
     val postings = postingsOf(batch, nBuckets).localCheckpoint(true)
-    postings.groupBy(col("doc_id"), col("source"))
+    val dlRows = postings.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("dl"))
-      .write.mode(SaveMode.Append).parquet(s"$path/doclens")
+    if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/doclens"))
+      graft.sources.KeyedSidecar.write(dlRows, "doc_id",
+        s"$path/doclens", SaveMode.Append)
+    else dlRows.write.mode(SaveMode.Append).parquet(s"$path/doclens")
     postings.repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
@@ -164,8 +172,10 @@ object InvertedIndex {
         .partitionBy("bucket").parquet(fresh)
     }
     graft.sources.CompactSwap.rewrite(spark, path, "doclens") { fresh =>
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/doclens"))
-        .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+      val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/doclens"))
+      if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/doclens"))
+        graft.sources.KeyedSidecar.write(kept, "doc_id", fresh, SaveMode.ErrorIfExists)
+      else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)

@@ -12,24 +12,43 @@ import graft.ops.Dedup
   * them — the text-dedup analog of the vector side's on-disk IVF family.
   *
   * Layout on disk (all md5-deterministic, so the DuckDB oracle reproduces
-  * the candidate sets bit-for-bit):
-  *   path/bands    — (doc_id, band_id, band_key), partitioned by band_id;
-  *                   the candidate join key. At cluster scale this table
-  *                   would be bucketBy(band_key) so the per-band join is
+  * the candidate sets bit-for-bit). Since r13 every keyed table is a
+  * [[graft.sources.KeyedSidecar]] — partitioned by `_kb = pmod(hash(key),
+  * 64)` and key-sorted inside each file — so per-batch reads point-prune
+  * to the batch's key buckets/pages instead of scanning the resident
+  * corpus (the r12 verdict's O(resident) scan term). Legacy flat layouts
+  * stay readable and appendable (writes match the resident layout).
+  *   path/ids      — (doc_id), keyed by doc_id: the id-disjointness
+  *                   gate's authority, written FIRST on append (covers
+  *                   unshingleable docs too; legacy layouts fall back to
+  *                   `hashes`).
+  *   path/bands    — (doc_id, band_id, band_key), partitioned by band_id,
+  *                   band_key-sorted within files; the candidate join key.
+  *                   At cluster scale this table would be
+  *                   bucketBy(band_key) so the per-band join is
   *                   co-located; partitionBy(band_id) keeps the layout
   *                   portable here.
-  *   path/shingles — (doc_id, shingle): the exact-Jaccard verify side.
-  *   path/sizes    — (doc_id, n_sh): shingle-set sizes for the union term.
-  *   path/winnow   — (doc_id, fp): winnowing fingerprints (MOSS tier) for
-  *                   the optional local-overlap gate — boilerplate/partial
-  *                   plagiarism that whole-doc Jaccard stays blind to.
-  *   path/hashes   — (doc_id, text_hash): the exact-duplicate arm.
+  *   path/shingles — (doc_id, shingle), keyed by doc_id: the
+  *                   exact-Jaccard verify side, point-read for CANDIDATE
+  *                   resident docs only.
+  *   path/sizes    — (doc_id, n_sh, text_hash), keyed by doc_id: sizes
+  *                   for the union term, CARRYING the resident content
+  *                   hash (the Hash64Index hash-carrying move) so the
+  *                   `is_exact` flag needs no separate hashes join.
+  *   path/winnow   — (doc_id, fp), keyed by fp: winnowing fingerprints
+  *                   (MOSS tier) for the optional local-overlap gate —
+  *                   boilerplate/partial plagiarism that whole-doc
+  *                   Jaccard stays blind to.
+  *   path/hashes   — (doc_id, text_hash), keyed by text_hash: the
+  *                   exact-duplicate arm, point-read by the batch's hash
+  *                   set.
   *
   * Query cost for a batch of b docs against a resident corpus of N: the
-  * batch derives its own shingles/bands map-side; the band join touches
-  * only buckets the batch's band keys hit; the verify join reads resident
-  * shingles for candidate docs only (join pushdown; at scale a bloom or
-  * DPP filter on doc_id). Nothing re-derives over N.
+  * batch derives its own shingles/bands map-side; the shingle/size/hash
+  * lookups point-read candidate/batch keys through the sidecar layout;
+  * only the band-candidate scan still reads O(N) — a narrow 3-column
+  * table, sorted by band_key so pushed predicates prune pages at scale.
+  * Nothing re-derives over N, and nothing resident crosses a shuffle.
   */
 object LshIndex {
 
@@ -44,6 +63,11 @@ object LshIndex {
     */
   private def bandPartitioned(bands: DataFrame): DataFrame =
     bands.repartition(col("band_id"), pmod(crc32(col("band_key")), lit(8)))
+      // band_key-sorted files: page-level column-index stats then prune
+      // pushed band-key predicates at scale (the KeyedSidecar sort rule;
+      // band_id leads so the writer's partition ordering is satisfied
+      // and no writer-inserted re-sort destroys the key order)
+      .sortWithinPartitions(col("band_id"), col("band_key"))
 
   /** Broadcast-BYTE cap for the gate's candidate-derived join sides.
     * Explicit `hint("broadcast")` bypasses autoBroadcastJoinThreshold
@@ -51,70 +75,117 @@ object LshIndex {
     * explosion and a driver/executor OOM — and a ROW cap stands on an
     * assumed row width that the data controls (the shingle string
     * dominates; the r11 cap of 5M rows already meant ~0.5 GB at ~100 B/row
-    * — near the cliff it existed to prevent). The guard therefore sums
-    * MEASURED bytes (fixed-width columns + actual string lengths + per-row
-    * object overhead) — one exact string-scan job over the CHECKPOINTED
-    * candidate set. A sampled-width shortcut (count × mean of the first
-    * 10⁴ rows) was tried and reverted: `limit` drains the first
-    * partitions of a band-clustered set, so the sampled mean can be
-    * systematically LOW exactly in the hot-band blowup this guard is the
-    * sole backstop for — an under-estimate here re-opens the
-    * forced-broadcast OOM cliff, and ~0.3 s of job time per gate call is
-    * the wrong thing to optimize against that. 128 MB measured ≈ a few
-    * hundred MB as an in-memory broadcast relation (row objects inflate
-    * 2–4×): comfortably inside default 1–4 GB driver/executor headroom;
-    * past it the joins distribute — slower, never a cliff.
+    * — near the cliff it existed to prevent). The measurement (r13, the
+    * r12 verdict's third option): the candidate set is ALREADY
+    * `localCheckpoint(true)`-materialized, so its actual block sizes sit
+    * in the block manager — [[materializedBytes]] reads them off
+    * `getRDDStorageInfo`, a driver-side metadata call: exact-as-stored,
+    * ZERO extra jobs. (r12 ran a full string-length scan job per gate
+    * call — exact but ~0.3–0.5 s each; a sampled-width shortcut before it
+    * was reverted because `limit` drains the first partitions of a
+    * band-clustered set and under-estimates exactly in the hot-band
+    * blowup this guard backstops.) Blocks store UnsafeRows, so the
+    * measure is real row bytes plus object headers — the same
+    * representation a broadcast relation holds, which its hash table then
+    * roughly doubles: 256 MB stored stays comfortably inside default
+    * 1–4 GB driver/executor headroom; past the cap the joins distribute —
+    * slower, never a cliff. If the storage lookup cannot resolve (plan
+    * shape drift), the guard falls back to the r12 exact string-scan job:
+    * correctness-of-memory beats speed here. Test override:
+    * `-Dgraft.lsh.maxGateBroadcastBytes=` pins the refusal path in
+    * `LshIndexSpec` without a multi-hundred-MB fixture.
     */
-  private val MaxGateBroadcastBytes = 128L * 1024 * 1024
+  private def maxGateBroadcastBytes: Long =
+    sys.props.get("graft.lsh.maxGateBroadcastBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 
-  /** Per-row overhead estimate for the broadcast-size guard: three int64
+  /** Per-row overhead estimate for the scan-fallback measure: three int64
     * pair/count columns + one int64 doc id + string/object headers.
     */
   private val GateRowOverheadBytes = 48L
 
-  /** Derive and persist every index table for the corpus. */
+  /** Measured bytes of an eagerly local-checkpointed DataFrame, straight
+    * off the block manager (memSize + diskSize across its cached
+    * partitions). Returns None when the plan is not the expected
+    * LogicalRDD or the blocks are not registered — callers must fall back
+    * to an exact measurement, never assume small.
+    */
+  private[graft] def materializedBytes(spark: SparkSession,
+      df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id)
+      .map(i => i.memSize + i.diskSize))
+
+  /** Derive and persist every index table for the corpus (the r13
+    * bucketed sidecar layout — see the object doc).
+    */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    import graft.sources.KeyedSidecar
     val sh = Dedup.shingles(docs).localCheckpoint(true)
-    sh.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sizes")
+    KeyedSidecar.write(docs.select(col("doc_id")), "doc_id",
+      s"$path/ids", SaveMode.Overwrite)
+    val hashRows = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Overwrite)
+    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Overwrite)
+    KeyedSidecar.write(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .join(hashRows, Seq("doc_id")),
+      "doc_id", s"$path/sizes", SaveMode.Overwrite)
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
       .partitionBy("band_id").parquet(s"$path/bands")
-    Dedup.winnowFingerprints(docs)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/winnow")
-    docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+    KeyedSidecar.write(Dedup.winnowFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp")),
+      "fp", s"$path/winnow", SaveMode.Overwrite)
   }
 
-  private val allTables = Seq("shingles", "sizes", "bands", "winnow", "hashes")
+  private val allTables = Seq("ids", "shingles", "sizes", "bands", "winnow", "hashes")
 
   /** Open-time compact-swap crash recovery (see [[graft.sources.CompactSwap]]). */
   private def recover(spark: SparkSession, path: String): Unit =
     graft.sources.CompactSwap.recover(spark, path, allTables)
 
-  /** Append a batch's derived rows into the index (no resident rewrite). */
+  /** Append a batch's derived rows into the index (no resident rewrite).
+    * Every write matches the RESIDENT layout — bucketed sidecar appends
+    * on r13 layouts, flat appends on legacy ones (mixing the two inside
+    * one table breaks partition discovery; the Hash64Index legacy-append
+    * precedent) — and the gate-authority tables go FIRST: a crash
+    * anywhere in this append leaves the batch's ids visible to the
+    * disjointness gate (`ids`, then `hashes` for legacy layouts), so a
+    * replayed batch trips the gate LOUDLY instead of silently
+    * double-appending the derived tables (duplicated shingle/size rows
+    * would inflate every future batch's Jaccard scores against these
+    * docs). The worst crash outcome is a doc with id/hash-only presence
+    * — caught by the gate and exact tier, never double-counted.
+    */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    import graft.sources.KeyedSidecar
     recover(spark, path)
-    // hashes are written FIRST because they are the table the
-    // id-disjointness gate checks: a crash anywhere in this append leaves
-    // the batch's ids visible in hashes, so a replayed batch trips the
-    // gate LOUDLY instead of silently double-appending the derived tables
-    // (duplicated shingle/size rows would inflate every future batch's
-    // Jaccard scores against these docs). The worst crash outcome is a
-    // doc with hash-only presence — caught by the exact tier, never
-    // double-counted.
-    batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
+    if (idsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsP))
+      KeyedSidecar.write(batch.select(col("doc_id")), "doc_id",
+        s"$path/ids", SaveMode.Append)
+    val hashRows = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    if (KeyedSidecar.isBucketed(spark, s"$path/hashes"))
+      KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Append)
+    else hashRows.write.mode(SaveMode.Append).parquet(s"$path/hashes")
     val sh = Dedup.shingles(batch).localCheckpoint(true)
-    sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      .write.mode(SaveMode.Append).parquet(s"$path/sizes")
-    Dedup.winnowFingerprints(batch)
+    if (KeyedSidecar.isBucketed(spark, s"$path/shingles"))
+      KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Append)
+    else sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    val sizeRows = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    if (KeyedSidecar.isBucketed(spark, s"$path/sizes"))
+      // r13 sizes carry the content hash (see the layout doc)
+      KeyedSidecar.write(sizeRows.join(hashRows, Seq("doc_id")), "doc_id",
+        s"$path/sizes", SaveMode.Append)
+    else sizeRows.write.mode(SaveMode.Append).parquet(s"$path/sizes")
+    val fpRows = Dedup.winnowFingerprints(batch)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .write.mode(SaveMode.Append).parquet(s"$path/winnow")
+    if (KeyedSidecar.isBucketed(spark, s"$path/winnow"))
+      KeyedSidecar.write(fpRows, "fp", s"$path/winnow", SaveMode.Append)
+    else fpRows.write.mode(SaveMode.Append).parquet(s"$path/winnow")
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
@@ -169,25 +240,34 @@ object LshIndex {
     * leftovers are swept on the next compaction.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    import graft.sources.KeyedSidecar
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    def rewrite(table: String, partitioned: Boolean): Unit =
+    def exists(table: String) = new org.apache.hadoop.fs.Path(s"$path/$table")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/$table"))
+    // each table rewrites in its RESIDENT layout: bucketed sidecars stay
+    // bucketed (KeyedSidecar.write re-derives `_kb` and the key sort),
+    // legacy flat tables stay flat
+    def rewrite(table: String, key: String, partitioned: Boolean = false): Unit =
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
         val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
         if (partitioned) bandPartitioned(kept).write.mode(SaveMode.ErrorIfExists)
           .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
           .partitionBy("band_id").parquet(fresh)
+        else if (KeyedSidecar.isBucketed(spark, s"$path/$table"))
+          KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
         else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
       }
-    rewrite("shingles", partitioned = false)
-    rewrite("sizes", partitioned = false)
-    rewrite("bands", partitioned = true)
-    // legacy layouts predate the winnow table; nothing to fold there
-    if (new org.apache.hadoop.fs.Path(s"$path/winnow")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$path/winnow")))
-      rewrite("winnow", partitioned = false)
-    rewrite("hashes", partitioned = false)
+    rewrite("shingles", "doc_id")
+    rewrite("sizes", "doc_id")
+    rewrite("bands", "", partitioned = true)
+    // legacy layouts predate the winnow and ids tables; nothing to fold
+    if (exists("winnow")) rewrite("winnow", "fp")
+    rewrite("hashes", "text_hash")
+    // the gate-authority sidecar folds LAST of the tables: a crash before
+    // this keeps deleted ids burned — conservative failure, like hashes
+    if (exists("ids")) rewrite("ids", "doc_id")
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -204,11 +284,20 @@ object LshIndex {
     * semi-join action per batch.
     */
   private def requireDisjointIds(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val clash = batch.select(col("doc_id"))
-      .join(spark.read.parquet(s"$path/hashes").select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIds = fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))
+    if (!hasIds && !fs.exists(new org.apache.hadoop.fs.Path(s"$path/hashes"))) return
+    val batchIds = batch.select(col("doc_id"))
+    // r13: the dedicated id sidecar point-reads the batch's key
+    // buckets/pages instead of scanning the corpus-sized hash table;
+    // legacy layouts (no ids table) keep the hashes-based gate. The
+    // semi-join enforces the restriction on every fallback path.
+    val authority =
+      if (hasIds) graft.sources.KeyedSidecar.lookup(spark, s"$path/ids", "doc_id", batchIds)
+      else spark.read.parquet(s"$path/hashes").select(col("doc_id"))
+    val clash = authority
+      .join(batchIds.hint("broadcast"), Seq("doc_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,
       s"batch doc_ids collide with resident doc_ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
@@ -259,36 +348,57 @@ object LshIndex {
     // only under the measured-byte cap; past it the joins distribute —
     // slower, never a forced-broadcast OOM cliff. The raw batch tables
     // above keep their unconditional hints: those ARE contract-bounded.
-    val rSh = spark.read.parquet(s"$path/shingles")
     val candShingled = cand
       .join(bSh.as("sa").hint("broadcast"), col("batch_doc_id") === col("sa.doc_id"))
       .localCheckpoint(true)
-    val candBytes = candShingled.agg(coalesce(
+    val candBytes = materializedBytes(spark, candShingled).getOrElse(
+      candShingled.agg(coalesce(
         sum(length(col("sa.shingle")).cast("long") + lit(GateRowOverheadBytes)),
-        lit(0L)).as("b")).head.getAs[Long]("b")
-    val candSmall = candBytes <= MaxGateBroadcastBytes
+        lit(0L)).as("b")).head.getAs[Long]("b"))
+    val candSmall = candBytes <= maxGateBroadcastBytes
     def guarded(df: DataFrame): DataFrame = if (candSmall) df.hint("broadcast") else df
+    // Candidate-keyed resident reads (r13): the verify and size fetches
+    // only need rows for CANDIDATE resident docs — already materialized
+    // in the checkpoint above — so shingles and sizes point-read through
+    // the KeyedSidecar layout (bucket-dir + sorted-page pruning once the
+    // resident table is big; plain scans on small/legacy layouts, where
+    // the joins below enforce the restriction as before).
+    val candResidentIds = candShingled.select(col("resident_doc_id").as("doc_id"))
+    val rSh = graft.sources.KeyedSidecar.lookup(spark,
+      s"$path/shingles", "doc_id", candResidentIds)
     val inter = guarded(candShingled)
       .join(rSh.as("sb"),
         col("resident_doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"))
       .agg(count(lit(1)).as("n_inter"))
-    val rSizes = spark.read.parquet(s"$path/sizes")
+    val rSizes = graft.sources.KeyedSidecar.lookup(spark,
+      s"$path/sizes", "doc_id", candResidentIds)
+    // r13 sizes CARRY the resident content hash (the Hash64Index
+    // hash-carrying move): is_exact needs no hashes join at all. Legacy
+    // sizes lack the column — those fall back to the hashes join below.
+    val sizesCarryHash = rSizes.columns.contains("text_hash")
+    val rSizeCols =
+      if (sizesCarryHash)
+        rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb"),
+          col("text_hash").as("r_hash"))
+      else rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb"))
     // downstream sides only shrink (inter ≤ candidate pairs ≤ candShingled
     // rows; scored is jaccard-filtered), so one guard decision covers all
     val scored = guarded(inter
       .join(bSizes.select(col("doc_id").as("batch_doc_id"), col("n_sh").as("na"))
         .hint("broadcast"), "batch_doc_id"))
-      .join(rSizes.select(col("doc_id").as("resident_doc_id"), col("n_sh").as("nb")),
-        "resident_doc_id")
+      .join(rSizeCols, "resident_doc_id")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
-    val rHashes = spark.read.parquet(s"$path/hashes")
     val bHashes = batch.select(col("doc_id").as("batch_doc_id"), md5(col("text")).as("b_hash"))
-    guarded(scored.join(bHashes.hint("broadcast"), "batch_doc_id"))
-      .join(rHashes.select(col("doc_id").as("resident_doc_id"), col("text_hash").as("r_hash")),
-        "resident_doc_id")
+    val withHashes =
+      if (sizesCarryHash) scored.join(bHashes.hint("broadcast"), "batch_doc_id")
+      else guarded(scored.join(bHashes.hint("broadcast"), "batch_doc_id"))
+        .join(spark.read.parquet(s"$path/hashes")
+          .select(col("doc_id").as("resident_doc_id"), col("text_hash").as("r_hash")),
+          "resident_doc_id")
+    withHashes
       .select(col("batch_doc_id"), col("resident_doc_id"), col("n_shared_bands"),
         col("jaccard"), (col("b_hash") === col("r_hash")).as("is_exact"))
       .orderBy(col("batch_doc_id"), col("resident_doc_id"))
@@ -322,14 +432,16 @@ object LshIndex {
     // the LSH report below cannot see — and spares them the LSH pipeline.
     // Shape: the RESIDENT side streams map-locally against the broadcast
     // batch hashes (inner join + distinct on the batch-bounded result) —
-    // equivalent to the previous candidates-semi-join-residents form, but
-    // nothing corpus-sized is ever shuffled (the old form also paid a
-    // full corpus-hash distinct per batch, pure waste under semi-join
-    // set semantics).
-    val residentHashes = dropTombstoned(spark, path, spark.read.parquet(s"$path/hashes"))
-      .select(col("text_hash").as("h"))
+    // nothing corpus-sized is ever shuffled — and since r13 the hashes
+    // table is keyed BY text_hash, so the read point-prunes to the
+    // batch's hash buckets/pages on big corpora instead of scanning every
+    // resident hash (the join enforces the restriction on fallbacks).
     val batchHashes = candidates
       .select(col("doc_id"), md5(col("text")).as("h"))
+    val residentHashes = dropTombstoned(spark, path,
+      graft.sources.KeyedSidecar.lookup(spark, s"$path/hashes", "text_hash",
+        batchHashes.select(col("h").as("text_hash"))))
+      .select(col("text_hash").as("h"))
     val exactDups = residentHashes
       .join(batchHashes.hint("broadcast"), "h")
       .select(col("doc_id")).distinct()
@@ -366,7 +478,10 @@ object LshIndex {
       val winnowP = new org.apache.hadoop.fs.Path(s"$path/winnow")
       val resident =
         if (winnowP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(winnowP))
-          spark.read.parquet(s"$path/winnow")
+          // r13: fp-keyed sidecar — the resident fp read point-prunes to
+          // the batch's fingerprint buckets/pages on big corpora
+          graft.sources.KeyedSidecar.lookup(spark, s"$path/winnow", "fp",
+            bFp.select(col("fp")))
         else spark.range(0).select(col("id").as("doc_id"), lit("").as("fp"))
       val rFp = dropTombstoned(spark, path, resident)
       // Only fingerprints the BATCH carries can form pairs, and their

@@ -56,7 +56,10 @@ object ParagraphIndex {
     * assumed already rebuilt by the batch operator or a prior ingest).
     */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit =
-    winners(lines(docs)).write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+    // norm-keyed sidecar (r13): the per-shard resident lookup point-prunes
+    // to the shard's own norm buckets/pages on big corpora
+    graft.sources.KeyedSidecar.write(winners(lines(docs)), "norm",
+      s"$path/hashes", SaveMode.Overwrite)
 
   /** Ingest one shard: cut every paragraph already resident (unless the
     * resident entry is this very occurrence — idempotent re-offers) or
@@ -78,7 +81,8 @@ object ParagraphIndex {
     // batch norm (the hashes table is norm-unique), i.e. batch-bounded,
     // and THAT broadcasts into the outer join. Checkpointed: it feeds the
     // mark join and the append anti-join — one resident scan, not two.
-    val resident = spark.read.parquet(s"$path/hashes")
+    val resident = graft.sources.KeyedSidecar
+      .lookup(spark, s"$path/hashes", "norm", batchWin.select(col("norm")))
       .select(col("norm"), col("first_doc").as("r_doc"), col("first_pos").as("r_pos"))
       .join(broadcast(batchWin.select(col("norm"))), Seq("norm"), "left_semi")
       .localCheckpoint(true)
@@ -104,8 +108,12 @@ object ParagraphIndex {
     // anti-join against the batch-bounded resident slice — equivalent to
     // anti-joining the full table (the semi-join filter above already
     // restricted to batch norms) without a second resident scan
-    batchWin.join(broadcast(resident.select(col("norm"))), Seq("norm"), "left_anti")
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    val newWinners = batchWin
+      .join(broadcast(resident.select(col("norm"))), Seq("norm"), "left_anti")
+    if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/hashes"))
+      graft.sources.KeyedSidecar.write(newWinners, "norm",
+        s"$path/hashes", SaveMode.Append)
+    else newWinners.write.mode(SaveMode.Append).parquet(s"$path/hashes")
     out
   }
 
@@ -116,9 +124,11 @@ object ParagraphIndex {
   def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
     recover(spark, path)
     graft.sources.CompactSwap.rewrite(spark, path, "hashes") { dst =>
-      spark.read.parquet(s"$path/hashes")
+      val kept = spark.read.parquet(s"$path/hashes")
         .filter(!col("first_doc").isin(docIds: _*))
-        .write.mode(SaveMode.Overwrite).parquet(dst)
+      if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/hashes"))
+        graft.sources.KeyedSidecar.write(kept, "norm", dst, SaveMode.Overwrite)
+      else kept.write.mode(SaveMode.Overwrite).parquet(dst)
     }
   }
 }

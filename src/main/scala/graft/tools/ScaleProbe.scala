@@ -31,11 +31,16 @@ import graft.ops.{Dedup, Similarity}
   */
 object ScaleProbe {
 
-  private case class Meas(wallSec: Double, maxTaskRead: Long, totalWrite: Long, rows: Long)
+  private case class Meas(wallSec: Double, maxTaskRead: Long, totalWrite: Long,
+      rows: Long, inputMB: Double)
 
   private def measure(spark: SparkSession)(action: => Long): Meas = {
     val maxRead = new AtomicLong(0L)
     val totWrite = new AtomicLong(0L)
+    // total SOURCE bytes read across tasks (parquet scans) — the r13
+    // resident-curve criterion: per-batch gate reads must stop growing
+    // with the resident corpus once the sidecar pruning engages
+    val totInput = new AtomicLong(0L)
     val lastEvent = new AtomicLong(System.nanoTime())
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -44,6 +49,7 @@ object ScaleProbe {
         if (m != null) {
           maxRead.getAndUpdate(l => math.max(l, m.shuffleReadMetrics.recordsRead))
           totWrite.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          totInput.addAndGet(m.inputMetrics.bytesRead)
           ()
         }
       }
@@ -56,11 +62,11 @@ object ScaleProbe {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       while (System.nanoTime() - lastEvent.get() < 700L * 1000 * 1000 &&
         System.nanoTime() < deadline) Thread.sleep(50)
-      Meas(wall, maxRead.get(), totWrite.get(), rows)
+      Meas(wall, maxRead.get(), totWrite.get(), rows, totInput.get() / 1e6)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  private def amplifyDocs(docs: DataFrame, reps: Int): DataFrame =
+  private[graft] def amplifyDocs(docs: DataFrame, reps: Int): DataFrame =
     (0 until reps).map { r =>
       if (r == 0) docs
       else docs.select(
@@ -149,6 +155,9 @@ object ScaleProbe {
       .appName("graft-scale-probe")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
+      // sidecar point-lookups push batch-key In predicates to parquet
+      // as OR-of-eq up to 1000 keys (page/row-group exact; see KeyedSidecar)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "WARN")
       .getOrCreate()
@@ -234,6 +243,13 @@ object ScaleProbe {
     def ivfGateDir(tag: String, emb: DataFrame): String = gateDir(s"ivf-$tag")(d =>
       graft.vector.IvfIndex.build(spark, emb, d,
         nCells = Similarity.autoCells(emb.count()), kmeansIters = 0))
+    // date-major nesting twin (r13 layout probe: ingest_date=/cell= —
+    // appends touch one new date tree, retention is a top-level delete;
+    // cell pruning by VALUE is unchanged, listing units differ)
+    def ivfGateDirDM(tag: String, emb: DataFrame): String = gateDir(s"ivfdm-$tag")(d =>
+      graft.vector.IvfIndex.build(spark, emb, d,
+        nCells = Similarity.autoCells(emb.count()), kmeansIters = 0,
+        dateMajor = true))
     def parGateDir(tag: String, docs: DataFrame): String = gateDir(s"par-$tag")(d =>
       graft.text.ParagraphIndex.build(spark, lined(docs), d))
     def withSource(d: DataFrame): DataFrame =
@@ -399,49 +415,54 @@ object ScaleProbe {
         () => graft.multimodal.Multimodal.videoNearPairs(vid1).count(),
         () => graft.multimodal.Multimodal.videoNearPairs(vidN).count()),
       // default (nCells = 0) now auto-scales the block count to the corpus
-      // (~256 rows/cell) — the fix for the round-8 probe's 10.6× finding
-      ("vec_hard_negatives",
+      // (~256 rows/cell) — the fix for the round-8 probe's 10.6× finding.
+      // *_self = spec-tier full self forms (see the vec_triplets_self note)
+      ("vec_hard_negatives_self",
         () => Similarity.hardNegatives(emb1).count(),
         () => Similarity.hardNegatives(embN).count()),
-      ("vec_label_audit",
+      ("vec_label_audit_self",
         () => Similarity.knnLabelAudit(emb1).count(),
         () => Similarity.knnLabelAudit(embN).count()),
       // the full self-join form — ~n^1.5 BY DESIGN under autoProbe (the
       // spec-level exactness tier since round 10; kept probed so the
-      // shape stays a measured number, not a claim)
-      ("vec_triplets",
+      // shape stays a measured number, not a claim). Row names here match
+      // the r12 REGISTRATIONS: unsuffixed = the registered layout-backed
+      // defaults, *_unindexed = the registered two-table anchored tier,
+      // *_self = the spec-tier full self forms (not registered).
+      ("vec_triplets_self",
         () => Similarity.tripletMine(emb1).count(),
         () => Similarity.tripletMine(embN).count()),
-      // the round-10 REGISTERED bounded-anchor forms: 256 fixed anchors
+      // the REGISTERED *_unindexed two-table forms: 256 fixed anchors
       // (hashDraw rule) against the growing corpus — per-anchor candidate
       // volume is autoProbe(√cells)·occupancy(~256), so wall grows ~√n
       // for fixed anchors instead of the self forms' n^1.5
-      ("vec_triplets_anchored",
+      ("vec_triplets_unindexed",
         () => Similarity.tripletMineFor(Similarity.anchorSample(emb1), emb1).count(),
         () => Similarity.tripletMineFor(Similarity.anchorSample(embN), embN).count()),
-      ("vec_hard_negatives_anchored",
+      ("vec_hard_negatives_unindexed",
         () => Similarity.hardNegativesFor(Similarity.anchorSample(emb1), emb1).count(),
         () => Similarity.hardNegativesFor(Similarity.anchorSample(embN), embN).count()),
-      ("vec_label_audit_anchored",
+      ("vec_label_audit_unindexed",
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(emb1), emb1).count(),
         () => Similarity.knnLabelAuditFor(Similarity.anchorSample(embN), embN).count()),
-      // the LAYOUT-BACKED mining forms: corpus cells come off disk (index
-      // built OUTSIDE the timed section — builds amortize), probed-cell
+      // the LAYOUT-BACKED mining forms — the REGISTERED r12 defaults
+      // (unsuffixed names): corpus cells come off disk (index built
+      // OUTSIDE the timed section — builds amortize), probed-cell
       // union prunes the scan statically. The cost term that makes the
       // two-table forms super-linear on an unindexed corpus — the
       // per-call O(n·cells·d) assignment — is gone; expect the per-batch
       // wall to track probed-cell row volume, not corpus size.
-      ("vec_triplets_indexed",
+      ("vec_triplets",
         () => graft.vector.IvfIndex.tripletMine(spark,
           ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
         () => graft.vector.IvfIndex.tripletMine(spark,
           ivfDir("Nx", embN), Similarity.anchorSample(embN)).count()),
-      ("vec_hard_negatives_indexed",
+      ("vec_hard_negatives",
         () => graft.vector.IvfIndex.hardNegatives(spark,
           ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
         () => graft.vector.IvfIndex.hardNegatives(spark,
           ivfDir("Nx", embN), Similarity.anchorSample(embN)).count()),
-      ("vec_label_audit_indexed",
+      ("vec_label_audit",
         () => graft.vector.IvfIndex.knnLabelAudit(spark,
           ivfDir("1x", emb1), Similarity.anchorSample(emb1)).count(),
         () => graft.vector.IvfIndex.knnLabelAudit(spark,
@@ -478,6 +499,13 @@ object ScaleProbe {
           ivfGateDir("1x", emb1), vecGateBatch()).count(),
         () => graft.vector.IvfIndex.dedupIngest(spark,
           ivfGateDir("Nx", embN), vecGateBatch()).count()),
+      // the SAME fixed delivery against the date-major layout — the r13
+      // commit-overhead / probe-scan A/B (decision recorded in SURVEY)
+      ("vec_incr_dedup_gate_dm",
+        () => graft.vector.IvfIndex.dedupIngest(spark,
+          ivfGateDirDM("1x", emb1), vecGateBatch()).count(),
+        () => graft.vector.IvfIndex.dedupIngest(spark,
+          ivfGateDirDM("Nx", embN), vecGateBatch()).count()),
       ("mm_phash_gate",
         () => graft.multimodal.PhashIndex.dedupIngest(spark,
           phashGateDir("1x", media1), phashGateBatch()).count(),
@@ -613,13 +641,14 @@ object ScaleProbe {
     // sections (they'd otherwise materialize inside the first measure())
     if (need("doc_incr_dedup_gate")) { lshDir("1x", docs1); lshDir("Nx", docsN); () }
     if (need("vec_incr_dedup_gate")) { ivfGateDir("1x", emb1); ivfGateDir("Nx", embN); () }
+    if (need("vec_incr_dedup_gate_dm")) { ivfGateDirDM("1x", emb1); ivfGateDirDM("Nx", embN); () }
     if (need("mm_phash_gate")) { phashGateDir("1x", media1); phashGateDir("Nx", mediaN); () }
     if (need("mm_audio_gate")) { audioGateDir("1x", aud1); audioGateDir("Nx", audN); () }
     if (need("mm_video_gate")) { videoGateDir("1x", vid1); videoGateDir("Nx", vidN); () }
     if (need("doc_par_gate")) { parGateDir("1x", docs1); parGateDir("Nx", docsN); () }
     if (need("doc_inverted_append")) { invGateDir("1x", docs1); invGateDir("Nx", docsN); () }
-    if (Seq("vec_cell_balance_layout", "vec_triplets_indexed",
-        "vec_hard_negatives_indexed", "vec_label_audit_indexed").exists(need)) {
+    if (Seq("vec_cell_balance_layout", "vec_triplets",
+        "vec_hard_negatives", "vec_label_audit").exists(need)) {
       ivfDir("1x", emb1); ivfDir("Nx", embN); ()
     }
     if (need("mm_phash_near")) { media1; mediaN }
@@ -635,14 +664,16 @@ object ScaleProbe {
     println(s"# scale probe: $sfDir vs ${reps}x (docs ${docs1.count()} -> ${docsN.count()}, " +
       s"vecs ${emb1.count()} -> ${embN.count()})")
     println("| op | t_1x (s) | t_Nx (s) | time ratio | rows_1x | rows_Nx | " +
-      "maxTaskRead_1x | maxTaskRead_Nx | shufWrite_1x | shufWrite_Nx |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
+      "maxTaskRead_1x | maxTaskRead_Nx | shufWrite_1x | shufWrite_Nx | " +
+      "readMB_1x | readMB_Nx |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|")
     probes.foreach { case (name, one, n) =>
       val m1 = measure(spark)(one())
       val mN = measure(spark)(n())
       println(f"| $name | ${m1.wallSec}%.1f | ${mN.wallSec}%.1f | " +
         f"${mN.wallSec / m1.wallSec}%.1fx | ${m1.rows} | ${mN.rows} | " +
-        f"${m1.maxTaskRead} | ${mN.maxTaskRead} | ${m1.totalWrite} | ${mN.totalWrite} |")
+        f"${m1.maxTaskRead} | ${mN.maxTaskRead} | ${m1.totalWrite} | ${mN.totalWrite} | " +
+        f"${m1.inputMB}%.1f | ${mN.inputMB}%.1f |")
     }
     spark.stop()
   }

@@ -115,9 +115,26 @@ object IvfIndex {
     * the standard price of a bounded-file partitioned layout, paid at
     * write time where it amortizes, not at every read.
     */
+  /** Whether the layout nests `ingest_date=` ABOVE `cell=` (date-major,
+    * r13 probe option) — detected from the first-level directory names so
+    * appends/compacts/retrains always preserve the resident nesting.
+    * Probe pruning by `cell` value works identically under either order
+    * (partition pruning is on values, not nesting); what differs is the
+    * LISTING unit: date-major appends touch one new top-level date tree
+    * and retention is a top-level delete, while cell-major reads list
+    * only probed cells' subtrees. See the r13 ScaleProbe comparison row.
+    */
+  private[graft] def layoutDateMajor(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+  }
+
   private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode,
       rowsPerTask: Long = CellWriteRowsPerTask,
-      knownCounts: Option[Seq[(String, Long)]] = None): Unit = {
+      knownCounts: Option[Seq[(String, Long)]] = None,
+      dateMajor: Boolean = false): Unit = {
     // Callers that already run a radii aggregation pass their counts in
     // (cellRadiiCounts — the counts then cost nothing); IvfPqIndex.build
     // derives them from its checkpointed residuals. The remaining fallback
@@ -134,11 +151,13 @@ object IvfIndex {
       if (hot.isEmpty) lit(1L)
       else coalesce(element_at(typedLit(hot),
         concat_ws("|", col("cell"), col("ingest_date"))), lit(1L))
+    val partCols =
+      if (dateMajor) Seq("ingest_date", "cell") else Seq("cell", "ingest_date")
     df.withColumn("_sk", pmod(crc32(col("vec_id").cast("string")), width))
       .repartition(col("cell"), col("ingest_date"), col("_sk"))
       .drop("_sk")
       .write.mode(mode).option("maxRecordsPerFile", MaxRecordsPerCellFile)
-      .partitionBy("cell", "ingest_date").parquet(path)
+      .partitionBy(partCols: _*).parquet(path)
   }
 
   /** Distance to the ASSIGNED (nearest) centroid is just the min over the
@@ -185,7 +204,8 @@ object IvfIndex {
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
       nCells: Int = 8, kmeansIters: Int = 3,
-      ingestDate: java.sql.Date = DefaultIngestDate): Unit = {
+      ingestDate: java.sql.Date = DefaultIngestDate,
+      dateMajor: Boolean = false): Unit = {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val assigned = assign(embeddings, centroids)
@@ -193,10 +213,20 @@ object IvfIndex {
     import spark.implicits._
     radii.toSeq.sorted.toDF("cid", "radius")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
+    // id sidecar (r13): the dedupIngest disjointness gate's authority. A
+    // compact bucketed/key-sorted table the gate point-reads per batch —
+    // WITHOUT it the gate scanned the whole cell×date layout's metadata
+    // (thousands of directories at scale; the r12 resident-curve probe
+    // measured the gate at 2.5× wall per 100× residents, all
+    // scan/metadata). Written BEFORE vectors so a replayed crash trips
+    // the gate loudly (the LshIndex hashes-first crash-ordering contract).
+    graft.sources.KeyedSidecar.write(assigned.select(col("vec_id")),
+      "vec_id", s"$path/ids", SaveMode.Overwrite)
     writeCells(assigned
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         lit(ingestDate).as("ingest_date")),
-      s"$path/vectors", SaveMode.Overwrite, knownCounts = Some(counts))
+      s"$path/vectors", SaveMode.Overwrite, knownCounts = Some(counts),
+      dateMajor = dateMajor)
   }
 
   /** Assign a new (vec_id, label, embedding) batch against the EXISTING
@@ -237,6 +267,16 @@ object IvfIndex {
     // contract every sidecar-merging store (e.g. a FAISS index file) has.
     // The swap below goes through a temp dir + rename so a concurrent
     // READER never observes a half-written sidecar.
+    // Gate-first crash ordering: the batch's ids land in the sidecar
+    // BEFORE anything else, so an at-least-once replay of a half-applied
+    // append trips the disjointness gate loudly instead of silently
+    // double-appending. Appends only EXTEND an existing sidecar — a
+    // legacy layout without one must stay sidecar-less (a partial ids
+    // table would silently blind the gate to older residents).
+    val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
+    if (idsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsP))
+      graft.sources.KeyedSidecar.write(dated.select(col("vec_id")),
+        "vec_id", s"$path/ids", SaveMode.Append)
     val (batchRadii, batchCounts) =
       cellRadiiCounts(dated, centroids, col("ingest_date"))
     val radiiPath = new org.apache.hadoop.fs.Path(s"$path/radii")
@@ -257,7 +297,8 @@ object IvfIndex {
     writeCells(dated
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         col("ingest_date")),
-      s"$path/vectors", SaveMode.Append, knownCounts = Some(batchCounts))
+      s"$path/vectors", SaveMode.Append, knownCounts = Some(batchCounts),
+      dateMajor = layoutDateMajor(spark, path))
   }
 
   /** Logical point deletes — takedown/GDPR removal for the vector tier,
@@ -287,7 +328,7 @@ object IvfIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     Option(p.getParent).foreach(parent =>
       graft.sources.CompactSwap.recover(spark, parent.toString, Seq(p.getName)))
-    graft.sources.CompactSwap.recover(spark, path, Seq("vectors"))
+    graft.sources.CompactSwap.recover(spark, path, Seq("vectors", "ids"))
   }
 
   /** Retrain the index in place: fresh centroids from the CURRENT resident
@@ -320,6 +361,7 @@ object IvfIndex {
   def retrain(spark: SparkSession, path: String, nCells: Int = 8,
       rounds: Int = 3): Seq[graft.ops.Similarity.KmeansRound] = {
     recover(spark, path)
+    val wasDateMajor = layoutDateMajor(spark, path)
     val resident = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
       .select(col("vec_id"), col("label"), col("embedding"), col("ingest_date"))
       .localCheckpoint(true) // consumed by training rounds AND the rewrite
@@ -336,10 +378,15 @@ object IvfIndex {
       val (radii, counts) = cellRadiiCounts(assigned, centroidsDf, col("ingest_date"))
       radii.toSeq.sorted.toDF("cid", "radius")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$fresh/radii")
+      // fresh-generation id sidecar (retrain is also a compact: the
+      // tombstone log does not carry over, so neither do its ids)
+      graft.sources.KeyedSidecar.write(assigned.select(col("vec_id")),
+        "vec_id", s"$fresh/ids", SaveMode.ErrorIfExists)
       writeCells(assigned
         .select(col("vec_id"), col("label"), col("embedding"),
           col("cid").as("cell"), col("ingest_date")),
-        s"$fresh/vectors", SaveMode.ErrorIfExists, knownCounts = Some(counts))
+        s"$fresh/vectors", SaveMode.ErrorIfExists, knownCounts = Some(counts),
+        dateMajor = wasDateMajor)
     }
     stats
   }
@@ -376,10 +423,23 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
+    val wasDateMajor = layoutDateMajor(spark, path)
     graft.sources.CompactSwap.rewrite(spark, path, "vectors") { fresh =>
       writeCells(dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors")),
-        fresh, SaveMode.ErrorIfExists)
+        fresh, SaveMode.ErrorIfExists, dateMajor = wasDateMajor)
     }
+    // Fold tombstones out of the id sidecar too (AFTER vectors: a crash
+    // between the two leaves deleted ids burned longer — conservative,
+    // like every ordering on this store). Legacy/PQ layouts without the
+    // sidecar skip it.
+    val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
+    if (idsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsP))
+      graft.sources.CompactSwap.rewrite(spark, path, "ids") { fresh =>
+        graft.sources.KeyedSidecar.write(
+          dropTombstoned(spark, path, spark.read.parquet(s"$path/ids"))
+            .select(col("vec_id")),
+          "vec_id", fresh, SaveMode.ErrorIfExists)
+      }
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -519,19 +579,30 @@ object IvfIndex {
     val root = new Path(s"$path/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val cells = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-    cells.flatMap { cellDir =>
-      fs.listStatus(cellDir.getPath).toSeq
+    def expired(name: String): Boolean =
+      !java.time.LocalDate.parse(name.stripPrefix("ingest_date=")).isAfter(cutoff)
+    if (layoutDateMajor(spark, path)) {
+      // date-major nesting: retention is ONE top-level listing and one
+      // recursive delete per expired day — the layout's headline win
+      fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
-        .filter { st =>
-          val day = java.time.LocalDate.parse(st.getPath.getName.stripPrefix("ingest_date="))
-          !day.isAfter(cutoff)
-        }
+        .filter(st => expired(st.getPath.getName))
         .map { st =>
           fs.delete(st.getPath, true)
-          s"${cellDir.getPath.getName}/${st.getPath.getName}"
+          st.getPath.getName
         }
+    } else {
+      val cells = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      cells.flatMap { cellDir =>
+        fs.listStatus(cellDir.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+          .filter(st => expired(st.getPath.getName))
+          .map { st =>
+            fs.delete(st.getPath, true)
+            s"${cellDir.getPath.getName}/${st.getPath.getName}"
+          }
+      }
     }
   }
 
@@ -694,7 +765,21 @@ object IvfIndex {
     // batch (measured on the text gate: 2.6M records for a 500-doc batch).
     val residentVectors = spark.read.parquet(s"$path/vectors")
     val batchIds = batch.select(col("vec_id")).localCheckpoint(true)
-    val clash = residentVectors.select(col("vec_id"))
+    // Disjointness gate off the bucketed id SIDECAR when the layout has
+    // one (r13): a point-read pruned to the batch's key buckets/pages
+    // instead of a full metadata pass over the cell×date layout — the
+    // per-batch cost stops growing with the resident corpus. KeyedSidecar
+    // falls back to the full (tiny-table or legacy) scan, so the
+    // semi-join below is what enforces the restriction either way; on a
+    // legacy layout without the sidecar the gate reads `vectors` as
+    // before. Both read the layout RAW — tombstoned ids stay burned
+    // until compact.
+    val idsGateP = new org.apache.hadoop.fs.Path(s"$path/ids")
+    val idAuthority =
+      if (idsGateP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsGateP))
+        graft.sources.KeyedSidecar.lookup(spark, s"$path/ids", "vec_id", batchIds)
+      else residentVectors.select(col("vec_id"))
+    val clash = idAuthority.select(col("vec_id"))
       .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,

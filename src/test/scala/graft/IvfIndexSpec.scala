@@ -220,6 +220,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.search(spark, dir, qv, 10, 2).collect().nonEmpty)
   }
 
+  test("date-major layout: identical serving, appends preserve nesting, retention is top-level") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cm = java.nio.file.Files.createTempDirectory("graft-ivf-cm").toString + "/ivf"
+    val dm = java.nio.file.Files.createTempDirectory("graft-ivf-dm").toString + "/ivf"
+    IvfIndex.build(spark, emb, cm, kmeansIters = 0,
+      ingestDate = java.sql.Date.valueOf("2024-03-01"))
+    IvfIndex.build(spark, emb, dm, kmeansIters = 0,
+      ingestDate = java.sql.Date.valueOf("2024-03-01"), dateMajor = true)
+    assert(!IvfIndex.layoutDateMajor(spark, cm) && IvfIndex.layoutDateMajor(spark, dm))
+    // appends detect and PRESERVE the nesting (a mixed tree breaks discovery)
+    val batch = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("label"), col("embedding"))
+    IvfIndex.appendBatch(spark, batch, cm, java.sql.Date.valueOf("2024-01-01"))
+    IvfIndex.appendBatch(spark, batch, dm, java.sql.Date.valueOf("2024-01-01"))
+    assert(IvfIndex.layoutDateMajor(spark, dm))
+    val top = new java.io.File(s"$dm/vectors").listFiles().map(_.getName)
+      .filter(_.contains("="))
+    assert(top.nonEmpty && top.forall(_.startsWith("ingest_date=")), top.mkString(","))
+    // serving equality: search + the dedup gate verdicts are layout-blind
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    def served(d: String) = IvfIndex.search(spark, d, qv, k = 20, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq"))).toSeq
+    assert(served(cm) == served(dm))
+    val gb = emb.limit(50).select((col("vec_id") + 900000L).as("vec_id"),
+      col("label"), col("embedding"))
+    def verdicts(d: String) = IvfIndex.dedupIngest(spark, d, gb).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(verdicts(cm) == verdicts(dm))
+    // retention on date-major: ONE top-level delete, same serving outcome
+    val dropped = IvfIndex.retain(spark, dm, java.sql.Date.valueOf("2024-03-01"))
+    assert(dropped == Seq("ingest_date=2024-01-01"), s"unexpected drops: $dropped")
+    val after = IvfIndex.search(spark, dm, qv, k = 500, nProbe = 8).collect()
+    assert(after.nonEmpty && after.forall(_.getAs[Long]("vec_id") < 100000L))
+  }
+
   test("on-disk batch kNN join equals the logical knnJoin on the same seeds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf6").toString + "/ivf"
     val emb = Tables.embeddings(spark, sf)

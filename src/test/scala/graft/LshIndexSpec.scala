@@ -22,6 +22,45 @@ class LshIndexSpec extends SparkSpec {
       s"a bounded delivery batch must broadcast against every resident table:\n${plan.take(3000)}")
   }
 
+  test("broadcast guard reads the checkpoint's block-manager size; a tiny cap refuses the hint") {
+    // 1) the zero-job measure must RESOLVE for an eagerly checkpointed
+    // frame — if the LogicalRDD lookup ever breaks, every gate call would
+    // silently pay the fallback string-scan job again (the r12 cost this
+    // replaced), so pin resolution itself.
+    val docs = Tables.documents(spark, sf)
+    val ck = docs.limit(50).localCheckpoint(true)
+    val measured = LshIndex.materializedBytes(spark, ck)
+    assert(measured.exists(_ > 0L),
+      s"block-manager size lookup must resolve for a checkpointed frame, got $measured")
+    // 2) refusal pin: under a 1-byte cap the candidate-derived sides must
+    // NOT broadcast (the OOM backstop), the joins distribute, and the
+    // output is IDENTICAL to the broadcast path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-guard").toString + "/idx"
+    LshIndex.build(spark, docs, dir)
+    val batch = fixtureBatch(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id"),
+        r.getAs[Long]("n_shared_bands"), r.getAs[Double]("jaccard"),
+        r.getAs[Boolean]("is_exact"))).toSeq
+    val open = rows(LshIndex.dedupBatch(spark, dir, batch))
+    assert(open.nonEmpty)
+    // disable auto-broadcast too: at spec scale Spark would otherwise
+    // self-broadcast the tiny resident sides and mask the refusal
+    val auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    System.setProperty("graft.lsh.maxGateBroadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = LshIndex.dedupBatch(spark, dir, batch)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cap=1 must distribute the candidate joins:\n${plan.take(2000)}")
+      assert(rows(gated) == open, "guarded path must not change the verdicts")
+    } finally {
+      System.clearProperty("graft.lsh.maxGateBroadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+    }
+  }
+
   test("band writes are file-bounded: ≤ 8 files per band directory from a multi-task writer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-files").toString + "/idx"
     LshIndex.build(spark, Tables.documents(spark, sf).repartition(16), dir)

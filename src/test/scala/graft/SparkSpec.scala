@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // sidecar point-lookups push batch-key In predicates to parquet
+      // as OR-of-eq up to 1000 keys (page-exact; see KeyedSidecar)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
