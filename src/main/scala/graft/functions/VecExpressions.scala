@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §4:
   * "custom Expression for fused L2 distance ... is a perf option").
@@ -75,4 +76,77 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends FloatVecFol
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "vec_l2sq"
+}
+
+/** The k nearest centroids of a vector as ONE expression node —
+  * array<struct<d: double, cid: long>> in ascending (d, cid) order.
+  *
+  * The assignment/probe sites used to build nCells SEPARATE
+  * `FloatVecL2Sq(col, typedLit(centroid))` subtrees inside
+  * `array_sort(array(...))`: correct, but the expression TREE grows
+  * linearly with the cell count, and Catalyst pays
+  * analysis/optimization/codegen on that tree at EVERY action — the r13
+  * resident-curve probe measured the vector ingest gate's wall 2.5× at
+  * 100× residents with FLAT read bytes: all of it driver planning over a
+  * ~780-literal tree (autoCells grows with the corpus; a gate call plans
+  * it in 3–4 separate jobs). Here the centroid matrix is plain object
+  * state on a single node — plan size and planning cost are
+  * CONSTANT in nCells; evaluation is the same flops in a tight
+  * primitive loop.
+  *
+  * Determinism contract: per-centroid distance accumulates
+  * (float→double widened) elementwise left-to-right with the exact
+  * [[FloatVecL2Sq]] step, and ordering ties break by cid ascending —
+  * bitwise the struct-sort semantics of the literal form it replaces
+  * (SimilaritySpec pins equality, ties included). CodegenFallback: the
+  * eval IS a compiled primitive loop; generating Java for it would buy
+  * nothing and the fallback keeps the node one reference call inside
+  * whole-stage codegen.
+  */
+case class FloatVecNearestCells(child: Expression, cids: Array[Long],
+    cents: Array[Array[Float]], k: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(cids.length == cents.length, "one cid per centroid")
+  require(k >= 1, "k must be positive")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = cents.length
+    val ds = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val m = math.min(xs.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xa = xs.getFloat(i).toDouble
+        val xb = cent(i).toDouble
+        acc += (xa - xb) * (xa - xb)
+        i += 1
+      }
+      ds(c) = acc
+      c += 1
+    }
+    // total order (d, cid) — TotalOrdering compares doubles like
+    // java.lang.Double.compare, the same rule Spark's struct sort uses
+    val order = Array.tabulate(n)(identity).sortBy(i => (ds(i), cids(i)))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    var j = 0
+    while (j < kk) {
+      out(j) = InternalRow(ds(order(j)), cids(order(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "vec_nearest_cells"
 }

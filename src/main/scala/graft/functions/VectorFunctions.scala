@@ -31,6 +31,28 @@ object VectorFunctions {
     */
   def l2Sq(a: Column, b: Column): Column = toCol(FloatVecL2Sq(toExpr(a), toExpr(b)))
 
+  /** The k nearest centroids as array<struct<d, cid>> in (d, cid) order —
+    * one [[FloatVecNearestCells]] node whose plan cost is CONSTANT in the
+    * centroid count (vs the nCells-literal `array_sort(array(...))` form
+    * it replaces on every assignment/probe site; bitwise-equal results,
+    * SimilaritySpec-pinned).
+    */
+  def nearestCells(emb: Column, cents: Seq[(Long, Seq[Float])], k: Int): Column =
+    toCol(FloatVecNearestCells(toExpr(emb),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, k))
+
+  /** Nearest-centroid cid — the map-only argmin assignment column. */
+  def nearestCellCid(emb: Column, cents: Seq[(Long, Seq[Float])]): Column =
+    element_at(nearestCells(emb, cents, 1), 1).getField("cid")
+
+  /** Distance to the nearest centroid (squared L2). */
+  def nearestCellDistSq(emb: Column, cents: Seq[(Long, Seq[Float])]): Column =
+    element_at(nearestCells(emb, cents, 1), 1).getField("d")
+
+  /** The k nearest cids in probe order — the multi-probe cell list. */
+  def orderedCellCids(emb: Column, cents: Seq[(Long, Seq[Float])], k: Int): Column =
+    transform(nearestCells(emb, cents, k), x => x.getField("cid"))
+
   /** Higher-order-function twins of dot/l2Sq — the compose-built-ins
     * formulation (SURVEY §2.9). Kept as the semantics reference: specs
     * assert the native expressions produce bitwise-equal results.

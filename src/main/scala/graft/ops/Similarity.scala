@@ -128,22 +128,23 @@ object Similarity {
   def ivfSearch(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
     // Centroids collected once (nCells × dim, constant size): assignment is
-    // a map-only argmin over a literal array — same tie-break (distance,
-    // cid) as the crossJoin + per-vector window it replaces, at none of the
-    // shuffle cost (see cosineDupPairsBlocked for the same pattern).
-    // MEASURED pitfall (r10, 100k rows × 256 centroids): the "cheaper"
-    // array_min(structs).getField("cid") is ~25× SLOWER than this
-    // array_sort form — ArrayMin is CodegenFallback, which drags the
-    // whole literal-centroid array (and every l2Sq inside it) out of
-    // whole-stage codegen into interpreted eval. Keep the sort.
+    // a map-only argmin over the driver-collected matrix — same tie-break
+    // (distance, cid) as the crossJoin + per-vector window it replaces, at
+    // none of the shuffle cost. Expression-shape history: the r10 form was
+    // nCells separate l2Sq-literal subtrees under array_sort (codegen'd —
+    // measured 25× FASTER than array_min, whose CodegenFallback dragged
+    // every interpreted l2Sq closure with it); r13 replaced the whole tree
+    // with ONE FloatVecNearestCells node (matrix as object state, eval a
+    // compiled primitive loop — no per-element closures, so the r10
+    // fallback pitfall doesn't apply) after the 100×-resident probe
+    // measured Catalyst PLANNING over the ~780-literal tree as the vector
+    // gate's dominant growth term. Bitwise-equal results,
+    // SimilaritySpec-pinned, ties included.
     val cents = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val nearestCell = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1).cast("long")
+    val nearestCell = graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"), cents.map { case (c, v) => (c.toLong, v) }.toSeq)
     val assigned = embeddings
       .select(col("vec_id"), col("label"), col("embedding"), nearestCell.as("cid"))
     val q = queryVec(embeddings, queryId)
@@ -185,11 +186,9 @@ object Similarity {
     val cents = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val nearestCell = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1).cast("long")
+    val centsL = cents.map { case (c, v) => (c.toLong, v) }.toSeq
+    val nearestCell = graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"), centsL)
     val assigned = embeddings
       .select(col("vec_id"), col("embedding"), nearestCell.as("cid"))
     val queries = embeddings.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
@@ -204,11 +203,8 @@ object Similarity {
       .select(col("qid"), explode(col("top.id")).as("vec_id"))
     // probe rank of every cell per query (0-based): one map-only explode
     // of the sorted literal-centroid distances — shared by all budgets
-    val centStructsQ = cents.map { case (cid, v) =>
-      struct(l2Sq(col("q_emb"), typedLit(v)).as("d"), lit(cid.toLong).as("cid"))
-    }
-    val orderedCids = transform(array_sort(array(centStructsQ.toSeq: _*)),
-      x => x.getField("cid"))
+    val orderedCids = graft.functions.VectorFunctions.orderedCellCids(
+      col("q_emb"), centsL, centsL.length)
     val cand = queries
       .select(col("qid"), col("q_emb"), posexplode(orderedCids).as(Seq("pr", "cid")))
       .join(assigned, Seq("cid"))
@@ -266,16 +262,14 @@ object Similarity {
     val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    // array_sort on struct<d,cid>: distance order, cid tie-break — the same
-    // deterministic assignment as ivfSearch/IvfIndex.
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val centsL = cents.map { case (cc, v) => (cc.toLong, v) }.toSeq
+    // (distance, cid) order — the same deterministic assignment as
+    // ivfSearch/IvfIndex, one constant-size FloatVecNearestCells node.
     val c = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
-      element_at(sortedCells, 1).cast("long").as("cell"))
+      graft.functions.VectorFunctions.nearestCellCid(col("embedding"), centsL).as("cell"))
     val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-      explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
+      explode(graft.functions.VectorFunctions.orderedCellCids(
+        col("embedding"), centsL, probes)).as("cell"))
     q.join(c, "cell")
       .withColumn("d2", l2Sq(col("q_emb"), col("c_emb")))
       .groupBy(col("q_vec_id"))
@@ -446,12 +440,9 @@ object Similarity {
   /** The same probe-list expression from EXPLICIT (cid, centroid) pairs —
     * e.g. an IVF layout's centroid sidecar.
     */
-  private[graft] def centroidProbeExpr(cents: Array[(Int, Seq[Float])]): org.apache.spark.sql.Column = {
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-  }
+  private[graft] def centroidProbeExpr(cents: Array[(Int, Seq[Float])]): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.orderedCellCids(col("embedding"),
+      cents.map { case (c, v) => (c.toLong, v) }.toSeq, cents.length)
 
   /** [[hardNegativesFor]]'s pipeline over a PRE-ASSIGNED corpus — the core
     * shared with the layout-backed form ([[graft.vector.IvfIndex.hardNegatives]]),
@@ -668,13 +659,10 @@ object Similarity {
     * just decoupled from the seed convention so a training loop can feed
     * round-t centroids back in. Map-only, (distance, cid) tie-break.
     */
-  def assignCells(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame = {
-    val centStructs = cents.zipWithIndex.map { case (v, cid) =>
-      struct(l2Sq(col("embedding"), typedLit(v.toSeq)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
-  }
+  def assignCells(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("cell", graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"),
+      cents.zipWithIndex.map { case (v, cid) => (cid.toLong, v.toSeq) }.toSeq))
 
   /** One exact Lloyd step against EXPLICIT centroids, presentation-sorted —
     * [[kmeansStep]] generalized past the seed convention; the registered
@@ -767,11 +755,8 @@ object Similarity {
         s"no seed vectors with vec_id < $k — the seed-cell convention needs low ids present")
       return embeddings.withColumn("cell", lit(null).cast("long"))
     }
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
-    embeddings.withColumn("cell", element_at(sortedCells, 1).cast("long"))
+    embeddings.withColumn("cell", graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"), cents.map { case (c, v) => (c.toLong, v) }.toSeq))
   }
 
   /** IVF cell-occupancy balance audit — "measure, don't guess" for the
@@ -942,12 +927,9 @@ object Similarity {
     val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val sortedCells = transform(array_sort(array(centStructs.toSeq: _*)), x => x.getField("cid"))
+    val centsL = cents.map { case (c, v) => (c.toLong, v) }.toSeq
     val assigned = corpus.select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
-      element_at(sortedCells, 1).cast("long").as("cell"))
+      graft.functions.VectorFunctions.nearestCellCid(col("embedding"), centsL).as("cell"))
     // Constant-size stats: nCells rows → driver map of salt counts.
     val saltOf: Map[Long, Int] = assigned.groupBy(col("cell")).count()
       .collect().map { r =>
@@ -959,7 +941,8 @@ object Similarity {
       pmod(col("c_vec_id"), element_at(saltMap, col("cell")).cast("long")))
     // queries fan out to every salt of each probed cell
     val qSalted = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-        explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
+        explode(graft.functions.VectorFunctions.orderedCellCids(
+          col("embedding"), centsL, probes)).as("cell"))
       .withColumn("salt", explode(sequence(lit(0L),
         element_at(saltMap, col("cell")).cast("long") - 1L)))
     qSalted.join(c, Seq("cell", "salt"))
@@ -997,13 +980,10 @@ object Similarity {
     val cents = embeddings.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    // array_sort on struct<d,cid> orders by distance then cid — identical
-    // tie-breaking to the windowed row_number it replaces.
-    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1, probes)
+    // (distance, cid) tie-break — identical to the windowed row_number it
+    // replaces, one constant-size FloatVecNearestCells node.
+    val probeCells = graft.functions.VectorFunctions.orderedCellCids(
+      col("embedding"), cents.map { case (c, v) => (c.toLong, v) }.toSeq, probes)
     // Cell assignment and the exact verify are the per-row-heavy stages —
     // seed parallelism on the raw vector stream (no-op on real layouts).
     val emb = Par.seed(embeddings, col("vec_id"))

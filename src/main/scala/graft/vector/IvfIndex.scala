@@ -24,13 +24,11 @@ object IvfIndex {
     */
   private[vector] def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1)
-    embeddings.withColumn("cid", nearest)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // one constant-size expression node (FloatVecNearestCells) — the
+    // nCells-literal array_sort form made PLANNING linear in the cell
+    // count, the r13 vec-gate resident-curve residual
+    embeddings.withColumn("cid", nearestCellCid(col("embedding"), cents))
   }
 
   /** Lloyd's k-means over the corpus, seeded deterministically with the
@@ -131,6 +129,30 @@ object IvfIndex {
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
   }
 
+  /** The on-disk directories of the given cells, under either nesting —
+    * so a bounded probe set reads WITHOUT a whole-tree listing (one
+    * top-level listStatus for cell-major; one per date tree for
+    * date-major, dates bounded by retention). None = not a recognizable
+    * partitioned layout (caller falls back to the full read); Some(empty)
+    * = none of the probed cells has resident rows.
+    */
+  private def probedCellDirs(spark: SparkSession, path: String,
+      probed: Array[Long]): Option[Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val probedNames = probed.map(c => s"cell=$c").toSet
+    val top = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    if (top.exists(_.getName.startsWith("ingest_date="))) {
+      Some(top.filter(_.getName.startsWith("ingest_date=")).toSeq.flatMap(d =>
+        fs.listStatus(d)
+          .filter(st => st.isDirectory && probedNames.contains(st.getPath.getName))
+          .map(_.getPath.toString).toSeq))
+    } else if (top.exists(_.getName.startsWith("cell="))) {
+      Some(top.filter(p => probedNames.contains(p.getName)).map(_.toString).toSeq)
+    } else None
+  }
+
   private[graft] def writeCells(df: DataFrame, path: String, mode: SaveMode,
       rowsPerTask: Long = CellWriteRowsPerTask,
       knownCounts: Option[Seq[(String, Long)]] = None,
@@ -165,8 +187,10 @@ object IvfIndex {
     * scan, no join.
     */
   private def nearestDist(centroids: DataFrame): org.apache.spark.sql.Column = {
-    val cents = centroids.select(col("c_embedding")).collect().map(_.getSeq[Float](0))
-    sqrt(least(cents.map(v => l2Sq(col("embedding"), typedLit(v))): _*))
+    val cents = centroids.select(col("c_embedding")).collect()
+      .map(_.getSeq[Float](0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+    sqrt(nearestCellDistSq(col("embedding"), cents))
   }
 
   /** Per-cell covering radius (max member↔centroid distance) — the tiny
@@ -526,7 +550,16 @@ object IvfIndex {
     val probed = anchors
       .select(explode(slice(sortedCells, 1, probes).cast("array<long>")).as("cell"))
       .distinct().collect().map(_.getLong(0))
-    val resident = dropTombstoned(spark, path, spark.read.parquet(s"$path/vectors"))
+    // probed-dir read (r13): list only the probed cells' directories
+    // instead of the whole cells×dates tree (the dedupIngest convention)
+    val residentBase = probedCellDirs(spark, path, probed) match {
+      case Some(dirs) if dirs.nonEmpty =>
+        spark.read.option("basePath", s"$path/vectors").parquet(dirs: _*)
+      case Some(_) => anchors.select(col("vec_id"), col("embedding"),
+        col("label"), lit(0L).cast("int").as("cell")).limit(0)
+      case None => spark.read.parquet(s"$path/vectors")
+    }
+    val resident = dropTombstoned(spark, path, residentBase)
       .select(col("vec_id").as("c_vec_id"), col("embedding").as("c_emb"),
         col("label").as("c_label"), col("cell").cast("long").as("cell"))
       .filter(col("cell").isin(probed: _*))
@@ -606,19 +639,16 @@ object IvfIndex {
     }
   }
 
-  /** Multi-probe cell list for the `embedding` column as a literal-centroid
-    * codegen expression: the nProbe nearest cells, (distance, cid)
-    * tie-broken — shared by the batch kNN join and the dedup ingest gate.
+  /** Multi-probe cell list for the `embedding` column: the nProbe nearest
+    * cells, (distance, cid) tie-broken — shared by the batch kNN join and
+    * the dedup ingest gate. One constant-size FloatVecNearestCells node
+    * (see [[assign]]).
     */
   private def probeCellsExpr(spark: SparkSession, path: String, nProbe: Int): org.apache.spark.sql.Column = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    slice(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1, nProbe)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    orderedCellCids(col("embedding"), cents, nProbe)
   }
 
   /** Batch kNN join against the on-disk layout — the physical twin of
@@ -750,12 +780,20 @@ object IvfIndex {
   def dedupIngest(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.95, nProbe: Int = 4,
       ingestDate: java.sql.Date = DefaultIngestDate): DataFrame = {
+    // phase timing to stderr under SPARK_GRAFT_GATE_TIMING=1 — the
+    // resident-curve decomposition knob (costs two clock reads otherwise)
+    val timing = sys.env.get("SPARK_GRAFT_GATE_TIMING").contains("1")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[gate-timing] $phase ${(now - tLast) / 1e9}%.2fs")
+      tLast = now
+    }
     recover(spark, path)
     val vecPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
     val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(vecPath),
       s"no IVF layout at $path — build(...) the index before dedupIngest")
-    // One resident read serves both the disjointness gate and the cell join.
     // Join posture throughout (the r11 LshIndex.dedupBatch inversion): the
     // batch is bounded BY CONTRACT (a delivery), so every batch-derived
     // side carries an explicit broadcast hint and RESIDENT tables only ever
@@ -763,7 +801,13 @@ object IvfIndex {
     // never resident shuffles. Left unhinted, AQE mis-sizing flips these to
     // sort-merge and the full resident corpus crosses the shuffle for one
     // batch (measured on the text gate: 2.6M records for a 500-doc batch).
-    val residentVectors = spark.read.parquet(s"$path/vectors")
+    //
+    // The full-layout read is LAZY (r13): creating it eagerly pays a
+    // whole-tree file listing (cells×dates directories — ~1 s of the
+    // measured 100×-resident wall) that the sidecar-gated path never
+    // needs — the cosine tier below lists ONLY the probed cell
+    // directories.
+    def fullVectors = spark.read.parquet(s"$path/vectors")
     val batchIds = batch.select(col("vec_id")).localCheckpoint(true)
     // Disjointness gate off the bucketed id SIDECAR when the layout has
     // one (r13): a point-read pruned to the batch's key buckets/pages
@@ -778,13 +822,14 @@ object IvfIndex {
     val idAuthority =
       if (idsGateP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsGateP))
         graft.sources.KeyedSidecar.lookup(spark, s"$path/ids", "vec_id", batchIds)
-      else residentVectors.select(col("vec_id"))
+      else fullVectors.select(col("vec_id"))
     val clash = idAuthority.select(col("vec_id"))
       .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
       .limit(5).collect()
     require(clash.isEmpty,
       s"batch vec_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
         "ingest requires batch ids disjoint from the resident corpus")
+    mark("id_gate")
     val batchLosers = batch
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("keep_id"), collect_list(col("vec_id")).as("ids"))
@@ -792,6 +837,7 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
+    mark("batch_dups")
     val candidates = batch
       .join(broadcast(batchLosers.select("vec_id")), Seq("vec_id"), "left_anti")
     val probed = candidates
@@ -806,9 +852,21 @@ object IvfIndex {
     // fixed batch, all of it scan time (shuffle/output flat).
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
+    mark("probed_cells")
     // tombstoned residents stop matching as dup candidates; the id-clash
-    // gate above still reads them (deleted ids stay burned until compact)
-    val resident = dropTombstoned(spark, path, residentVectors)
+    // gate above still reads them (deleted ids stay burned until compact).
+    // The probed-dir read (r13) lists and reads ONLY the probed cells'
+    // directories — one top-level listing instead of the whole
+    // cells×dates tree; the value filter stays as the semantic guard.
+    val residentProbed = probedCellDirs(spark, path, probedCells) match {
+      case Some(dirs) if dirs.nonEmpty =>
+        spark.read.option("basePath", s"$path/vectors").parquet(dirs: _*)
+      case Some(_) => // probed cells hold no resident rows at all
+        batch.select(col("vec_id"), col("embedding"),
+          lit(0L).cast("int").as("cell")).limit(0)
+      case None => fullVectors
+    }
+    val resident = dropTombstoned(spark, path, residentProbed)
       .select(col("vec_id").as("r_vec_id"), col("embedding").as("r_emb"),
         col("cell").cast("long").as("cell"))
       .filter(col("cell").isin(probedCells: _*))
@@ -823,10 +881,12 @@ object IvfIndex {
       .select(col("vec_id")).distinct()
       .select(col("vec_id"), lit("near_dup").as("verdict"))
       .localCheckpoint(true)
+    mark("near_dups")
     val keep = candidates
       .join(broadcast(nearDups.select("vec_id")), Seq("vec_id"), "left_anti")
     appendBatch(spark, keep.select(col("vec_id"), col("label"), col("embedding")),
       path, ingestDate)
+    mark("append")
     batchIds
       .join(broadcast(batchLosers.unionByName(nearDups)), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))

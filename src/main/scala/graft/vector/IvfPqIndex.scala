@@ -44,11 +44,8 @@ object IvfPqIndex {
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val cents = centroids.select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1)
+    val nearest = graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"), cents.toSeq)
     // residual = embedding − centroid(cell): the centroid lookup is a
     // literal map over the constant-size centroid set — still map-only.
     val centMap = map(cents.flatMap { case (cid, v) =>
@@ -117,11 +114,8 @@ object IvfPqIndex {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val nearest = element_at(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1)
+    val nearest = graft.functions.VectorFunctions.nearestCellCid(
+      col("embedding"), cents.toSeq)
     val centMap = map(cents.flatMap { case (cid, v) =>
       Seq(lit(cid), typedLit(v)) }.toSeq: _*)
     val dated =
@@ -235,11 +229,8 @@ object IvfPqIndex {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cid").cast("long"), col("c_embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("q_emb"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1, nProbe)
+    val probeCells = graft.functions.VectorFunctions.orderedCellCids(
+      col("q_emb"), cents.toSeq, nProbe)
     val centMap = map(cents.flatMap { case (cid, v) =>
       Seq(lit(cid), typedLit(v)) }.toSeq: _*)
     // Flattened codebooks as ONE literal: flatBooks[(s*ksub + j)*dsub + p].

@@ -394,11 +394,9 @@ object ServeIndex {
         transform(Pca.projectCol(mdl, mdl.mean.length, input = col("q_emb")),
           x => x.cast("float"))
       } else col("q_emb")
-    val centStructs = cents.map { case (cid, v) =>
-      struct(l2Sq(col("q_ann"), typedLit(v)).as("d"), lit(cid).as("cid"))
-    }
-    val probeCells = slice(transform(array_sort(array(centStructs.toSeq: _*)),
-      x => x.getField("cid")), 1, math.max(1, nProbe))
+    val probeCells = graft.functions.VectorFunctions.orderedCellCids(
+      col("q_ann"), cents.map { case (c, v) => (c.toLong, v) }.toSeq,
+      math.max(1, nProbe))
     val q = queries.select(col("query_id"), col("q_emb"))
     val qSide = q.withColumn("q_ann", qAnnCol).withColumn("cell", explode(probeCells))
     val sealedAll = VectorIndex.dropTombstoned(spark, indexPath,

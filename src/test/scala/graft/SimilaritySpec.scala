@@ -612,6 +612,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestCells equals the literal array_sort form — ties break by cid, k clamps") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.{array, array_sort, element_at, lit, slice, struct, transform, typedLit}
+    val emb = Tables.embeddings(spark, sf)
+    // centroids with a PLANTED TIE: cid 7 duplicates cid 2's embedding,
+    // so every row's distance to both is bit-identical and only the cid
+    // tie-break orders them
+    val base = emb.filter(col("vec_id") < 6)
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toSeq)
+    val cents: Seq[(Long, Seq[Float])] =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq :+ (7L -> base(2).toSeq)
+    val k = 4
+    val centStructs = cents.map { case (cid, v) =>
+      struct(l2Sq(col("embedding"), typedLit(v)).as("d"), lit(cid).as("cid"))
+    }
+    val literal = slice(transform(array_sort(array(centStructs: _*)),
+      x => x.getField("cid")), 1, k)
+    val rows = emb.select(
+      orderedCellCids(col("embedding"), cents, k).as("fast"),
+      literal.as("lit"),
+      nearestCellCid(col("embedding"), cents).as("c1"),
+      nearestCellDistSq(col("embedding"), cents).as("d1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"probe order diverged: $r")
+      assert(r.getLong(2) == r.getSeq[Long](0).head)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // k past the centroid count clamps to all cells, still ordered
+    val all = emb.limit(3)
+      .select(orderedCellCids(col("embedding"), cents, 99).as("a")).collect()
+    all.foreach(r => assert(r.getSeq[Long](0).length == cents.length))
+    // the planted tie really ties: for the row AT cid-2's centroid both
+    // 2 and 7 lead, in cid order
+    val atC2 = emb.filter(col("vec_id") === 2L)
+      .select(orderedCellCids(col("embedding"), cents, 2)).head.getSeq[Long](0)
+    assert(atC2 == Seq(2L, 7L), s"tie-break drifted: $atC2")
+  }
+
   test("knnL2: the query vector itself is rank 1 with distance 0") {
     val top = Similarity.knnL2(Tables.embeddings(spark, sf)).collect()
     assert(top.head.getAs[Long]("rank") == 1L)
