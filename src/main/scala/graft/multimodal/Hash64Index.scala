@@ -73,10 +73,15 @@ private[multimodal] object Hash64Index {
     import graft.sources.KeyedSidecar
     val h = hashes.localCheckpoint(true)
     KeyedSidecar.write(h, "doc_id", s"$path/hashes", SaveMode.Overwrite)
+    // probes are a ×65 explode of h, invisible to Catalyst's explode
+    // stats — scale h's own estimate so the layout decision sees the
+    // real fan-out
+    val hBytes = h.queryExecution.optimizedPlan.stats.sizeInBytes * 65
     KeyedSidecar.write(
       h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
         col(hashCol).as("r_hash")),
-      "probe", s"$path/probes", SaveMode.Overwrite)
+      "probe", s"$path/probes", SaveMode.Overwrite,
+      estimatedBytes = Some(hBytes.min(BigInt(Long.MaxValue)).toLong))
   }
 
   private def recover(spark: SparkSession, path: String): Unit =
@@ -116,12 +121,14 @@ private[multimodal] object Hash64Index {
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
+    // each table rewrites through the size-adaptive writer: compaction is
+    // where a flat table that outgrew the prune threshold via appends
+    // upgrades to the bucketed layout (and a shrunken one returns flat) —
+    // the parquet-scan stats here are file-size-honest
     def rewrite(table: String, key: String): Unit =
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
         val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-        if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/$table"))
-          graft.sources.KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
-        else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+        graft.sources.KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
       }
     rewrite("probes", "probe")
     rewrite("hashes", "doc_id")
@@ -141,6 +148,15 @@ private[multimodal] object Hash64Index {
       batchHashes: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       "the persisted probe family covers Hamming radius ≤ 2")
+    // phase timing to stderr under SPARK_GRAFT_GATE_TIMING=1 (the
+    // IvfIndex.dedupIngest knob — costs two clock reads otherwise)
+    val timing = sys.env.get("SPARK_GRAFT_GATE_TIMING").contains("1")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[gate-timing] hash64.$phase ${(now - tLast) / 1e9}%.2fs")
+      tLast = now
+    }
     recover(spark, path)
     val hashesPath = new org.apache.hadoop.fs.Path(s"$path/hashes")
     val fs = hashesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -151,6 +167,7 @@ private[multimodal] object Hash64Index {
     // One row per doc_id, enforced (the VersionedStore.upsert contract):
     // duplicated ids inside one batch would evade the batch_dup tier and
     // burn the id twice into the authority table. Fail fast.
+    mark("setup")
     val dupId = ids.groupBy(col("doc_id")).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dupId.isEmpty,
@@ -163,6 +180,7 @@ private[multimodal] object Hash64Index {
     // r13 the hashes table is doc_id-keyed, so the gate read point-prunes
     // to the batch's id buckets/pages on big corpora (the semi-join
     // enforces the restriction on small/legacy fallbacks).
+    mark("dup-id-check")
     val clash = graft.sources.KeyedSidecar
       .lookup(spark, s"$path/hashes", "doc_id", ids)
       .select(col("doc_id"))
@@ -171,10 +189,12 @@ private[multimodal] object Hash64Index {
     require(clash.isEmpty,
       s"batch doc_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
         "ingest requires batch ids disjoint from the resident corpus")
+    mark("id-clash-gate")
     val bHashes = batchHashes.localCheckpoint(true)
     val undecodable = ids
       .join(broadcast(bHashes.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("undecodable").as("verdict"))
+    mark("batch-hash-ckpt")
     val batchLosers = bHashes
       .groupBy(col(hashCol))
       .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
@@ -182,6 +202,7 @@ private[multimodal] object Hash64Index {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
+    mark("batch-dup-tier")
     val candidates = bHashes
       .join(broadcast(batchLosers.select("doc_id")), Seq("doc_id"), "left_anti")
     // tombstoned residents stop vetoing offers; the id clash gate above
@@ -191,8 +212,10 @@ private[multimodal] object Hash64Index {
     // scanning every resident probe row per batch.
     val batchProbeKeys = bHashes
       .select(explode(flipsOf(col(hashCol))).as("probe"))
+    mark("candidates")
     val probes = dropTombstoned(spark, path, graft.sources.KeyedSidecar
       .lookup(spark, s"$path/probes", "probe", batchProbeKeys))
+    mark("probes-lookup")
     val probesCarryHash = probes.columns.contains("r_hash")
     // Probe tier, resident-streamed: the exploded batch side (batch × 65
     // probes) is contract-bounded and broadcasts, so the corpus-sized
@@ -227,26 +250,25 @@ private[multimodal] object Hash64Index {
       .select(col("doc_id")).distinct()
       .select(col("doc_id"), lit("near_dup").as("verdict"))
       .localCheckpoint(true)
+    mark("near-dup-tier")
     val keep = candidates
       .join(broadcast(nearDups.select("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // two consumers below; appends must not re-derive
-    // appends in the LAYOUT's schema AND shape: bucketed sidecars extend
-    // bucketed (flat appends into a partitioned dir break discovery),
-    // legacy flat tables stay flat, and legacy probes keep two columns
-    // (widening in place would leave new rows' r_hash invisible to
-    // non-merging readers)
+    // appends in the LAYOUT's schema AND shape (KeyedSidecar.write follows
+    // the resident layout on Append — bucketed extends bucketed, flat
+    // extends flat); legacy probes keep two columns (widening in place
+    // would leave new rows' r_hash invisible to non-merging readers)
+    mark("keep-ckpt")
     import graft.sources.KeyedSidecar
-    if (KeyedSidecar.isBucketed(spark, s"$path/hashes"))
-      KeyedSidecar.write(keep, "doc_id", s"$path/hashes", SaveMode.Append)
-    else keep.write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    KeyedSidecar.write(keep, "doc_id", s"$path/hashes", SaveMode.Append)
+    mark("hashes-append")
     val probeRows =
       if (probesCarryHash)
         keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
           col(hashCol).as("r_hash"))
       else keep.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"))
-    if (KeyedSidecar.isBucketed(spark, s"$path/probes"))
-      KeyedSidecar.write(probeRows, "probe", s"$path/probes", SaveMode.Append)
-    else probeRows.write.mode(SaveMode.Append).parquet(s"$path/probes")
+    KeyedSidecar.write(probeRows, "probe", s"$path/probes", SaveMode.Append)
+    mark("probes-append")
     ids
       .join(broadcast(undecodable.unionByName(batchLosers).unionByName(nearDups)),
         Seq("doc_id"), "left")

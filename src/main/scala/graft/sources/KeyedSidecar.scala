@@ -90,15 +90,60 @@ object KeyedSidecar {
 
   def bucketOf(key: Column): Column = pmod(hash(key), lit(NumBuckets))
 
-  /** Write (Overwrite) or append a sidecar: bucket-partitioned, key-sorted
-    * within each file, small pages. One shuffle of the written rows — the
-    * standard price of a bounded partitioned layout, batch-sized on
-    * appends. The sort lists `_kb` first so the writer's required
-    * partition ordering is already satisfied and the key order inside
-    * each file survives (a writer-inserted partition sort would not
-    * preserve it).
+  /** Write (Overwrite) or append a sidecar — SIZE-ADAPTIVE (r13): a fresh
+    * write whose data is estimated below [[MinPruneBytes]] lands as a
+    * PLAIN flat parquet table, not a bucketed layout. Rationale: [[lookup]]
+    * never prunes below that size (the full scan is cheaper than the
+    * key-collect job), so a bucketed layout there is pure write overhead —
+    * measured at bench scale as ~1.8 s to append a few thousand rows into
+    * 64 partition directories (shuffle + sort + 64 dir commits) vs ~0.2 s
+    * flat, ×4 writes per ingest-gate call ⇒ the r13 mm-gate 2.5×
+    * regression. Small corpora keep their r12 flat plans bit-for-bit; big
+    * corpora get the bucketed point-lookup layout in one write.
+    *
+    * The estimate: `estimatedBytes` when the caller knows better (e.g. a
+    * ×65 probe fan-out that Catalyst's explode stats do not multiply),
+    * else the frame's own `optimizedPlan.stats.sizeInBytes` (checkpointed
+    * gate frames carry real stats; parquet-scan-derived frames get
+    * file-size-based ones). Stats measure in-memory width while the
+    * threshold is on-disk, so this errs toward bucketing moderately early
+    * — the safe direction: a too-early bucketed layout costs one small
+    * write's overhead, a too-late flat layout reads unpruned until
+    * [[graft.sources.CompactSwap]]-style rewrites upgrade it (gate
+    * compact() paths re-choose the layout from the table's ACTUAL size).
+    *
+    * Append mode never re-decides from size: an append follows the
+    * RESIDENT layout (mixing flat files and partition dirs inside one
+    * table breaks partition discovery) — bucketed residents extend
+    * bucketed, flat residents extend flat. A flat table that outgrows the
+    * threshold through appends upgrades at the next compaction rewrite.
+    *
+    * Bucketed shape: bucket-partitioned, key-sorted within each file,
+    * small pages. One shuffle of the written rows — the standard price of
+    * a bounded partitioned layout, batch-sized on appends. The sort lists
+    * `_kb` first so the writer's required partition ordering is already
+    * satisfied and the key order inside each file survives (a
+    * writer-inserted partition sort would not preserve it).
     */
-  def write(df: DataFrame, keyCol: String, path: String, mode: SaveMode): Unit =
+  def write(df: DataFrame, keyCol: String, path: String, mode: SaveMode,
+      estimatedBytes: Option[Long] = None): Unit =
+    if (mode == SaveMode.Append) {
+      if (isBucketed(df.sparkSession, path)) writeBucketed(df, keyCol, path, mode)
+      else df.drop(BucketCol).write.mode(mode).parquet(path)
+    } else {
+      val est: BigInt = estimatedBytes.map(BigInt(_))
+        .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      if (est < BigInt(MinPruneBytes))
+        df.drop(BucketCol).write.mode(mode).parquet(path)
+      else writeBucketed(df, keyCol, path, mode)
+    }
+
+  /** The bucketed layout writer, unconditionally — tests and compaction
+    * upgrades use it directly; [[write]] routes here for big fresh writes
+    * and all appends.
+    */
+  private[graft] def writeBucketed(df: DataFrame, keyCol: String,
+      path: String, mode: SaveMode): Unit =
     df.drop(BucketCol).withColumn(BucketCol, bucketOf(col(keyCol)))
       .repartition(col(BucketCol))
       .sortWithinPartitions(col(BucketCol), col(keyCol))

@@ -97,10 +97,8 @@ object InvertedIndex {
     val postings = postingsOf(batch, nBuckets).localCheckpoint(true)
     val dlRows = postings.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("dl"))
-    if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/doclens"))
-      graft.sources.KeyedSidecar.write(dlRows, "doc_id",
-        s"$path/doclens", SaveMode.Append)
-    else dlRows.write.mode(SaveMode.Append).parquet(s"$path/doclens")
+    graft.sources.KeyedSidecar.write(dlRows, "doc_id",
+      s"$path/doclens", SaveMode.Append)
     postings.repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
@@ -172,10 +170,10 @@ object InvertedIndex {
         .partitionBy("bucket").parquet(fresh)
     }
     graft.sources.CompactSwap.rewrite(spark, path, "doclens") { fresh =>
+      // size-adaptive rewrite: a flat doclens that outgrew the prune
+      // threshold via appends upgrades to the bucketed layout here
       val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/doclens"))
-      if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/doclens"))
-        graft.sources.KeyedSidecar.write(kept, "doc_id", fresh, SaveMode.ErrorIfExists)
-      else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+      graft.sources.KeyedSidecar.write(kept, "doc_id", fresh, SaveMode.ErrorIfExists)
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)

@@ -127,7 +127,13 @@ object LshIndex {
       s"$path/ids", SaveMode.Overwrite)
     val hashRows = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
     KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Overwrite)
-    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Overwrite)
+    // shingles/winnow explode the text (~ShingleN overlapping n-grams per
+    // word; fingerprints per window) — fan-outs Catalyst's explode stats
+    // do not multiply, so the layout decision reads the CHECKPOINTED
+    // shingle set's exact block-manager bytes instead
+    val shBytes = materializedBytes(spark, sh)
+    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Overwrite,
+      estimatedBytes = shBytes)
     KeyedSidecar.write(
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         .join(hashRows, Seq("doc_id")),
@@ -138,7 +144,10 @@ object LshIndex {
       .partitionBy("band_id").parquet(s"$path/bands")
     KeyedSidecar.write(Dedup.winnowFingerprints(docs)
       .select(col("doc_id"), explode(col("fps")).as("fp")),
-      "fp", s"$path/winnow", SaveMode.Overwrite)
+      "fp", s"$path/winnow", SaveMode.Overwrite,
+      // fp rows ≤ shingle rows (one fingerprint per winnow window vs one
+      // shingle per word): the shingle measure is a safe over-estimate
+      estimatedBytes = shBytes)
   }
 
   private val allTables = Seq("ids", "shingles", "sizes", "bands", "winnow", "hashes")
@@ -168,24 +177,23 @@ object LshIndex {
       KeyedSidecar.write(batch.select(col("doc_id")), "doc_id",
         s"$path/ids", SaveMode.Append)
     val hashRows = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    if (KeyedSidecar.isBucketed(spark, s"$path/hashes"))
-      KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Append)
-    else hashRows.write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Append)
     val sh = Dedup.shingles(batch).localCheckpoint(true)
-    if (KeyedSidecar.isBucketed(spark, s"$path/shingles"))
-      KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Append)
-    else sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Append)
     val sizeRows = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    if (KeyedSidecar.isBucketed(spark, s"$path/sizes"))
-      // r13 sizes carry the content hash (see the layout doc)
-      KeyedSidecar.write(sizeRows.join(hashRows, Seq("doc_id")), "doc_id",
-        s"$path/sizes", SaveMode.Append)
-    else sizeRows.write.mode(SaveMode.Append).parquet(s"$path/sizes")
+    // r13 sizes carry the content hash; appends follow the resident
+    // SCHEMA (a legacy two-column table must not widen in place —
+    // non-merging readers would miss the new rows' hashes). Layout
+    // (bucketed vs flat) is KeyedSidecar.write's job, orthogonal to this.
+    val residentSizesCarryHash =
+      spark.read.parquet(s"$path/sizes").columns.contains("text_hash")
+    KeyedSidecar.write(
+      if (residentSizesCarryHash) sizeRows.join(hashRows, Seq("doc_id"))
+      else sizeRows,
+      "doc_id", s"$path/sizes", SaveMode.Append)
     val fpRows = Dedup.winnowFingerprints(batch)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    if (KeyedSidecar.isBucketed(spark, s"$path/winnow"))
-      KeyedSidecar.write(fpRows, "fp", s"$path/winnow", SaveMode.Append)
-    else fpRows.write.mode(SaveMode.Append).parquet(s"$path/winnow")
+    KeyedSidecar.write(fpRows, "fp", s"$path/winnow", SaveMode.Append)
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
@@ -246,18 +254,17 @@ object LshIndex {
     def exists(table: String) = new org.apache.hadoop.fs.Path(s"$path/$table")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(s"$path/$table"))
-    // each table rewrites in its RESIDENT layout: bucketed sidecars stay
-    // bucketed (KeyedSidecar.write re-derives `_kb` and the key sort),
-    // legacy flat tables stay flat
+    // each table rewrites through the size-adaptive writer: compaction is
+    // where a flat table that outgrew the prune threshold via appends
+    // upgrades to the bucketed layout (parquet-scan stats here are
+    // file-size-honest); bands keep their own band_id-partitioned shape
     def rewrite(table: String, key: String, partitioned: Boolean = false): Unit =
       graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
         val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
         if (partitioned) bandPartitioned(kept).write.mode(SaveMode.ErrorIfExists)
           .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
           .partitionBy("band_id").parquet(fresh)
-        else if (KeyedSidecar.isBucketed(spark, s"$path/$table"))
-          KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
-        else kept.write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+        else KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
       }
     rewrite("shingles", "doc_id")
     rewrite("sizes", "doc_id")

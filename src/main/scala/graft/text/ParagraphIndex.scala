@@ -110,10 +110,8 @@ object ParagraphIndex {
     // restricted to batch norms) without a second resident scan
     val newWinners = batchWin
       .join(broadcast(resident.select(col("norm"))), Seq("norm"), "left_anti")
-    if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/hashes"))
-      graft.sources.KeyedSidecar.write(newWinners, "norm",
-        s"$path/hashes", SaveMode.Append)
-    else newWinners.write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    graft.sources.KeyedSidecar.write(newWinners, "norm",
+      s"$path/hashes", SaveMode.Append)
     out
   }
 
@@ -126,9 +124,7 @@ object ParagraphIndex {
     graft.sources.CompactSwap.rewrite(spark, path, "hashes") { dst =>
       val kept = spark.read.parquet(s"$path/hashes")
         .filter(!col("first_doc").isin(docIds: _*))
-      if (graft.sources.KeyedSidecar.isBucketed(spark, s"$path/hashes"))
-        graft.sources.KeyedSidecar.write(kept, "norm", dst, SaveMode.Overwrite)
-      else kept.write.mode(SaveMode.Overwrite).parquet(dst)
+      graft.sources.KeyedSidecar.write(kept, "norm", dst, SaveMode.Overwrite)
     }
   }
 }

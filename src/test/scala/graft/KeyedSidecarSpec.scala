@@ -13,7 +13,8 @@ class KeyedSidecarSpec extends SparkSpec {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
     val dir = tmp("rt")
-    KeyedSidecar.write(df, "k", dir, SaveMode.Overwrite)
+    KeyedSidecar.write(df, "k", dir, SaveMode.Overwrite,
+      estimatedBytes = Some(Long.MaxValue))
     // bucket directories exist
     val kbDirs = new java.io.File(dir).listFiles()
       .count(_.getName.startsWith(KeyedSidecar.BucketCol + "="))
@@ -27,7 +28,8 @@ class KeyedSidecarSpec extends SparkSpec {
     import spark.implicits._
     val dirL = tmp("lk")
     val base = (0L until 5000L).map(i => (i, i * 3)).toDF("k", "payload")
-    KeyedSidecar.write(base, "k", dirL, SaveMode.Overwrite)
+    KeyedSidecar.write(base, "k", dirL, SaveMode.Overwrite,
+      estimatedBytes = Some(Long.MaxValue))
     KeyedSidecar.write((5000L until 6000L).map(i => (i, i * 3)).toDF("k", "payload"),
       "k", dirL, SaveMode.Append)
     val wanted = Seq(0L, 17L, 4999L, 5500L, 5999L, 999999L) // last one absent
@@ -37,7 +39,7 @@ class KeyedSidecarSpec extends SparkSpec {
     // string keys
     val dirS = tmp("sk")
     KeyedSidecar.write((0 until 3000).map(i => (s"key$i", i)).toDF("k", "n"),
-      "k", dirS, SaveMode.Overwrite)
+      "k", dirS, SaveMode.Overwrite, estimatedBytes = Some(Long.MaxValue))
     val gotS = KeyedSidecar.lookup(spark, dirS, "k",
       Seq("key0", "key2999", "nope").toDF("k"), 0L)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
@@ -48,7 +50,7 @@ class KeyedSidecarSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmp("plan")
     KeyedSidecar.write((0L until 5000L).map(i => (i, i)).toDF("k", "p"),
-      "k", dir, SaveMode.Overwrite)
+      "k", dir, SaveMode.Overwrite, estimatedBytes = Some(Long.MaxValue))
     val pruned = KeyedSidecar.lookup(spark, dir, "k", Seq(7L, 4096L).toDF("k"), 0L)
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains(s"${KeyedSidecar.BucketCol}#"),
@@ -61,7 +63,7 @@ class KeyedSidecarSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmp("fb")
     KeyedSidecar.write((0L until 100L).map(i => (i, i)).toDF("k", "p"),
-      "k", dir, SaveMode.Overwrite)
+      "k", dir, SaveMode.Overwrite, estimatedBytes = Some(Long.MaxValue))
     // default threshold: tiny table → plain scan, all rows reachable
     assert(KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count() == 100L)
     // forced pruning with empty keys → empty
@@ -73,5 +75,32 @@ class KeyedSidecarSpec extends SparkSpec {
       .write.mode(SaveMode.Overwrite).parquet(legacy)
     val got = KeyedSidecar.lookup(spark, legacy, "k", Seq(5L, 6L).toDF("k"), 0L)
     assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+  }
+
+  test("size-adaptive: small fresh writes land FLAT, appends follow the layout") {
+    import spark.implicits._
+    // default estimate (Catalyst stats) is far below MinPruneBytes →
+    // flat r12 shape: no bucket dirs, no partition column
+    val dir = tmp("sa")
+    KeyedSidecar.write((0L until 500L).map(i => (i, i)).toDF("k", "p"),
+      "k", dir, SaveMode.Overwrite)
+    val dirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith(KeyedSidecar.BucketCol + "="))
+    assert(dirs == 0, s"small write must stay flat, found $dirs bucket dirs")
+    // append follows the flat resident layout
+    KeyedSidecar.write((500L until 600L).map(i => (i, i)).toDF("k", "p"),
+      "k", dir, SaveMode.Append)
+    assert(!KeyedSidecar.isBucketed(spark, dir))
+    assert(KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count() == 600L)
+    // a big-estimate fresh write takes the bucketed layout, and appends
+    // then extend it bucketed
+    val dirB = tmp("sab")
+    KeyedSidecar.write((0L until 500L).map(i => (i, i)).toDF("k", "p"),
+      "k", dirB, SaveMode.Overwrite, estimatedBytes = Some(Long.MaxValue))
+    assert(KeyedSidecar.isBucketed(spark, dirB))
+    KeyedSidecar.write((500L until 600L).map(i => (i, i)).toDF("k", "p"),
+      "k", dirB, SaveMode.Append)
+    assert(KeyedSidecar.lookup(spark, dirB, "k", Seq(1L).toDF("k"), 0L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 }
