@@ -11,22 +11,31 @@ import org.apache.spark.sql.functions._
   * hash derivation differs, and the thin wrappers ([[PhashIndex]],
   * [[AudioHashIndex]]) own that.
   *
-  * Layout (since r13 both tables are [[graft.sources.KeyedSidecar]]s —
-  * bucketed by key, key-sorted files — so per-batch reads point-prune to
-  * the batch's keys instead of scanning the resident corpus; legacy flat
-  * layouts stay readable and appendable, writes match the resident shape):
-  *   path/hashes — one row per resident: (doc_id, <hashCol>, extras…),
-  *     keyed by doc_id — the id gate's authority, written FIRST on append
-  *     so an at-least-once replay trips the disjointness gate instead of
+  * Layout:
+  *   path/hashes — one row per resident: (doc_id, <hashCol>, extras…) —
+  *     since r13 a doc_id-keyed [[graft.sources.KeyedSidecar]] (bucketed,
+  *     key-sorted, size-adaptive), so the id-disjointness gate point-reads
+  *     the batch's own ids on big corpora instead of scanning every
+  *     resident. The id gate's authority, written FIRST on append so an
+  *     at-least-once replay trips the disjointness gate instead of
   *     double-appending derived rows (the LshIndex crash-ordering
   *     contract).
-  *   path/probes — (probe, doc_id, r_hash), keyed by probe: each
-  *     resident's hash plus its 64 one-bit flips — the Manku radius-2
-  *     probe family, PERSISTED so an arriving batch only expands its own
-  *     side — CARRYING the resident hash (r12) so the Hamming filter runs
-  *     right on the probe join. Legacy two-column (probe, doc_id) layouts
-  *     remain supported: the gate falls back to a size-guarded join back
-  *     to `hashes`, and appends keep the legacy schema.
+  *   path/probes — (probe, doc_id, r_hash), FLAT at every size (measured,
+  *     r13): each resident's hash plus its 64 one-bit flips — the Manku
+  *     radius-2 probe family, PERSISTED so an arriving batch only expands
+  *     its own side — CARRYING the resident hash (r12) so the Hamming
+  *     filter runs right on the probe join. The batch probes with its own
+  *     65-flip family, and batch×65 keys always exceed the parquet
+  *     OR-of-eq pushdown cap, so a key-bucketed layout could never
+  *     point-prune this read — an interim probe-keyed cut measurably
+  *     SLOWED every perceptual gate at 100× residents. The plain probes
+  *     scan is the mm family's band-candidate consultation (the LshIndex
+  *     bands analog): narrow, map-local, candidate generation's own
+  *     honest O(resident-metadata) read. Legacy two-column (probe,
+  *     doc_id) layouts remain supported: the gate falls back to a
+  *     size-guarded join back to `hashes`, and appends keep the legacy
+  *     schema; interim bucketed layouts read fine and fold back to flat
+  *     at compact.
   *
   * Gate tiers per batch: id disjointness (fail fast), within-batch
   * identical hash keeps min-id (`batch_dup`), probe-join + exact Hamming
@@ -73,15 +82,17 @@ private[multimodal] object Hash64Index {
     import graft.sources.KeyedSidecar
     val h = hashes.localCheckpoint(true)
     KeyedSidecar.write(h, "doc_id", s"$path/hashes", SaveMode.Overwrite)
-    // probes are a ×65 explode of h, invisible to Catalyst's explode
-    // stats — scale h's own estimate so the layout decision sees the
-    // real fan-out
-    val hBytes = h.queryExecution.optimizedPlan.stats.sizeInBytes * 65
-    KeyedSidecar.write(
-      h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
-        col(hashCol).as("r_hash")),
-      "probe", s"$path/probes", SaveMode.Overwrite,
-      estimatedBytes = Some(hBytes.min(BigInt(Long.MaxValue)).toLong))
+    // probes write FLAT at every size (r13 measured): the gate probes
+    // with the batch's 65-flip family — batch×65 keys always exceed the
+    // parquet OR-of-eq pushdown cap, so a key-bucketed probes layout can
+    // never point-prune and only adds write/commit overhead (the probe
+    // run that keyed probes by `probe` made every perceptual gate SLOWER
+    // at 100× residents than this plain scan). The probes table is the
+    // mm family's band-candidate table: candidate generation's own
+    // O(resident-metadata) consultation, narrow and map-local.
+    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+        col(hashCol).as("r_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
   }
 
   private def recover(spark: SparkSession, path: String): Unit =
@@ -121,17 +132,21 @@ private[multimodal] object Hash64Index {
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
     if (tombstones(spark, path).isEmpty) return
-    // each table rewrites through the size-adaptive writer: compaction is
-    // where a flat table that outgrew the prune threshold via appends
-    // upgrades to the bucketed layout (and a shrunken one returns flat) —
-    // the parquet-scan stats here are file-size-honest
-    def rewrite(table: String, key: String): Unit =
-      graft.sources.CompactSwap.rewrite(spark, path, table) { fresh =>
-        val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/$table"))
-        graft.sources.KeyedSidecar.write(kept, key, fresh, SaveMode.ErrorIfExists)
-      }
-    rewrite("probes", "probe")
-    rewrite("hashes", "doc_id")
+    // hashes rewrites through the size-adaptive writer (compaction is
+    // where a flat table that outgrew the prune threshold upgrades to the
+    // bucketed layout — parquet-scan stats here are file-size-honest);
+    // probes rewrite FLAT at every size (a key-bucketed probes layout can
+    // never point-prune — see the build note), so compaction also folds
+    // an interim bucketed probes table back to flat
+    graft.sources.CompactSwap.rewrite(spark, path, "probes") { fresh =>
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/probes"))
+        .drop(graft.sources.KeyedSidecar.BucketCol)
+        .write.mode(SaveMode.ErrorIfExists).parquet(fresh)
+    }
+    graft.sources.CompactSwap.rewrite(spark, path, "hashes") { fresh =>
+      val kept = dropTombstoned(spark, path, spark.read.parquet(s"$path/hashes"))
+      graft.sources.KeyedSidecar.write(kept, "doc_id", fresh, SaveMode.ErrorIfExists)
+    }
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -207,14 +222,16 @@ private[multimodal] object Hash64Index {
       .join(broadcast(batchLosers.select("doc_id")), Seq("doc_id"), "left_anti")
     // tombstoned residents stop vetoing offers; the id clash gate above
     // still reads them raw (deleted ids stay burned until compact).
-    // r13: the probes table is probe-keyed, so the read point-prunes to
-    // the batch's own probe family (batch × 65 keys — bounded) instead of
-    // scanning every resident probe row per batch.
-    val batchProbeKeys = bHashes
-      .select(explode(flipsOf(col(hashCol))).as("probe"))
+    // The probes read is a PLAIN scan by design (r13 measured): the
+    // batch's 65-flip probe family always exceeds the parquet OR-of-eq
+    // pushdown cap, so key-literal pruning can never skip pages here —
+    // this narrow table is the mm family's band-candidate consultation.
+    // Legacy bucketed layouts (the interim r13 cut) read fine; the
+    // partition column drops like lookup would.
     mark("candidates")
-    val probes = dropTombstoned(spark, path, graft.sources.KeyedSidecar
-      .lookup(spark, s"$path/probes", "probe", batchProbeKeys))
+    val probes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/probes")
+        .drop(graft.sources.KeyedSidecar.BucketCol))
     mark("probes-lookup")
     val probesCarryHash = probes.columns.contains("r_hash")
     // Probe tier, resident-streamed: the exploded batch side (batch × 65

@@ -62,11 +62,19 @@ object KeyedSidecar {
     */
   val BucketCol = "_kb"
 
-  /** Past this many distinct batch keys the "batch" is corpus-scale and a
-    * proportionate full scan beats literal pruning (and a plan carrying
-    * millions of literals). Lookups fall back to the full scan.
+  /** Key-count bound for literal pruning — the parquet OR-of-eq pushdown
+    * cap (`spark.sql.parquet.pushdown.inFilterThreshold`, raised to 1000
+    * in this engine's session builders). The bound is not about plan size:
+    * above the threshold Spark pushes only a min/max RANGE to parquet, and
+    * over hash-random keys that range spans every page of every file — no
+    * page can be skipped, so the key-collect job and the literal predicate
+    * are pure overhead (measured on the Hash64Index probe family, r13:
+    * the 65×-exploded batch key set made every perceptual gate SLOWER at
+    * 100× residents than the plain scan it replaced). Past the cap,
+    * lookups fall back to the full scan; a corpus-scale delivery gets a
+    * proportionate scan, which amortizes over its own size.
     */
-  val MaxLookupKeys = 100000
+  val MaxLookupKeys = 1000
 
   /** Resident tables smaller than this on disk are cheaper to scan in
     * full than to key-collect against — the lookup skips pruning (and its
