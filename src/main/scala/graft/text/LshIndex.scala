@@ -323,6 +323,18 @@ object LshIndex {
       jaccardThreshold: Double = 0.3): DataFrame = {
     recover(spark, path)
     requireDisjointIds(spark, path, batch)
+    dedupBatchChecked(spark, path, batch, jaccardThreshold)
+  }
+
+  /** [[dedupBatch]] body with the id-disjointness precondition already
+    * established by the caller. `ingestBatch` enters here with
+    * `rest` ⊆ its own entry-checked batch (anti-joins only remove rows),
+    * so re-running the gate would re-pay its sidecar key-collect and
+    * semi-join actions per batch for a predicate that cannot have
+    * changed.
+    */
+  private def dedupBatchChecked(spark: SparkSession, path: String, batch: DataFrame,
+      jaccardThreshold: Double): DataFrame = {
     val bSh = Dedup.shingles(batch).localCheckpoint(true)
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
     val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -455,7 +467,7 @@ object LshIndex {
       .select(col("doc_id"), lit("exact_dup").as("verdict"))
       .localCheckpoint(true)
     val rest = candidates.join(exactDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val nearDups = dedupBatch(spark, path, rest, jaccardThreshold)
+    val nearDups = dedupBatchChecked(spark, path, rest, jaccardThreshold)
       .select(col("batch_doc_id").as("doc_id"), lit("near_dup").as("verdict"))
       .distinct()
       .localCheckpoint(true)
