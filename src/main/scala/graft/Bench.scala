@@ -92,7 +92,24 @@ object Bench {
     // local[32] executor threads always raise the END average, so only
     // pre-existing contention invalidates a capture.
     val prov = if (loadAvgStart < 1.0) "idle" else "loaded"
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${f"$loadAvgStart%.2f"},"load_avg_end":${f"$loadAvg%.2f"},"cpus":$cpus,"provenance":"$prov; compare cross-round idle-to-idle only"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${f"$loadAvgStart%.2f"},"load_avg_end":${f"$loadAvg%.2f"},"cpus":$cpus,"provenance":"$prov; compare cross-round idle-to-idle only"}"""
+    // Mirror the contract line to BENCH_LINE.json (cwd + repo root when they
+    // differ): at 206 queries the line is ~6 KB and a capture that keeps only
+    // a bounded output tail truncates it mid-JSON — the file copy is
+    // identical bytes and can't be lost that way. stdout stays the contract;
+    // the print below remains the process's final line.
+    def mirror(dir: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(dir, "BENCH_LINE.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    mirror(".")
+    val repoRoot = new java.io.File("BENCH_LINE.json").getAbsoluteFile.getParentFile
+    if (!new java.io.File(repoRoot, "build.sbt").exists) {
+      // cwd isn't the repo root (e.g. launched from elsewhere): best-effort
+      // second copy next to this class's source tree if resolvable.
+      sys.env.get("SPARK_GRAFT_REPO_ROOT").foreach(mirror)
+    }
     spark.stop()
+    println(line)
   }
 }

@@ -795,6 +795,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val lens = Tables.documents(s, d).select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // materialized once: the engine's three passes otherwise each
+        // re-tokenize the corpus (18 scans in the r13 plan)
+        .localCheckpoint(true)
       Relational.exactQuantilesDistributed(lens, "source", "n_tokens",
           Seq(0.25, 0.5, 0.75, 0.95))
         .groupBy(col("source")).agg(

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §4:
   * "custom Expression for fused L2 distance ... is a perf option").
@@ -149,4 +150,55 @@ case class FloatVecNearestCells(child: Expression, cids: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "vec_nearest_cells"
+}
+
+/** The nBits-plane sign-LSH signature of a vector as ONE expression node —
+  * a '0'/'1' string, bit p set iff dot(x, plane_p) ≥ 0.
+  *
+  * The rpLSH banding sites used to build nBits separate
+  * `when(FloatVecDot(col, typedLit(plane)) >= 0, "1")` subtrees under a
+  * `concat`: correct, but 64 planes × 64-float literals made the
+  * `vec_rplsh_pairs` physical plan 215 KB, and the banding self-join (x/y
+  * arms + the bucket-cap anti-join build) replicates that subtree ~4× —
+  * Catalyst re-pays analysis/codegen on all of it at every action (the
+  * FloatVecNearestCells disease, hyperplane edition). Here the plane
+  * matrix is plain object state on a single node; plan size is constant
+  * in nBits.
+  *
+  * Determinism contract: per-plane dot accumulates (float→double widened)
+  * elementwise left-to-right with the exact [[FloatVecDot]] step, and the
+  * bit is '1' iff the double is ≥ 0 (NaN ⇒ '0', the `when` fall-through)
+  * — bitwise the concat-of-when form it replaces (SimilaritySpec pins
+  * equality). CodegenFallback for the [[FloatVecNearestCells]] reason: the
+  * eval is already a compiled primitive loop.
+  */
+case class FloatVecSignBits(child: Expression, planes: Array[Array[Float]])
+  extends UnaryExpression with CodegenFallback {
+  require(planes.nonEmpty, "need at least one hyperplane")
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val nb = planes.length
+    val bits = new Array[Byte](nb)
+    var p = 0
+    while (p < nb) {
+      val pl = planes(p)
+      val m = math.min(xs.numElements(), pl.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += xs.getFloat(i).toDouble * pl(i).toDouble
+        i += 1
+      }
+      bits(p) = if (acc >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(bits)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "vec_sign_bits"
 }

@@ -53,6 +53,14 @@ object VectorFunctions {
   def orderedCellCids(emb: Column, cents: Seq[(Long, Seq[Float])], k: Int): Column =
     transform(nearestCells(emb, cents, k), x => x.getField("cid"))
 
+  /** The sign-LSH signature string ('0'/'1' per hyperplane) as one
+    * [[FloatVecSignBits]] node — constant plan cost in the plane count (vs
+    * the nBits-literal concat-of-when form it replaces; bitwise-equal
+    * output, SimilaritySpec-pinned).
+    */
+  def signBits(emb: Column, planes: Seq[Seq[Float]]): Column =
+    toCol(FloatVecSignBits(toExpr(emb), planes.map(_.toArray).toArray))
+
   /** Higher-order-function twins of dot/l2Sq — the compose-built-ins
     * formulation (SURVEY §2.9). Kept as the semantics reference: specs
     * assert the native expressions produce bitwise-equal results.

@@ -225,6 +225,10 @@ object Events {
       .filter(col("asof_v_seen").isNotNull)
       .select(lit(0L).as("g"),
         (unix_micros(col("ts")) - unix_micros(col("asof_v_seen"))).as("lat_us"))
+      // materialized once: the quantile engine's stats/histogram/in-band
+      // passes otherwise each replan the full as-of join (the r13 plan
+      // carried 36 event scans for this one query)
+      .localCheckpoint(true)
     graft.ops.Relational.exactQuantilesDistributed(lat, "g", "lat_us", qs)
       .select(col("q"), col("quantile").as("latency_us"))
       .orderBy(col("q"))

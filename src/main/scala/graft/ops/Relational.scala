@@ -444,11 +444,16 @@ object Relational {
     // the high-cardinality column's extent/count — the distributed engine's
     // stats stage rides the same aggregation instead of re-scanning.
     val price = col("l_extendedprice").cast("double")
+    // Materialized once (3 rows): seed fans out into the engine's stats
+    // side (a broadcast build per engine pass) and the final join — unre-
+    // materialized, each reference replanned the full percentile scan (the
+    // r13 plan carried 36 parquet scans of lineitem for this one query).
     val seed = lineitem.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         min(price).as("mn"), max(price).as("mx"), count(price).as("n"))
+      .localCheckpoint(true)
     val highCard = exactQuantilesWithStats(lineitem, "l_returnflag", "l_extendedprice",
       Seq(0.5), seed.select(col("l_returnflag"), col("mn"), col("mx"), col("n")))
       .select(col("l_returnflag"), col("quantile").as("med_price"))
@@ -494,9 +499,30 @@ object Relational {
   /** Steps 2-5 with the per-group (mn, mx, n) stats supplied by the caller
     * — lets a query that already aggregates per group (e.g. `quantiles`)
     * fuse step 1 into its own pass instead of re-scanning the table.
+    * Delegates to the value-count engine with unit weights: `count(1)`
+    * over raw rows and `sum(1L)` are the same long, so the interpolated
+    * doubles are bitwise those of the original row-at-a-time form.
     */
   def exactQuantilesWithStats(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], stats: DataFrame, nBuckets: Int = 4096): DataFrame = {
+      qs: Seq[Double], stats: DataFrame, nBuckets: Int = 4096): DataFrame =
+    exactQuantilesFromCounts(
+      df.select(col(groupCol), col(valueCol).cast("double").as(valueCol),
+        lit(1L).as("_unit_cnt")),
+      groupCol, valueCol, "_unit_cnt", qs, stats, nBuckets)
+
+  /** Steps 2-5 over a PRE-AGGREGATED (group, value, count) multiset — the
+    * weighted twin of [[exactQuantilesWithStats]] (r14): a caller that
+    * already holds per-value counts (e.g. [[columnStats]]'s ndv pass) feeds
+    * them here and the histogram / in-band passes aggregate ndv-bounded
+    * rows instead of re-scanning the raw table. Every count the raw engine
+    * takes from `count(1)` comes from `sum(cnt)` instead — identical longs
+    * for the expanded multiset — and the interpolation arithmetic is
+    * untouched, so the output doubles are bitwise identical (pinned in
+    * `RelationalSpec`).
+    */
+  private[graft] def exactQuantilesFromCounts(vc: DataFrame, groupCol: String,
+      valueCol: String, cntCol: String, qs: Seq[Double], stats: DataFrame,
+      nBuckets: Int = 4096): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
 
@@ -504,10 +530,10 @@ object Relational {
     val bucket = when(col("mx") === col("mn"), lit(0L)).otherwise(
       least(lit(nBuckets - 1L),
         floor((v - col("mn")) / (col("mx") - col("mn")) * nBuckets))).cast("long")
-    val bucketed = df.filter(v.isNotNull)
+    val bucketed = vc.filter(v.isNotNull)
       .join(broadcast(stats), groupCol)
-      .select(g, v.as("v"), bucket.as("b"))
-    val hist = bucketed.groupBy(g, col("b")).agg(count(lit(1)).as("cnt"))
+      .select(g, v.as("v"), col(cntCol).cast("long").as("w"), bucket.as("b"))
+    val hist = bucketed.groupBy(g, col("b")).agg(sum(col("w")).as("cnt"))
       .withColumn("cum_before",
         sum(col("cnt")).over(Window.partitionBy(g).orderBy(col("b"))) - col("cnt"))
 
@@ -527,7 +553,7 @@ object Relational {
     // 4. Exact order statistics inside the located buckets only.
     val wanted = broadcast(located.select(g, col("b")).distinct())
     val inBand = bucketed.join(wanted, Seq(groupCol, "b"), "left_semi")
-    val valCounts = inBand.groupBy(g, col("b"), col("v")).agg(count(lit(1)).as("vc"))
+    val valCounts = inBand.groupBy(g, col("b"), col("v")).agg(sum(col("w")).as("vc"))
       .withColumn("vcum_before",
         sum(col("vc")).over(Window.partitionBy(g, col("b")).orderBy(col("v"))) - col("vc"))
     val rankVals = located.join(valCounts, Seq(groupCol, "b"))
@@ -536,11 +562,19 @@ object Relational {
       .select(g, col("r"), col("v"))
 
     // 5. Interpolate (weighted form — Spark Percentile.getPercentile parity).
-    val vLo = rankVals.select(g, col("r").as("lo"), col("v").as("v_lo"))
-    val vHi = rankVals.select(g, col("r").as("hi"), col("v").as("v_hi"))
-    targets
-      .join(vLo, Seq(groupCol, "lo"))
-      .join(vHi, Seq(groupCol, "hi"))
+    //    ONE join against rankVals: the old two-join form (vLo on lo, vHi on
+    //    hi) replicated the whole step-4 subtree — in-band scan, value-count
+    //    aggregation, cumulative window — once per arm (r13 plans showed
+    //    zero pre-execution exchange reuse across the arms). Melting each
+    //    target's two ranks and pivoting back reads step 4 once; both lo and
+    //    hi are located for every group with n ≥ 1 and neither for n = 0
+    //    (pos < 0), so the inner-join drop semantics are identical.
+    val need = targets.select(g, col("q"), col("pos"), col("lo"), col("hi"),
+      explode(array(col("lo"), col("hi"))).as("r"))
+    need.join(rankVals, Seq(groupCol, "r"))
+      .groupBy(g, col("q"), col("pos"), col("lo"), col("hi"))
+      .agg(max(when(col("r") === col("lo"), col("v"))).as("v_lo"),
+        max(when(col("r") === col("hi"), col("v"))).as("v_hi"))
       .select(g, col("q"),
         when(col("lo") === col("hi"), col("v_lo")).otherwise(
           (col("hi").cast("double") - col("pos")) * col("v_lo") +
@@ -790,22 +824,33 @@ object Relational {
     val melted = cols.map { c =>
       df.select(lit(c).as("column"), col(c).cast("double").as("v"))
     }.reduce(_ unionByName _)
-    // ndv WITHOUT Expand: two-stage value-keyed counting; the second stage
-    // aggregates ndv-many rows, not the table. Materialized once — it
-    // feeds both the output row and the quantile engine's stats side.
-    val basic = melted.groupBy(col("column"), col("v"))
+    // ONE pass over the input (r14 — guide §1.2 fewer passes / §2.3
+    // aggregate-before-shuffle): the per-(column, value) counts that the
+    // ndv stage already needed are materialized once and EVERY downstream
+    // consumer derives from them — the null/ndv/extent row AND the exact-
+    // quantile engine, whose histogram and in-band passes now aggregate
+    // this ndv-bounded table through [[exactQuantilesFromCounts]] instead
+    // of re-scanning the melt (the r13 plan showed 60 parquet scans for 5
+    // profiled columns: the melt replanned per engine pass ×2 arms).
+    val vc = melted.groupBy(col("column"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val basic = vc
       .groupBy(col("column")).agg(
         sum(col("cnt")).as("n_rows"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
         sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("ndv"),
         min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+      // still materialized (5 rows): it feeds the output row AND the
+      // engine's stats side, which fans out into several broadcast builds
       .localCheckpoint(true)
     // exact quartiles from the shared distributed order-statistics engine
-    // (bitwise `percentile()` parity — the q_quantiles machinery).
+    // (bitwise `percentile()` parity — the q_quantiles machinery), fed the
+    // pre-counted values: sum(cnt) where the raw engine counts rows —
+    // identical longs, identical interpolated doubles.
     val stats = basic.select(col("column"), col("min_val").as("mn"),
       col("max_val").as("mx"), (col("n_rows") - col("n_nulls")).as("n"))
-    val quarts = exactQuantilesWithStats(melted, "column", "v",
+    val quarts = exactQuantilesFromCounts(vc, "column", "v", "cnt",
         Seq(0.25, 0.5, 0.75), stats)
       .groupBy(col("column")).agg(
         max(when(col("q") === 0.25, col("quantile"))).as("p25"),

@@ -1077,8 +1077,14 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Seq[Float]] =
       Array.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
-    val bits = planes.map(p =>
-      when(dot(col("embedding"), typedLit(p)) >= 0, lit("1")).otherwise(lit("0")))
+    // ONE sign-bits node holding the plane matrix as object state (r14):
+    // the old concat of nBits `when(dot(emb, typedLit(plane)) >= 0, ...)`
+    // subtrees put 64 × 64-float literals in the plan, and the banding
+    // self-join below replicates the signature subtree across its x/y arms
+    // and the bucket-cap anti-join build — a 215 KB physical plan Catalyst
+    // re-analyzed/codegen'd per action (the FloatVecNearestCells disease).
+    // Bitwise-equal signature string, SimilaritySpec-pinned.
+    val sigExpr = signBits(col("embedding"), planes.toSeq)
     val nBands = nBits / bandBits
     // The 32 hyperplane dot products per vector are the heavy map stage —
     // seed parallelism on the raw vector stream (no-op on real layouts).
@@ -1105,7 +1111,7 @@ object Similarity {
     // multi-band candidate stream and only the tiny survivor set ever
     // reaches an exchange.
     def scoredPairs(side: DataFrame): DataFrame = {
-      val banded = side.select(col("vec_id"), concat(bits.toSeq: _*).as("sig"))
+      val banded = side.select(col("vec_id"), sigExpr.as("sig"))
         .select(col("vec_id"), explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band_id"),
             substring(col("sig"), b * bandBits + 1, bandBits).as("band_key"))

@@ -143,6 +143,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("value-count quantile engine ≡ the raw-row engine bitwise (weights = pre-counts)") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    // l_quantity repeats heavily — the case where the pre-counted table is
+    // genuinely smaller than the raw rows and sum(cnt) ≠ count(1) would show.
+    val stats = li.groupBy(col("l_returnflag")).agg(
+      min(col("l_quantity").cast("double")).as("mn"),
+      max(col("l_quantity").cast("double")).as("mx"),
+      count(col("l_quantity")).as("n"))
+    val raw = Relational.exactQuantilesWithStats(li, "l_returnflag", "l_quantity", qs, stats)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val vc = li.groupBy(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val counted = Relational.exactQuantilesFromCounts(vc, "l_returnflag", "v", "cnt", qs, stats)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(raw.keySet == counted.keySet && raw.nonEmpty)
+    raw.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(counted(k)), s"$k: raw $v != counted ${counted(k)}")
+    }
+  }
+
   test("distributed exact quantile handles degenerate and tiny groups") {
     import spark.implicits._
     // constant-valued group (zero histogram width), 1-row group, 2-row group

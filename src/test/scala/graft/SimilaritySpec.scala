@@ -652,6 +652,27 @@ class SimilaritySpec extends SparkSpec {
     assert(atC2 == Seq(2L, 7L), s"tie-break drifted: $atC2")
   }
 
+  test("signBits equals the concat-of-when literal form, bit for bit") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.{concat, lit, typedLit, when}
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    val rnd = new scala.util.Random(7L)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(16)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val literal = concat(planes.map(p =>
+      when(dot(col("embedding"), typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val rows = emb.select(signBits(col("embedding"), planes).as("fast"),
+      literal.as("lit")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), s"sig diverged: $r"))
+    // a zero vector dots to +0.0 against every plane: all-ones, both forms
+    val zero = emb.limit(1).select(
+      org.apache.spark.sql.functions.expr(s"array_repeat(float(0.0), $dim)").as("embedding"))
+    val z = zero.select(signBits(col("embedding"), planes).as("fast"), literal.as("lit")).head
+    assert(z.getString(0) == "1" * 16 && z.getString(1) == z.getString(0))
+  }
+
   test("knnL2: the query vector itself is rank 1 with distance 0") {
     val top = Similarity.knnL2(Tables.embeddings(spark, sf)).collect()
     assert(top.head.getAs[Long]("rank") == 1L)
