@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Dedup
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.Try
+
 /** Persisted MinHash-LSH index — incremental corpus ingestion's dedup
   * gate. The batch operators (`ops.Dedup`) recompute signatures over the
   * whole corpus per run; a production pipeline dedups EACH ARRIVING BATCH
@@ -122,32 +126,61 @@ object LshIndex {
     */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     import graft.sources.KeyedSidecar
-    val sh = Dedup.shingles(docs).localCheckpoint(true)
-    KeyedSidecar.write(docs.select(col("doc_id")), "doc_id",
-      s"$path/ids", SaveMode.Overwrite)
-    val hashRows = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Overwrite)
+    // docs is NOT checkpointed here: a corpus-sized localCheckpoint would
+    // trade column-pruned source scans for a full raw materialization in
+    // executor storage — wrong at 100 TB. The expensive derivation (the
+    // shingle explode) is what gets materialized.
+    val d = docs
+    val sh = Dedup.shingles(d).localCheckpoint(true)
     // shingles/winnow explode the text (~ShingleN overlapping n-grams per
     // word; fingerprints per window) — fan-outs Catalyst's explode stats
     // do not multiply, so the layout decision reads the CHECKPOINTED
     // shingle set's exact block-manager bytes instead
     val shBytes = materializedBytes(spark, sh)
-    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Overwrite,
-      estimatedBytes = shBytes)
-    KeyedSidecar.write(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        .join(hashRows, Seq("doc_id")),
-      "doc_id", s"$path/sizes", SaveMode.Overwrite)
-    bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
-      .partitionBy("band_id").parquet(s"$path/bands")
-    KeyedSidecar.write(Dedup.winnowFingerprints(docs)
-      .select(col("doc_id"), explode(col("fps")).as("fp")),
-      "fp", s"$path/winnow", SaveMode.Overwrite,
-      // fp rows ≤ shingle rows (one fingerprint per winnow window vs one
-      // shingle per word): the shingle measure is a safe over-estimate
-      estimatedBytes = shBytes)
+    val hashRows = d.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    // The six table writes are INDEPENDENT jobs over already-materialized
+    // inputs (a fresh build into a fresh directory has no append-ordering
+    // contract — crash-ordering only matters for appendBatch's gate-
+    // authority-first rule). Submitting them from a small driver pool lets
+    // each job's tail back-fill the executors the previous one leaves idle
+    // (guide §2.6) — at bench scale the build was 6 sequential sub-second
+    // jobs of driver-gap-dominated wall.
+    runConcurrently(Seq(
+      () => KeyedSidecar.write(d.select(col("doc_id")), "doc_id",
+        s"$path/ids", SaveMode.Overwrite),
+      () => KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Overwrite),
+      () => KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Overwrite,
+        estimatedBytes = shBytes),
+      () => KeyedSidecar.write(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+          .join(hashRows, Seq("doc_id")),
+        "doc_id", s"$path/sizes", SaveMode.Overwrite),
+      () => bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
+        .partitionBy("band_id").parquet(s"$path/bands"),
+      () => KeyedSidecar.write(Dedup.winnowFingerprints(d)
+        .select(col("doc_id"), explode(col("fps")).as("fp")),
+        "fp", s"$path/winnow", SaveMode.Overwrite,
+        // fp rows ≤ shingle rows (one fingerprint per winnow window vs one
+        // shingle per word): the shingle measure is a safe over-estimate
+        estimatedBytes = shBytes)))
+  }
+
+  /** Run independent Spark write jobs concurrently from a bounded driver
+    * pool (guide §2.6 — actions are only sequential because the driver
+    * calls them sequentially; concurrent jobs back-fill each other's task
+    * tails). Every task is awaited before return; the first failure
+    * rethrows AFTER all complete, so no write is ever abandoned mid-flight.
+    */
+  private def runConcurrently(tasks: Seq[() => Unit], parallelism: Int = 3): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, tasks.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = tasks.map(t => Future(t())).map(f => Try(Await.result(f, Duration.Inf)))
+      done.foreach(_.get)
+    } finally { pool.shutdown(); () }
   }
 
   private val allTables = Seq("ids", "shingles", "sizes", "bands", "winnow", "hashes")
@@ -170,16 +203,30 @@ object LshIndex {
     * — caught by the gate and exact tier, never double-counted.
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    import graft.sources.KeyedSidecar
     recover(spark, path)
+    // a delivery is bounded by contract — one checkpoint feeds the five
+    // derivations below instead of five source re-reads
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    appendBatchWith(spark, b, path, Dedup.shingles(b).localCheckpoint(true))
+  }
+
+  /** [[appendBatch]] body with recovery already run and the batch's
+    * shingle set precomputed by the caller — `ingestBatch` passes the
+    * near-dup tier's checkpointed shingles restricted to the survivors
+    * (shingles are per-doc, so the restriction IS `shingles(keep)`),
+    * saving one explode+checkpoint job per ingest batch.
+    */
+  private def appendBatchWith(spark: SparkSession, batch: DataFrame,
+      path: String, sh: DataFrame): Unit = {
+    import graft.sources.KeyedSidecar
+    // The gate-authority tables go FIRST and SEQUENTIALLY (the crash
+    // contract in the method doc: ids visible before any derived rows).
     val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
     if (idsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsP))
       KeyedSidecar.write(batch.select(col("doc_id")), "doc_id",
         s"$path/ids", SaveMode.Append)
     val hashRows = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
     KeyedSidecar.write(hashRows, "text_hash", s"$path/hashes", SaveMode.Append)
-    val sh = Dedup.shingles(batch).localCheckpoint(true)
-    KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Append)
     val sizeRows = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // r13 sizes carry the content hash; appends follow the resident
     // SCHEMA (a legacy two-column table must not widen in place —
@@ -187,13 +234,22 @@ object LshIndex {
     // (bucketed vs flat) is KeyedSidecar.write's job, orthogonal to this.
     val residentSizesCarryHash =
       spark.read.parquet(s"$path/sizes").columns.contains("text_hash")
-    KeyedSidecar.write(
-      if (residentSizesCarryHash) sizeRows.join(hashRows, Seq("doc_id"))
-      else sizeRows,
-      "doc_id", s"$path/sizes", SaveMode.Append)
     val fpRows = Dedup.winnowFingerprints(batch)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    KeyedSidecar.write(fpRows, "fp", s"$path/winnow", SaveMode.Append)
+    // shingles/sizes/winnow are mutually independent batch-sized writes
+    // over already-materialized inputs — submitted concurrently (guide
+    // §2.6) so their job tails back-fill each other. bands still commits
+    // strictly AFTER them: candidacy starts at the bands row, so a crash
+    // may leave shingle/size/fp rows without bands (invisible — the doc is
+    // never a candidate) but never bands without the shingle/size rows the
+    // verify join needs (that would silently drop verdicts).
+    runConcurrently(Seq(
+      () => KeyedSidecar.write(sh, "doc_id", s"$path/shingles", SaveMode.Append),
+      () => KeyedSidecar.write(
+        if (residentSizesCarryHash) sizeRows.join(hashRows, Seq("doc_id"))
+        else sizeRows,
+        "doc_id", s"$path/sizes", SaveMode.Append),
+      () => KeyedSidecar.write(fpRows, "fp", s"$path/winnow", SaveMode.Append)))
     bandPartitioned(Dedup.bandKeys(Dedup.minhashWide(sh)))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", graft.vector.IvfIndex.MaxRecordsPerCellFile)
@@ -334,8 +390,16 @@ object LshIndex {
     * changed.
     */
   private def dedupBatchChecked(spark: SparkSession, path: String, batch: DataFrame,
-      jaccardThreshold: Double): DataFrame = {
-    val bSh = Dedup.shingles(batch).localCheckpoint(true)
+      jaccardThreshold: Double): DataFrame =
+    dedupBatchOn(spark, path, batch,
+      Dedup.shingles(batch).localCheckpoint(true), jaccardThreshold)
+
+  /** [[dedupBatchChecked]] with the batch's shingle set precomputed —
+    * `ingestBatch` derives it once and reuses it for the survivors'
+    * append (shingles are per-doc, so restriction commutes).
+    */
+  private def dedupBatchOn(spark: SparkSession, path: String, batch: DataFrame,
+      bSh: DataFrame, jaccardThreshold: Double): DataFrame = {
     val bBands = Dedup.bandKeys(Dedup.minhashWide(bSh))
     val bSizes = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // BROADCAST DISCIPLINE: the batch side is bounded BY CONTRACT (a
@@ -432,10 +496,16 @@ object LshIndex {
     * design: run `Dedup.minhashDupPairs` over the batch first if the
     * source is known to self-plagiarize.
     */
-  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
+  def ingestBatch(spark: SparkSession, path: String, rawBatch: DataFrame,
       jaccardThreshold: Double = 0.3, winnowMinShared: Int = 0,
       winnowMaxDf: Int = 1000): DataFrame = {
     recover(spark, path)
+    // One batch materialization feeds every tier: the four-tier cascade
+    // references the batch ~8× (losers, candidates, hashes, rest, the
+    // near-dup shingles, the winnow fps, the survivor append, the final
+    // report), and each un-materialized reference replanned the caller's
+    // source scan + derivation expressions per action.
+    val batch = rawBatch.select(col("doc_id"), col("text")).localCheckpoint(true)
     requireDisjointIds(spark, path, batch)
     // Within-batch exact tier: one hash-groupBy; losers never hit the index.
     val batchLosers = batch
@@ -467,7 +537,11 @@ object LshIndex {
       .select(col("doc_id"), lit("exact_dup").as("verdict"))
       .localCheckpoint(true)
     val rest = candidates.join(exactDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val nearDups = dedupBatchChecked(spark, path, rest, jaccardThreshold)
+    // the near-dup tier's shingle set is derived ONCE and reused for the
+    // survivors' append below (shingles are per-doc: restricting the
+    // checkpointed set to keep-ids IS shingles(keep))
+    val restSh = Dedup.shingles(rest).localCheckpoint(true)
+    val nearDups = dedupBatchOn(spark, path, rest, restSh, jaccardThreshold)
       .select(col("batch_doc_id").as("doc_id"), lit("near_dup").as("verdict"))
       .distinct()
       .localCheckpoint(true)
@@ -532,7 +606,10 @@ object LshIndex {
       exactDups.select(col("doc_id")).unionByName(nearDups.select(col("doc_id")))
         .unionByName(overlapDups.select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
-    appendBatch(spark, keep, path)
+    // recovery already ran at entry; the survivors' shingles restrict the
+    // near-dup tier's checkpointed set instead of re-exploding the text
+    appendBatchWith(spark, keep, path,
+      restSh.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     batch.select(col("doc_id"))
       .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("verdict"), lit("ingested")).as("verdict"))
