@@ -65,7 +65,9 @@ object CompactSwap {
     require(fs.rename(live, old), s"compact: cannot stage $table aside at $base")
     require(fs.rename(fresh, live), s"compact: cannot swap $table into place at $base")
     fs.delete(old, true)
-    ()
+    // the swap changed the live path's contents without a write() on it
+    KeyedSidecar.invalidateSize(s"$base/$table")
+    KeyedSidecar.invalidateSize(fresh.toString)
   }
 
   /** `recover` for `rewriteHidden` layouts, where table names are dynamic:
@@ -102,6 +104,8 @@ object CompactSwap {
     require(fs.rename(live, old), s"compact: cannot stage $table aside at $base")
     require(fs.rename(fresh, live), s"compact: cannot swap $table into place at $base")
     fs.delete(old, true)
-    ()
+    // the swap changed the live path's contents without a write() on it
+    KeyedSidecar.invalidateSize(s"$base/$table")
+    KeyedSidecar.invalidateSize(fresh.toString)
   }
 }

@@ -138,12 +138,26 @@ object KeyedSidecar {
     if (mode == SaveMode.Append) {
       if (isBucketed(df.sparkSession, path)) writeBucketed(df, keyCol, path, mode)
       else df.drop(BucketCol).write.mode(mode).parquet(path)
+      // grow the cached size by the appended frame's estimate (in-memory
+      // stats over-estimate parquet bytes — the safe direction; see
+      // sizeCache). Only when an entry exists: an absent entry stays
+      // absent and the next lookup walks once, exactly.
+      val prev = sizeCache.get(path)
+      if (prev != null) {
+        val est = estimatedBytes.map(BigInt(_))
+          .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        val grown = BigInt(prev.longValue) + est
+        val capped = if (grown > BigInt(Long.MaxValue)) Long.MaxValue else grown.toLong
+        sizeCache.put(path, java.lang.Long.valueOf(capped))
+        ()
+      }
     } else {
       val est: BigInt = estimatedBytes.map(BigInt(_))
         .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
       if (est < BigInt(MinPruneBytes))
         df.drop(BucketCol).write.mode(mode).parquet(path)
       else writeBucketed(df, keyCol, path, mode)
+      invalidateSize(path)
     }
 
   /** The bucketed layout writer, unconditionally — tests and compaction
@@ -175,12 +189,49 @@ object KeyedSidecar {
       .exists(_.getPath.getName.startsWith(BucketCol + "="))
   }
 
-  /** On-disk byte size of the table (driver metadata walk — bounded by
-    * file count; a production deployment would serve this from table
-    * stats instead).
+  /** Session-lifetime cache of table on-disk bytes, path → bytes (r14,
+    * VERDICT #3/#5): [[lookup]] previously ran `getContentSummary` — an
+    * O(file-count) driver metadata walk — on EVERY call, a per-batch
+    * driver stall once a sidecar holds thousands of files. All sidecar
+    * mutations in this engine go through [[write]] (single-writer design,
+    * LshIndex scaladoc), which keeps the entry incremental: appends ADD
+    * the appended frame's size estimate (in-memory stats ≥ on-disk bytes —
+    * errs toward pruning early, the safe direction: pruning is
+    * restriction-only and the threshold only gates its economics),
+    * overwrites and compaction swaps invalidate (next lookup re-walks
+    * once). Steady-state ingest pays ONE walk per table per session.
     */
-  private def tableBytes(spark: SparkSession, path: String): Long =
-    fsOf(spark, path).getContentSummary(new Path(path)).getLength
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop the cached size for a path — compaction swaps rename fresh
+    * directories into place without going through [[write]] on the live
+    * path, so [[CompactSwap]] calls this on every swap.
+    */
+  private[sources] def invalidateSize(path: String): Unit = {
+    sizeCache.remove(path); ()
+  }
+
+  private[graft] def cachedBytes(path: String): Option[Long] =
+    Option(sizeCache.get(path)).map(_.longValue)
+
+  /** [[tableBytes]] for sibling index layouts (the LSH bands table rides
+    * the same size-gated pruning economics without being a keyed sidecar).
+    */
+  private[graft] def tableBytesOf(spark: SparkSession, path: String): Long =
+    tableBytes(spark, path)
+
+  /** On-disk byte size of the table — served from [[sizeCache]]; the
+    * O(file-count) `getContentSummary` walk runs only on a miss.
+    */
+  private def tableBytes(spark: SparkSession, path: String): Long = {
+    val cached = sizeCache.get(path)
+    if (cached != null) cached.longValue
+    else {
+      val b = fsOf(spark, path).getContentSummary(new Path(path)).getLength
+      sizeCache.put(path, java.lang.Long.valueOf(b))
+      b
+    }
+  }
 
   /** Point-lookup scan: the sidecar restricted to the batch's key set,
     * pruned as far as the layout allows. `keys` must be a frame whose

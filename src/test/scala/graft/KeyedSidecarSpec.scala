@@ -77,6 +77,40 @@ class KeyedSidecarSpec extends SparkSpec {
     assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
   }
 
+  test("size cache: one walk per table, appends grow it, overwrite/compact invalidate") {
+    import spark.implicits._
+    val dir = tmp("sc")
+    KeyedSidecar.write((0L until 500L).map(i => (i, i)).toDF("k", "p"),
+      "k", dir, SaveMode.Overwrite)
+    // fresh write leaves no entry; the first lookup walks once and caches
+    assert(KeyedSidecar.cachedBytes(dir).isEmpty)
+    KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count()
+    val first = KeyedSidecar.cachedBytes(dir)
+    assert(first.nonEmpty && first.get > 0L)
+    // append grows the entry (estimate ≥ 0) without re-walking
+    KeyedSidecar.write((500L until 600L).map(i => (i, i)).toDF("k", "p"),
+      "k", dir, SaveMode.Append)
+    val grown = KeyedSidecar.cachedBytes(dir)
+    assert(grown.nonEmpty && grown.get >= first.get, s"$grown vs $first")
+    // lookup correctness is unchanged with the cached size in place
+    assert(KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count() == 600L)
+    // overwrite invalidates — next lookup re-walks to the fresh truth
+    KeyedSidecar.write((0L until 10L).map(i => (i, i)).toDF("k", "p"),
+      "k", dir, SaveMode.Overwrite)
+    assert(KeyedSidecar.cachedBytes(dir).isEmpty)
+    assert(KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count() == 10L)
+    // a compact-style swap invalidates through CompactSwap
+    KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count()
+    assert(KeyedSidecar.cachedBytes(dir).nonEmpty)
+    val base = dir.stripSuffix("/t")
+    graft.sources.CompactSwap.rewrite(spark, base, "t") { fresh =>
+      KeyedSidecar.write((0L until 5L).map(i => (i, i)).toDF("k", "p"),
+        "k", fresh, SaveMode.ErrorIfExists)
+    }
+    assert(KeyedSidecar.cachedBytes(dir).isEmpty)
+    assert(KeyedSidecar.lookup(spark, dir, "k", Seq(1L).toDF("k")).count() == 5L)
+  }
+
   test("size-adaptive: small fresh writes land FLAT, appends follow the layout") {
     import spark.implicits._
     // default estimate (Catalyst stats) is far below MinPruneBytes →

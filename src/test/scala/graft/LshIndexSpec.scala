@@ -61,6 +61,41 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("pruned band scan ≡ full scan: identical reports, In(band_key) pushed per band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-bp").toString + "/idx"
+    val docs = Tables.documents(spark, sf)
+    LshIndex.build(spark, docs, dir)
+    val batch = fixtureBatch(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("batch_doc_id"), r.getAs[Long]("resident_doc_id"),
+        r.getAs[Long]("n_shared_bands"), r.getAs[Double]("jaccard"),
+        r.getAs[Boolean]("is_exact"))).toSeq
+    val open = rows(LshIndex.dedupBatch(spark, dir, batch))
+    assert(open.nonEmpty)
+    val bBands = Dedup.bandKeys(Dedup.minhashWide(Dedup.shingles(batch)))
+      .localCheckpoint(true)
+    System.setProperty("graft.lsh.bandsPruneBytes", "0")
+    try {
+      // the pruned read itself: In(band_key) pushed, rows ≡ the full scan
+      // restricted to the batch's (band_id, band_key) set — the candidate
+      // join's key, so the restriction is invisible to it
+      val pruned = LshIndex.residentBands(spark, dir, bBands)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("In(band_key"),
+        s"per-band key predicate not pushed:\n${plan.take(2500)}")
+      def trip(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("band_id").cast("int"), col("band_key"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val expected = trip(spark.read.parquet(s"$dir/bands")
+        .join(bBands.select(col("band_id"), col("band_key")).distinct(),
+          Seq("band_id", "band_key")))
+      assert(trip(pruned) == expected && expected.nonEmpty)
+      // end to end: verdicts identical under the pruned read
+      assert(rows(LshIndex.dedupBatch(spark, dir, batch)) == open,
+        "pruned band scan must not change the report")
+    } finally System.clearProperty("graft.lsh.bandsPruneBytes")
+  }
+
   test("band writes are file-bounded: ≤ 8 files per band directory from a multi-task writer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-files").toString + "/idx"
     LshIndex.build(spark, Tables.documents(spark, sf).repartition(16), dir)
