@@ -81,7 +81,6 @@ private[multimodal] object Hash64Index {
       path: String): Unit = {
     import graft.sources.KeyedSidecar
     val h = hashes.localCheckpoint(true)
-    KeyedSidecar.write(h, "doc_id", s"$path/hashes", SaveMode.Overwrite)
     // probes write FLAT at every size (r13 measured): the gate probes
     // with the batch's 65-flip family — batch×65 keys always exceed the
     // parquet OR-of-eq pushdown cap, so a key-bucketed probes layout can
@@ -90,9 +89,13 @@ private[multimodal] object Hash64Index {
     // at 100× residents than this plain scan). The probes table is the
     // mm family's band-candidate table: candidate generation's own
     // O(resident-metadata) consultation, narrow and map-local.
-    h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
-        col(hashCol).as("r_hash"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")
+    // Both writes derive from the checkpoint and a fresh build has no
+    // append-ordering contract — they overlap (guide §2.6).
+    graft.sources.ConcurrentJobs.run(Seq(
+      () => KeyedSidecar.write(h, "doc_id", s"$path/hashes", SaveMode.Overwrite),
+      () => h.select(explode(flipsOf(col(hashCol))).as("probe"), col("doc_id"),
+          col(hashCol).as("r_hash"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/probes")))
   }
 
   private def recover(spark: SparkSession, path: String): Unit =

@@ -4,10 +4,6 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Dedup
 
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
-import scala.util.Try
-
 /** Persisted MinHash-LSH index — incremental corpus ingestion's dedup
   * gate. The batch operators (`ops.Dedup`) recompute signatures over the
   * whole corpus per run; a production pipeline dedups EACH ARRIVING BATCH
@@ -168,21 +164,11 @@ object LshIndex {
         estimatedBytes = shBytes)))
   }
 
-  /** Run independent Spark write jobs concurrently from a bounded driver
-    * pool (guide §2.6 — actions are only sequential because the driver
-    * calls them sequentially; concurrent jobs back-fill each other's task
-    * tails). Every task is awaited before return; the first failure
-    * rethrows AFTER all complete, so no write is ever abandoned mid-flight.
+  /** See [[graft.sources.ConcurrentJobs]] — independent write jobs overlap
+    * from a bounded driver pool; ordering contracts stay outside a group.
     */
-  private def runConcurrently(tasks: Seq[() => Unit], parallelism: Int = 3): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, tasks.size))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val done = tasks.map(t => Future(t())).map(f => Try(Await.result(f, Duration.Inf)))
-      done.foreach(_.get)
-    } finally { pool.shutdown(); () }
-  }
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    graft.sources.ConcurrentJobs.run(tasks)
 
   /** Default engage bound for the per-band pruned candidate read — see
     * [[residentBands]] for the measured selectivity arithmetic.

@@ -231,12 +231,9 @@ object IvfIndex {
       ingestDate: java.sql.Date = DefaultIngestDate,
       dateMajor: Boolean = false): Unit = {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
-    centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val assigned = assign(embeddings, centroids)
     val (radii, counts) = cellRadiiCounts(assigned, centroids, lit(ingestDate))
     import spark.implicits._
-    radii.toSeq.sorted.toDF("cid", "radius")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii")
     // id sidecar (r13): the dedupIngest disjointness gate's authority. A
     // compact bucketed/key-sorted table the gate point-reads per batch —
     // WITHOUT it the gate scanned the whole cell×date layout's metadata
@@ -244,8 +241,16 @@ object IvfIndex {
     // measured the gate at 2.5× wall per 100× residents, all
     // scan/metadata). Written BEFORE vectors so a replayed crash trips
     // the gate loudly (the LshIndex hashes-first crash-ordering contract).
-    graft.sources.KeyedSidecar.write(assigned.select(col("vec_id")),
-      "vec_id", s"$path/ids", SaveMode.Overwrite)
+    // The three sidecar writes are independent (fresh build, fresh dir —
+    // the append-ordering contracts are appendBatch's) and overlap from a
+    // bounded driver pool (guide §2.6); vectors still commits last.
+    graft.sources.ConcurrentJobs.run(Seq(
+      () => centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/centroids"),
+      () => radii.toSeq.sorted.toDF("cid", "radius")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/radii"),
+      () => graft.sources.KeyedSidecar.write(assigned.select(col("vec_id")),
+        "vec_id", s"$path/ids", SaveMode.Overwrite)))
     writeCells(assigned
       .select(col("vec_id"), col("label"), col("embedding"), col("cid").as("cell"),
         lit(ingestDate).as("ingest_date")),
@@ -808,7 +813,13 @@ object IvfIndex {
     // needs — the cosine tier below lists ONLY the probed cell
     // directories.
     def fullVectors = spark.read.parquet(s"$path/vectors")
-    val batchIds = batch.select(col("vec_id")).localCheckpoint(true)
+    // one batch materialization feeds every tier (the LshIndex.ingestBatch
+    // r14 move): losers, candidates, the probe fan-out, the survivor
+    // append and the report each replanned the caller's source scan +
+    // expressions per action otherwise. A delivery is contract-bounded.
+    val b = batch.select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint(true)
+    val batchIds = b.select(col("vec_id")).localCheckpoint(true)
     // Disjointness gate off the bucketed id SIDECAR when the layout has
     // one (r13): a point-read pruned to the batch's key buckets/pages
     // instead of a full metadata pass over the cell×date layout — the
@@ -830,7 +841,7 @@ object IvfIndex {
       s"batch vec_ids collide with resident ids (e.g. ${clash.map(_.get(0)).mkString(", ")}): " +
         "ingest requires batch ids disjoint from the resident corpus")
     mark("id_gate")
-    val batchLosers = batch
+    val batchLosers = b
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("keep_id"), collect_list(col("vec_id")).as("ids"))
       .select(explode(col("ids")).as("vec_id"), col("keep_id"))
@@ -838,7 +849,7 @@ object IvfIndex {
       .select(col("vec_id"), lit("batch_dup").as("verdict"))
       .localCheckpoint(true)
     mark("batch_dups")
-    val candidates = batch
+    val candidates = b
       .join(broadcast(batchLosers.select("vec_id")), Seq("vec_id"), "left_anti")
     val probed = candidates
       .select(col("vec_id"), col("embedding"),
@@ -862,7 +873,7 @@ object IvfIndex {
       case Some(dirs) if dirs.nonEmpty =>
         spark.read.option("basePath", s"$path/vectors").parquet(dirs: _*)
       case Some(_) => // probed cells hold no resident rows at all
-        batch.select(col("vec_id"), col("embedding"),
+        b.select(col("vec_id"), col("embedding"),
           lit(0L).cast("int").as("cell")).limit(0)
       case None => fullVectors
     }
